@@ -1,0 +1,176 @@
+"""Query-clause operators the reference has but Spark SQL lacks natively.
+
+Each is a plan *rewrite* over DataFrames — Catalyst still owns the
+physical strategy, so these compose with pushdown/AQE/broadcast like any
+built-in operator.
+
+Reference parity notes cite /root/reference file:line.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def limit_by(
+    df: DataFrame,
+    n: int,
+    by: Sequence[str],
+    order_by: Sequence[Column] | None = None,
+    offset: int = 0,
+) -> DataFrame:
+    """``LIMIT n BY cols`` — first n rows per distinct key tuple.
+
+    Reference: DataStreams/LimitByBlockInputStream.h:18 (takes rows in
+    stream order).  Spark has no stable stream order, so an explicit
+    ``order_by`` makes the result deterministic (the reference's own
+    output is order-dependent too).
+
+    Scale: a single window shuffle on the BY keys; no driver collect.
+    """
+    order = list(order_by) if order_by else [F.lit(1)]
+    w = Window.partitionBy(*by).orderBy(*order)
+    rn = F.row_number().over(w)
+    return (
+        df.withColumn("__rn", rn)
+        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + n))
+        .drop("__rn")
+    )
+
+
+def with_totals(
+    grouped: DataFrame,
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    having: Column | None = None,
+) -> DataFrame:
+    """``GROUP BY ... WITH TOTALS`` — append one row aggregating ALL rows
+    (keys become NULL), reference semantics of totals_mode =
+    before_having (DataStreams/TotalsHavingBlockInputStream.h:16).
+
+    ``grouped`` is the already-grouped+aggregated frame; ``df`` the
+    pre-aggregation input used to compute the totals row.  HAVING is
+    applied to groups only, never to the totals row — matching the
+    reference's default.
+
+    Scale: the totals row is a 1-row global agg — Spark computes it as a
+    partial+final agg with no extra shuffle of the grouped side.
+    """
+    if having is not None:
+        grouped = grouped.filter(having)
+    totals = df.agg(*aggs)
+    for k in keys:
+        totals = totals.withColumn(k, F.lit(None).cast(grouped.schema[k].dataType))
+    return grouped.unionByName(totals.select(*grouped.columns))
+
+
+def array_join(
+    df: DataFrame,
+    arrays: dict[str, Column],
+    left: bool = False,
+    with_pos: str | None = None,
+) -> DataFrame:
+    """``ARRAY JOIN`` / ``LEFT ARRAY JOIN`` over one or more aligned arrays.
+
+    Reference: clause Parsers/ASTSelectQuery.h:68-70, executed via
+    IColumn::replicate (Columns/IColumn.h:218).  Multiple arrays are
+    unrolled in lockstep (not a cross product) — expressed here as
+    ``arrays_zip`` + ``explode``; LEFT keeps empty-array rows
+    (explode_outer).
+
+    ``arrays`` maps output column name -> array Column.  ``with_pos``
+    optionally adds a 1-based position column (arrayEnumerate analog).
+    """
+    names = list(arrays)
+    zipped = F.arrays_zip(*[arrays[n].alias(n) for n in names])
+    exploder = F.posexplode_outer if left else F.posexplode
+    out = df.select("*", exploder(zipped).alias("__pos", "__zip"))
+    for n in names:
+        out = out.withColumn(n, F.col("__zip").getField(n))
+    if with_pos:
+        out = out.withColumn(with_pos, F.col("__pos") + F.lit(1))
+    return out.drop("__zip", "__pos")
+
+
+def any_join(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    on: Sequence[str],
+    how: str = "left",
+    tie_break: Sequence[Column] | None = None,
+) -> DataFrame:
+    """``ANY JOIN`` — at most one right-side match per left row.
+
+    Reference: strictness Any keeps the FIRST inserted right row per key
+    (Interpreters/Join.h:352-378, MapsAny = single RowRef).  Insert order
+    is not reproducible on Spark, so ``tie_break`` columns pick the
+    winner deterministically (default: all right columns ascending).
+
+    Implementation: dedup the right side to one row per key
+    (row_number()=1) then ordinary join — Catalyst may then broadcast
+    the deduped side, which is exactly what a 100 TB plan wants.
+    """
+    if tie_break is None:
+        tie_break = [F.col(c) for c in right_df.columns if c not in on]
+    w = Window.partitionBy(*on).orderBy(*(tie_break or [F.lit(1)]))
+    deduped = (
+        right_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return left_df.join(deduped, on=list(on), how=how)
+
+
+def global_in(
+    df: DataFrame, col: Column, subquery: DataFrame, negate: bool = False
+) -> DataFrame:
+    """``GLOBAL IN (subquery)`` — reference ships the subquery result to
+    every node (Interpreters/ExpressionAnalyzer.cpp:479-574); on Spark
+    this is a broadcast semi/anti join.
+    """
+    key = subquery.columns[0]
+    sub = F.broadcast(subquery.select(F.col(key).alias("__k")).distinct())
+    how = "left_anti" if negate else "left_semi"
+    return df.join(sub, on=col == F.col("__k"), how=how)
+
+
+def deterministic_sample(
+    df: DataFrame, key: Column, numerator: int, denominator: int, offset: int = 0
+) -> DataFrame:
+    """``SAMPLE n/d [OFFSET m/d]`` — deterministic subrange of the
+    sampling-key hash space (reference:
+    Storages/MergeTree/MergeTreeDataSelectExecutor.cpp:253-270).
+
+    Uses a Knuth multiplicative hash (public-domain constant 2654435761)
+    over the key so the predicate is pure arithmetic — reproducible
+    across engines AND pushdown-friendly (it's a plain filter on the
+    scan, like the reference's sampling-key range restriction).
+    """
+    h = F.pmod(key.cast("long") * F.lit(2654435761), F.lit(4294967296))
+    lo = offset * 4294967296 // denominator
+    hi = (offset + numerator) * 4294967296 // denominator
+    return df.filter((h >= F.lit(lo)) & (h < F.lit(hi)))
+
+
+def final_replacing(
+    df: DataFrame,
+    pk: Sequence[str],
+    version: Column | None = None,
+) -> DataFrame:
+    """``SELECT ... FINAL`` over a ReplacingMergeTree: latest row (max
+    version) per primary key (DataStreams/ReplacingSortedBlockInputStream.h:15).
+
+    One window shuffle on the PK; at scale prefer the compaction job in
+    ``sources.mergetree`` and read the compacted table.
+    """
+    order = [version.desc()] if version is not None else [F.lit(1)]
+    w = Window.partitionBy(*pk).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

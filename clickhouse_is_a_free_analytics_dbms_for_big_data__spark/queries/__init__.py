@@ -1,0 +1,3 @@
+from .registry import QUERIES, QuerySpec, oracle_sql_map, queries_map
+
+__all__ = ["QUERIES", "QuerySpec", "queries_map", "oracle_sql_map"]

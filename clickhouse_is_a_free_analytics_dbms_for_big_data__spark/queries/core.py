@@ -1,0 +1,563 @@
+"""Core query surface: scan/filter/aggregate/join/set-ops/sort/limit.
+
+Mirrors the reference's SELECT pipeline (Interpreters/InterpreterSelectQuery.cpp:413
+executeSingleQuery stitching: WHERE -> agg -> HAVING -> ORDER BY -> LIMIT BY
+-> LIMIT) re-expressed as declarative DataFrame plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import (
+    any_join,
+    array_join,
+    deterministic_sample,
+    final_replacing,
+    global_in,
+    limit_by,
+    with_totals,
+)
+from ..sources.catalog import load_tables
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    dfs = load_tables(spark, sf_dir, tuple(names))
+    missing = [n for n in names if n not in dfs]
+    if missing:
+        raise FileNotFoundError(
+            f"tables {missing} not found under {sf_dir!r} "
+            f"(expected <table>.parquet files)"
+        )
+    return [dfs[n] for n in names]
+
+
+def _dec(col: str, scale: int = 2) -> F.Column:
+    """Cast to decimal so cross-engine sums are exact (see registry doc)."""
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (reference Interpreters/Aggregator.h; Spark HashAggregateExec)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(SUM(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)) * (1 + l_tax::DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(l_discount::DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship: TPC-H Q1-shaped pricing summary (multi-agg GROUP BY). "
+    "Reference analog: hash aggregation Interpreters/Aggregator.cpp:694.",
+    tags=("aggregate", "flagship"),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "count_star",
+    "SELECT COUNT(*) AS cnt FROM lineitem",
+    doc="SELECT count() — reference AggregateFunctionCount.h.",
+    tags=("aggregate",),
+)
+def count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "filter_count",
+    """
+    SELECT COUNT(*) AS cnt,
+           CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+    FROM events WHERE event_type = 'click' AND value > 5
+    """,
+    doc="WHERE/PREWHERE filter + agg; filter pushed to parquet scan "
+    "(reference PREWHERE MergeTreeDataSelectExecutor.cpp:479-494).",
+    tags=("filter",),
+)
+def filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    return ev.filter((F.col("event_type") == "click") & (F.col("value") > 5)).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "topk_group_order_limit",
+    """
+    SELECT event_type, COUNT(*) AS cnt
+    FROM events WHERE user_id != 0
+    GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 10
+    """,
+    doc="Benchmark Q8 shape: GROUP BY + ORDER BY count DESC LIMIT k "
+    "(TakeOrderedAndProject = reference's pre-LIMIT pushdown "
+    "InterpreterSelectQuery.cpp:637-641).",
+    tags=("aggregate", "topk"),
+)
+def topk_group_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") != 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("event_type"))
+        .limit(10)
+    )
+
+
+@query(
+    "uniq_exact",
+    "SELECT COUNT(DISTINCT user_id) AS u FROM events",
+    doc="uniqExact (AggregateFunctionUniq.h uniqExact variant).",
+    tags=("aggregate",),
+)
+def uniq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    return ev.agg(F.countDistinct("user_id").alias("u"))
+
+
+@query(
+    "uniq_approx",
+    None,  # approximate: HLL sketches differ across engines by design
+    doc="uniq() — HLL approximate distinct (AggregateFunctionUniq.h:52-69). "
+    "Rows-only check; accuracy asserted in tests/test_aggregates.py.",
+    tags=("aggregate", "approx"),
+)
+def uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    return ev.agg(F.approx_count_distinct("user_id").alias("u"))
+
+
+@query(
+    "group_min_max_any",
+    """
+    SELECT event_type,
+           MIN(value) AS min_v, MAX(value) AS max_v,
+           MIN(user_id) AS min_uid, MAX(user_id) AS max_uid,
+           ARG_MIN(user_id, event_id) AS first_uid,
+           ARG_MAX(user_id, event_id) AS last_uid
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="min/max + any/anyLast emulated deterministically as argMin/argMax "
+    "by event_id (reference any = first row in stream order, "
+    "AggregateFunctionsMinMaxAny.h; argMin/argMax AggregateFunctionsArgMinMax.h).",
+    tags=("aggregate",),
+)
+def group_min_max_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.min("user_id").alias("min_uid"),
+            F.max("user_id").alias("max_uid"),
+            F.min_by("user_id", "event_id").alias("first_uid"),
+            F.max_by("user_id", "event_id").alias("last_uid"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "having_filter",
+    """
+    SELECT user_id, COUNT(*) AS cnt FROM events
+    GROUP BY user_id HAVING COUNT(*) > 25 ORDER BY cnt DESC, user_id
+    """,
+    doc="HAVING (InterpreterSelectQuery.cpp:596-598).",
+    tags=("aggregate",),
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 25)
+        .orderBy(F.col("cnt").desc(), "user_id")
+    )
+
+
+@query(
+    "group_array",
+    """
+    SELECT l_returnflag,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT l_linestatus)), ',') AS statuses
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="groupUniqArray (AggregateFunctionGroupUniqArray.h) — rendered as a "
+    "sorted CSV string so the value-hash is list-order independent.",
+    tags=("aggregate", "array"),
+)
+def group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+                "statuses"
+            )
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (reference Interpreters/Join.h — hash join only; Spark picks strategy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_star_broadcast",
+    """
+    SELECT r.r_name AS region, COUNT(*) AS customers,
+           CAST(SUM(c.c_acctbal::DECIMAL(18,2)) AS DOUBLE) AS sum_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+    doc="Star-schema join; small dims broadcast explicitly — the 100 TB plan "
+    "(reference hash join Interpreters/Join.cpp, build side = RHS).",
+    tags=("join",),
+)
+def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nat, reg = _t(spark, sf_dir, "customer", "nation", "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+        )
+        .orderBy("region")
+    )
+
+
+@query(
+    "join_any_left",
+    """
+    WITH first_order AS (
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderkey) AS rn
+            FROM orders) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name, f.o_orderkey, f.o_totalprice
+    FROM customer c LEFT JOIN first_order f ON c.c_custkey = f.o_custkey
+    ORDER BY c.c_custkey
+    """,
+    doc="ANY LEFT JOIN — at most one right match per left row "
+    "(Interpreters/Join.h:352-378 MapsAny), deterministic winner = min "
+    "o_orderkey.",
+    tags=("join", "any"),
+)
+def join_any_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    right = orders.select("o_custkey", "o_orderkey", "o_totalprice")
+    joined = any_join(
+        cust.select("c_custkey", "c_name"),
+        right.withColumnRenamed("o_custkey", "c_custkey"),
+        on=["c_custkey"],
+        how="left",
+        tie_break=[F.col("o_orderkey")],
+    )
+    return joined.select("c_custkey", "c_name", "o_orderkey", "o_totalprice").orderBy(
+        "c_custkey"
+    )
+
+
+@query(
+    "semi_join_in",
+    """
+    SELECT COUNT(*) AS cnt FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+    doc="IN (subquery) -> left-semi join (reference Interpreters/Set.h:24; "
+    "GLOBAL IN = broadcast, ExpressionAnalyzer.cpp:479-574).",
+    tags=("join", "in"),
+)
+def semi_join_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    sub = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    filtered = global_in(orders, F.col("o_custkey"), sub)
+    return filtered.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "anti_join_not_in",
+    """
+    SELECT COUNT(*) AS cnt FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="NOT IN (subquery) -> left-anti join (Interpreters/Set.h negated probe).",
+    tags=("join", "in"),
+)
+def anti_join_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    filtered = global_in(
+        cust, F.col("c_custkey"), orders.select("o_custkey"), negate=True
+    )
+    return filtered.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "in_literal_tuple",
+    """
+    SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+    WHERE o_orderstatus IN ('F', 'O') GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="IN (literal list) — ExpressionAnalyzer.cpp:1459 makeExplicitSet.",
+    tags=("in",),
+)
+def in_literal_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "cross_join_filtered",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, COUNT(*) AS pairs
+    FROM nation n1 CROSS JOIN nation n2
+    WHERE n1.n_regionkey = 0 AND n2.n_regionkey = 1
+    GROUP BY n1.n_name, n2.n_name ORDER BY supp_nation, cust_nation
+    """,
+    doc="CROSS JOIN (Interpreters/Join.h:168 block-nested-loop).",
+    tags=("join",),
+)
+def cross_join_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (nat,) = _t(spark, sf_dir, "nation")
+    n1 = nat.filter(F.col("n_regionkey") == 0).select(
+        F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.filter(F.col("n_regionkey") == 1).select(
+        F.col("n_name").alias("cust_nation")
+    )
+    return (
+        n1.crossJoin(n2)
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.count(F.lit(1)).alias("pairs"))
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / sort / limit extensions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "union_all_chain",
+    """
+    SELECT 'customer' AS src, COUNT(*) AS cnt FROM customer
+    UNION ALL SELECT 'supplier' AS src, COUNT(*) AS cnt FROM supplier
+    UNION ALL SELECT 'part' AS src, COUNT(*) AS cnt FROM part
+    ORDER BY src
+    """,
+    doc="n-ary UNION ALL (ASTSelectQuery.h:78 next_union_all chain).",
+    tags=("setop",),
+)
+def union_all_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp, part = _t(spark, sf_dir, "customer", "supplier", "part")
+    parts = [
+        cust.agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.lit("customer").alias("src"), "cnt"
+        ),
+        supp.agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.lit("supplier").alias("src"), "cnt"
+        ),
+        part.agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.lit("part").alias("src"), "cnt"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("src")
+
+
+@query(
+    "distinct_pairs",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="DISTINCT (DataStreams/DistinctBlockInputStream.h:17).",
+    tags=("setop",),
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+@query(
+    "limit_by_key",
+    """
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 2
+    ORDER BY o_custkey, rn
+    """,
+    doc="LIMIT 2 BY o_custkey — top-2 priciest orders per customer "
+    "(DataStreams/LimitByBlockInputStream.h:18).",
+    tags=("limitby",),
+)
+def limit_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same plan limit_by() builds, keeping the rank column so the
+    # oracle's rn matches (the operator itself drops it).
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "with_totals_agg",
+    """
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT NULL AS o_orderstatus, COUNT(*) AS cnt,
+           CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS sum_price
+    FROM orders
+    """,
+    doc="GROUP BY ... WITH TOTALS (DataStreams/TotalsHavingBlockInputStream.h:16): "
+    "appended all-rows totals row with NULL keys.",
+    tags=("totals",),
+)
+def with_totals_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    aggs = [
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    ]
+    grouped = orders.groupBy("o_orderstatus").agg(*aggs)
+    return with_totals(grouped, orders, keys=["o_orderstatus"], aggs=aggs)
+
+
+@query(
+    "sample_deterministic",
+    """
+    SELECT COUNT(*) AS cnt, CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE (l_orderkey * 2654435761) % 4294967296 < 429496729
+    """,
+    doc="SAMPLE 1/10 — deterministic multiplicative-hash subrange of the "
+    "sampling key space (MergeTreeDataSelectExecutor.cpp:253-270); pure "
+    "arithmetic predicate so it's reproducible and scan-pushable.",
+    tags=("sample",),
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    sampled = deterministic_sample(li, F.col("l_orderkey"), 1, 10)
+    return sampled.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ARRAY JOIN (clause) — arrays synthesized by splitting document text
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "array_join_tokens",
+    """
+    SELECT token, COUNT(*) AS cnt FROM (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ) WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+    doc="ARRAY JOIN splitByChar(' ', text) — unnest + count "
+    "(clause ASTSelectQuery.h:68; FunctionsStringArray.cpp splitByChar).",
+    tags=("arrayjoin", "array"),
+)
+def array_join_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    tokens = array_join(docs, {"token": F.split(F.col("text"), " ")})
+    return (
+        tokens.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "final_replacing_latest",
+    """
+    SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="SELECT ... FINAL over ReplacingMergeTree: latest version per PK "
+    "(DataStreams/ReplacingSortedBlockInputStream.h:15).",
+    tags=("final", "mergetree"),
+)
+def final_replacing_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    latest = final_replacing(
+        ev.select("user_id", "event_type", "value", "ts", "event_id"),
+        pk=["user_id"],
+        version=F.struct(F.col("ts"), F.col("event_id")),
+    )
+    return latest.select("user_id", "event_type", "value").orderBy("user_id")

@@ -1,0 +1,81 @@
+"""Query registry: every operator from SURVEY.md §2 gets a named entry.
+
+Each :class:`QuerySpec` pairs a Spark DataFrame builder with the
+equivalent ANSI SQL that DuckDB runs on the same parquet tables (the
+driver's correctness oracle).  Specs with ``oracle=None`` are
+non-SQL-expressible (custom stateful / approximate ops) and get a
+rows-only check.
+
+Cross-engine float determinism: money-style SUMs are computed in
+DECIMAL (exact, order-independent) and cast to DOUBLE at the end —
+both engines produce bit-identical values, so the driver's value-hash
+matches.  Plain DOUBLE sums would differ in the last ulps between
+Spark's shuffle-order partial aggregation and DuckDB's scan order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    func: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = ()
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()
+):
+    """Decorator: register a (spark, sf_dir) -> DataFrame builder."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name=name, func=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return wrap
+
+
+def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {name: spec.func for name, spec in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    _ensure_loaded()
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+    }
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import all query modules (they self-register via @query)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import core  # noqa: F401
+    try:
+        from . import functions_q  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import engines  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import pipeline_q  # noqa: F401
+    except ImportError:
+        pass
+    _LOADED = True
