@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Results are written to a noop-style sink (count over the final plan)
+so we measure the engine, not driver-side row materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark import get_session
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.queries import (
+    queries_map,
+)
+
+HEADLINE = [
+    "agg_pricing_summary",      # multi-agg GROUP BY scan (TPC-H Q1 shape)
+    "count_star",               # pure scan-count
+    "filter_count",             # pushdown filter + agg
+    "topk_group_order_limit",   # GROUP BY + top-K
+    "uniq_exact",               # distinct aggregation
+    "join_star_broadcast",      # broadcast star join
+    "semi_join_in",             # IN-subquery semi join
+    "join_any_left",            # ANY JOIN (window dedup + join)
+    "array_join_tokens",        # explode + heavy string grouping
+    "limit_by_key",             # window LIMIT BY
+    "with_totals_agg",          # totals union
+    "final_replacing_latest",   # FINAL dedup window
+    "sample_deterministic",     # hash-predicate sample
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    spark = get_session(app_name="bench")
+
+    qmap = queries_map()
+    names = [n for n in HEADLINE if n in qmap]
+
+    # Warm the JVM/readers once so query timings measure the plan, not
+    # session startup (baseline methodology: run 1 cold, 2-3 warm).
+    qmap[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qmap[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
