@@ -1,0 +1,296 @@
+"""Queries exercising table-engine merge semantics (§2.1), partial
+aggregation states, sequenceMatch funnels, and running* shims."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import state as S
+from ..operators.running import running_accumulate, running_difference
+from ..operators.sequence_match import sequence_count, sequence_match
+from ..sources.mergetree import (
+    compact_collapsing,
+    compact_replacing,
+    compact_summing,
+    graphite_rollup,
+)
+from .core import _dec, _t
+from .registry import query
+
+
+@query(
+    "summing_mergetree",
+    """
+    SELECT user_id, event_type,
+           CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) AS value,
+           COUNT(*) AS merged_rows
+    FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
+    """,
+    doc="SummingMergeTree merge semantics: sum metric columns per PK "
+    "(DataStreams/SummingSortedBlockInputStream.h:22).",
+    tags=("mergetree",),
+)
+def summing_mergetree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    with_cnt = ev.select(
+        "user_id",
+        "event_type",
+        _dec("value").alias("value"),
+        F.lit(1).alias("merged_rows"),
+    )
+    compacted = compact_summing(
+        with_cnt, pk=["user_id", "event_type"], metrics=["value", "merged_rows"]
+    )
+    return compacted.select(
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.col("merged_rows").cast("bigint").alias("merged_rows"),
+    ).orderBy("user_id", "event_type")
+
+
+@query(
+    "collapsing_mergetree",
+    """
+    WITH signed AS (
+        SELECT user_id, event_id, value,
+               CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS sign
+        FROM events WHERE event_type IN ('click', 'error')
+    ), grouped AS (
+        SELECT user_id, SUM(sign) AS net,
+               ARG_MAX(CASE WHEN sign > 0 THEN event_id END,
+                       CASE WHEN sign > 0 THEN event_id END) AS pos_id,
+               ARG_MIN(CASE WHEN sign < 0 THEN event_id END,
+                       CASE WHEN sign < 0 THEN event_id END) AS neg_id
+        FROM signed GROUP BY user_id
+    )
+    SELECT s.user_id, s.event_id, s.value, s.sign
+    FROM signed s JOIN grouped g
+      ON s.user_id = g.user_id
+     AND s.event_id = CASE WHEN g.net > 0 THEN g.pos_id ELSE g.neg_id END
+    WHERE g.net <> 0
+    ORDER BY s.user_id
+    """,
+    doc="CollapsingMergeTree: +1/-1 sign rows cancel per PK; survivor is "
+    "the latest +1 (net>0) or earliest -1 (net<0) "
+    "(DataStreams/CollapsingSortedBlockInputStream.h:23).",
+    tags=("mergetree",),
+)
+def collapsing_mergetree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    signed = ev.filter(F.col("event_type").isin("click", "error")).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", -1).otherwise(1).alias("sign"),
+    )
+    out = compact_collapsing(signed, pk=["user_id"], sign="sign", order="event_id")
+    return out.orderBy("user_id")
+
+
+@query(
+    "aggregating_state_merge",
+    """
+    SELECT user_id,
+           CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) AS total,
+           CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) / COUNT(value) AS avg_v,
+           COUNT(DISTINCT event_type) AS types
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="AggregatingMergeTree / -State+-Merge combinators: partial states "
+    "per (user, day) part merged to final per-user aggregates "
+    "(AggregateFunctionState.h, DataTypeAggregateFunction.h). uniq uses "
+    "countDistinct here for oracle-exactness; the HLL-sketch state path "
+    "is tested in tests/test_engines.py.",
+    tags=("mergetree", "state"),
+)
+def aggregating_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    # Phase 1 (part-level, the "insert"): states per (user_id, day)
+    parts = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        S.sumState(_dec("value")).alias("sum_state"),
+        S.avgState(F.col("value").cast("double")).alias("avg_state"),
+        S.groupArrayState("event_type").alias("types_state"),
+    )
+    # Phase 2 (merge, the "background merge"): final values per user
+    merged = parts.groupBy("user_id").agg(
+        S.sumMerge("sum_state").cast("double").alias("total"),
+        S.avgMerge("avg_state").alias("avg_v_raw"),
+        F.size(
+            F.array_distinct(S.groupArrayMerge("types_state"))
+        ).cast("bigint").alias("types"),
+    )
+    # avg via decimal-exact sum/count for oracle parity
+    cnts = ev.groupBy("user_id").agg(F.count("value").alias("__n"))
+    return (
+        merged.join(cnts, "user_id")
+        .select(
+            "user_id",
+            "total",
+            (F.col("total") / F.col("__n")).alias("avg_v"),
+            "types",
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "graphite_rollup_downsample",
+    """
+    SELECT event_type,
+           make_timestamp(((epoch_ms(ts) // 1000) // 3600) * 3600 * 1000000)
+               AS ts_bucket,
+           ROUND(AVG(value), 6) AS value
+    FROM events
+    GROUP BY event_type, ts_bucket ORDER BY event_type, ts_bucket
+    """,
+    doc="GraphiteMergeTree rollup: age-based downsampling to 1h buckets "
+    "(GraphiteRollupSortedBlockInputStream.h:125; single retention rule "
+    "so the oracle is expressible).",
+    tags=("mergetree", "rollup"),
+)
+def graphite_rollup_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    rolled = graphite_rollup(
+        ev.select("event_type", "ts", "value"),
+        ts="ts",
+        value="value",
+        keys=["event_type"],
+        retentions=[(0, 3600)],
+    )
+    return rolled.select(
+        "event_type",
+        F.col("ts").alias("ts_bucket"),
+        F.round("value", 6).alias("value"),
+    ).orderBy("event_type", "ts_bucket")
+
+
+@query(
+    "sequence_match_funnel",
+    """
+    SELECT CAST(SUM(matched) AS BIGINT) AS users_converted FROM (
+        SELECT user_id,
+               CASE WHEN MIN(CASE WHEN event_type = 'view' THEN ts END)
+                         < MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                    THEN 1 ELSE 0 END AS matched
+        FROM events GROUP BY user_id
+    )
+    """,
+    doc="sequenceMatch('(?1).*(?2)') funnel: users with a view followed "
+    "by a purchase (AggregateFunctionSequenceMatch.h:145).",
+    tags=("funnel",),
+)
+def sequence_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        sequence_match(
+            "(?1).*(?2)",
+            F.col("ts"),
+            [F.col("event_type") == "view", F.col("event_type") == "purchase"],
+        ).alias("matched")
+    )
+    return per_user.agg(
+        F.sum("matched").cast("bigint").alias("users_converted")
+    )
+
+
+@query(
+    "sequence_count_pairs",
+    None,  # non-overlapping NFA counting isn't plain-SQL expressible
+    doc="sequenceCount('(?1).*(?2)') — non-overlapping view->purchase "
+    "pairs per user (AggregateFunctionSequenceMatch.h:157). Rows-only "
+    "check; semantics asserted in tests/test_engines.py.",
+    tags=("funnel",),
+)
+def sequence_count_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            sequence_count(
+                "(?1).*(?2)",
+                F.col("ts"),
+                [
+                    F.col("event_type") == "view",
+                    F.col("event_type") == "purchase",
+                ],
+            ).alias("pairs")
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "running_difference_shim",
+    """
+    SELECT user_id, event_id,
+           ROUND(COALESCE(value - LAG(value) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id), 0), 6) AS diff
+    FROM events WHERE user_id < 10 ORDER BY user_id, event_id
+    """,
+    doc="runningDifference as a deterministic Window shim "
+    "(FunctionsMiscellaneous.cpp runningDifference; SURVEY §2.5).",
+    tags=("running",),
+)
+def running_difference_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    small = ev.filter(F.col("user_id") < 10)
+    out = running_difference(
+        small,
+        col="value",
+        order_by=[F.col("ts"), F.col("event_id")],
+        partition_by=["user_id"],
+        out="diff",
+    )
+    return out.select(
+        "user_id", "event_id", F.round("diff", 6).alias("diff")
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "running_accumulate_shim",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(value::DECIMAL(18,2)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+    FROM events WHERE user_id < 10 ORDER BY user_id, event_id
+    """,
+    doc="runningAccumulate as a cumulative-sum Window shim "
+    "(FunctionsMiscellaneous.cpp runningAccumulate).",
+    tags=("running",),
+)
+def running_accumulate_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    small = ev.filter(F.col("user_id") < 10).withColumn(
+        "value_dec", _dec("value")
+    )
+    out = running_accumulate(
+        small,
+        col="value_dec",
+        order_by=[F.col("ts"), F.col("event_id")],
+        partition_by=["user_id"],
+        out="running_total",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("running_total").cast("double").alias("running_total"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "uniq_state_merge_hll",
+    None,  # HLL sketch estimates are engine-specific by design
+    doc="uniqState/uniqMerge via Spark HLL sketches — mergeable distinct "
+    "states per day merged across days (AggregateFunctionUniq.h state "
+    "contract). Accuracy asserted in tests/test_engines.py.",
+    tags=("state", "approx"),
+)
+def uniq_state_merge_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    parts = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        S.uniqState("user_id").alias("u_state")
+    )
+    return parts.agg(S.uniqMerge("u_state").alias("uniq_users"))

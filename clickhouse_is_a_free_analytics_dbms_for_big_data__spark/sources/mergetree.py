@@ -1,0 +1,182 @@
+"""MergeTree-family table engines re-expressed as Spark write/compaction
+policies.
+
+Reference architecture (dbms/src/Storages/MergeTree/MergeTreeData.h:38-73):
+a table is a set of sorted parts — inserts write sorted parts,
+background merges combine them, and the *merge-time semantics* of each
+engine variant (Summing/Replacing/Collapsing/Aggregating/Graphite) are
+incremental aggregation/dedup policies.
+
+Spark-first translation (SURVEY.md §2.1): the storage layout is
+month-partitioned parquet with rows sorted by the primary key inside
+each file — parquet row-group min/max stats then play the role of the
+sparse primary index (primary.idx), and partition pruning plays the
+role of the month-part selection.  Merge semantics become idempotent
+*compaction jobs* (plain DataFrame transforms, runnable batch or as
+foreachBatch in streaming), and FINAL becomes the same transform
+applied at read time.
+
+Scale notes: compactions are single-shuffle (one groupBy/window on the
+PK).  At 100 TB run them per partition (the month column) so each job
+shuffles one partition's worth, exactly like the reference's per-part
+merges.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def write_mergetree(
+    df: DataFrame,
+    path: str,
+    date_col: str,
+    order_by: Sequence[str],
+    mode: str = "append",
+    partition_granularity: str = "month",
+) -> None:
+    """MergeTree writer: partition by toYYYYMM(date), sort by PK within
+    partitions (MergeTreeData.h:43-61 — month partitions + primary.idx).
+
+    Sorted writes give parquet row-group min/max stats on the PK, so
+    PK-range predicates skip row groups like the reference's
+    markRangesFromPKRange (MergeTreeDataSelectExecutor.cpp:93).
+    """
+    fmt = {"month": "yyyyMM", "day": "yyyyMMdd"}[partition_granularity]
+    out = df.withColumn("_partition", F.date_format(F.col(date_col), fmt))
+    (
+        out.repartition(F.col("_partition"))
+        .sortWithinPartitions(*order_by)
+        .write.mode(mode)
+        .partitionBy("_partition")
+        .parquet(path)
+    )
+
+
+def read_mergetree(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("_partition")
+
+
+# --- merge-time semantics as compaction transforms -------------------------
+
+
+def compact_replacing(
+    df: DataFrame, pk: Sequence[str], version: str | None = None
+) -> DataFrame:
+    """ReplacingMergeTree: keep the max-version row per PK
+    (DataStreams/ReplacingSortedBlockInputStream.h:15)."""
+    order = [F.col(version).desc()] if version else [F.lit(1)]
+    w = Window.partitionBy(*pk).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def compact_summing(
+    df: DataFrame, pk: Sequence[str], metrics: Sequence[str]
+) -> DataFrame:
+    """SummingMergeTree: sum numeric non-key columns per PK
+    (DataStreams/SummingSortedBlockInputStream.h:22).  Non-metric,
+    non-key columns take an arbitrary (first) value like the reference.
+    """
+    other = [c for c in df.columns if c not in pk and c not in metrics]
+    aggs = [F.sum(c).alias(c) for c in metrics]
+    aggs += [F.min(c).alias(c) for c in other]
+    return df.groupBy(*pk).agg(*aggs).select(*df.columns)
+
+
+def compact_collapsing(
+    df: DataFrame, pk: Sequence[str], sign: str, order: str | None = None
+) -> DataFrame:
+    """CollapsingMergeTree: +1/-1 ``sign`` rows cancel pairwise per PK;
+    a surviving net-positive group keeps its latest +1 row
+    (DataStreams/CollapsingSortedBlockInputStream.h:23).
+
+    One aggregation: per PK compute net sign plus the latest +1 row and
+    earliest -1 row; net > 0 keeps the +1 row, net < 0 keeps the -1 row
+    (stays mergeable, like the reference), net == 0 drops the group.
+    """
+    order_col = F.col(order) if order else F.lit(1)
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    grouped = df.groupBy(*pk).agg(
+        F.sum(sign).alias("__net"),
+        F.max_by(payload, F.when(F.col(sign) > 0, order_col)).alias("__pos"),
+        F.min_by(payload, F.when(F.col(sign) < 0, order_col)).alias("__neg"),
+    )
+    survivor = F.when(F.col("__net") > 0, F.col("__pos")).otherwise(
+        F.col("__neg")
+    )
+    return (
+        grouped.filter(F.col("__net") != 0)
+        .select(survivor.alias("__row"))
+        .select("__row.*")
+    )
+
+
+def compact_aggregating(
+    df: DataFrame, pk: Sequence[str], state_aggs: dict[str, Column]
+) -> DataFrame:
+    """AggregatingMergeTree: merge partial-aggregate state columns per
+    PK (DataStreams/AggregatingSortedBlockInputStream.h:21).  States are
+    the typed columns produced by functions.state.*State aggregates."""
+    return df.groupBy(*pk).agg(
+        *[c.alias(name) for name, c in state_aggs.items()]
+    )
+
+
+def graphite_rollup(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    keys: Sequence[str],
+    retentions: Sequence[tuple[int, int]],
+    now_ts: Column | None = None,
+) -> DataFrame:
+    """GraphiteMergeTree rollup: downsample by age-dependent precision
+    (DataStreams/GraphiteRollupSortedBlockInputStream.h:125).
+
+    ``retentions`` = [(min_age_seconds, precision_seconds), ...] sorted
+    by age ascending; a row older than min_age is bucketed to its
+    precision and averaged within the bucket.
+    """
+    now_ = now_ts if now_ts is not None else F.current_timestamp()
+    age = now_.cast("long") - F.col(ts).cast("long")
+    precision = F.lit(retentions[0][1])
+    for min_age, prec in retentions:
+        precision = F.when(age >= min_age, F.lit(prec)).otherwise(precision)
+    epoch = F.col(ts).cast("long")
+    bucket = F.timestamp_seconds(epoch - (epoch % precision))
+    return (
+        df.withColumn("__bucket", bucket)
+        .groupBy(*keys, "__bucket")
+        .agg(F.avg(value).alias(value))
+        .withColumnRenamed("__bucket", ts)
+    )
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    compaction,
+    target_files_per_partition: int = 1,
+) -> None:
+    """OPTIMIZE-style maintenance job: apply a compaction transform and
+    rewrite (the reference's background merge, made explicit).
+    Writes to a staging dir then swaps, so readers never see a torn
+    table."""
+    df = spark.read.parquet(path)
+    compacted = compaction(df).coalesce(target_files_per_partition)
+    staging = path.rstrip("/") + ".__staging__"
+    compacted.write.mode("overwrite").parquet(staging)
+    import shutil
+
+    backup = path.rstrip("/") + ".__old__"
+    shutil.move(path, backup)
+    shutil.move(staging, path)
+    shutil.rmtree(backup)

@@ -1,0 +1,157 @@
+"""Unit tests for MergeTree-family merge semantics, partial-agg states,
+sequenceMatch, and streaming adapters (reference parity cases from
+DataStreams/*SortedBlockInputStream.h)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.functions import (
+    state as S,
+)
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.sequence_match import (
+    sequence_count,
+    sequence_match,
+)
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.mergetree import (
+    compact_collapsing,
+    compact_replacing,
+    compact_summing,
+    read_mergetree,
+    write_mergetree,
+)
+
+
+def test_collapsing_cancels_pairs(spark):
+    rows = [
+        # pk=1: +1/-1 pair cancels, extra +1 (id=3) survives
+        (1, 1, 1, 10.0),
+        (1, 2, -1, 10.0),
+        (1, 3, 1, 20.0),
+        # pk=2: exact pair cancels -> group dropped
+        (2, 4, 1, 5.0),
+        (2, 5, -1, 5.0),
+        # pk=3: net negative -> earliest -1 survives
+        (3, 6, -1, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "pk int, id int, sign int, v double")
+    out = compact_collapsing(df, pk=["pk"], sign="sign", order="id").collect()
+    by_pk = {r["pk"]: r for r in out}
+    assert set(by_pk) == {1, 3}
+    assert by_pk[1]["id"] == 3 and by_pk[1]["sign"] == 1
+    assert by_pk[3]["id"] == 6 and by_pk[3]["sign"] == -1
+
+
+def test_replacing_keeps_max_version(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "old"), (1, 3, "new"), (1, 2, "mid"), (2, 1, "only")],
+        "pk int, ver int, payload string",
+    )
+    out = compact_replacing(df, pk=["pk"], version="ver").collect()
+    got = {r["pk"]: r["payload"] for r in out}
+    assert got == {1: "new", 2: "only"}
+
+
+def test_summing_sums_metrics_keeps_first_other(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 1, "a"), (1, 5.0, 2, "b"), (2, 1.0, 3, "c")],
+        "pk int, m double, n int, other string",
+    )
+    out = compact_summing(df, pk=["pk"], metrics=["m", "n"]).collect()
+    got = {r["pk"]: (r["m"], r["n"]) for r in out}
+    assert got == {1: (15.0, 3), 2: (1.0, 3)}
+
+
+def test_uniq_state_merge_accuracy(spark):
+    df = spark.createDataFrame(
+        [(i % 5, i % 1000) for i in range(5000)], "part int, uid int"
+    )
+    states = df.groupBy("part").agg(S.uniqState("uid").alias("st"))
+    est = states.agg(S.uniqMerge("st").alias("u")).first()["u"]
+    assert abs(est - 1000) / 1000 < 0.05  # HLL within 5%
+
+
+def test_avg_state_merge_exact(spark):
+    df = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(100)], "part int, v double"
+    )
+    states = df.groupBy("part").agg(S.avgState("v").alias("st"))
+    merged = states.agg(S.avgMerge("st").alias("a")).first()["a"]
+    assert merged == sum(range(100)) / 100
+
+
+def test_sequence_match_and_count(spark):
+    rows = [
+        # user 1: view(1) purchase(2) view(3) purchase(4) -> match, count 2
+        (1, 1, "view"), (1, 2, "purchase"), (1, 3, "view"), (1, 4, "purchase"),
+        # user 2: purchase before view -> no match
+        (2, 1, "purchase"), (2, 2, "view"),
+        # user 3: view only -> no match
+        (3, 1, "view"),
+    ]
+    df = spark.createDataFrame(rows, "uid int, t int, et string")
+    conds = [F.col("et") == "view", F.col("et") == "purchase"]
+    out = (
+        df.groupBy("uid")
+        .agg(
+            sequence_match("(?1).*(?2)", F.col("t"), conds).alias("m"),
+            sequence_count("(?1).*(?2)", F.col("t"), conds).alias("c"),
+        )
+        .collect()
+    )
+    got = {r["uid"]: (r["m"], r["c"]) for r in out}
+    assert got == {1: (1, 2), 2: (0, 0), 3: (0, 0)}
+
+
+def test_mergetree_write_layout(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"2024-0{1 + i % 2}-15 00:00:00", i * 1.0) for i in range(100)],
+        "pk int, d string, v double",
+    ).withColumn("d", F.col("d").cast("timestamp"))
+    path = str(tmp_path / "mt")
+    write_mergetree(df, path, date_col="d", order_by=["pk"], mode="overwrite")
+    # month partitions exist on disk (partition pruning works at scan)
+    parts = {os.path.basename(p) for p in glob.glob(f"{path}/_partition=*")}
+    assert parts == {"_partition=202401", "_partition=202402"}
+    back = read_mergetree(spark, path)
+    assert back.count() == 100
+    assert set(back.columns) == {"pk", "d", "v"}
+    # partition pruning: filter on the derived month only scans one dir
+    pruned = spark.read.parquet(path).filter(F.col("_partition") == "202401")
+    assert pruned.count() == 50
+
+
+def test_streaming_materialized_view(spark, tmp_path):
+    """MaterializedView fan-out on a real (rate-limited file) stream."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.streaming import (
+        MaterializedView,
+        attach_views,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id long, k long, v double"
+    ).write.parquet(src)
+
+    agg_path = str(tmp_path / "mv_agg")
+    raw_path = str(tmp_path / "mv_raw")
+    views = [
+        MaterializedView(
+            lambda b: b.groupBy("k").agg(F.sum("v").alias("s")), agg_path
+        ),
+        MaterializedView(lambda b: b.filter(F.col("v") > 10), raw_path),
+    ]
+    stream = spark.readStream.schema("id long, k long, v double").parquet(src)
+    q = attach_views(
+        stream, views, checkpoint=str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    agg = spark.read.parquet(agg_path)
+    assert agg.agg(F.sum("s")).first()[0] == sum(range(30))
+    raw = spark.read.parquet(raw_path)
+    assert raw.count() == 19  # v in (10, 30)
