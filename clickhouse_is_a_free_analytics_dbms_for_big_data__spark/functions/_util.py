@@ -20,3 +20,16 @@ def lit_of(x) -> Column:
     if isinstance(x, Column):
         return x
     return F.lit(x)
+
+
+def let_(val: Column, fn) -> Column:
+    """Let-binding for Column expressions: evaluate ``val`` ONCE per row
+    and reference it as a lambda variable inside ``fn``.
+
+    Catalyst evaluates a higher-order lambda's *captured* expressions
+    per element, so ``transform(seq, i -> f(expensive, i))`` recomputes
+    ``expensive`` for every i.  Binding it as the lambda argument of a
+    single-element transform makes it a lambda variable:
+    ``transform(array(expensive), v -> g(v))[0]``.
+    """
+    return F.get(F.transform(F.array(val), fn), 0)

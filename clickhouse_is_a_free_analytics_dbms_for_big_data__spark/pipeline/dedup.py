@@ -1,0 +1,365 @@
+"""Deduplication for training-data pipelines.
+
+Every variant is banded/bucketed so candidate generation is an
+equi-join — the only O(n^2) work happens *inside* buckets, which is the
+property that keeps these runnable at 100 TB (the same reason the
+reference shards GROUP BY by key hash).
+
+- exact:        hash-groupBy on a content fingerprint, keep min id
+- MinHash+LSH:  shingle -> n minhashes -> b bands -> bucket equi-join
+- SimHash:      64-bit sign-vector hash, banded by 16-bit chunks,
+                verified by hamming distance
+- n-gram Jaccard: exact verify step (array_intersect/union)
+- embedding:    random-hyperplane LSH buckets + cosine verify
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles, tokens
+
+__all__ = [
+    "exact_dedup", "minhash_signature", "minhash_dedup_pairs",
+    "jaccard", "ngram_jaccard_pairs", "simhash", "simhash_dedup_pairs",
+    "embedding_neardup_pairs", "dedup_keep_representative",
+]
+
+
+from ..functions._util import let_ as _let
+
+
+# --- exact ------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key: Column, id_col: str) -> DataFrame:
+    """Keep one row (min id) per content key.  Single hash-shuffle on
+    the fingerprint; at scale this is the cheapest possible dedup."""
+    w_key = "__dedup_key"
+    keyed = df.withColumn(w_key, key)
+    winners = keyed.groupBy(w_key).agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, [w_key, id_col], "inner").drop(w_key)
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signature(text, n_hashes: int = 32, k_shingle: int = 5) -> Column:
+    """n-permutation MinHash signature of the k-shingle set.
+
+    Shingle strings are hashed ONCE (xxhash64); the n permutations are
+    xxhash64 remixes of (base hash, seed) — long-only work, no string
+    re-hashing, and overflow-free (safe under ANSI sessions).  ``_let``
+    pins the hashed-shingle array so it is not re-evaluated per
+    permutation.
+    """
+    sh = shingles(text, k_shingle)
+    base_hashes = _let(sh, lambda s_arr: F.transform(s_arr, lambda s: F.xxhash64(s)))
+    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    return _let(
+        base_hashes,
+        lambda hs: F.transform(
+            seeds,
+            lambda i: F.array_min(
+                F.transform(hs, lambda h: F.xxhash64(h, i))
+            ),
+        ),
+    )
+
+
+def _lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Array of (band_index, band_hash) structs."""
+    idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    return F.transform(
+        idx,
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.slice(sig, b * rows + 1, rows)).alias("bucket"),
+        ),
+    )
+
+
+def jaccard(tokens_a: Column, tokens_b: Column) -> Column:
+    a = F.array_distinct(tokens_a)
+    b = F.array_distinct(tokens_b)
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / F.greatest(union, F.lit(1))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) via MinHash LSH banding with
+    exact-Jaccard verification.
+
+    Plan shape: one narrow projection -> explode bands (x bands rows)
+    -> shuffle on (band, bucket) -> within-bucket self-join ->
+    Jaccard verify.  No global cross join at any point.
+    """
+    rows = n_hashes // bands
+    sig = minhash_signature(F.col(text_col), n_hashes, k_shingle)
+    banded = (
+        df.select(
+            F.col(id_col).alias("id"),
+            tokens(F.col(text_col)).alias("toks"),
+            F.explode(_lsh_bands(sig, bands, rows)).alias("bb"),
+        )
+        .select("id", "toks", "bb.band", "bb.bucket")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.toks").alias("toks_a"),
+            F.col("r.toks").alias("toks_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", F.round(jaccard(F.col("toks_a"), F.col("toks_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- n-gram Jaccard (exact, for bounded candidate sets) ---------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    block_on: Column | None = None,
+) -> DataFrame:
+    """Exact pairwise token-Jaccard inside blocking groups.  Without
+    ``block_on`` this is a cross join — only for bounded inputs; at
+    scale pass a blocking key (e.g. minhash band or length bucket)."""
+    t = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.col(text_col)).alias("toks"),
+        (block_on if block_on is not None else F.lit(0)).alias("blk"),
+    )
+    l, r = t.alias("l"), t.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(jaccard(F.col("l.toks"), F.col("r.toks")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def _simhash_bits(text) -> Column:
+    """array<long> of 63 sign bits (bit i = majority vote of token-hash
+    bit i).  Token hashes are let-bound: hashed once, voted 63 times."""
+    tok_hashes = _let(tokens(text), lambda tk: F.transform(tk, lambda t: F.xxhash64(t)))
+    bit_idx = F.sequence(F.lit(0), F.lit(62))
+    return _let(
+        tok_hashes,
+        lambda hs: F.transform(
+            bit_idx,
+            lambda i: F.when(
+                F.aggregate(
+                    hs,
+                    F.lit(0),
+                    lambda acc, h: acc
+                    + F.when(
+                        h.bitwiseAND(F.pow(F.lit(2.0), i).cast("long")) != 0,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1)),
+                )
+                > 0,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+
+
+def _pack_bits(bits: Column, offset: int = 0, width: int = 63) -> Column:
+    """Fold bits[offset:offset+width] into a long (bit 0 = LSB)."""
+    sliced = F.slice(bits, offset + 1, width)
+    return F.aggregate(
+        F.zip_with(
+            sliced,
+            F.sequence(F.lit(0), F.lit(width - 1)),
+            lambda b, i: b * F.pow(F.lit(2.0), i).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash(text) -> Column:
+    """63-bit SimHash of the token multiset (sign of per-bit vote sums).
+    63 bits (not 64) keeps the packed value positive in a signed long."""
+    return _pack_bits(_simhash_bits(text))
+
+
+def _hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the hash into ``n_chunks``
+    bit-chunks; by pigeonhole any pair with hamming < n_chunks shares
+    at least one exact chunk (8 chunks of 8 bits covers hamming<=7
+    deterministically, more probabilistically); verify with the full
+    hamming distance."""
+    width = 63 // n_chunks + (1 if 63 % n_chunks else 0)
+    # ONE expression computes the bits (let-bound), the packed hash and
+    # every chunk bucket; explode fans out without re-evaluating it (a
+    # generator's child is evaluated once per input row).
+    parts = _let(
+        _simhash_bits(F.col(text_col)),
+        lambda bits: F.struct(
+            _pack_bits(bits).alias("sh"),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        _pack_bits(
+                            bits, i * width, min(width, 63 - i * width)
+                        ).alias("bucket"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            ).alias("bands"),
+        ),
+    )
+    banded = (
+        df.select(F.col(id_col).alias("id"), parts.alias("p"))
+        .select("id", F.col("p.sh").alias("sh"), F.explode("p.bands").alias("bb"))
+        .select("id", "sh", "bb.chunk", "bb.bucket")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            _hamming64(F.col("l.sh"), F.col("r.sh")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- embedding near-dup ------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def _rhp_bucket(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of dot(v, h_j)."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(2 ** j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-duplicate pairs via random-hyperplane LSH buckets.
+
+    High-cosine pairs land in the same sign-bucket with probability
+    (1 - theta/pi)^n_planes; candidate join is an equi-join on the
+    bucket, then exact cosine verify.  At 100 TB: multiple plane sets
+    (OR-amplification) instead of one, same plan shape.
+    """
+    from .similarity import cosine
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _rhp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+# --- representative selection -------------------------------------------------
+
+
+def dedup_keep_representative(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop the higher-id side of each duplicate pair (star-graph
+    approximation of connected components — exact for pairwise dups,
+    conservative for chains; iterate for full transitive closure)."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,153 @@
+"""Text analysis for training-data pipelines — pure Column expressions
+(JVM-side, codegen-eligible; no Python UDFs).
+
+Each builder returns a Column usable on the ``documents`` table at any
+scale: per-row work is O(tokens), no shuffle, fully pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions._util import col_of, let_
+
+__all__ = [
+    "tokens", "token_count", "bpe_ish_token_count", "char_count",
+    "mean_token_len", "stopword_ratio", "punct_ratio", "digit_ratio",
+    "quality_score", "language_scores", "language_id",
+    "fingerprint_md5", "rolling_fingerprint", "shingles",
+]
+
+# Tiny per-language stopword lists (top function words) for the n-gram
+# language heuristic.  Public knowledge; extend per corpus.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "von"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "pour"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "es", "por"],
+}
+
+
+def tokens(text) -> Column:
+    """Whitespace tokenization (lowered)."""
+    return F.filter(
+        F.split(F.lower(col_of(text)), "\\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def token_count(text) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text) -> Column:
+    """BPE-style subword count estimate: word-piece regex segments
+    (runs of letters, digits, or single punctuation) with long words
+    contributing ceil(len/4) pieces — the standard ~4-chars-per-token
+    rule of thumb, computed exactly from the segment lengths."""
+    segs = F.regexp_extract_all(
+        F.lower(col_of(text)), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0
+    )
+    return F.aggregate(
+        segs,
+        F.lit(0),
+        lambda acc, s: acc + F.ceil(F.length(s) / 4.0).cast("int"),
+    )
+
+
+def char_count(text) -> Column:
+    return F.char_length(col_of(text))
+
+
+def mean_token_len(text) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def stopword_ratio(text, lang: str = "en") -> Column:
+    toks = tokens(text)
+    sw = STOPWORDS[lang]
+    n_sw = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    return n_sw.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text) -> Column:
+    t = col_of(text)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, "[^\\w\\s]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(t), F.lit(1))
+
+
+def digit_ratio(text) -> Column:
+    t = col_of(text)
+    n_digit = F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))
+    return n_digit.cast("double") / F.greatest(F.length(t), F.lit(1))
+
+
+def quality_score(text, lang: str = "en") -> Column:
+    """Heuristic document quality in [0,1]: rewards reasonable length,
+    function-word presence, and penalizes punctuation/digit noise —
+    the classic pretraining-filter recipe (C4-style rules)."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / 50.0, F.lit(1.0))
+    sw_score = F.least(stopword_ratio(text, lang) * 5.0, F.lit(1.0))
+    noise = F.least(
+        punct_ratio(text) * 4.0 + digit_ratio(text) * 2.0, F.lit(1.0)
+    )
+    return F.round(
+        len_score * 0.4 + sw_score * 0.4 + (F.lit(1.0) - noise) * 0.2, 6
+    )
+
+
+def language_scores(text) -> dict[str, Column]:
+    """Per-language stopword-hit ratios."""
+    return {lang: stopword_ratio(text, lang) for lang in STOPWORDS}
+
+
+def language_id(text, threshold: float = 0.02) -> Column:
+    """argmax language by stopword ratio, 'unknown' below threshold."""
+    scores = language_scores(text)
+    pairs = [
+        F.struct(score.alias("s"), F.lit(lang).alias("l"))
+        for lang, score in scores.items()
+    ]
+    best = F.array_max(F.array(*pairs))
+    return F.when(best.getField("s") >= threshold, best.getField("l")).otherwise(
+        F.lit("unknown")
+    )
+
+
+def fingerprint_md5(text) -> Column:
+    """Content fingerprint: md5 of the normalized text (lowercased,
+    whitespace collapsed) — exact-dup key robust to spacing."""
+    norm = F.trim(F.regexp_replace(F.lower(col_of(text)), "\\s+", " "))
+    return F.md5(norm.cast("binary"))
+
+
+def rolling_fingerprint(text, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min hash over rolling token windows
+    — robust to local edits (document fingerprinting).  The token array
+    is let-bound so it is built once, not once per window."""
+    return let_(
+        tokens(text),
+        lambda tk: F.array_min(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(tk) - window + 1, F.lit(1))
+                ),
+                lambda i: F.xxhash64(F.array_join(F.slice(tk, i, window), " ")),
+            )
+        ),
+    )
+
+
+def shingles(text, k: int = 5) -> Column:
+    """k-token shingles as strings (dedup unit); token array let-bound
+    (built once, not once per shingle)."""
+    return let_(
+        tokens(text),
+        lambda tk: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tk) - k + 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(tk, i, k), " "),
+        ),
+    )

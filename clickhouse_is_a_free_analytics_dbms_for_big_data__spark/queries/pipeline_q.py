@@ -1,0 +1,319 @@
+"""Training-data pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing — on the documents/embeddings tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline import dedup as D
+from ..pipeline import multimodal as M
+from ..pipeline import similarity as SIM
+from ..pipeline import text as TXT
+from .core import _t
+from .registry import query
+
+# Query vector for ANN demos: deterministic, matches embedding dim 64.
+_QUERY_VEC = [((i * 37 + 11) % 101 - 50) / 50.0 for i in range(64)]
+
+
+@query(
+    "pl_exact_dedup",
+    """
+    WITH keyed AS (
+        SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ), winners AS (
+        SELECT fp, MIN(doc_id) AS doc_id FROM keyed GROUP BY fp
+    )
+    SELECT COUNT(*) AS kept, (SELECT COUNT(*) FROM documents) AS total
+    FROM winners
+    """,
+    doc="Exact dedup on a normalized-content fingerprint: hash-groupBy, "
+    "keep min doc_id (single shuffle; the 100 TB-cheap dedup).",
+    tags=("pipeline", "dedup"),
+)
+def pl_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    kept = D.exact_dedup(docs, TXT.fingerprint_md5(F.col("text")), "doc_id")
+    return kept.agg(F.count(F.lit(1)).alias("kept")).crossJoin(
+        docs.agg(F.count(F.lit(1)).alias("total"))
+    )
+
+
+@query(
+    "pl_token_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS docs,
+           CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(lower(text), ' '),
+                                    t -> LEN(t) > 0))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(LEN(LIST_FILTER(STRING_SPLIT(lower(text), ' '),
+                                     t -> LEN(t) > 0))), 6) AS avg_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Token counting (whitespace tokenizer) per language slice.",
+    tags=("pipeline", "text"),
+)
+def pl_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    n = TXT.token_count(F.col("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(n).cast("bigint").alias("total_tokens"),
+            F.round(F.avg(n), 6).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "pl_quality_scores",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT(lower(text), ' '), t -> LEN(t) > 0) AS tk,
+               text
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(
+             LEAST(LEN(tk) / 50.0, 1.0) * 0.4
+             + LEAST((LEN(LIST_FILTER(tk, t -> t IN ('the','a','of','and','to',
+                       'in','is','it','that','for'))) * 1.0
+                      / GREATEST(LEN(tk), 1)) * 5.0, 1.0) * 0.4
+             + 0.2,
+           6) AS quality
+    FROM toks ORDER BY doc_id LIMIT 200
+    """,
+    doc="Quality scoring: length + stopword-ratio + noise penalty "
+    "(C4-style pretraining filter; corpus has no punctuation so the "
+    "noise term is constant 0).",
+    tags=("pipeline", "text"),
+)
+def pl_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", TXT.quality_score(F.col("text")).alias("quality")
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "pl_language_id",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               LIST_FILTER(STRING_SPLIT(lower(text), ' '), t -> LEN(t) > 0) AS tk
+        FROM documents
+    ), scores AS (
+        SELECT doc_id, list_max([
+           {'s': LEN(LIST_FILTER(tk, t -> t IN ('the','a','of','and','to','in',
+                'is','it','that','for'))) * 1.0 / GREATEST(LEN(tk), 1),
+            'l': 'en'},
+           {'s': LEN(LIST_FILTER(tk, t -> t IN ('der','die','das','und','ist',
+                'ein','zu','den','mit','von'))) * 1.0 / GREATEST(LEN(tk), 1),
+            'l': 'de'},
+           {'s': LEN(LIST_FILTER(tk, t -> t IN ('le','la','et','les','des','un',
+                'une','du','est','pour'))) * 1.0 / GREATEST(LEN(tk), 1),
+            'l': 'fr'},
+           {'s': LEN(LIST_FILTER(tk, t -> t IN ('el','la','de','que','y','en',
+                'un','los','es','por'))) * 1.0 / GREATEST(LEN(tk), 1),
+            'l': 'es'}
+        ]) AS best
+        FROM toks
+    )
+    SELECT CASE WHEN best.s >= 0.02 THEN best.l ELSE 'unknown' END AS detected,
+           COUNT(*) AS docs
+    FROM scores GROUP BY detected ORDER BY detected
+    """,
+    doc="Language-ID by stopword-hit ratio (n-gram heuristic). The "
+    "synthetic corpus shares one vocabulary across lang labels, so the "
+    "oracle checks the HEURISTIC (same formula), not label recovery. "
+    "Ties resolve identically: list_max/array_max over (score, lang) "
+    "structs is lexicographic in both engines.",
+    tags=("pipeline", "text"),
+)
+def pl_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(TXT.language_id(F.col("text")).alias("detected"))
+        .groupBy("detected")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("detected")
+    )
+
+
+@query(
+    "pl_fingerprint_rolling",
+    None,  # xxhash64-based; no DuckDB equivalent hash
+    doc="Winnowing-style rolling document fingerprint (min xxhash64 over "
+    "8-token windows); robustness asserted in tests/test_pipeline.py.",
+    tags=("pipeline", "text"),
+)
+def pl_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TXT.rolling_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+@query(
+    "pl_minhash_lsh_dedup",
+    None,  # xxhash64 minhashes are engine-specific
+    doc="MinHash+LSH near-dup candidate pairs (32 hashes, 8 bands, "
+    "5-shingles) with exact-Jaccard verify; banded equi-join, no cross "
+    "product. Recall asserted on planted dups in tests/test_pipeline.py.",
+    tags=("pipeline", "dedup"),
+)
+def pl_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(
+        docs, "doc_id", "text", n_hashes=32, bands=8, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "pl_simhash_dedup",
+    None,
+    doc="SimHash near-dup pairs (63-bit sign hash, 16-bit chunk "
+    "blocking, hamming verify).",
+    tags=("pipeline", "dedup"),
+)
+def pl_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_hamming=3: the synthetic corpus shares one small vocabulary,
+    # so loose thresholds match everything; 3 keeps only true near-dups
+    (docs,) = _t(spark, sf_dir, "documents")
+    return D.simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "pl_ngram_jaccard",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(lower(text), ' '),
+                             t -> LEN(t) > 0)) AS tk
+        FROM documents WHERE doc_id < 60
+    )
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           ROUND(LEN(LIST_INTERSECT(l.tk, r.tk)) * 1.0 /
+                 GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(l.tk, r.tk))), 1), 6)
+               AS jaccard
+    FROM toks l JOIN toks r ON l.doc_id < r.doc_id
+    WHERE LEN(LIST_INTERSECT(l.tk, r.tk)) * 1.0 /
+          GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(l.tk, r.tk))), 1) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    doc="Exact n-gram (token-set) Jaccard pairs within a bounded block "
+    "— the verify kernel of MinHash dedup, oracle-checked end to end.",
+    tags=("pipeline", "dedup"),
+)
+def pl_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    block = docs.filter(F.col("doc_id") < 60)
+    return D.ngram_jaccard_pairs(block, "doc_id", "text", threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "pl_embedding_topk",
+    None,  # filled below with a literal-vector oracle
+    doc="Brute-force cosine top-k over embeddings (exact ANN baseline; "
+    "TakeOrderedAndProject plan — per-partition heaps, no shuffle).",
+    tags=("pipeline", "similarity"),
+)
+def pl_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return SIM.topk_brute(emb, "embedding", _QUERY_VEC, k=20)
+
+
+# attach the oracle now that the literal vector is known
+from .registry import QUERIES as _Q  # noqa: E402
+
+_vec_sql = "[" + ", ".join(f"{x!r}" for x in _QUERY_VEC) + "]::DOUBLE[]"
+_Q["pl_embedding_topk"].oracle = f"""
+    WITH scored AS (
+        SELECT vec_id,
+               LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding::DOUBLE[], {_vec_sql}),
+                        p -> p[1] * p[2]))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x*x)))
+                  * SQRT(LIST_SUM(LIST_TRANSFORM({_vec_sql}, x -> x*x)))) AS raw
+        FROM embeddings
+    )
+    SELECT vec_id, ROUND(raw, 9) AS sim FROM scored
+    ORDER BY raw DESC, vec_id LIMIT 20
+"""
+
+
+@query(
+    "pl_embedding_neardup",
+    None,
+    doc="Embedding near-dup pairs via random-hyperplane LSH buckets + "
+    "cosine verify (8 planes, threshold 0.9). Bucket recall asserted "
+    "on planted duplicates in tests/test_pipeline.py.",
+    tags=("pipeline", "dedup", "similarity"),
+)
+def pl_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", dim=64, threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "pl_ivf_ann",
+    None,
+    doc="IVF approximate nearest neighbor: hash-seeded centroids + 2 "
+    "Lloyd iterations (distributed), probe 4/16 clusters. Recall vs "
+    "brute force asserted in tests/test_pipeline.py.",
+    tags=("pipeline", "similarity"),
+)
+def pl_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    idx = SIM.IvfIndex.build(emb, "embedding", "vec_id", n_clusters=16, iters=1)
+    return idx.search(_QUERY_VEC, k=20, n_probe=4)
+
+
+@query(
+    "pl_multimodal_features",
+    None,
+    doc="Multimodal plumbing: binary media column -> Arrow-batched "
+    "mapInPandas feature extraction (decode stubbed: deterministic "
+    "md5-derived features; schema/batching/partitioning real).",
+    tags=("pipeline", "multimodal"),
+)
+def pl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    media = M.media_from_documents(docs)
+    feats = M.decode_image_features(media, n_features=16)
+    return feats.select(
+        "media_id",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 9).alias(
+            "feature_sum"
+        ),
+    ).orderBy("media_id")
+
+
+@query(
+    "pl_video_frame_sample",
+    None,
+    doc="Video frame sampling plumbing (fake decoder): per-media frame "
+    "fan-out inside Arrow batches.",
+    tags=("pipeline", "multimodal"),
+)
+def pl_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    media = M.media_from_documents(docs.filter(F.col("doc_id") < 50))
+    frames = M.sample_video_frames(media, every_ms=100, max_frames=4)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    ).orderBy("media_id")

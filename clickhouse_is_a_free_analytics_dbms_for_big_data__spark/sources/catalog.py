@@ -35,7 +35,12 @@ def load_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
     """Load each parquet table lazily; missing files are skipped."""
+    # Queries must run under ANY caller-provided session (the driver
+    # builds its own), so pin the runtime confs the engine relies on:
+    # nanos timestamps read as long, and non-ANSI arithmetic (the
+    # reference wraps on overflow; ANSI would throw on hash mixing).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -1,0 +1,173 @@
+"""Semantics tests for the pipeline ops: planted near-duplicates for
+dedup recall, brute-force-vs-ANN recall, multimodal plumbing shape."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.pipeline import (
+    dedup as D,
+)
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.pipeline import (
+    multimodal as M,
+)
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.pipeline import (
+    similarity as SIM,
+)
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.pipeline import (
+    text as TXT,
+)
+
+VOCAB = [f"w{i}" for i in range(200)]
+
+
+def _doc(rng, n=60):
+    return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+
+def _corpus_with_dups(spark, n_docs=40, n_dups=5, edit=2):
+    """n_docs random docs; last n_dups are near-copies of the first
+    n_dups with `edit` token substitutions."""
+    rng = random.Random(7)
+    texts = [_doc(rng) for _ in range(n_docs)]
+    for i in range(n_dups):
+        toks = texts[i].split()
+        for _ in range(edit):
+            toks[rng.randrange(len(toks))] = rng.choice(VOCAB)
+        texts.append(" ".join(toks))
+    rows = [(i, t) for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, "doc_id long, text string"), [
+        (i, n_docs + i) for i in range(n_dups)
+    ]
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    df, expected = _corpus_with_dups(spark)
+    pairs = D.minhash_dedup_pairs(
+        df, "doc_id", "text", n_hashes=32, bands=8, k_shingle=3, threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # every planted pair recovered (2 edits in 60 tokens -> jaccard ~0.9)
+    assert set(expected) <= got
+    # and nothing wildly unrelated (random docs share too few shingles)
+    assert len(got) <= len(expected) + 2
+
+
+def test_simhash_finds_planted_dups(spark):
+    df, expected = _corpus_with_dups(spark)
+    pairs = D.simhash_dedup_pairs(df, "doc_id", "text", max_hamming=12)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert set(expected) <= got
+
+
+def test_exact_dedup_whitespace_robust(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "Hello world "), (3, "different doc")],
+        "doc_id long, text string",
+    )
+    kept = D.exact_dedup(df, TXT.fingerprint_md5(F.col("text")), "doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 3}  # 2 is a normalized dup of 1; min id wins
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    pairs = D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got == {(1, 2): 0.6}  # |{a,b,c}| / |{a,b,c,d,e}| = 3/5
+
+
+def test_rolling_fingerprint_robust_to_local_edit(spark):
+    rng = random.Random(3)
+    base = _doc(rng, 80)
+    toks = base.split()
+    toks[79] = "CHANGED"  # edit near the end
+    edited = " ".join(toks)
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", TXT.rolling_fingerprint(F.col("text"), 8).alias("fp")
+        ).collect()
+    }
+    # min-hash over windows usually survives a single distant edit
+    assert fps[1] == fps[2]
+
+
+def test_embedding_neardup_recall(spark):
+    rng = random.Random(11)
+    vecs = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(30)]
+    # plant: vec 30/31 = tiny perturbations of vec 0/1
+    for src in (0, 1):
+        vecs.append([x + rng.gauss(0, 0.01) for x in vecs[src]])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = D.embedding_neardup_pairs(
+        df, "vec_id", "embedding", dim=16, threshold=0.99, n_planes=6
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(0, 30), (1, 31)} <= got
+
+
+def test_ivf_recall_vs_brute(spark):
+    rng = random.Random(5)
+    rows = [
+        (i, [float(rng.gauss(0, 1)) for _ in range(16)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(rng.gauss(0, 1)) for _ in range(16)]
+    brute = [r["vec_id"] for r in SIM.topk_brute(df, "embedding", q, 10).collect()]
+    idx = SIM.IvfIndex.build(df, "embedding", "vec_id", n_clusters=8, iters=1)
+    ann = [r["vec_id"] for r in idx.search(q, k=10, n_probe=4).collect()]
+    # probing half the clusters should recover most of the true top-10
+    assert len(set(brute) & set(ann)) >= 6
+
+
+def test_multimodal_feature_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, b"def"), (3, None)],
+        "media_id long, data binary",
+    )
+    f1 = M.decode_image_features(df, n_features=8).collect()
+    f2 = M.decode_image_features(df, n_features=8).collect()
+    by_id = {r["media_id"]: r["features"] for r in f1}
+    assert all(len(v) == 8 for v in by_id.values())
+    assert {r["media_id"]: r["features"] for r in f2} == by_id  # deterministic
+    assert by_id[1] != by_id[2]
+
+
+def test_video_frame_fanout(spark):
+    df = spark.createDataFrame(
+        [(1, b"x" * 500), (2, b"y" * 100)], "media_id long, data binary"
+    )
+    frames = M.sample_video_frames(df, every_ms=100, max_frames=4).collect()
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append(r["frame_no"])
+    assert sorted(per[1]) == [0, 1, 2, 3]  # capped at max_frames
+    assert sorted(per[2]) == [0]
+
+
+def test_language_id_on_real_stopwords(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat of the mat and it is a thing that works for now"),
+            (2, "der hund und die katze ist ein tier mit den von"),
+            (3, "zz qq ww ee rr"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["l"]
+        for r in df.select(
+            "doc_id", TXT.language_id(F.col("text")).alias("l")
+        ).collect()
+    }
+    assert out == {1: "en", 2: "de", 3: "unknown"}
