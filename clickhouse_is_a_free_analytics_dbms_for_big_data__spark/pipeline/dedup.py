@@ -33,6 +33,15 @@ __all__ = [
 from ..functions._util import let_ as _let
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition to full parallelism before a compute-heavy
+    per-row expression.  Small inputs land in one scan partition, which
+    would serialize the work; at real scale this is a no-op-sized
+    shuffle of narrow rows."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key)
+
+
 # --- exact ------------------------------------------------------------------
 
 
@@ -40,7 +49,7 @@ def exact_dedup(df: DataFrame, key: Column, id_col: str) -> DataFrame:
     """Keep one row (min id) per content key.  Single hash-shuffle on
     the fingerprint; at scale this is the cheapest possible dedup."""
     w_key = "__dedup_key"
-    keyed = df.withColumn(w_key, key)
+    keyed = _spread(df, id_col).withColumn(w_key, key)
     winners = keyed.groupBy(w_key).agg(F.min(id_col).alias(id_col))
     return keyed.join(winners, [w_key, id_col], "inner").drop(w_key)
 
@@ -103,20 +112,21 @@ def minhash_dedup_pairs(
     """Near-duplicate pairs (id_a < id_b) via MinHash LSH banding with
     exact-Jaccard verification.
 
-    Plan shape: one narrow projection -> explode bands (x bands rows)
-    -> shuffle on (band, bucket) -> within-bucket self-join ->
-    Jaccard verify.  No global cross join at any point.
+    Plan shape: narrow (id, band, bucket) projection -> explode bands
+    -> within-bucket self-join on longs only -> distinct candidate id
+    pairs -> join token arrays back for the Jaccard verify.  Token
+    arrays never ride through the banding shuffle and the O(bands)
+    fan-out; no global cross join at any point.
     """
     rows = n_hashes // bands
     sig = minhash_signature(F.col(text_col), n_hashes, k_shingle)
-    banded = (
-        df.select(
-            F.col(id_col).alias("id"),
-            tokens(F.col(text_col)).alias("toks"),
-            F.explode(_lsh_bands(sig, bands, rows)).alias("bb"),
-        )
-        .select("id", "toks", "bb.band", "bb.bucket")
-    )
+    # Spread the hash-heavy projection across all cores: a small input
+    # file arrives as one partition, which would serialize the compute.
+    spread = _spread(df.select(id_col, text_col), id_col)
+    banded = spread.select(
+        F.col(id_col).alias("id"),
+        F.explode(_lsh_bands(sig, bands, rows)).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -126,16 +136,16 @@ def minhash_dedup_pairs(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.toks").alias("toks_a"),
-            F.col("r.toks").alias("toks_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    toks = spread.select(
+        F.col(id_col).alias("tid"), tokens(F.col(text_col)).alias("toks")
     )
     return (
-        cand.withColumn("jaccard", F.round(jaccard(F.col("toks_a"), F.col("toks_b")), 6))
+        cand.join(toks.withColumnRenamed("tid", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+        .join(toks.withColumnRenamed("tid", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("toks_a"), F.col("toks_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -243,6 +253,7 @@ def simhash_dedup_pairs(
     # ONE expression computes the bits (let-bound), the packed hash and
     # every chunk bucket; explode fans out without re-evaluating it (a
     # generator's child is evaluated once per input row).
+    spread = _spread(df.select(id_col, text_col), id_col)
     parts = _let(
         _simhash_bits(F.col(text_col)),
         lambda bits: F.struct(
@@ -261,7 +272,7 @@ def simhash_dedup_pairs(
         ),
     )
     banded = (
-        df.select(F.col(id_col).alias("id"), parts.alias("p"))
+        spread.select(F.col(id_col).alias("id"), parts.alias("p"))
         .select("id", F.col("p.sh").alias("sh"), F.explode("p.bands").alias("bb"))
         .select("id", "sh", "bb.chunk", "bb.bucket")
     )
@@ -331,7 +342,7 @@ def embedding_neardup_pairs(
     from .similarity import cosine
 
     planes = _hyperplanes(dim, n_planes, seed)
-    base = df.select(
+    base = _spread(df.select(id_col, vec_col), id_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _rhp_bucket(F.col(vec_col), planes).alias("bucket"),

@@ -141,7 +141,10 @@ def decode_image_features(
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
-    return df.select(id_col, data_col).mapInPandas(decode, schema=schema)
+    narrow = df.select(id_col, data_col)
+    # spread Python workers across cores (small files scan as 1 task)
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return narrow.repartition(n, id_col).mapInPandas(decode, schema=schema)
 
 
 def sample_video_frames(
@@ -182,4 +185,6 @@ def sample_video_frames(
                 {id_col: ids, "frame_no": nos, "frame_hash": hashes}
             )
 
-    return df.select(id_col, data_col).mapInPandas(sample, schema=schema)
+    narrow = df.select(id_col, data_col)
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return narrow.repartition(n, id_col).mapInPandas(sample, schema=schema)
