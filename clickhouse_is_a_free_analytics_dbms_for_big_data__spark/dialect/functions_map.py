@@ -1,0 +1,495 @@
+"""CH function-name → Spark SQL expression templates.
+
+Three mapping kinds, applied by the translator when an identifier is
+immediately followed by ``(``:
+
+- ``SIMPLE``: plain rename, arguments preserved.
+- ``TEMPLATES``: callable ``(args: list[str]) -> str`` over the
+  already-translated argument SQL strings.
+- ``PARAMETRIC``: callable ``(params, args) -> str`` for the reference's
+  parametric-aggregate syntax ``f(params)(args)`` (e.g.
+  ``quantile(0.9)(x)``, registry
+  /root/reference/dbms/src/AggregateFunctions/AggregateFunctionFactory.cpp).
+
+Every template expands to built-in Spark SQL expressions (JVM-side,
+whole-stage-codegen eligible) — translation never introduces a Python
+UDF.  Formulas intentionally mirror the Column builders in
+``..functions`` so the SQL path and the DataFrame path agree.
+
+Combinator ``-If`` (AggregateFunctionFactory.cpp:51-55) is handled
+generically: ``<agg>If(args..., cond)`` → ``<agg>(CASE WHEN cond THEN
+arg END)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+Args = list[str]
+
+# ---------------------------------------------------------------- renames
+
+SIMPLE: dict[str, str] = {
+    # dates (FunctionsDateTime.cpp)
+    "toYear": "year",
+    "toMonth": "month",
+    "toDayOfMonth": "day",
+    "toHour": "hour",
+    "toMinute": "minute",
+    "toSecond": "second",
+    "toUnixTimestamp": "unix_timestamp",
+    "today": "current_date",
+    # strings (FunctionsString.cpp) — *UTF8 variants ARE Spark's default
+    "lowerUTF8": "lower",
+    "upperUTF8": "upper",
+    "lengthUTF8": "char_length",
+    "reverseUTF8": "reverse",
+    "substringUTF8": "substring",
+    "concatAssumeInjective": "concat",
+    "trimBoth": "trim",
+    "startsWith": "startswith",
+    "endsWith": "endswith",
+    # math (FunctionsMath.cpp)
+    "pow": "power",
+    # arrays (FunctionsArray.cpp)
+    "arrayElement": "element_at",
+    "has": "array_contains",
+    "indexOf": "array_position",
+    "arrayDistinct": "array_distinct",
+    "arraySlice": "slice",
+    "arrayConcat": "concat",
+    "arrayReverse": "reverse",
+    "arraySort": "sort_array",
+    "arrayStringConcat": "array_join",
+    "arrayIntersect": "array_intersect",
+    # aggregates (AggregateFunctionFactory.cpp:65-77)
+    "uniq": "approx_count_distinct",
+    "uniqHLL12": "approx_count_distinct",
+    "uniqCombined": "approx_count_distinct",
+    "groupArray": "collect_list",
+    "groupUniqArray": "collect_set",
+    "any": "first",
+    "anyLast": "last",
+    "anyHeavy": "mode",
+    "argMin": "min_by",
+    "argMax": "max_by",
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
+    # hashing (FunctionsHashing.cpp) — stand-ins: values differ from the
+    # reference (documented; never golden-test hash outputs)
+    "cityHash64": "xxhash64",
+    "sipHash64": "xxhash64",
+    "farmHash64": "xxhash64",
+    "metroHash64": "xxhash64",
+    "halfMD5": "xxhash64",
+    "intHash64": "xxhash64",
+    "intHash32": "hash",
+    "MD5": "md5",
+    "SHA1": "sha1",
+    # misc
+    "toTypeName": "typeof",
+    "isNaN": "isnan",
+    "round": "bround",  # reference rounds half-to-even (FunctionsRound.cpp)
+}
+
+# ---------------------------------------------------------------- templates
+
+
+def _case_ladder(x: str, bounds: list[tuple[str, str]], default: str) -> str:
+    clauses = " ".join(f"WHEN {cond} THEN {val}" for cond, val in bounds)
+    return f"(CASE {clauses} ELSE {default} END)"
+
+
+def _t_multi_if(a: Args) -> str:
+    pairs = []
+    for i in range(0, len(a) - 1, 2):
+        pairs.append(f"WHEN {a[i]} THEN {a[i + 1]}")
+    return f"(CASE {' '.join(pairs)} ELSE {a[-1]} END)"
+
+
+def _t_transform(a: Args) -> str:
+    # FunctionsTransform.h:53 — value remap with default (4-arg) or
+    # pass-through (3-arg).
+    default = a[3] if len(a) == 4 else a[0]
+    return f"coalesce(element_at(map_from_arrays({a[1]}, {a[2]}), {a[0]}), {default})"
+
+
+def _t_extract(a: Args) -> str:
+    # CH extract: first capture group if the pattern has one, else the
+    # whole match (FunctionsStringSearch.cpp).  Inspect literal patterns.
+    idx = "1" if len(a) > 1 and _literal_has_group(a[1]) else "0"
+    return f"regexp_extract({a[0]}, {a[1]}, {idx})"
+
+
+def _t_extract_all(a: Args) -> str:
+    idx = "1" if len(a) > 1 and _literal_has_group(a[1]) else "0"
+    return f"regexp_extract_all({a[0]}, {a[1]}, {idx})"
+
+
+def _literal_has_group(pat: str) -> bool:
+    if not (pat.startswith("'") and pat.endswith("'")):
+        return False
+    body = pat[1:-1]
+    i = 0
+    while i < len(body):
+        if body[i] == "\\":
+            i += 2
+            continue
+        if body[i] == "(" and not body[i : i + 3] == "(?:":
+            return True
+        i += 1
+    return False
+
+
+def _t_replace_one(a: Args) -> str:
+    s, f, r = a
+    return (
+        f"(CASE WHEN locate({f}, {s}) > 0 THEN concat(substr({s}, 1, locate({f}, {s}) - 1), "
+        f"{r}, substr({s}, locate({f}, {s}) + length({f}))) ELSE {s} END)"
+    )
+
+
+def _t_split_by_char(a: Args) -> str:
+    return f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))"
+
+
+def _t_ipv4_num_to_string(a: Args) -> str:
+    x = a[0]
+    return (
+        f"concat_ws('.', CAST(({x} DIV 16777216) % 256 AS STRING), "
+        f"CAST(({x} DIV 65536) % 256 AS STRING), "
+        f"CAST(({x} DIV 256) % 256 AS STRING), CAST({x} % 256 AS STRING))"
+    )
+
+
+def _t_ipv4_string_to_num(a: Args) -> str:
+    s = a[0]
+    return (
+        f"(CAST(split({s}, '\\\\.')[0] AS BIGINT) * 16777216 + "
+        f"CAST(split({s}, '\\\\.')[1] AS BIGINT) * 65536 + "
+        f"CAST(split({s}, '\\\\.')[2] AS BIGINT) * 256 + "
+        f"CAST(split({s}, '\\\\.')[3] AS BIGINT))"
+    )
+
+
+def _cast_tpl(sql_type: str) -> Callable[[Args], str]:
+    return lambda a: f"CAST({a[0]} AS {sql_type})"
+
+
+def _cast_or_zero_tpl(sql_type: str) -> Callable[[Args], str]:
+    # ANSI off: bad casts yield NULL; reference's *OrZero yields 0.
+    return lambda a: f"coalesce(CAST({a[0]} AS {sql_type}), CAST(0 AS {sql_type}))"
+
+
+_DURATION_BUCKETS = [1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800, 3600, 7200, 18000, 36000]
+
+
+def _t_round_duration(a: Args) -> str:
+    x = a[0]
+    return _case_ladder(
+        x,
+        [(f"{x} >= {lo}", str(lo)) for lo in reversed(_DURATION_BUCKETS)],
+        "0",
+    )
+
+
+def _t_round_age(a: Args) -> str:
+    x = a[0]
+    return (
+        f"(CASE WHEN {x} < 1 THEN 0 WHEN {x} < 18 THEN 17 WHEN {x} < 25 THEN 18 "
+        f"WHEN {x} < 35 THEN 25 WHEN {x} < 45 THEN 35 WHEN {x} < 55 THEN 45 ELSE 55 END)"
+    )
+
+
+TEMPLATES: dict[str, Callable[[Args], str]] = {
+    # aggregates
+    "count": lambda a: f"count({', '.join(a) or '*'})",
+    "uniqExact": lambda a: f"count(DISTINCT {', '.join(a)})",
+    "median": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    "quantile": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    "quantileExact": lambda a: f"percentile({a[0]}, 0.5)",
+    "sumMap": lambda a: (
+        # SummingSortedBlockInputStream.cpp nested-map summation analog
+        f"map_from_entries(array_sort(collect_list(struct({a[0]} AS k, {a[1]} AS v))))"
+    ),
+    # arithmetic (FunctionsArithmetic.cpp)
+    "plus": lambda a: f"({a[0]} + {a[1]})",
+    "minus": lambda a: f"({a[0]} - {a[1]})",
+    "multiply": lambda a: f"({a[0]} * {a[1]})",
+    "divide": lambda a: f"({a[0]} / {a[1]})",
+    "intDiv": lambda a: f"({a[0]} DIV {a[1]})",
+    "intDivOrZero": lambda a: f"(CASE WHEN {a[1]} = 0 THEN 0 ELSE {a[0]} DIV {a[1]} END)",
+    "modulo": lambda a: f"({a[0]} % {a[1]})",
+    "negate": lambda a: f"(- {a[0]})",
+    "bitAnd": lambda a: f"({a[0]} & {a[1]})",
+    "bitOr": lambda a: f"({a[0]} | {a[1]})",
+    "bitXor": lambda a: f"({a[0]} ^ {a[1]})",
+    "bitNot": lambda a: f"(~ {a[0]})",
+    "bitShiftLeft": lambda a: f"shiftleft({a[0]}, {a[1]})",
+    "bitShiftRight": lambda a: f"shiftright({a[0]}, {a[1]})",
+    "bitTest": lambda a: f"((shiftright({a[0]}, {a[1]}) & 1))",
+    # comparison / logic
+    "equals": lambda a: f"({a[0]} = {a[1]})",
+    "notEquals": lambda a: f"({a[0]} <> {a[1]})",
+    "less": lambda a: f"({a[0]} < {a[1]})",
+    "greater": lambda a: f"({a[0]} > {a[1]})",
+    "lessOrEquals": lambda a: f"({a[0]} <= {a[1]})",
+    "greaterOrEquals": lambda a: f"({a[0]} >= {a[1]})",
+    "and": lambda a: f"({' AND '.join(a)})",
+    "or": lambda a: f"({' OR '.join(a)})",
+    "not": lambda a: f"(NOT {a[0]})",
+    "xor": lambda a: f"(({a[0]}) <> ({a[1]}))",
+    # strings
+    "empty": lambda a: f"(coalesce(length({a[0]}), 0) = 0)",
+    "notEmpty": lambda a: f"(coalesce(length({a[0]}), 0) > 0)",
+    "position": lambda a: f"locate({a[1]}, {a[0]})",
+    "positionUTF8": lambda a: f"locate({a[1]}, {a[0]})",
+    "positionCaseInsensitive": lambda a: f"locate(lower({a[1]}), lower({a[0]}))",
+    "match": lambda a: f"({a[0]} RLIKE {a[1]})",
+    "like": lambda a: f"({a[0]} LIKE {a[1]})",
+    "notLike": lambda a: f"({a[0]} NOT LIKE {a[1]})",
+    "extract": _t_extract,
+    "extractAll": _t_extract_all,
+    "replaceAll": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
+    "replaceOne": _t_replace_one,
+    "replaceRegexpAll": lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})",
+    "splitByChar": _t_split_by_char,
+    "splitByString": _t_split_by_char,
+    "alphaTokens": lambda a: f"regexp_extract_all({a[0]}, '[A-Za-z]+', 0)",
+    "appendTrailingCharIfAbsent": lambda a: (
+        f"(CASE WHEN endswith({a[0]}, {a[1]}) THEN {a[0]} ELSE concat({a[0]}, {a[1]}) END)"
+    ),
+    # conditional / null (FunctionsConditional.cpp, FunctionsNull.cpp)
+    "multiIf": _t_multi_if,
+    "transform": _t_transform,
+    "ifNull": lambda a: f"coalesce({a[0]}, {a[1]})",
+    "isNull": lambda a: f"({a[0]} IS NULL)",
+    "isNotNull": lambda a: f"({a[0]} IS NOT NULL)",
+    "assumeNotNull": lambda a: a[0],
+    "toNullable": lambda a: a[0],
+    "isFinite": lambda a: f"(NOT isnan({a[0]}) AND abs({a[0]}) <> double('Infinity'))",
+    "isInfinite": lambda a: f"(abs({a[0]}) = double('Infinity'))",
+    # rounding (FunctionsRound.cpp)
+    "roundToExp2": lambda a: (
+        f"(CASE WHEN {a[0]} < 1 THEN 0 ELSE CAST(power(2, floor(log2(CAST({a[0]} AS DOUBLE)))) AS BIGINT) END)"
+    ),
+    "roundDuration": _t_round_duration,
+    "roundAge": _t_round_age,
+    # conversion (FunctionsConversion.cpp) — unsigned widen by one size
+    "toUInt8": _cast_tpl("SMALLINT"),
+    "toUInt16": _cast_tpl("INT"),
+    "toUInt32": _cast_tpl("BIGINT"),
+    "toUInt64": _cast_tpl("BIGINT"),
+    "toInt8": _cast_tpl("TINYINT"),
+    "toInt16": _cast_tpl("SMALLINT"),
+    "toInt32": _cast_tpl("INT"),
+    "toInt64": _cast_tpl("BIGINT"),
+    "toFloat32": _cast_tpl("FLOAT"),
+    "toFloat64": _cast_tpl("DOUBLE"),
+    "toUInt8OrZero": _cast_or_zero_tpl("SMALLINT"),
+    "toUInt16OrZero": _cast_or_zero_tpl("INT"),
+    "toUInt32OrZero": _cast_or_zero_tpl("BIGINT"),
+    "toUInt64OrZero": _cast_or_zero_tpl("BIGINT"),
+    "toInt8OrZero": _cast_or_zero_tpl("TINYINT"),
+    "toInt16OrZero": _cast_or_zero_tpl("SMALLINT"),
+    "toInt32OrZero": _cast_or_zero_tpl("INT"),
+    "toInt64OrZero": _cast_or_zero_tpl("BIGINT"),
+    "toFloat32OrZero": _cast_or_zero_tpl("FLOAT"),
+    "toFloat64OrZero": _cast_or_zero_tpl("DOUBLE"),
+    "toString": _cast_tpl("STRING"),
+    "toDate": _cast_tpl("DATE"),
+    "toDateTime": _cast_tpl("TIMESTAMP"),
+    # dates
+    "toDayOfWeek": lambda a: f"(weekday({a[0]}) + 1)",  # Monday=1 (reference)
+    "toMonday": lambda a: f"date_sub(CAST({a[0]} AS DATE), weekday({a[0]}))",
+    "toStartOfDay": lambda a: f"CAST(CAST({a[0]} AS DATE) AS TIMESTAMP)",
+    "toStartOfMonth": lambda a: f"trunc(CAST({a[0]} AS DATE), 'MM')",
+    "toStartOfQuarter": lambda a: f"trunc(CAST({a[0]} AS DATE), 'QUARTER')",
+    "toStartOfYear": lambda a: f"trunc(CAST({a[0]} AS DATE), 'YYYY')",
+    "toStartOfHour": lambda a: f"date_trunc('HOUR', {a[0]})",
+    "toStartOfMinute": lambda a: f"date_trunc('MINUTE', {a[0]})",
+    "toStartOfFiveMinute": lambda a: (
+        f"timestamp_seconds(CAST({a[0]} AS TIMESTAMP) DIV 1 - (CAST(CAST({a[0]} AS TIMESTAMP) AS BIGINT) % 300))"
+    ),
+    "timeSlot": lambda a: (
+        f"timestamp_seconds(CAST(CAST({a[0]} AS TIMESTAMP) AS BIGINT) - "
+        f"(CAST(CAST({a[0]} AS TIMESTAMP) AS BIGINT) % 1800))"
+    ),
+    "toRelativeYearNum": lambda a: f"year({a[0]})",
+    "toRelativeMonthNum": lambda a: f"(year({a[0]}) * 12 + month({a[0]}))",
+    "toRelativeWeekNum": lambda a: (
+        f"CAST((datediff(CAST({a[0]} AS DATE), DATE '1970-01-01') + 3) / 7 AS BIGINT)"
+    ),
+    "toRelativeDayNum": lambda a: f"datediff(CAST({a[0]} AS DATE), DATE '1970-01-01')",
+    "toRelativeHourNum": lambda a: f"(CAST(CAST({a[0]} AS TIMESTAMP) AS BIGINT) DIV 3600)",
+    "toRelativeMinuteNum": lambda a: f"(CAST(CAST({a[0]} AS TIMESTAMP) AS BIGINT) DIV 60)",
+    "toRelativeSecondNum": lambda a: f"CAST(CAST({a[0]} AS TIMESTAMP) AS BIGINT)",
+    "now": lambda a: "current_timestamp()",
+    "yesterday": lambda a: "date_sub(current_date(), 1)",
+    # math
+    "exp2": lambda a: f"power(2, {a[0]})",
+    "exp10": lambda a: f"power(10, {a[0]})",
+    "e": lambda a: "exp(1)",
+    "rand": lambda a: "CAST(rand() * 4294967296 AS BIGINT)",
+    "rand64": lambda a: "CAST(rand() * 9.223372036854776e18 AS BIGINT)",
+    # arrays
+    "arrayMap": lambda a: f"transform({', '.join(a[1:])}, {a[0]})"
+    if len(a) == 2
+    else f"zip_with({a[1]}, {a[2]}, {a[0]})",
+    "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
+    "arrayCount": lambda a: (
+        f"size(filter({a[1]}, {a[0]}))" if len(a) == 2 else f"size(filter({a[0]}, __x -> __x <> 0))"
+    ),
+    "arrayExists": lambda a: f"exists({a[1]}, {a[0]})",
+    "arrayAll": lambda a: f"forall({a[1]}, {a[0]})",
+    "arraySum": lambda a: f"aggregate({a[0]}, CAST(0 AS DOUBLE), (__acc, __x) -> __acc + __x)",
+    "arrayFirst": lambda a: f"element_at(filter({a[1]}, {a[0]}), 1)",
+    "arrayReverseSort": lambda a: f"reverse(sort_array({a[0]}))",
+    "arrayUniq": lambda a: f"size(array_distinct({a[0]}))",
+    "countEqual": lambda a: f"size(filter({a[0]}, __x -> __x = {a[1]}))",
+    "arrayEnumerate": lambda a: f"sequence(1, size({a[0]}))",
+    "arrayPushBack": lambda a: f"concat({a[0]}, array({a[1]}))",
+    "arrayPushFront": lambda a: f"concat(array({a[1]}), {a[0]})",
+    "emptyArrayUInt8": lambda a: "CAST(array() AS ARRAY<SMALLINT>)",
+    "emptyArrayUInt32": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
+    "emptyArrayInt32": lambda a: "CAST(array() AS ARRAY<INT>)",
+    "emptyArrayInt64": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
+    "emptyArrayFloat64": lambda a: "CAST(array() AS ARRAY<DOUBLE>)",
+    "emptyArrayString": lambda a: "CAST(array() AS ARRAY<STRING>)",
+    "range": lambda a: f"sequence(0, {a[0]} - 1)" if len(a) == 1 else f"sequence({a[0]}, {a[1]} - 1)",
+    # tuples
+    "tuple": lambda a: f"struct({', '.join(a)})",
+    "tupleElement": lambda a: f"({a[0]}.col{a[1]})",
+    # URL (FunctionsURL.cpp)
+    "protocol": lambda a: f"parse_url({a[0]}, 'PROTOCOL')",
+    "domain": lambda a: f"parse_url({a[0]}, 'HOST')",
+    "domainWithoutWWW": lambda a: f"regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', '')",
+    "topLevelDomain": lambda a: f"regexp_extract(parse_url({a[0]}, 'HOST'), '\\\\.([^.]+)$', 1)",
+    "path": lambda a: f"parse_url({a[0]}, 'PATH')",
+    "queryString": lambda a: f"parse_url({a[0]}, 'QUERY')",
+    "fragment": lambda a: f"parse_url({a[0]}, 'REF')",
+    "extractURLParameter": lambda a: f"coalesce(parse_url({a[0]}, 'QUERY', {a[1]}), '')",
+    "cutWWW": lambda a: f"regexp_replace({a[0]}, '//www\\\\.', '//')",
+    "cutQueryString": lambda a: f"regexp_replace({a[0]}, '\\\\?.*$', '')",
+    "cutFragment": lambda a: f"regexp_replace({a[0]}, '#.*$', '')",
+    # IP (FunctionsCoding.cpp)
+    "IPv4NumToString": _t_ipv4_num_to_string,
+    "IPv4StringToNum": _t_ipv4_string_to_num,
+    # JSON-ish (FunctionsVisitParam.cpp)
+    "visitParamHas": lambda a: f"(get_json_object({a[0]}, concat('$.', {a[1]})) IS NOT NULL)",
+    "visitParamExtractUInt": lambda a: (
+        f"coalesce(CAST(get_json_object({a[0]}, concat('$.', {a[1]})) AS BIGINT), 0)"
+    ),
+    "visitParamExtractInt": lambda a: (
+        f"coalesce(CAST(get_json_object({a[0]}, concat('$.', {a[1]})) AS BIGINT), 0)"
+    ),
+    "visitParamExtractFloat": lambda a: (
+        f"coalesce(CAST(get_json_object({a[0]}, concat('$.', {a[1]})) AS DOUBLE), 0.0)"
+    ),
+    "visitParamExtractBool": lambda a: (
+        f"(get_json_object({a[0]}, concat('$.', {a[1]})) = 'true')"
+    ),
+    "visitParamExtractString": lambda a: (
+        f"coalesce(get_json_object({a[0]}, concat('$.', {a[1]})), '')"
+    ),
+    "visitParamExtractRaw": lambda a: f"coalesce(get_json_object({a[0]}, concat('$.', {a[1]})), '')",
+    # misc (FunctionsMiscellaneous.cpp)
+    "materialize": lambda a: a[0],
+    "identity": lambda a: a[0],
+    "ignore": lambda a: "0",
+    "indexHint": lambda a: "true",
+    "version": lambda a: "'1.1.54189-spark'",
+    "hostName": lambda a: "'localhost'",
+    "currentDatabase": lambda a: "'default'",
+    "bar": lambda a: (
+        f"repeat('█', CAST(bround(({a[0]} - {a[1]}) / ({a[2]} - {a[1]}) * "
+        f"{a[3] if len(a) > 3 else '80'}) AS INT))"
+    ),
+    "greatCircleDistance": lambda a: (
+        # haversine over WGS-84 mean radius (FunctionsGeo.cpp analog)
+        f"(2 * 6372797.560856 * asin(sqrt(power(sin(radians(({a[3]} - {a[1]}) / 2)), 2) + "
+        f"cos(radians({a[1]})) * cos(radians({a[3]})) * "
+        f"power(sin(radians(({a[2]} - {a[0]}) / 2)), 2))))"
+    ),
+}
+
+# ------------------------------------------------------- parametric aggs
+
+
+def _p_quantile(exact: bool) -> Callable[[Args, Args], str]:
+    fn = "percentile" if exact else "percentile_approx"
+
+    def tpl(params: Args, args: Args) -> str:
+        p = params[0] if params else "0.5"
+        return f"{fn}({args[0]}, {p})"
+
+    return tpl
+
+
+def _p_quantiles(exact: bool) -> Callable[[Args, Args], str]:
+    fn = "percentile" if exact else "percentile_approx"
+
+    def tpl(params: Args, args: Args) -> str:
+        return f"{fn}({args[0]}, array({', '.join(params)}))"
+
+    return tpl
+
+
+PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
+    "quantile": _p_quantile(exact=False),
+    "quantileDeterministic": _p_quantile(exact=False),
+    "quantileTiming": _p_quantile(exact=False),
+    "quantileTDigest": _p_quantile(exact=False),
+    "quantileExact": _p_quantile(exact=True),
+    "quantiles": _p_quantiles(exact=False),
+    "quantilesExact": _p_quantiles(exact=True),
+    "quantilesTiming": _p_quantiles(exact=False),
+    "uniqUpTo": lambda p, a: f"least(count(DISTINCT {a[0]}), {p[0]} + 1)",
+    "groupArray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
+    "topK": lambda p, a: (
+        f"slice(transform(array_sort(transform(map_entries("
+        f"aggregate(collect_list({a[0]}), map(), (m, x) -> map_concat(map_filter(m, (k, v) -> k != x), "
+        f"map(x, coalesce(element_at(m, x), 0) + 1)))), e -> struct(- e.value AS n, e.key AS k))), "
+        f"s -> s.k), 1, {p[0]})"
+    ),
+}
+
+# -------------------------------------------------------------- -If combo
+
+_IF_COMBINATOR_BASES: dict[str, str] = {
+    "sum": "sum",
+    "count": "count",
+    "avg": "avg",
+    "min": "min",
+    "max": "max",
+    "any": "first",
+    "anyLast": "last",
+    "uniq": "approx_count_distinct",
+    "uniqExact": "count_distinct_case",  # special-cased below
+    "groupArray": "collect_list",
+}
+
+
+def if_combinator(name: str, args: Args) -> str | None:
+    """``<agg>If(x, cond)`` / ``countIf(cond)`` → CASE-wrapped aggregate.
+
+    Reference: AggregateFunctionIf.h (combinator registered at
+    AggregateFunctionFactory.cpp:51-55).
+    """
+    if not name.endswith("If"):
+        return None
+    base = name[: -len("If")]
+    target = _IF_COMBINATOR_BASES.get(base)
+    if target is None:
+        return None
+    if base == "count":
+        return f"count(CASE WHEN {args[0]} THEN 1 END)"
+    cond = args[-1]
+    inner = ", ".join(args[:-1])
+    if target == "count_distinct_case":
+        return f"count(DISTINCT CASE WHEN {cond} THEN {inner} END)"
+    return f"{target}(CASE WHEN {cond} THEN {inner} END)"

@@ -1,0 +1,86 @@
+"""Tokenizer for the CH SQL dialect.
+
+Token kinds: KEYWORD-ish bare words (IDENT), NUMBER, STRING (single
+quoted, backslash escapes per the reference's
+Parsers/ExpressionElementParsers.cpp string literal rules), QUOTED_IDENT
+(backticks), and single/multi-char PUNCT (including ``->`` lambda arrow,
+``?``/``:`` ternary, comparison operators).
+
+Comments (``--`` line, ``/* */`` block) are dropped.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<line_comment>--[^\n]*)
+    | (?P<block_comment>/\*.*?\*/)
+    | (?P<string>'(?:[^'\\]|\\.)*')
+    | (?P<qident>`(?:[^`\\]|\\.)*`)
+    | (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<punct><=|>=|!=|<>|==|->|\|\||[-+*/%(),.\[\]<>=?:])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+@dataclass
+class Token:
+    kind: str  # 'string' | 'qident' | 'number' | 'ident' | 'punct'
+    text: str
+
+    def is_kw(self, *words: str) -> bool:
+        return self.kind == "ident" and self.text.upper() in words
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"{self.kind}:{self.text}"
+
+
+def tokenize(sql: str) -> list[Token]:
+    out: list[Token] = []
+    pos = 0
+    n = len(sql)
+    while pos < n:
+        m = _TOKEN_RE.match(sql, pos)
+        if m is None:
+            raise ValueError(f"cannot tokenize at offset {pos}: {sql[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "line_comment", "block_comment"):
+            continue
+        out.append(Token(kind=kind, text=m.group()))
+    return out
+
+
+def render(tokens: list[Token]) -> str:
+    """Render tokens back to SQL text with minimal-but-safe spacing."""
+    parts: list[str] = []
+    prev: Token | None = None
+    for t in tokens:
+        if prev is not None and _needs_space(prev, t):
+            parts.append(" ")
+        parts.append(t.text)
+        prev = t
+    return "".join(parts)
+
+
+_TIGHT_BEFORE = {"(", ")", ",", ".", "[", "]"}
+_TIGHT_AFTER = {"(", ".", "["}
+
+
+def _needs_space(a: Token, b: Token) -> bool:
+    if b.text in _TIGHT_BEFORE and b.text != "(":
+        return False
+    if a.text in _TIGHT_AFTER:
+        return False
+    if b.text == "(":
+        # keep f(...) tight but `AND (`, `IN (` spaced — harmless either way
+        return a.kind not in ("ident", "qident")
+    if a.text in (")", "]") and b.kind == "punct":
+        return b.text not in _TIGHT_BEFORE
+    return True

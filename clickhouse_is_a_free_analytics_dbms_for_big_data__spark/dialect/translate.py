@@ -1,0 +1,915 @@
+"""CH SQL → Spark SQL translator.
+
+Grammar source: /root/reference/dbms/src/Parsers/ParserSelectQuery.cpp
+(clause order: WITH, SELECT [DISTINCT], FROM [FINAL] [SAMPLE],
+[LEFT] ARRAY JOIN, [GLOBAL] [ANY|ALL] <kind> JOIN, PREWHERE, WHERE,
+GROUP BY [WITH TOTALS], HAVING, ORDER BY, LIMIT [BY], SETTINGS,
+FORMAT, UNION ALL chaining via ASTSelectQuery.h:78).
+
+Expression-level rewrites (ExpressionListParsers.cpp operator surface):
+
+- ``[a, b]`` array literals → ``array(a, b)``; ``x[i]`` indexing →
+  ``element_at(x, i)`` (1-based, negative-from-end — matches the
+  reference's arrayElement up to out-of-range → NULL vs type-default).
+- ``c ? a : b`` ternary → ``if(c, a, b)``.
+- function-name mapping per ``functions_map`` (incl. parametric
+  ``quantile(0.9)(x)`` syntax and the -If combinator).
+- lambda syntax ``x -> expr`` is shared by both dialects — passthrough.
+
+Clause rewrites:
+
+- PREWHERE → conjunct of WHERE (scan pushdown is Catalyst's job).
+- SAMPLE k [OFFSET m] → deterministic hash-range predicate over the
+  table's registered sampling key (mirrors operators.clauses.
+  deterministic_sample; MergeTreeDataSelectExecutor.cpp:253-270).
+- FINAL → ReplacingMergeTree latest-version dedup subquery.
+- ARRAY JOIN / LEFT ARRAY JOIN / arrayJoin() → LATERAL VIEW
+  posexplode[_outer]; extra lockstep arrays via element_at at the
+  shared position (IColumn::replicate semantics).
+- ANY JOIN → right side deduped to one row per key; GLOBAL → BROADCAST
+  hint (ExpressionAnalyzer.cpp:433-574 external-table shipping).
+- GROUP BY ... WITH TOTALS → GROUPING SETS ((keys), ()); HAVING applies
+  to real groups only (TotalsHavingBlockInputStream.h totals_mode).
+- LIMIT n BY cols → row_number window subquery.
+- system.numbers / numbers(N) / system.one → range()/one-row inline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .functions_map import PARAMETRIC, SIMPLE, TEMPLATES, if_combinator
+from .lexer import Token, tokenize
+
+_JOIN_KINDS = {"INNER", "LEFT", "RIGHT", "FULL", "CROSS", "OUTER"}
+_CLAUSE_STOP = {
+    "FROM", "PREWHERE", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+    "UNION", "FORMAT", "SETTINGS", "SAMPLE", "ARRAY", "JOIN", "INTO",
+}
+
+
+@dataclass
+class TableMeta:
+    """Per-table metadata the dialect needs for FINAL / SAMPLE."""
+
+    primary_key: tuple[str, ...] = ()
+    version_col: str | None = None
+    sign_col: str | None = None
+    sample_key: str | None = None
+    engine: str = "MergeTree"
+
+
+@dataclass
+class Ctx:
+    table_meta: dict[str, TableMeta] = field(default_factory=dict)
+    columns_of: object | None = None  # Callable[[str], list[str] | None]
+    dictionaries: dict[str, "DictSpec"] = field(default_factory=dict)
+    counter: int = 0
+
+    def gensym(self, prefix: str) -> str:
+        self.counter += 1
+        return f"__{prefix}{self.counter}"
+
+
+@dataclass
+class DictSpec:
+    view: str  # temp view name, key column pre-renamed to __k
+    attrs: tuple[str, ...] = ()
+
+
+def translate_sql(
+    sql: str,
+    table_meta: dict[str, TableMeta] | None = None,
+    columns_of=None,
+    dictionaries: dict[str, DictSpec] | None = None,
+) -> str:
+    ctx = Ctx(
+        table_meta=table_meta or {},
+        columns_of=columns_of,
+        dictionaries=dictionaries or {},
+    )
+    tokens = tokenize(sql)
+    while tokens and tokens[-1].text == ";":
+        tokens = tokens[:-1]
+    return _translate_union(tokens, ctx)
+
+
+# ------------------------------------------------------------ union split
+
+
+def _translate_union(tokens: list[Token], ctx: Ctx) -> str:
+    parts: list[list[Token]] = []
+    depth = 0
+    start = 0
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and t.is_kw("UNION")
+            and i + 1 < len(tokens)
+            and tokens[i + 1].is_kw("ALL")
+        ):
+            parts.append(tokens[start:i])
+            start = i + 2
+            i += 2
+            continue
+        i += 1
+    parts.append(tokens[start:])
+    return "\nUNION ALL\n".join(_translate_select(p, ctx) for p in parts)
+
+
+# -------------------------------------------------------- clause splitting
+
+
+def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
+    i = 0
+    n = len(tokens)
+
+    def peek(k: int = 0) -> Token | None:
+        return tokens[i + k] if i + k < n else None
+
+    # ---- WITH (scalar-expression aliases, ExpressionAnalyzer WITH list)
+    with_subs: dict[str, str] = {}
+    if peek() is not None and peek().is_kw("WITH"):
+        i += 1
+        while True:
+            expr_toks, i = _take_until(tokens, i, {"AS"}, depth_sensitive=True)
+            assert peek() is not None and peek().is_kw("AS"), "WITH expr AS alias"
+            i += 1
+            alias = tokens[i].text
+            i += 1
+            with_subs[alias] = f"({_rewrite(expr_toks, ctx)})"
+            if peek() is not None and peek().text == ",":
+                i += 1
+                continue
+            break
+
+    assert peek() is not None and peek().is_kw("SELECT"), "expected SELECT"
+    i += 1
+    distinct = False
+    if peek() is not None and peek().is_kw("DISTINCT"):
+        distinct = True
+        i += 1
+
+    select_toks, i = _take_clause(tokens, i)
+
+    from_toks: list[Token] = []
+    sample_toks: list[Token] = []
+    array_join_items: list[tuple[bool, list[Token]]] = []  # (left, item tokens)
+    joins: list[dict] = []
+    prewhere_toks: list[Token] = []
+    where_toks: list[Token] = []
+    group_toks: list[Token] = []
+    with_totals = False
+    having_toks: list[Token] = []
+    order_toks: list[Token] = []
+    limit_by: tuple[str, str, list[Token]] | None = None  # (n, offset, cols)
+    limit_txt: str | None = None
+    offset_txt: str | None = None
+
+    while i < n:
+        t = tokens[i]
+        if t.is_kw("FROM"):
+            i += 1
+            from_toks, i = _take_from(tokens, i)
+        elif t.is_kw("SAMPLE"):
+            i += 1
+            sample_toks, i = _take_clause(tokens, i)
+        elif t.is_kw("ARRAY") and _kw_at(tokens, i + 1, "JOIN"):
+            i += 2
+            items, i = _take_clause(tokens, i)
+            for item in _split_top(items, ","):
+                array_join_items.append((False, item))
+        elif (
+            t.is_kw("LEFT")
+            and _kw_at(tokens, i + 1, "ARRAY")
+            and _kw_at(tokens, i + 2, "JOIN")
+        ):
+            i += 3
+            items, i = _take_clause(tokens, i)
+            for item in _split_top(items, ","):
+                array_join_items.append((True, item))
+        elif _is_join_start(tokens, i):
+            j, i = _take_join(tokens, i)
+            joins.append(j)
+        elif t.is_kw("PREWHERE"):
+            i += 1
+            prewhere_toks, i = _take_clause(tokens, i)
+        elif t.is_kw("WHERE"):
+            i += 1
+            where_toks, i = _take_clause(tokens, i)
+        elif t.is_kw("GROUP") and _kw_at(tokens, i + 1, "BY"):
+            i += 2
+            group_toks, i = _take_clause(tokens, i)
+            if _kw_at(tokens, i, "WITH") and _kw_at(tokens, i + 1, "TOTALS"):
+                with_totals = True
+                i += 2
+        elif t.is_kw("HAVING"):
+            i += 1
+            having_toks, i = _take_clause(tokens, i)
+        elif t.is_kw("ORDER") and _kw_at(tokens, i + 1, "BY"):
+            i += 2
+            order_toks, i = _take_clause(tokens, i)
+        elif t.is_kw("LIMIT"):
+            i += 1
+            lim_toks, i = _take_clause(tokens, i)
+            # forms: n | o, n | n OFFSET o — optionally followed by BY cols
+            by_cols: list[Token] | None = None
+            for k, lt in enumerate(lim_toks):
+                if lt.is_kw("BY"):
+                    by_cols = lim_toks[k + 1 :]
+                    lim_toks = lim_toks[:k]
+                    break
+            nums = _split_top(lim_toks, ",")
+            if len(nums) == 2:
+                off, lim = _rewrite(nums[0], ctx), _rewrite(nums[1], ctx)
+            else:
+                sub = nums[0]
+                off = None
+                for k, lt in enumerate(sub):
+                    if lt.is_kw("OFFSET"):
+                        off = _rewrite(sub[k + 1 :], ctx)
+                        sub = sub[:k]
+                        break
+                lim = _rewrite(sub, ctx)
+            if by_cols is not None:
+                limit_by = (lim, off or "0", by_cols)
+            else:
+                limit_txt, offset_txt = lim, off
+        elif t.is_kw("SETTINGS") or t.is_kw("FORMAT"):
+            break  # engine-level; nothing to translate
+        else:
+            raise ValueError(f"unexpected token in query: {t.text!r}")
+
+    # ---- WITH substitutions apply to every expression clause
+    def subst(toks: list[Token]) -> list[Token]:
+        return _substitute(toks, with_subs)
+
+    select_items = [subst(s) for s in _split_top(select_toks, ",")]
+    where_toks, prewhere_toks = subst(where_toks), subst(prewhere_toks)
+    group_toks, having_toks, order_toks = (
+        subst(group_toks), subst(having_toks), subst(order_toks),
+    )
+
+    # ---- arrayJoin() calls in the select list become ARRAY JOIN items
+    for idx, item in enumerate(select_items):
+        pos = _find_call(item, "arrayJoin")
+        if pos is not None:
+            s, e, arg_toks = pos
+            body, user_alias = _strip_alias(item)
+            if user_alias is not None and s == 0 and e == len(body):
+                # whole item is `arrayJoin(expr) AS alias`: reuse the user
+                # alias so WHERE/GROUP BY references resolve to the
+                # exploded value (ARRAY JOIN precedes WHERE in the
+                # reference pipeline, InterpreterSelectQuery.cpp:556)
+                array_join_items.append(
+                    (False, arg_toks + [Token("ident", "AS"), Token("ident", user_alias)])
+                )
+                select_items[idx] = [
+                    Token("ident", user_alias),
+                    Token("ident", "AS"),
+                    Token("ident", user_alias),
+                ]
+            else:
+                alias = ctx.gensym("ajf")
+                array_join_items.append(
+                    (False, arg_toks + [Token("ident", "AS"), Token("ident", alias)])
+                )
+                select_items[idx] = item[:s] + [Token("ident", alias)] + item[e:]
+
+    # ---- FROM
+    from_sql, table_name = _render_from(from_toks, ctx)
+
+    # ---- ARRAY JOIN → LATERAL VIEW (+ substitutions for lockstep items)
+    lateral = ""
+    aj_subs: dict[str, str] = {}
+    if array_join_items:
+        first_left, first_toks = array_join_items[0]
+        exprs: list[tuple[str, str]] = []  # (alias, expr_sql)
+        for is_left, item in array_join_items:
+            item_toks, alias = _strip_alias(item)
+            expr_sql = _rewrite(item_toks, ctx)
+            if alias is None:
+                if len(item_toks) == 1 and item_toks[0].kind in ("ident", "qident"):
+                    alias = item_toks[0].text.strip("`")
+                else:
+                    alias = ctx.gensym("aj")
+            exprs.append((alias, expr_sql))
+        pos_alias = ctx.gensym("ajpos")
+        val_alias = ctx.gensym("ajval")
+        fn = "posexplode_outer" if first_left else "posexplode"
+        lateral = f" LATERAL VIEW {fn}({exprs[0][1]}) {ctx.gensym('ajv')} AS {pos_alias}, {val_alias}"
+        aj_subs[exprs[0][0]] = val_alias
+        for alias, expr_sql in exprs[1:]:
+            aj_subs[alias] = f"element_at({expr_sql}, {pos_alias} + 1)"
+
+    def aj_subst(toks: list[Token]) -> list[Token]:
+        return _substitute(toks, aj_subs) if aj_subs else toks
+
+    select_sql_items = [_rewrite_select_item(aj_subst(s), ctx) for s in select_items]
+    where_parts: list[str] = []
+    if prewhere_toks:
+        where_parts.append(f"({_rewrite(aj_subst(prewhere_toks), ctx)})")
+    if where_toks:
+        where_parts.append(f"({_rewrite(aj_subst(where_toks), ctx)})")
+
+    # ---- SAMPLE → hash-range predicate on the registered sampling key
+    if sample_toks:
+        meta = ctx.table_meta.get(table_name or "")
+        if meta is None or meta.sample_key is None:
+            raise ValueError(f"SAMPLE needs a registered sample_key for table {table_name!r}")
+        where_parts.append(_sample_predicate(sample_toks, meta.sample_key, ctx))
+
+    group_sql = _rewrite_list(aj_subst(group_toks), ctx) if group_toks else ""
+    having_sql = _rewrite(aj_subst(having_toks), ctx) if having_toks else ""
+    # ORDER BY scopes over the output projection — select aliases resolve
+    # there, so array-join substitution must NOT apply (it would name a
+    # pre-aggregation column that no longer exists above a GROUP BY).
+    order_sql = _rewrite_list(order_toks, ctx, keep_dir=True) if order_toks else ""
+
+    # ---- joins
+    join_sql = ""
+    hint = ""
+    for j in joins:
+        js, jhint = _render_join(j, ctx)
+        join_sql += js
+        hint = hint or jhint
+
+    # ---- assemble core
+    sql = "SELECT "
+    if hint:
+        sql += f"/*+ {hint} */ "
+    if distinct:
+        sql += "DISTINCT "
+    sql += ", ".join(select_sql_items)
+    if from_sql:
+        sql += f"\nFROM {from_sql}{lateral}{join_sql}"
+    if where_parts:
+        sql += "\nWHERE " + " AND ".join(where_parts)
+    if group_sql:
+        if with_totals:
+            sql += f"\nGROUP BY GROUPING SETS (({group_sql}), ())"
+            if having_sql:
+                sql += f"\nHAVING grouping_id() <> 0 OR ({having_sql})"
+        else:
+            sql += f"\nGROUP BY {group_sql}"
+            if having_sql:
+                sql += f"\nHAVING {having_sql}"
+    elif having_sql:
+        sql += f"\nHAVING {having_sql}"
+
+    # ---- LIMIT BY wrap (after ORDER BY in the reference pipeline,
+    #      InterpreterSelectQuery.cpp:661)
+    if limit_by is not None:
+        lim, off, by_cols = limit_by
+        by_sql = _rewrite_list(aj_subst(subst(by_cols)), ctx)
+        win_order = order_sql if order_sql else by_sql
+        rn = ctx.gensym("rn")
+        sql = (
+            f"SELECT * EXCEPT ({rn}) FROM (\n"
+            f"SELECT *, row_number() OVER (PARTITION BY {by_sql} ORDER BY {win_order}) AS {rn}\n"
+            f"FROM (\n{sql}\n)\n) WHERE {rn} > {off} AND {rn} <= {off} + {lim}"
+        )
+
+    if order_sql:
+        sql += f"\nORDER BY {order_sql}"
+    if limit_txt is not None:
+        sql += f"\nLIMIT {limit_txt}"
+        if offset_txt is not None:
+            sql += f" OFFSET {offset_txt}"
+    return sql
+
+
+# ------------------------------------------------------------- FROM / JOIN
+
+
+def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
+    if not toks:
+        return "(SELECT 1 AS dummy)", None
+    # subquery
+    if toks[0].text == "(":
+        close = _match_paren(toks, 0)
+        inner = _translate_union(toks[1:close], ctx)
+        alias = ""
+        rest = toks[close + 1 :]
+        if rest and rest[0].is_kw("AS"):
+            rest = rest[1:]
+        if rest:
+            alias = f" AS {rest[0].text}"
+        return f"(\n{inner}\n){alias or ' AS ' + ctx.gensym('sq')}", None
+
+    # dotted / plain name, optionally a table function
+    name_parts = [toks[0].text]
+    i = 1
+    while i + 1 < len(toks) and toks[i].text == ".":
+        name_parts.append(toks[i + 1].text)
+        i += 2
+    name = ".".join(name_parts)
+
+    # table functions numbers(N) / one-row system tables
+    if i < len(toks) and toks[i].text == "(" and len(name_parts) == 1:
+        close = _match_paren(toks, i)
+        args = [_rewrite(a, ctx) for a in _split_top(toks[i + 1 : close], ",")]
+        i = close + 1
+        if name == "numbers":
+            return f"(SELECT id AS number FROM range({args[0]})) AS __numbers", None
+        raise ValueError(f"unsupported table function {name}()")
+    if name == "system.numbers":
+        return "(SELECT id AS number FROM range(1000000)) AS __numbers", None
+    if name == "system.one":
+        return "(SELECT 1 AS dummy) AS __one", None
+
+    final = False
+    alias = None
+    while i < len(toks):
+        if toks[i].is_kw("FINAL"):
+            final = True
+            i += 1
+        elif toks[i].is_kw("AS"):
+            alias = toks[i + 1].text
+            i += 2
+        elif toks[i].kind in ("ident", "qident") and not toks[i].is_kw("FINAL"):
+            alias = toks[i].text
+            i += 1
+        else:
+            raise ValueError(f"unexpected FROM token {toks[i].text!r}")
+
+    sql = name
+    if final:
+        sql = _final_subquery(name, ctx)
+    if alias:
+        sql += f" AS {alias}"
+    return sql, name
+
+
+def _final_subquery(name: str, ctx: Ctx) -> str:
+    """FINAL = merge-on-read dedup (CollapsingFinalBlockInputStream.h:14,
+    ReplacingSortedBlockInputStream.h:15), gated on table metadata."""
+    meta = ctx.table_meta.get(name)
+    if meta is None or not meta.primary_key:
+        raise ValueError(f"FINAL needs registered primary_key for table {name!r}")
+    pk = ", ".join(meta.primary_key)
+    rn = ctx.gensym("rn")
+    if meta.engine.startswith("Collapsing") and meta.sign_col:
+        # keep latest row of keys whose sign-sum is positive
+        return (
+            f"(SELECT * EXCEPT ({rn}) FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY {pk} ORDER BY {meta.sign_col} DESC) AS {rn}, "
+            f"sum({meta.sign_col}) OVER (PARTITION BY {pk}) AS {rn}_s FROM {name}) "
+            f"WHERE {rn} = 1 AND {rn}_s > 0)"
+        )
+    order = f"{meta.version_col} DESC" if meta.version_col else "1"
+    return (
+        f"(SELECT * EXCEPT ({rn}) FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {pk} ORDER BY {order}) AS {rn} FROM {name}) WHERE {rn} = 1)"
+    )
+
+
+def _is_join_start(tokens: list[Token], i: int) -> bool:
+    k = i
+    seen = False
+    while k < len(tokens) and tokens[k].kind == "ident":
+        up = tokens[k].text.upper()
+        if up == "JOIN":
+            return True
+        if up in ("GLOBAL", "ANY", "ALL") or up in _JOIN_KINDS:
+            # "LEFT ARRAY JOIN" is not a join start
+            if up == "LEFT" and _kw_at(tokens, k + 1, "ARRAY"):
+                return False
+            seen = True
+            k += 1
+            continue
+        return False
+    return False if not seen else False
+
+
+def _take_join(tokens: list[Token], i: int) -> tuple[dict, int]:
+    mods: list[str] = []
+    while not tokens[i].is_kw("JOIN"):
+        mods.append(tokens[i].text.upper())
+        i += 1
+    i += 1  # JOIN
+    # right side: subquery or name
+    if tokens[i].text == "(":
+        close = _match_paren(tokens, i)
+        right_toks = tokens[i : close + 1]
+        i = close + 1
+    else:
+        start = i
+        while i < len(tokens) and (
+            tokens[i].kind in ("ident", "qident") or tokens[i].text == "."
+        ):
+            if tokens[i].is_kw("USING", "ON"):
+                break
+            i += 1
+        right_toks = tokens[start:i]
+    alias = None
+    if i < len(tokens) and tokens[i].is_kw("AS"):
+        alias = tokens[i + 1].text
+        i += 2
+    using: list[Token] | None = None
+    on: list[Token] | None = None
+    if i < len(tokens) and tokens[i].is_kw("USING"):
+        i += 1
+        if tokens[i].text == "(":
+            close = _match_paren(tokens, i)
+            using = tokens[i + 1 : close]
+            i = close + 1
+        else:
+            using, i = _take_clause(tokens, i)
+    elif i < len(tokens) and tokens[i].is_kw("ON"):
+        i += 1
+        on, i = _take_clause(tokens, i)
+    return (
+        {"mods": mods, "right": right_toks, "alias": alias, "using": using, "on": on},
+        i,
+    )
+
+
+def _render_join(j: dict, ctx: Ctx) -> tuple[str, str]:
+    mods = j["mods"]
+    kind = "INNER"
+    for m in mods:
+        if m in ("LEFT", "RIGHT", "FULL", "CROSS"):
+            kind = m
+    any_strict = "ANY" in mods
+    global_ = "GLOBAL" in mods
+
+    right_toks = j["right"]
+    if right_toks[0].text == "(":
+        inner = _translate_union(right_toks[1:-1], ctx)
+        right_sql = f"(\n{inner}\n)"
+        right_name = None
+    else:
+        right_name = "".join(t.text for t in right_toks)
+        right_sql = right_name
+
+    alias = j["alias"] or ctx.gensym("j")
+    using_cols = (
+        [t.text for t in j["using"] if t.text != ","] if j["using"] else None
+    )
+
+    if any_strict and using_cols:
+        # ANY = at most one right match (Join.h:352-378 MapsAny); dedup the
+        # right side per key, deterministically via all-columns tiebreak.
+        cols = None
+        if right_name and ctx.columns_of is not None:
+            cols = ctx.columns_of(right_name)
+        order = ", ".join(cols) if cols else ", ".join(using_cols)
+        rn = ctx.gensym("rn")
+        right_sql = (
+            f"(SELECT * EXCEPT ({rn}) FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY {', '.join(using_cols)} ORDER BY {order}) AS {rn} "
+            f"FROM {right_sql} ) WHERE {rn} = 1)"
+        )
+
+    hint = f"BROADCAST({alias})" if global_ else ""
+    sql = f"\n{kind} JOIN {right_sql} AS {alias}"
+    if using_cols:
+        sql += f" USING ({', '.join(using_cols)})"
+    elif j["on"] is not None:
+        sql += f" ON {_rewrite(j['on'], ctx)}"
+    return sql, hint
+
+
+# ---------------------------------------------------------------- SAMPLE
+
+
+def _sample_predicate(toks: list[Token], sample_key: str, ctx: Ctx) -> str:
+    """SAMPLE n/d [OFFSET o/d] → Knuth-hash range predicate (mirrors
+    operators.clauses.deterministic_sample exactly)."""
+    txt = [t.text for t in toks]
+    off = 0.0
+    if "OFFSET" in [t.text.upper() for t in toks]:
+        k = [t.text.upper() for t in toks].index("OFFSET")
+        off = _frac(txt[k + 1 :])
+        txt = txt[:k]
+    frac = _frac(txt)
+    lo = int(off * 4294967296)
+    hi = int((off + frac) * 4294967296)
+    h = f"pmod(CAST({sample_key} AS BIGINT) * 2654435761, 4294967296)"
+    return f"({h} >= {lo} AND {h} < {hi})"
+
+
+def _frac(parts: list[str]) -> float:
+    if "/" in parts:
+        k = parts.index("/")
+        return float(parts[k - 1]) / float(parts[k + 1])
+    return float(parts[0])
+
+
+# ------------------------------------------------------- token utilities
+
+
+def _kw_at(tokens: list[Token], i: int, word: str) -> bool:
+    return i < len(tokens) and tokens[i].is_kw(word)
+
+
+def _take_clause(tokens: list[Token], i: int) -> tuple[list[Token], int]:
+    """Take tokens until the next top-level clause keyword."""
+    out: list[Token] = []
+    depth = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "ident":
+            up = t.text.upper()
+            if up in _CLAUSE_STOP and not (up == "ARRAY" and not _kw_at(tokens, i + 1, "JOIN")):
+                break
+            if up == "WITH" and _kw_at(tokens, i + 1, "TOTALS"):
+                break
+            if up in ("GLOBAL", "ANY", "ALL", "INNER", "FULL", "CROSS") and _is_join_start(tokens, i):
+                break
+            if up in ("LEFT", "RIGHT") and (
+                _is_join_start(tokens, i)
+                or (_kw_at(tokens, i + 1, "ARRAY") and _kw_at(tokens, i + 2, "JOIN"))
+            ):
+                break
+        out.append(t)
+        i += 1
+    return out, i
+
+
+def _take_from(tokens: list[Token], i: int) -> tuple[list[Token], int]:
+    out: list[Token] = []
+    depth = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "ident":
+            up = t.text.upper()
+            if up in ("FINAL",):
+                out.append(t)
+                i += 1
+                continue
+            if up in _CLAUSE_STOP - {"FROM"} or _is_join_start(tokens, i):
+                break
+            if up in ("LEFT", "RIGHT") and _kw_at(tokens, i + 1, "ARRAY"):
+                break
+        out.append(t)
+        i += 1
+    return out, i
+
+
+def _take_until(
+    tokens: list[Token], i: int, stops: set[str], depth_sensitive: bool = False
+) -> tuple[list[Token], int]:
+    out: list[Token] = []
+    depth = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        if depth == 0 and t.kind == "ident" and t.text.upper() in stops:
+            break
+        out.append(t)
+        i += 1
+    return out, i
+
+
+def _split_top(tokens: list[Token], sep: str) -> list[list[Token]]:
+    parts: list[list[Token]] = []
+    cur: list[Token] = []
+    depth = 0
+    for t in tokens:
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        if depth == 0 and t.text == sep:
+            parts.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur or parts:
+        parts.append(cur)
+    return [p for p in parts if p]
+
+
+def _match_paren(tokens: list[Token], i: int) -> int:
+    depth = 0
+    for k in range(i, len(tokens)):
+        if tokens[k].text in ("(", "["):
+            depth += 1
+        elif tokens[k].text in (")", "]"):
+            depth -= 1
+            if depth == 0:
+                return k
+    raise ValueError("unbalanced parentheses")
+
+
+def _strip_alias(item: list[Token]) -> tuple[list[Token], str | None]:
+    if len(item) >= 2 and item[-2].is_kw("AS"):
+        return item[:-2], item[-1].text
+    return item, None
+
+
+def _substitute(tokens: list[Token], subs: dict[str, str]) -> list[Token]:
+    if not subs:
+        return tokens
+    out: list[Token] = []
+    for k, t in enumerate(tokens):
+        if (
+            t.kind == "ident"
+            and t.text in subs
+            and (k == 0 or (tokens[k - 1].text != "." and not tokens[k - 1].is_kw("AS")))
+            and (k + 1 >= len(tokens) or tokens[k + 1].text != "(")
+        ):
+            out.append(Token("raw", subs[t.text]))
+        else:
+            out.append(t)
+    return out
+
+
+def _find_call(tokens: list[Token], name: str) -> tuple[int, int, list[Token]] | None:
+    for k, t in enumerate(tokens):
+        if t.kind == "ident" and t.text == name and k + 1 < len(tokens) and tokens[k + 1].text == "(":
+            close = _match_paren(tokens, k + 1)
+            return k, close + 1, tokens[k + 2 : close]
+    return None
+
+
+# --------------------------------------------------- expression rewriting
+
+
+def _rewrite_list(tokens: list[Token], ctx: Ctx, keep_dir: bool = False) -> str:
+    parts = []
+    for item in _split_top(tokens, ","):
+        direction = ""
+        if keep_dir and item and item[-1].is_kw("ASC", "DESC"):
+            direction = " " + item[-1].text.upper()
+            item = item[:-1]
+        parts.append(_rewrite(item, ctx) + direction)
+    return ", ".join(parts)
+
+
+def _rewrite_select_item(tokens: list[Token], ctx: Ctx) -> str:
+    toks, alias = _strip_alias(tokens)
+    body = _rewrite(toks, ctx)
+    return f"{body} AS {alias}" if alias else body
+
+
+def _rewrite(tokens: list[Token], ctx: Ctx) -> str:
+    text, _ = _rw_seq(tokens, 0, ctx, stop={")", "]", ","})
+    return text
+
+
+def _rw_seq(
+    tokens: list[Token], i: int, ctx: Ctx, stop: set[str]
+) -> tuple[str, int]:
+    """Rewrite a run of expression tokens until a stop punct at depth 0.
+
+    Handles ternary ``? :`` at this level by collecting the three arms.
+    """
+    pieces: list[str] = []
+    q_pos: int | None = None
+    c_pos: int | None = None
+    while i < len(tokens):
+        t = tokens[i]
+        if t.text in stop:
+            break
+        if t.is_kw("GLOBAL") and i + 1 < len(tokens) and (
+            tokens[i + 1].is_kw("IN") or tokens[i + 1].is_kw("NOT")
+        ):
+            # GLOBAL IN → IN; broadcast shipping is Catalyst's call
+            # (ExpressionAnalyzer.cpp:479-574)
+            i += 1
+            continue
+        if t.text == "?":
+            q_pos = len(pieces)
+            pieces.append("?")
+            i += 1
+            continue
+        if t.text == ":" and q_pos is not None:
+            c_pos = len(pieces)
+            pieces.append(":")
+            i += 1
+            continue
+        piece, i = _rw_item(tokens, i, ctx)
+        pieces.append(piece)
+    if q_pos is not None and c_pos is not None:
+        cond = " ".join(pieces[:q_pos])
+        then = " ".join(pieces[q_pos + 1 : c_pos])
+        other = " ".join(pieces[c_pos + 1 :])
+        return f"if({cond}, {then}, {other})", i
+    return " ".join(pieces), i
+
+
+def _rw_item(tokens: list[Token], i: int, ctx: Ctx) -> tuple[str, int]:
+    t = tokens[i]
+
+    # parenthesized: subquery or grouping/tuple
+    if t.text == "(":
+        close = _match_paren(tokens, i)
+        inner = tokens[i + 1 : close]
+        if inner and inner[0].is_kw("SELECT"):
+            sub = _translate_union(inner, ctx)
+            return _postfix(f"({sub})", tokens, close + 1, ctx)
+        parts = [_rewrite(p, ctx) for p in _split_top(inner, ",")]
+        return _postfix(f"({', '.join(parts)})", tokens, close + 1, ctx)
+
+    # array literal
+    if t.text == "[":
+        close = _match_paren(tokens, i)
+        parts = [_rewrite(p, ctx) for p in _split_top(tokens[i + 1 : close], ",")]
+        return _postfix(f"array({', '.join(parts)})", tokens, close + 1, ctx)
+
+    # identifier: maybe function call / parametric call
+    if t.kind == "ident" and i + 1 < len(tokens) and tokens[i + 1].text == "(":
+        name = t.text
+        close = _match_paren(tokens, i + 1)
+        args = [_rewrite(p, ctx) for p in _split_top(tokens[i + 2 : close], ",")]
+        nxt = close + 1
+        # parametric: f(params)(args)
+        if nxt < len(tokens) and tokens[nxt].text == "(" and name in PARAMETRIC:
+            close2 = _match_paren(tokens, nxt)
+            args2 = [_rewrite(p, ctx) for p in _split_top(tokens[nxt + 1 : close2], ",")]
+            return _postfix(PARAMETRIC[name](args, args2), tokens, close2 + 1, ctx)
+        out = _apply_fn(name, args, tokens, i, ctx)
+        return _postfix(out, tokens, nxt, ctx)
+
+    if t.kind == "raw":
+        return _postfix(t.text, tokens, i + 1, ctx)
+
+    return _postfix(t.text, tokens, i + 1, ctx)
+
+
+def _apply_fn(name: str, args: list[str], tokens: list[Token], i: int, ctx: Ctx) -> str:
+    # dictionary functions (FunctionsExternalDictionaries.cpp) —
+    # correlated scalar subquery → Catalyst plans a (broadcast) left join
+    if name.startswith("dictGet") or name == "dictHas":
+        out = _dict_fn(name, args, ctx)
+        if out is not None:
+            return out
+    combo = if_combinator(name, args)
+    if combo is not None:
+        return combo
+    if name in TEMPLATES:
+        return TEMPLATES[name](args)
+    if name in SIMPLE:
+        return f"{SIMPLE[name]}({', '.join(args)})"
+    if name in PARAMETRIC:  # parametric used without params, e.g. quantile(x)
+        return PARAMETRIC[name]([], args)
+    return f"{name}({', '.join(args)})"
+
+
+def _dict_fn(name: str, args: list[str], ctx: Ctx) -> str | None:
+    if not args:
+        return None
+    dname = args[0].strip("'")
+    spec = ctx.dictionaries.get(dname)
+    if spec is None:
+        return None
+    if name == "dictHas":
+        key = args[1]
+        return f"(coalesce((SELECT max(1) FROM {spec.view} __d WHERE __d.__k = ({key})), 0) = 1)"
+    attr = args[1].strip("'")
+    key = args[2]
+    sub = f"(SELECT max(__d.{attr}) FROM {spec.view} __d WHERE __d.__k = ({key}))"
+    if name.endswith("OrDefault") and len(args) > 3:
+        return f"coalesce({sub}, {args[3]})"
+    return sub
+
+
+def _postfix(base: str, tokens: list[Token], i: int, ctx: Ctx) -> tuple[str, int]:
+    """Apply postfix operators: indexing x[i] → element_at (1-based,
+    FunctionsArray.cpp arrayElement), member access passthrough."""
+    while i < len(tokens):
+        if tokens[i].text == "[":
+            close = _match_paren(tokens, i)
+            idx = _rewrite(tokens[i + 1 : close], ctx)
+            base = f"element_at({base}, {idx})"
+            i = close + 1
+        elif (
+            tokens[i].text == "."
+            and i + 1 < len(tokens)
+            and tokens[i + 1].kind == "number"
+        ):
+            # tuple element access t.1 → struct field col1 (tupleElement,
+            # FunctionsMiscellaneous.cpp; struct fields auto-named colN)
+            base = f"{base}.col{tokens[i + 1].text}"
+            i += 2
+        elif (
+            tokens[i].kind == "number"
+            and tokens[i].text.startswith(".")
+            and tokens[i].text[1:].isdigit()
+        ):
+            # ".1" lexes as one number token: same tuple access
+            base = f"{base}.col{tokens[i].text[1:]}"
+            i += 1
+        else:
+            break
+    return base, i

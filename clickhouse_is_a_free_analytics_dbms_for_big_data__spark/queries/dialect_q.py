@@ -1,0 +1,200 @@
+"""Queries routed through the CH-SQL dialect front-end (dialect/).
+
+These exercise the translator end-to-end: CH-dialect text → Spark SQL →
+Catalyst.  Each has a DuckDB oracle in plain ANSI SQL, so the driver's
+correctness gate covers the SQL path as well as the DataFrame path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..dialect import ChEngine, TableMeta
+from ..sources.catalog import register_tables
+from .registry import query
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> ChEngine:
+    register_tables(spark, sf_dir)
+    eng = ChEngine(spark)
+    eng.set_meta("events", TableMeta(sample_key="user_id"))
+    return eng
+
+
+@query(
+    "dialect_group_topk",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS cnt,
+           CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE YEAR(o_orderdate) >= 1995
+    GROUP BY o_orderpriority
+    ORDER BY cnt DESC, o_orderpriority
+    LIMIT 3
+    """,
+    doc="CH-SQL text (count()/toYear/PREWHERE) through the dialect "
+    "translator (Parsers/ParserSelectQuery.cpp grammar).",
+    tags=("dialect", "aggregate"),
+)
+def dialect_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        """
+        SELECT o_orderpriority, count() AS cnt,
+               toFloat64(sum(CAST(o_totalprice AS DECIMAL(18, 2)))) AS revenue
+        FROM orders
+        PREWHERE toYear(o_orderdate) >= 1995
+        GROUP BY o_orderpriority
+        ORDER BY cnt DESC, o_orderpriority
+        LIMIT 3
+        """
+    )
+
+
+@query(
+    "dialect_limit_by",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    doc="LIMIT n BY key via dialect (DataStreams/LimitByBlockInputStream.h:18).",
+    tags=("dialect", "limit_by"),
+)
+def dialect_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        """
+        SELECT o_orderpriority, o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2 BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "dialect_totals",
+    """
+    SELECT o_orderstatus, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), ())
+    """,
+    doc="GROUP BY ... WITH TOTALS via dialect "
+    "(DataStreams/TotalsHavingBlockInputStream.h:16).",
+    tags=("dialect", "totals"),
+)
+def dialect_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        "SELECT o_orderstatus, count() AS cnt FROM orders "
+        "GROUP BY o_orderstatus WITH TOTALS"
+    )
+
+
+@query(
+    "dialect_any_join",
+    """
+    SELECT n_name, r_name FROM nation
+    LEFT JOIN (
+      SELECT r_regionkey AS n_regionkey, r_name FROM (
+        SELECT r_regionkey, r_name,
+               ROW_NUMBER() OVER (PARTITION BY r_regionkey ORDER BY r_regionkey, r_name) AS rn
+        FROM region
+      ) WHERE rn = 1
+    ) USING (n_regionkey)
+    ORDER BY n_name
+    """,
+    doc="ANY LEFT JOIN via dialect — first-match strictness "
+    "(Interpreters/Join.h:352-378 MapsAny).",
+    tags=("dialect", "join"),
+)
+def dialect_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        """
+        SELECT n_name, r_name
+        FROM nation
+        ANY LEFT JOIN (SELECT r_regionkey AS n_regionkey, r_name FROM region)
+        USING (n_regionkey)
+        ORDER BY n_name
+        """
+    )
+
+
+@query(
+    "dialect_sample",
+    """
+    SELECT COUNT(*) AS cnt FROM events
+    WHERE ((CAST(user_id AS BIGINT) * 2654435761) % 4294967296) >= 0
+      AND ((CAST(user_id AS BIGINT) * 2654435761) % 4294967296) < 1288490188
+    """,
+    doc="Deterministic SAMPLE 0.3 via dialect — identical Knuth-hash "
+    "predicate on both engines (MergeTreeDataSelectExecutor.cpp:253-270).",
+    tags=("dialect", "sample"),
+)
+def dialect_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        "SELECT count() AS cnt FROM events SAMPLE 0.3"
+    )
+
+
+@query(
+    "dialect_array_funnel",
+    """
+    SELECT tok, COUNT(*) AS cnt
+    FROM (
+      SELECT unnest(string_split(d_text, ' ')) AS tok
+      FROM (SELECT doc_id, text AS d_text FROM documents WHERE lang = 'en')
+    )
+    WHERE LENGTH(tok) > 8
+    GROUP BY tok
+    HAVING COUNT(*) >= 5
+    ORDER BY cnt DESC, tok
+    LIMIT 20
+    """,
+    doc="ARRAY JOIN splitByChar + HAVING via dialect "
+    "(ExpressionActions::ARRAY_JOIN, ExpressionActions.h:52).",
+    tags=("dialect", "array_join"),
+)
+def dialect_array_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        """
+        SELECT arrayJoin(splitByChar(' ', text)) AS tok, count() AS cnt
+        FROM documents
+        PREWHERE lang = 'en'
+        WHERE length(tok) > 8
+        GROUP BY tok
+        HAVING cnt >= 5
+        ORDER BY cnt DESC, tok
+        LIMIT 20
+        """
+    )
+
+
+@query(
+    "dialect_dict_get",
+    """
+    SELECT n.n_name, r.r_name AS region_name
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY n.n_name
+    """,
+    doc="dictGetString over a registered dictionary — correlated scalar "
+    "subquery that Catalyst plans as a broadcast join "
+    "(FunctionsExternalDictionaries.cpp analog).",
+    tags=("dialect", "dictionary"),
+)
+def dialect_dict_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    eng.register_dictionary(
+        "regions",
+        spark.table("region").select("r_regionkey", "r_name"),
+        "r_regionkey",
+    )
+    return eng.sql(
+        "SELECT n_name, dictGetString('regions', 'r_name', n_regionkey) "
+        "AS region_name FROM nation ORDER BY n_name"
+    )

@@ -78,4 +78,8 @@ def _ensure_loaded() -> None:
         from . import pipeline_q  # noqa: F401
     except ImportError:
         pass
+    try:
+        from . import dialect_q  # noqa: F401
+    except ImportError:
+        pass
     _LOADED = True

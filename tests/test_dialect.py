@@ -1,0 +1,245 @@
+"""CH-SQL dialect layer tests (SURVEY.md §3 "dialect layer" + §7c).
+
+Two tiers:
+- pure translation (no Spark): clause/expression rewrites produce the
+  intended Spark SQL shapes;
+- execution: translated queries run on Spark over the sf0.001 tables
+  and match hand-checked or DuckDB-computed expectations.
+
+Query shapes seeded from the reference's stateless corpus
+(/root/reference/dbms/tests/queries/0_stateless — arrays, IN, UNION ALL,
+totals, LIMIT BY, ARRAY JOIN, transform, sample).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark import register_tables
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.dialect import (
+    ChEngine,
+    TableMeta,
+    translate_sql,
+)
+
+from .conftest import SF_SMOKE
+
+# ------------------------------------------------------------- translation
+
+
+def test_count_star_rewrite():
+    out = translate_sql("SELECT count() FROM lineitem")
+    assert "count(*)" in out
+
+
+def test_array_literal_and_index():
+    out = translate_sql("SELECT [1,2,3][2]")
+    assert "element_at(array(1, 2, 3), 2)" in out
+
+
+def test_ternary():
+    out = translate_sql("SELECT x > 1 ? 'a' : 'b' FROM t")
+    assert "if(x > 1, 'a', 'b')" in out
+
+
+def test_prewhere_merges_into_where():
+    out = translate_sql("SELECT a FROM t PREWHERE b > 1 WHERE c < 2")
+    assert "WHERE (b > 1) AND (c < 2)" in out
+
+
+def test_parametric_quantile():
+    out = translate_sql("SELECT quantile(0.9)(x) FROM t")
+    assert "percentile_approx(x, 0.9)" in out
+
+
+def test_if_combinator():
+    out = translate_sql("SELECT sumIf(x, x > 0), countIf(y = 1) FROM t")
+    assert "sum(CASE WHEN x > 0 THEN x END)" in out
+    assert "count(CASE WHEN y = 1 THEN 1 END)" in out
+
+
+def test_global_in_dropped():
+    out = translate_sql("SELECT a FROM t WHERE b GLOBAL IN (SELECT c FROM u)")
+    assert "GLOBAL" not in out
+
+
+def test_limit_by_window():
+    out = translate_sql("SELECT a, b FROM t ORDER BY b LIMIT 2 BY a")
+    assert "row_number() OVER (PARTITION BY a ORDER BY b" in out
+
+
+def test_with_totals_grouping_sets():
+    out = translate_sql("SELECT a, count() FROM t GROUP BY a WITH TOTALS")
+    assert "GROUPING SETS ((a), ())" in out
+
+
+def test_totals_having_groups_only():
+    out = translate_sql(
+        "SELECT a, count() AS c FROM t GROUP BY a WITH TOTALS HAVING c > 5"
+    )
+    assert "grouping_id() <> 0 OR (c > 5)" in out
+
+
+def test_sample_requires_meta():
+    with pytest.raises(ValueError):
+        translate_sql("SELECT count() FROM t SAMPLE 0.5")
+    out = translate_sql(
+        "SELECT count() FROM t SAMPLE 0.5",
+        table_meta={"t": TableMeta(sample_key="k")},
+    )
+    assert "pmod(CAST(k AS BIGINT) * 2654435761, 4294967296)" in out
+
+
+def test_final_requires_meta():
+    with pytest.raises(ValueError):
+        translate_sql("SELECT * FROM t FINAL")
+    out = translate_sql(
+        "SELECT * FROM t FINAL",
+        table_meta={"t": TableMeta(primary_key=("id",), version_col="v")},
+    )
+    assert "PARTITION BY id ORDER BY v DESC" in out
+
+
+def test_any_join_dedups_right():
+    out = translate_sql("SELECT a FROM t ANY LEFT JOIN u USING (k)")
+    assert "row_number() OVER (PARTITION BY k" in out
+    assert "LEFT JOIN" in out
+
+
+def test_global_join_broadcast_hint():
+    out = translate_sql("SELECT a FROM t GLOBAL ANY LEFT JOIN u USING (k)")
+    assert "/*+ BROADCAST(" in out
+
+
+def test_union_all_chain():
+    out = translate_sql("SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3")
+    assert out.count("UNION ALL") == 2
+
+
+def test_with_scalar_alias_substitution():
+    out = translate_sql("WITH 2 AS two SELECT two * 3")
+    assert "(2) * 3" in out
+
+
+def test_lambda_passthrough():
+    out = translate_sql("SELECT arrayMap(x -> x * 2, [1,2])")
+    assert "transform(array(1, 2), x -> x * 2)" in out
+
+
+def test_format_and_settings_stripped():
+    out = translate_sql("SELECT 1 FORMAT JSON")
+    assert "FORMAT" not in out
+    out = translate_sql("SELECT 1 SETTINGS max_threads = 4")
+    assert "SETTINGS" not in out
+
+
+# -------------------------------------------------------------- execution
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    register_tables(spark, SF_SMOKE)
+    e = ChEngine(spark)
+    e.set_meta("events", TableMeta(sample_key="user_id"))
+    return e
+
+
+def test_exec_select_1(eng):
+    assert eng.sql("SELECT 1").collect()[0][0] == 1
+
+
+def test_exec_group_order(eng, duck):
+    got = eng.sql(
+        "SELECT l_returnflag, count() AS c FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).collect()
+    exp = duck.execute(
+        "SELECT l_returnflag, count(*) AS c FROM "
+        f"'{SF_SMOKE}/lineitem.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    assert [(r[0], r[1]) for r in got] == exp
+
+
+def test_exec_array_join_totals(eng):
+    rows = eng.sql(
+        "SELECT arrayJoin([1, 2]) AS n, count() AS c FROM nation "
+        "GROUP BY n WITH TOTALS ORDER BY n"
+    ).collect()
+    by_n = {r["n"]: r["c"] for r in rows}
+    assert by_n[1] == 25 and by_n[2] == 25 and by_n[None] == 50
+
+
+def test_exec_limit_by(eng):
+    rows = eng.sql(
+        "SELECT n_regionkey, n_name FROM nation "
+        "ORDER BY n_name LIMIT 2 BY n_regionkey"
+    ).collect()
+    from collections import Counter
+
+    counts = Counter(r["n_regionkey"] for r in rows)
+    assert all(c == 2 for c in counts.values()) and len(counts) == 5
+
+
+def test_exec_any_join(eng):
+    rows = eng.sql(
+        "SELECT n_name, r_name FROM nation ANY LEFT JOIN "
+        "(SELECT r_regionkey AS n_regionkey, r_name FROM region) "
+        "USING (n_regionkey) ORDER BY n_name"
+    ).collect()
+    assert len(rows) == 25 and all(r["r_name"] is not None for r in rows)
+
+
+def test_exec_sample_deterministic(eng):
+    a = eng.sql("SELECT count() FROM events SAMPLE 0.3").collect()[0][0]
+    b = eng.sql("SELECT count() FROM events SAMPLE 0.3").collect()[0][0]
+    total = eng.sql("SELECT count() FROM events").collect()[0][0]
+    assert a == b and 0 < a < total
+
+
+def test_exec_numbers(eng):
+    rows = eng.sql("SELECT number FROM system.numbers LIMIT 5").collect()
+    assert [r[0] for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_exec_transform_remap(eng):
+    rows = eng.sql(
+        "SELECT transform(n_regionkey, [0, 1], ['zero', 'one'], 'other') AS r, "
+        "count() AS c FROM nation GROUP BY r ORDER BY r"
+    ).collect()
+    assert {r["r"]: r["c"] for r in rows} == {"zero": 5, "one": 5, "other": 15}
+
+
+def test_exec_in_subquery(eng, duck):
+    got = eng.sql(
+        "SELECT count() FROM customer WHERE c_nationkey IN "
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey = 1)"
+    ).collect()[0][0]
+    exp = duck.execute(
+        f"SELECT count(*) FROM '{SF_SMOKE}/customer.parquet' WHERE c_nationkey IN "
+        f"(SELECT n_nationkey FROM '{SF_SMOKE}/nation.parquet' WHERE n_regionkey = 1)"
+    ).fetchone()[0]
+    assert got == exp
+
+
+def test_exec_tuple_access(eng):
+    assert eng.sql("SELECT tuple(7, 8).1 AS x").collect()[0]["x"] == 7
+
+
+def test_exec_dictionary(eng, spark):
+    eng.register_dictionary(
+        "regions", spark.table("region").select("r_regionkey", "r_name"), "r_regionkey"
+    )
+    rows = eng.sql(
+        "SELECT n_name, dictGetString('regions', 'r_name', n_regionkey) AS rn "
+        "FROM nation ORDER BY n_name LIMIT 3"
+    ).collect()
+    assert all(r["rn"].isupper() and r["rn"] for r in rows)
+    has = eng.sql(
+        "SELECT dictHas('regions', 99) AS a, dictHas('regions', 1) AS b"
+    ).collect()[0]
+    assert has["a"] is False and has["b"] is True
+
+
+def test_exec_union_all(eng):
+    rows = eng.sql("SELECT 1 AS x UNION ALL SELECT 2 AS x").collect()
+    assert sorted(r["x"] for r in rows) == [1, 2]
