@@ -1,0 +1,249 @@
+"""I/O formats (reference: dbms/src/DataStreams/FormatFactory.cpp).
+
+Two families, mirroring how the reference uses them:
+
+**Storage/interchange formats** (TabSeparated*, CSV*, JSONEachRow,
+TSKV, Values) — distributed ``spark.read``/``df.write`` mappings.
+These scale: a TSV read is a parallel text scan with schema applied;
+a TSKV read stays JVM-side via ``str_to_map``.
+
+**Display formats** (Pretty, PrettyCompact, Vertical, JSON,
+JSONCompact, XML) — client-side renderers over a *collected* result,
+exactly like the reference's output-only formats (they exist to format
+a query result for a human/client, never to store data).  ``max_rows``
+guards the collect.
+
+Not mapped: Native and RowBinary are the reference's internal wire
+formats (IDataType binary bulk serde, IDataType.h:55-60) — Arrow and
+Parquet fill that role on Spark by construction.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = ["read_format", "write_format", "format_result", "FORMATS"]
+
+_TSV_FAMILY = {
+    "TabSeparated": {"sep": "\t", "header": False},
+    "TSV": {"sep": "\t", "header": False},
+    "TabSeparatedWithNames": {"sep": "\t", "header": True},
+    "TSVWithNames": {"sep": "\t", "header": True},
+    "CSV": {"sep": ",", "header": False},
+    "CSVWithNames": {"sep": ",", "header": True},
+}
+
+FORMATS = sorted(
+    list(_TSV_FAMILY)
+    + ["JSONEachRow", "TSKV", "Values", "Pretty", "PrettyCompact", "Vertical",
+       "JSON", "JSONCompact", "XML", "Null"]
+)
+
+
+# ------------------------------------------------------------------ read
+
+
+def read_format(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Distributed read of an interchange format into a DataFrame."""
+    if fmt in _TSV_FAMILY:
+        opts = _TSV_FAMILY[fmt]
+        reader = spark.read.option("sep", opts["sep"]).option(
+            "header", str(opts["header"]).lower()
+        )
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", "true")
+        return reader.csv(path)
+    if fmt == "JSONEachRow":
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.json(path)
+    if fmt == "TSKV":
+        return _read_tskv(spark, path, schema)
+    if fmt == "Values":
+        return _read_values(spark, path, schema)
+    raise ValueError(f"unsupported read format {fmt!r} (supported: {FORMATS})")
+
+
+def _read_tskv(
+    spark: SparkSession, path: str, schema: StructType | str | None
+) -> DataFrame:
+    """TSKV: ``k=v<TAB>k=v`` lines.  Parsed JVM-side: split on tabs,
+    str_to_map, then typed extraction — no Python in the scan."""
+    raw = spark.read.text(path)
+    kv = raw.select(
+        F.str_to_map(F.col("value"), F.lit("\t"), F.lit("=")).alias("m")
+    )
+    if schema is None:
+        return kv
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    cols = [
+        F.element_at(F.col("m"), f.name).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    return kv.select(*cols)
+
+
+def _read_values(
+    spark: SparkSession, path_or_text: str, schema: StructType | str | None
+) -> DataFrame:
+    """Values: ``(v, ...), (v, ...)`` — the reference's INSERT literal
+    format (small payloads by design); parsed on the driver."""
+    import ast
+    import os
+
+    if os.path.exists(path_or_text):
+        with open(path_or_text) as f:
+            text = f.read()
+    else:
+        text = path_or_text
+    rows = list(ast.literal_eval(f"[{text.strip().rstrip(',')}]"))
+    rows = [r if isinstance(r, tuple) else (r,) for r in rows]
+    if schema is not None:
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows)
+
+
+# ----------------------------------------------------------------- write
+
+
+def write_format(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    """Distributed write of a DataFrame in an interchange format."""
+    if fmt in _TSV_FAMILY:
+        opts = _TSV_FAMILY[fmt]
+        (
+            df.write.mode(mode)
+            .option("sep", opts["sep"])
+            .option("header", str(opts["header"]).lower())
+            .csv(path)
+        )
+        return
+    if fmt == "JSONEachRow":
+        df.write.mode(mode).json(path)
+        return
+    if fmt == "TSKV":
+        line = F.concat_ws(
+            "\t",
+            *[
+                F.concat(F.lit(c), F.lit("="), F.col(c).cast("string"))
+                for c in df.columns
+            ],
+        )
+        df.select(line.alias("value")).write.mode(mode).text(path)
+        return
+    if fmt == "Null":  # StorageFactory.cpp:402 — discard
+        df.foreach(lambda _: None)
+        return
+    raise ValueError(f"unsupported write format {fmt!r}")
+
+
+# --------------------------------------------------------------- display
+
+
+def format_result(df: DataFrame, fmt: str, max_rows: int = 10000) -> str:
+    """Render a (small) result the way the reference's output formats do.
+
+    Collects up to ``max_rows`` — display formats are a client concern,
+    same as Pretty*/Vertical/JSON in the reference (output-only,
+    FormatFactory.cpp).
+    """
+    rows = df.limit(max_rows).collect()
+    names = df.columns
+    types = [f.dataType.simpleString() for f in df.schema.fields]
+
+    if fmt in ("Pretty", "PrettyCompact"):
+        return _pretty(names, rows, compact=fmt == "PrettyCompact")
+    if fmt == "Vertical":
+        out = []
+        for i, r in enumerate(rows):
+            out.append(f"Row {i + 1}:")
+            width = max((len(n) for n in names), default=0)
+            for n in names:
+                out.append(f"{n.rjust(width)}: {_cell(r[n])}")
+            out.append("")
+        return "\n".join(out).rstrip() + "\n"
+    if fmt in ("JSON", "JSONCompact"):
+        meta = [{"name": n, "type": t} for n, t in zip(names, types)]
+        if fmt == "JSON":
+            data = [{n: _jsonable(r[n]) for n in names} for r in rows]
+        else:
+            data = [[_jsonable(r[n]) for n in names] for r in rows]
+        return json.dumps(
+            {"meta": meta, "data": data, "rows": len(rows)}, indent=1, default=str
+        )
+    if fmt == "JSONEachRow":
+        return "\n".join(
+            json.dumps({n: _jsonable(r[n]) for n in names}, default=str) for r in rows
+        )
+    if fmt == "Values":
+        return ", ".join(
+            "(" + ", ".join(_sql_literal(r[n]) for n in names) + ")" for r in rows
+        )
+    if fmt in ("TabSeparated", "TSV"):
+        return "\n".join("\t".join(_cell(r[n]) for n in names) for r in rows)
+    if fmt == "XML":
+        out = ["<result>"]
+        for r in rows:
+            out.append(" <row>")
+            for n in names:
+                out.append(f"  <{n}>{_cell(r[n])}</{n}>")
+            out.append(" </row>")
+        out.append("</result>")
+        return "\n".join(out)
+    raise ValueError(f"unsupported display format {fmt!r}")
+
+
+def _pretty(names: list[str], rows, compact: bool) -> str:
+    cells = [[_cell(r[n]) for n in names] for r in rows]
+    widths = [
+        max([len(n)] + [len(c[i]) for c in cells]) for i, n in enumerate(names)
+    ]
+    def line(l, m, r):
+        return l + m.join("─" * (w + 2) for w in widths) + r
+    header = "│" + "│".join(f" {n.ljust(w)} " for n, w in zip(names, widths)) + "│"
+    body = [
+        "│" + "│".join(f" {c.ljust(w)} " for c, w in zip(row, widths)) + "│"
+        for row in cells
+    ]
+    if compact:
+        return "\n".join([line("┌", "┬", "┐"), header, line("├", "┼", "┤"), *body, line("└", "┴", "┘")])
+    sep = line("├", "┼", "┤")
+    parts = [line("┌", "┬", "┐"), header, sep]
+    for b in body:
+        parts.append(b)
+    parts.append(line("└", "┴", "┘"))
+    return "\n".join(parts)
+
+
+def _cell(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    return str(v)
+
+
+def _jsonable(v):
+    if isinstance(v, (list, dict, int, float, str, bool)) or v is None:
+        return v
+    return str(v)
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "\\'") + "'"
+    return str(v)
