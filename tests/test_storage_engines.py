@@ -1,0 +1,84 @@
+"""Non-MergeTree engine tests (StorageFactory.cpp surface)."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.engines import (
+    JoinTable,
+    MemoryTable,
+    SetTable,
+    file_table,
+    merge_tables,
+    null_table,
+    numbers,
+    numbers_mt,
+    one,
+    remote,
+)
+
+
+def test_memory_table(spark):
+    t = MemoryTable(spark.createDataFrame([(1,), (2,)], "x INT"))
+    assert t.read().count() == 2
+    t.insert(spark.createDataFrame([(3,)], "x INT"))
+    assert sorted(r["x"] for r in t.read().collect()) == [1, 2, 3]
+    t.drop()
+
+
+def test_null_table(spark):
+    df = null_table(spark, "a INT, b STRING")
+    assert df.count() == 0 and df.columns == ["a", "b"]
+
+
+def test_set_table(spark):
+    s = SetTable(spark.createDataFrame([(1,), (3,)], "k INT"))
+    data = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id INT, v STRING")
+    got = sorted(r["v"] for r in s.contains_filter(data, "id").collect())
+    assert got == ["a", "c"]
+    got_neg = sorted(r["v"] for r in s.contains_filter(data, "id", negate=True).collect())
+    assert got_neg == ["b"]
+    s.insert(spark.createDataFrame([(2,)], "k INT"))
+    assert s.contains_filter(data, "id").count() == 3
+
+
+def test_join_table_all_and_any(spark):
+    right = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z")], "k INT, attr STRING"
+    )
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k INT")
+    all_join = JoinTable(right, ["k"], strictness="all").join(left)
+    assert all_join.count() == 4  # k=1 matches twice
+    any_join = JoinTable(right, ["k"], strictness="any").join(left)
+    assert any_join.count() == 3  # one match per left row
+    plan = any_join._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan  # persisted RHS must broadcast
+
+
+def test_file_table(spark, tmp_path):
+    p = tmp_path / "data.tsv"
+    p.write_text("1\thello\n2\tworld\n")
+    df = file_table(spark, str(p), "TSV", schema="id INT, s STRING")
+    assert sorted((r["id"], r["s"]) for r in df.collect()) == [(1, "hello"), (2, "world")]
+
+
+def test_merge_tables(spark):
+    spark.createDataFrame([(1,)], "x INT").createOrReplaceTempView("m_part_a")
+    spark.createDataFrame([(2,)], "x INT").createOrReplaceTempView("m_part_b")
+    spark.createDataFrame([(9,)], "x INT").createOrReplaceTempView("other")
+    df = merge_tables(spark, "m_part_.*")
+    rows = {(r["x"], r["_table"]) for r in df.collect()}
+    assert rows == {(1, "m_part_a"), (2, "m_part_b")}
+    with pytest.raises(ValueError):
+        merge_tables(spark, "nomatch_.*")
+
+
+def test_numbers(spark):
+    assert [r["number"] for r in numbers(spark, 5).collect()] == [0, 1, 2, 3, 4]
+    assert numbers_mt(spark, 100, parallelism=4).rdd.getNumPartitions() == 4
+    assert one(spark).collect()[0]["dummy"] == 0
+
+
+def test_remote_degenerates_to_table(spark):
+    spark.createDataFrame([(42,)], "x INT").createOrReplaceTempView("rem_t")
+    assert remote(spark, "rem_t").collect()[0]["x"] == 42
