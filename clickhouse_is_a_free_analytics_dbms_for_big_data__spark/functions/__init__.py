@@ -24,6 +24,7 @@ from . import (
     json_fns,
     math_fns,
     misc,
+    reinterpret,
     rounding,
     strings,
     url,
@@ -42,6 +43,7 @@ _MODULES = (
     json_fns,
     math_fns,
     misc,
+    reinterpret,
     rounding,
     strings,
     url,

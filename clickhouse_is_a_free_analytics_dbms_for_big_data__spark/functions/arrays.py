@@ -19,6 +19,7 @@ __all__ = [
     "countEqual", "arrayEnumerate", "arrayUniq", "range_",
     "arrayReverse", "emptyArrayToSingle", "arrayConcat", "arraySlice",
     "arrayPushBack", "arrayPushFront", "arrayResize", "arrayDistinct",
+    "arrayEnumerateUniq", "arrayReduce",
 ]
 
 _TYPE_DEFAULTS = {"string": "", "double": 0.0, "float": 0.0}
@@ -116,3 +117,57 @@ def arrayResize(arr, size: int, fill=0) -> Column:
 
 def arrayDistinct(arr) -> Column:
     return F.array_distinct(col_of(arr))
+
+
+def arrayEnumerateUniq(arr) -> Column:
+    """arrayEnumerateUniq(a): occurrence rank of each element —
+    [10, 20, 10] → [1, 1, 2].  Reference: FunctionsArray.cpp
+    arrayEnumerateUniq (the sessionization primitive).
+
+    Pure JVM expression: for position i, count equal elements in the
+    prefix a[1..i].  Quadratic in array length but codegen'd and
+    shuffle-free — the right trade for typical (short) arrays; for long
+    arrays use posexplode + row_number at table level instead.
+    """
+    a = col_of(arr)
+    return F.transform(
+        a,
+        lambda x, i: F.size(F.filter(F.slice(a, 1, i + 1), lambda y: y == x)),
+    )
+
+
+def arrayReduce(agg_name: str, arr) -> Column:
+    """arrayReduce('agg', a): apply an aggregate function to an array
+    (FunctionsArray.h:1387).  Dispatches to array-native expressions —
+    no explode, no shuffle."""
+    a = col_of(arr)
+    name = agg_name.lower()
+    if name == "sum":
+        return F.aggregate(
+            a, F.lit(0).cast("double"), lambda acc, x: acc + x.cast("double")
+        )
+    if name == "min":
+        return F.array_min(a)
+    if name == "max":
+        return F.array_max(a)
+    if name == "avg":
+        total = F.aggregate(
+            a, F.lit(0).cast("double"), lambda acc, x: acc + x.cast("double")
+        )
+        return total / F.size(a)
+    if name == "count":
+        return F.size(a)
+    if name in ("uniq", "uniqexact"):
+        return F.size(F.array_distinct(a))
+    if name == "any":
+        return F.element_at(a, 1)
+    if name == "anylast":
+        return F.element_at(a, -1)
+    if name in ("median", "quantile"):
+        s = F.array_sort(a)
+        return F.element_at(s, ((F.size(s) + 1) / 2).cast("int"))
+    if name == "grouparray":
+        return a
+    if name == "groupuniqarray":
+        return F.array_distinct(a)
+    raise ValueError(f"arrayReduce: unsupported aggregate {agg_name!r}")

@@ -82,4 +82,12 @@ def _ensure_loaded() -> None:
         from . import dialect_q  # noqa: F401
     except ImportError:
         pass
+    try:
+        from . import dict_q  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import straggler_q  # noqa: F401
+    except ImportError:
+        pass
     _LOADED = True

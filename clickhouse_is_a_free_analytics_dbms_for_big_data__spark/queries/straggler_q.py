@@ -1,0 +1,130 @@
+"""Long-tail function queries: arrayEnumerateUniq sessionization,
+arrayReduce, reinterpret roundtrip."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.arrays import arrayEnumerateUniq, arrayReduce
+from ..functions.reinterpret import reinterpretAsString, reinterpretAsUInt32
+from ..sources.catalog import load_tables
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    dfs = load_tables(spark, sf_dir, tuple(names))
+    return [dfs[n] for n in names]
+
+
+@query(
+    "fn_enumerate_uniq_sessionize",
+    """
+    SELECT doc_id, p[1] AS tok,
+           ROW_NUMBER() OVER (
+             PARTITION BY doc_id, p[1] ORDER BY p[2]
+           ) AS occurrence
+    FROM (
+      SELECT doc_id,
+             unnest(list_zip(toks, generate_series(1, len(toks)))) AS p
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id % 97 = 0
+      )
+    )
+    """,
+    doc="arrayEnumerateUniq (FunctionsArray.cpp) — occurrence rank per "
+    "value, the reference's sessionization primitive; computed "
+    "array-side (no shuffle), oracle computes it relationally.",
+    tags=("functions", "array"),
+)
+def fn_enumerate_uniq_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.arrays_zip(
+                F.col("toks").alias("tok"),
+                arrayEnumerateUniq("toks").alias("occurrence"),
+                F.sequence(F.lit(1), F.size("toks")).alias("pos"),
+            ).alias("z"),
+        )
+    )
+    return (
+        toks.select("doc_id", F.explode("z").alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.tok").alias("tok"),
+            F.col("e.occurrence").cast("long").alias("occurrence"),
+            F.col("e.pos").alias("pos"),
+        )
+        .orderBy("doc_id", "pos")
+        .drop("pos")
+    )
+
+
+@query(
+    "fn_array_reduce",
+    """
+    SELECT o_custkey,
+           CAST(list_sum(prices) AS DOUBLE) AS total,
+           CAST(list_max(prices) AS DOUBLE) AS biggest,
+           len(prices) AS n
+    FROM (
+      SELECT o_custkey, list(o_totalprice ORDER BY o_orderkey) AS prices
+      FROM orders GROUP BY o_custkey
+    )
+    WHERE o_custkey % 50 = 0
+    ORDER BY o_custkey
+    """,
+    doc="arrayReduce('sum'/'max'/'count', arr) (FunctionsArray.h:1387) "
+    "over per-key collected arrays — array-native, no second shuffle.",
+    tags=("functions", "array"),
+)
+def fn_array_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    per_key = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("o_orderkey", "o_totalprice"))
+            ).alias("sorted_pairs")
+        )
+        .withColumn(
+            "prices", F.transform("sorted_pairs", lambda s: s["o_totalprice"])
+        )
+    )
+    return (
+        per_key.filter(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_custkey",
+            arrayReduce("sum", "prices").alias("total"),
+            arrayReduce("max", "prices").cast("double").alias("biggest"),
+            arrayReduce("count", "prices").cast("long").alias("n"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "fn_reinterpret_roundtrip",
+    """
+    SELECT n_nationkey,
+           chr(65 + (n_nationkey % 26)) AS s,
+           (65 + (n_nationkey % 26)) AS back
+    FROM nation ORDER BY n_nationkey
+    """,
+    doc="reinterpretAsString / reinterpretAsUInt32 roundtrip "
+    "(FunctionsReinterpret.cpp): int bytes ↔ string, little-endian.",
+    tags=("functions", "reinterpret"),
+)
+def fn_reinterpret_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (nation,) = _t(spark, sf_dir, "nation")
+    code = (F.lit(65) + F.col("n_nationkey") % 26).cast("long")
+    return nation.select(
+        "n_nationkey",
+        reinterpretAsString(code).alias("s"),
+        reinterpretAsUInt32(reinterpretAsString(code)).cast("long").alias("back"),
+    ).orderBy("n_nationkey")
