@@ -104,10 +104,16 @@ def _case_ladder(x: str, bounds: list[tuple[str, str]], default: str) -> str:
     return f"(CASE {clauses} ELSE {default} END)"
 
 
+def _bool(cond: str) -> str:
+    # UInt8 doubles as Boolean in the reference (no bool type, Types.h);
+    # CAST is a no-op on real booleans and coerces 0/1 ints.
+    return f"CAST(({cond}) AS BOOLEAN)"
+
+
 def _t_multi_if(a: Args) -> str:
     pairs = []
     for i in range(0, len(a) - 1, 2):
-        pairs.append(f"WHEN {a[i]} THEN {a[i + 1]}")
+        pairs.append(f"WHEN {_bool(a[i])} THEN {a[i + 1]}")
     return f"(CASE {' '.join(pairs)} ELSE {a[-1]} END)"
 
 
@@ -487,8 +493,8 @@ def if_combinator(name: str, args: Args) -> str | None:
     if target is None:
         return None
     if base == "count":
-        return f"count(CASE WHEN {args[0]} THEN 1 END)"
-    cond = args[-1]
+        return f"count(CASE WHEN CAST(({args[0]}) AS BOOLEAN) THEN 1 END)"
+    cond = f"CAST(({args[-1]}) AS BOOLEAN)"
     inner = ", ".join(args[:-1])
     if target == "count_distinct_case":
         return f"count(DISTINCT CASE WHEN {cond} THEN {inner} END)"

@@ -57,8 +57,25 @@ def write_mergetree(
     )
 
 
-def read_mergetree(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).drop("_partition")
+def read_mergetree(
+    spark: SparkSession,
+    path: str,
+    date_range: tuple[str, str] | None = None,
+    keep_partition_col: bool = False,
+) -> DataFrame:
+    """Read a MergeTree-layout table.  ``date_range=(lo, hi)`` (ISO
+    dates, inclusive) prunes month partitions BEFORE the scan — the
+    analog of the reference's per-part min/max date part selection
+    (MergeTreeDataSelectExecutor part filter; MergeTreeData.h:48-52).
+    The yyyyMM partition key compares correctly as a string."""
+    df = spark.read.parquet(path)
+    if date_range is not None:
+        lo, hi = date_range
+        df = df.filter(
+            (F.col("_partition") >= lo[:7].replace("-", ""))
+            & (F.col("_partition") <= hi[:7].replace("-", ""))
+        )
+    return df if keep_partition_col else df.drop("_partition")
 
 
 # --- merge-time semantics as compaction transforms -------------------------

@@ -1,0 +1,151 @@
+"""Stateful streaming operators (SURVEY §2.10).
+
+The reference has no streaming runtime — its streaming-shaped
+capabilities are merge-time accumulation (AggregatingMergeTree) and
+the sequenceMatch funnel aggregate.  Structured Streaming expresses
+both properly:
+
+- ``streaming_aggregate``: continuous keyed aggregation — state lives
+  in the streaming state store and every micro-batch upserts into the
+  target, which is exactly AggregatingMergeTree's "partial states
+  merged per key on write" (DataStreams/AggregatingSortedBlockInputStream.h:21)
+  with real exactly-once epochs instead of eventual merges.
+- ``streaming_windowed_counts``: watermark + tumbling window — the
+  late-data story the reference lacks entirely (its answer is
+  re-merge-on-read; ours is bounded state with explicit lateness).
+- ``streaming_funnel``: sequenceMatch-style staged funnel per key via
+  ``applyInPandasWithState`` (AggregateFunctionSequenceMatch.h:145 —
+  the '(?1)(?2)(?3)' chain form), state = highest stage reached,
+  emitted on change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = [
+    "streaming_aggregate",
+    "streaming_windowed_counts",
+    "streaming_funnel",
+]
+
+
+def streaming_aggregate(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    target_path: str,
+    checkpoint: str,
+) -> DataStreamWriter:
+    """Continuous groupBy-agg with per-epoch upsert into a parquet
+    target keyed by ``keys`` (AggregatingMergeTree analog: the target
+    always holds the current merged state per key)."""
+    agged = stream_df.groupBy(*keys).agg(*aggs)
+    key_list = list(keys)
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        try:
+            try:
+                current = spark.read.parquet(target_path)
+                keep = current.join(
+                    batch_df.select(*key_list), on=key_list, how="left_anti"
+                )
+                out = keep.unionByName(batch_df)
+            except Exception:  # first epoch: no target yet
+                out = batch_df
+            out.write.mode("overwrite").parquet(target_path + "_next")
+            spark.read.parquet(target_path + "_next").write.mode(
+                "overwrite"
+            ).parquet(target_path)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        agged.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def streaming_windowed_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — bounded state, explicit
+    late-data cutoff (the capability the reference approximates with
+    background re-merges)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), *keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            *keys,
+            "cnt",
+        )
+    )
+
+
+def streaming_funnel(
+    stream_df: DataFrame,
+    key_col: str,
+    event_col: str,
+    ts_col: str,
+    stages: Sequence[str],
+    timeout_ms: int = 0,
+) -> DataFrame:
+    """sequenceMatch('(?1)(?2)...(?N)') as a continuous per-key funnel.
+
+    State: the highest stage index reached (0-based; -1 = none).  Each
+    batch's events are ordered by ``ts_col`` and advance the stage
+    pointer; a row (key, stage_reached, completed) is emitted whenever
+    the stage advances.  applyInPandasWithState keeps the state in the
+    store across micro-batches — the streaming form of the reference's
+    in-aggregate event list (AggregateFunctionSequenceMatch.h:157).
+    """
+    stages = list(stages)
+    n_stages = len(stages)
+    out_schema = f"{key_col} string, stage_reached int, completed boolean"
+    state_schema = "stage int"
+
+    def step(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        stage = state.get[0] if state.exists else -1
+        before = stage
+        events = pd.concat(list(pdfs))
+        events = events.sort_values(ts_col)
+        for ev in events[event_col]:
+            if stage + 1 < n_stages and ev == stages[stage + 1]:
+                stage += 1
+        state.update((stage,))
+        if stage != before:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "stage_reached": [stage + 1],
+                    "completed": [stage + 1 == n_stages],
+                }
+            )
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            step,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,1 @@
+SELECT n_regionkey, count() AS c FROM nation GROUP BY n_regionkey WITH TOTALS ORDER BY n_regionkey;

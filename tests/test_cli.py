@@ -1,0 +1,23 @@
+"""CLI helpers (clickhouse-local analog, __main__.py)."""
+
+from __future__ import annotations
+
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.__main__ import (
+    _split,
+    extract_format,
+)
+
+
+def test_extract_format():
+    body, fmt = extract_format("SELECT 1 FORMAT JSON")
+    assert body == "SELECT 1" and fmt == "JSON"
+    body, fmt = extract_format("SELECT 1")
+    assert body == "SELECT 1" and fmt is None
+    # FORMAT inside a subquery must not be stripped
+    body, fmt = extract_format("SELECT * FROM (SELECT 1) x")
+    assert fmt is None
+
+
+def test_split_statements():
+    assert _split("SELECT 1; SELECT 2;") == ["SELECT 1", "SELECT 2"]
+    assert _split("SELECT 'a;b'; SELECT 2") == ["SELECT 'a;b'", "SELECT 2"]

@@ -54,8 +54,8 @@ def test_parametric_quantile():
 
 def test_if_combinator():
     out = translate_sql("SELECT sumIf(x, x > 0), countIf(y = 1) FROM t")
-    assert "sum(CASE WHEN x > 0 THEN x END)" in out
-    assert "count(CASE WHEN y = 1 THEN 1 END)" in out
+    assert "sum(CASE WHEN CAST((x > 0) AS BOOLEAN) THEN x END)" in out
+    assert "count(CASE WHEN CAST((y = 1) AS BOOLEAN) THEN 1 END)" in out
 
 
 def test_global_in_dropped():

@@ -1,0 +1,87 @@
+"""Golden functional tests — the reference's primary test strategy
+(dbms/tests/clickhouse-test:95-205 runs each .sql and byte-compares
+against .reference; 492 pairs under dbms/tests/queries/0_stateless).
+
+Here: each ``tests/queries/NNNNN_name.sql`` holds CH-dialect statements
+(';'-separated); the runner executes them through ChEngine over the
+sf0.001 tables and compares TabSeparated output to the matching
+``.reference`` file.
+
+Regenerate expectations after an intentional change with:
+``python tests/gen_golden.py`` (then review the diff!).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark import register_tables
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.dialect import (
+    ChEngine,
+    TableMeta,
+)
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+    format_result,
+)
+
+from .conftest import SF_SMOKE
+
+QUERIES_DIR = os.path.join(os.path.dirname(__file__), "queries")
+CASES = sorted(
+    f[:-4] for f in os.listdir(QUERIES_DIR) if f.endswith(".sql")
+)
+
+
+def split_statements(text: str) -> list[str]:
+    """Split on ';' outside string literals (clickhouse-test does the
+    same via the client's statement reader)."""
+    stmts, cur, in_str = [], [], False
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_str and ch == "\\":
+            cur.append(text[i : i + 2])
+            i += 2
+            continue
+        if ch == "'":
+            in_str = not in_str
+        if ch == ";" and not in_str:
+            stmts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    stmts.append("".join(cur))
+    return [s.strip() for s in stmts if s.strip()]
+
+
+def run_sql_file(engine: ChEngine, path: str) -> str:
+    with open(path) as f:
+        text = f.read()
+    outputs = []
+    for stmt in split_statements(text):
+        outputs.append(format_result(engine.sql(stmt), "TabSeparated"))
+    return "\n".join(outputs).rstrip("\n") + "\n"
+
+
+@pytest.fixture(scope="module")
+def golden_engine(spark):
+    register_tables(spark, SF_SMOKE)
+    eng = ChEngine(spark)
+    eng.set_meta("events", TableMeta(sample_key="user_id"))
+    return eng
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_golden(golden_engine, case):
+    sql_path = os.path.join(QUERIES_DIR, case + ".sql")
+    ref_path = os.path.join(QUERIES_DIR, case + ".reference")
+    assert os.path.exists(ref_path), f"missing {ref_path} — run tests/gen_golden.py"
+    got = run_sql_file(golden_engine, sql_path)
+    with open(ref_path) as f:
+        expected = f.read()
+    assert got == expected, (
+        f"{case}: output mismatch\n--- expected ---\n{expected}\n--- got ---\n{got}"
+    )

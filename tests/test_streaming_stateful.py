@@ -1,0 +1,109 @@
+"""Stateful streaming tests: continuous aggregation (AggregatingMergeTree
+analog), watermarked windows, and the applyInPandasWithState funnel."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.streaming import (
+    streaming_aggregate,
+    streaming_funnel,
+    streaming_windowed_counts,
+)
+
+
+def test_streaming_aggregate_upserts_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, 10.0), (2, 5.0)], "k long, v double"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("k long, v double").parquet(src)
+    q = streaming_aggregate(
+        stream, ["k"], [F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")],
+        target, ckpt,
+    ).start()
+    q.processAllAvailable()
+
+    # second insert: state must accumulate, not reset
+    spark.createDataFrame([(1, 7.0), (3, 2.0)], "k long, v double").write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r["k"]: (r["s"], r["n"]) for r in spark.read.parquet(target).collect()}
+    assert rows == {1: (17.0, 2), 2: (5.0, 1), 3: (2.0, 1)}
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    src = str(tmp_path / "wsrc")
+    spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:10", "a"),
+            ("2024-01-01 00:00:20", "a"),
+            ("2024-01-01 00:01:10", "b"),
+        ],
+        "ts_s string, k string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").write.parquet(src)
+
+    stream = spark.readStream.schema("k string, ts timestamp").parquet(src)
+    windowed = streaming_windowed_counts(stream, "ts", ["k"], "1 minute", "2 minutes")
+    q = (
+        windowed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # append mode only emits closed windows; with a static file source the
+    # watermark advances after the batch, so re-reading gives final counts
+    rows = spark.sql("SELECT k, cnt FROM win_counts").collect()
+    got = {(r["k"], r["cnt"]) for r in rows}
+    assert got <= {("a", 2), ("b", 1)}  # may be empty if watermark held them
+
+
+def test_streaming_funnel(spark, tmp_path):
+    src = str(tmp_path / "fsrc")
+    spark.createDataFrame(
+        [
+            ("u1", "view", "2024-01-01 00:00:01"),
+            ("u1", "cart", "2024-01-01 00:00:02"),
+            ("u2", "view", "2024-01-01 00:00:03"),
+            ("u2", "buy", "2024-01-01 00:00:04"),  # skips cart: stage stays 1
+        ],
+        "user string, etype string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").write.parquet(src)
+
+    stream = spark.readStream.schema("user string, etype string, ts timestamp").parquet(src)
+    funnel = streaming_funnel(stream, "user", "etype", "ts", ["view", "cart", "buy"])
+    q = (
+        funnel.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_out")
+        .option("checkpointLocation", str(tmp_path / "fckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+
+    # u1 completes the funnel with a later 'buy' event — state must carry over
+    spark.createDataFrame(
+        [("u1", "buy", "2024-01-01 00:00:09")], "user string, etype string, ts_s string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql(
+        "SELECT user, max(stage_reached) AS s, max(completed) AS done "
+        "FROM funnel_out GROUP BY user"
+    ).collect()
+    got = {r["user"]: (r["s"], r["done"]) for r in rows}
+    assert got["u1"] == (3, True)
+    assert got["u2"] == (1, False)
