@@ -209,6 +209,11 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
             if _kw_at(tokens, i, "WITH") and _kw_at(tokens, i + 1, "TOTALS"):
                 with_totals = True
                 i += 2
+        elif t.is_kw("WITH") and _kw_at(tokens, i + 1, "TOTALS"):
+            # keyless `count() WITH TOTALS` form (totals row duplicates
+            # the global aggregate, matching the reference)
+            with_totals = True
+            i += 2
         elif t.is_kw("HAVING"):
             i += 1
             having_toks, i = _take_clause(tokens, i)
@@ -360,6 +365,10 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
             sql += f"\nGROUP BY {group_sql}"
             if having_sql:
                 sql += f"\nHAVING {having_sql}"
+    elif with_totals:
+        sql += "\nGROUP BY GROUPING SETS ((), ())"
+        if having_sql:
+            sql += f"\nHAVING grouping_id() <> 0 OR ({having_sql})"
     elif having_sql:
         sql += f"\nHAVING {having_sql}"
 
@@ -418,6 +427,17 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
         i = close + 1
         if name == "numbers":
             return f"(SELECT id AS number FROM range({args[0]})) AS __numbers", None
+        if name == "remote":
+            # remote('addrs', db, table) / remote('addrs', db.table):
+            # Spark's scheduler already scatters/gathers — the address
+            # list is dropped, the table resolves locally
+            # (TableFunctions/TableFunctionRemote.h).
+            target = ".".join(a.strip("'") for a in args[1:]) if len(args) > 1 else args[0].strip("'")
+            if target in ("system.one", "one"):
+                return "(SELECT 0 AS dummy) AS __one", None
+            if target in ("system.numbers", "numbers"):
+                return "(SELECT id AS number FROM range(1000000)) AS __numbers", None
+            return target, target
         raise ValueError(f"unsupported table function {name}()")
     if name == "system.numbers":
         return "(SELECT id AS number FROM range(1000000)) AS __numbers", None
@@ -649,13 +669,16 @@ def _take_from(tokens: list[Token], i: int) -> tuple[list[Token], int]:
             depth -= 1
         elif depth == 0 and t.kind == "ident":
             up = t.text.upper()
-            if up in ("FINAL",):
+            after_dot = bool(out) and out[-1].text == "."
+            if up in ("FINAL",) and not after_dot:
                 out.append(t)
                 i += 1
                 continue
-            if up in _CLAUSE_STOP - {"FROM"} or _is_join_start(tokens, i):
+            if not after_dot and (
+                up in _CLAUSE_STOP - {"FROM"} or _is_join_start(tokens, i)
+            ):
                 break
-            if up in ("LEFT", "RIGHT") and _kw_at(tokens, i + 1, "ARRAY"):
+            if not after_dot and up in ("LEFT", "RIGHT") and _kw_at(tokens, i + 1, "ARRAY"):
                 break
         out.append(t)
         i += 1
