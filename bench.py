@@ -40,6 +40,14 @@ HEADLINE = [
     "pl_minhash_lsh_dedup",     # MinHash LSH banded dedup
     "pl_embedding_topk",        # brute-force cosine top-k
     "pl_token_stats",           # text analysis sweep
+    # the reference's own benchmark shapes (queries.sql via hits_q)
+    "hits_q03_triple_agg",      # one-pass multi-agg scan
+    "hits_q13_phrase_top",      # hot-key string GROUP BY top-10
+    "hits_q17_user_phrase",     # heavy two-key GROUP BY
+    "hits_q19_minute_group",    # three-key GROUP BY + time extraction
+    "hits_q21_url_like",        # substring scan
+    "hits_q30_ninety_sums",     # codegen-width stress (90 aggregates)
+    "hits_q43_minute_rollup",   # indexed drill-down rollup
 ]
 
 

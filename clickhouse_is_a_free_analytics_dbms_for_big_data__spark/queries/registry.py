@@ -90,4 +90,8 @@ def _ensure_loaded() -> None:
         from . import straggler_q  # noqa: F401
     except ImportError:
         pass
+    try:
+        from . import hits_q  # noqa: F401
+    except ImportError:
+        pass
     _LOADED = True
