@@ -28,17 +28,19 @@ def extract_format(sql: str) -> tuple[str, str | None]:
         tokens = tokenize(sql)
     except ValueError:
         return sql, None
-    depth = 0
-    for i, t in enumerate(tokens):
-        if t.text == "(":
-            depth += 1
-        elif t.text == ")":
-            depth -= 1
-        elif depth == 0 and t.is_kw("FORMAT") and i + 1 < len(tokens):
-            fmt = tokens[i + 1].text
-            # cut at the FORMAT keyword's position in the original text
-            pos = sql.upper().rfind("FORMAT")
-            return sql[:pos].rstrip(), fmt
+    # the reference's FORMAT clause is trailing (ParserQueryWithOutput):
+    # match only a final top-level "FORMAT <name>" and cut at the
+    # keyword token's recorded offset (comments after it are dropped by
+    # the tokenizer, so rfind-style text scans are never needed).
+    if len(tokens) >= 2 and tokens[-2].is_kw("FORMAT") and tokens[-1].kind == "ident":
+        depth = 0
+        for t in tokens[:-2]:
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+        if depth == 0:
+            return sql[: tokens[-2].pos].rstrip(), tokens[-1].text
     return sql, None
 
 

@@ -211,6 +211,25 @@ def _t_round_age(a: Args) -> str:
     )
 
 
+def _t_sum_map(a: Args) -> str:
+    """sumMap(keyArr, valArr): per-key sums over aligned arrays
+    (SummingSortedBlockInputStream.cpp nested-map summation).  Same
+    formula as functions/aggregates.py sumMap: distinct sorted keys,
+    each key's sum folded from the collected (k, v) pairs — keys are
+    aggregated BEFORE the map is built, so repeated keys across rows
+    sum instead of raising DUPLICATED_MAP_KEY."""
+    ks = f"array_sort(array_distinct(flatten(collect_list({a[0]}))))"
+    pairs = (
+        f"flatten(collect_list(zip_with({a[0]}, {a[1]}, "
+        f"(__zk, __zv) -> struct(__zk AS k, CAST(__zv AS DOUBLE) AS v))))"
+    )
+    return (
+        f"map_from_arrays({ks}, transform({ks}, __sk -> "
+        f"aggregate({pairs}, CAST(0.0 AS DOUBLE), "
+        f"(__acc, __p) -> __acc + IF(__p.k = __sk, __p.v, CAST(0.0 AS DOUBLE)))))"
+    )
+
+
 TEMPLATES: dict[str, Callable[[Args], str]] = {
     # aggregates
     "count": lambda a: f"count({', '.join(a) or '*'})",
@@ -218,10 +237,7 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "median": lambda a: f"percentile_approx({a[0]}, 0.5)",
     "quantile": lambda a: f"percentile_approx({a[0]}, 0.5)",
     "quantileExact": lambda a: f"percentile({a[0]}, 0.5)",
-    "sumMap": lambda a: (
-        # SummingSortedBlockInputStream.cpp nested-map summation analog
-        f"map_from_entries(array_sort(collect_list(struct({a[0]} AS k, {a[1]} AS v))))"
-    ),
+    "sumMap": _t_sum_map,
     # arithmetic (FunctionsArithmetic.cpp)
     "plus": lambda a: f"({a[0]} + {a[1]})",
     "minus": lambda a: f"({a[0]} - {a[1]})",
@@ -319,7 +335,8 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "toStartOfHour": lambda a: f"date_trunc('HOUR', {a[0]})",
     "toStartOfMinute": lambda a: f"date_trunc('MINUTE', {a[0]})",
     "toStartOfFiveMinute": lambda a: (
-        f"timestamp_seconds(CAST({a[0]} AS TIMESTAMP) DIV 1 - (CAST(CAST({a[0]} AS TIMESTAMP) AS BIGINT) % 300))"
+        f"timestamp_seconds(CAST(CAST({a[0]} AS TIMESTAMP) AS BIGINT) - "
+        f"(CAST(CAST({a[0]} AS TIMESTAMP) AS BIGINT) % 300))"
     ),
     "timeSlot": lambda a: (
         f"timestamp_seconds(CAST(CAST({a[0]} AS TIMESTAMP) AS BIGINT) - "

@@ -33,6 +33,7 @@ _TOKEN_RE = re.compile(
 class Token:
     kind: str  # 'string' | 'qident' | 'number' | 'ident' | 'punct'
     text: str
+    pos: int = -1  # character offset in the source text
 
     def is_kw(self, *words: str) -> bool:
         return self.kind == "ident" and self.text.upper() in words
@@ -53,7 +54,7 @@ def tokenize(sql: str) -> list[Token]:
         kind = m.lastgroup
         if kind in ("ws", "line_comment", "block_comment"):
             continue
-        out.append(Token(kind=kind, text=m.group()))
+        out.append(Token(kind=kind, text=m.group(), pos=m.start()))
     return out
 
 

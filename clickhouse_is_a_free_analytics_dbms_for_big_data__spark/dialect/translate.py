@@ -478,7 +478,7 @@ def _final_subquery(name: str, ctx: Ctx) -> str:
     if meta.engine.startswith("Collapsing") and meta.sign_col:
         # keep latest row of keys whose sign-sum is positive
         return (
-            f"(SELECT * EXCEPT ({rn}) FROM (SELECT *, row_number() OVER "
+            f"(SELECT * EXCEPT ({rn}, {rn}_s) FROM (SELECT *, row_number() OVER "
             f"(PARTITION BY {pk} ORDER BY {meta.sign_col} DESC) AS {rn}, "
             f"sum({meta.sign_col}) OVER (PARTITION BY {pk}) AS {rn}_s FROM {name}) "
             f"WHERE {rn} = 1 AND {rn}_s > 0)"

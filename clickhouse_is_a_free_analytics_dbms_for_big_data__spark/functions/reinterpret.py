@@ -37,10 +37,13 @@ def reinterpretAsString(x) -> Column:
             for i in range(8)
         ]
     )
+    # array_position yields 0 (not NULL) when no NUL byte exists — take
+    # all 8 bytes in that case, else everything before the first NUL.
+    nul_pos = F.array_position(bytes_, 0)
     trimmed = F.slice(
         bytes_,
         F.lit(1),
-        F.coalesce(F.array_position(bytes_, 0).cast("int") - 1, F.lit(8)),
+        F.when(nul_pos == 0, F.lit(8)).otherwise((nul_pos - 1).cast("int")),
     )
     return F.array_join(F.transform(trimmed, lambda b: F.char(b)), "")
 

@@ -243,3 +243,50 @@ def test_exec_dictionary(eng, spark):
 def test_exec_union_all(eng):
     rows = eng.sql("SELECT 1 AS x UNION ALL SELECT 2 AS x").collect()
     assert sorted(r["x"] for r in rows) == [1, 2]
+
+
+def test_collapsing_final_excludes_helpers():
+    out = translate_sql(
+        "SELECT * FROM ct FINAL",
+        table_meta={
+            "ct": TableMeta(
+                primary_key=("id",), sign_col="sign", engine="CollapsingMergeTree"
+            )
+        },
+    )
+    # both the row_number and the sign-sum helper must be projected away
+    assert "EXCEPT (__rn1, __rn1_s)" in out
+
+
+def test_exec_collapsing_final_star(eng, spark):
+    spark.createDataFrame(
+        [(1, 1, "a"), (1, -1, "a"), (2, 1, "b"), (3, 1, "c"), (3, -1, "c"), (3, 1, "c2")],
+        "id INT, sign INT, payload STRING",
+    ).createOrReplaceTempView("ct_adv")
+    eng.set_meta(
+        "ct_adv",
+        TableMeta(primary_key=("id",), sign_col="sign", engine="CollapsingMergeTree"),
+    )
+    df = eng.sql("SELECT * FROM ct_adv FINAL")
+    assert df.columns == ["id", "sign", "payload"]
+    rows = {r["id"]: r["payload"] for r in df.collect()}
+    assert set(rows) == {2, 3}
+
+
+def test_exec_to_start_of_five_minute(eng):
+    r = eng.sql(
+        "SELECT toStartOfFiveMinute(toDateTime('2024-01-01 12:34:56')) AS t5"
+    ).collect()[0]["t5"]
+    assert str(r) == "2024-01-01 12:30:00"
+
+
+def test_exec_summap_repeated_keys(eng, spark):
+    spark.createDataFrame(
+        [(1, [1, 2], [10.0, 20.0]), (1, [1, 3], [1.0, 2.0]), (2, [5], [7.0])],
+        "g INT, k ARRAY<INT>, v ARRAY<DOUBLE>",
+    ).createOrReplaceTempView("sm_adv")
+    rows = eng.sql(
+        "SELECT g, sumMap(k, v) AS m FROM sm_adv GROUP BY g ORDER BY g"
+    ).collect()
+    assert rows[0]["m"] == {1: 11.0, 2: 20.0, 3: 2.0}
+    assert rows[1]["m"] == {5: 7.0}

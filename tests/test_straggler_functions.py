@@ -86,3 +86,9 @@ def test_reinterpret_uint32_truncates(spark):
 def test_reinterpret_dates(spark):
     assert str(_one(spark, reinterpretAsDate(F.lit(1)))) == "1970-01-02"
     assert str(_one(spark, reinterpretAsDateTime(F.lit(86400)))).startswith("1970-01-02")
+
+
+def test_reinterpret_string_no_nul(spark):
+    # all 8 bytes nonzero (ADVICE regression: array_position yields 0,
+    # not NULL, when no NUL byte exists)
+    assert _one(spark, reinterpretAsString(F.lit(0x4141414141414141))) == "AAAAAAAA"
