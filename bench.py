@@ -48,6 +48,16 @@ HEADLINE = [
     "hits_q21_url_like",        # substring scan
     "hits_q30_ninety_sums",     # codegen-width stress (90 aggregates)
     "hits_q43_minute_rollup",   # indexed drill-down rollup
+    # round-2 additions (remaining queries.sql shapes)
+    "hits_q10_region_multi",    # four aggregates incl. distinct
+    "hits_q14_phrase_uniq",     # string key + distinct count
+    "hits_q20_uint64_full",     # Decimal(20,0) full-range UInt64 filter
+    "hits_q23_title_scan",      # multi-LIKE scan + uniq
+    "hits_q26_phrase_scan",     # ORDER BY string scan top-N
+    "hits_q29_referer_domain",  # regexp domain rollup + HAVING
+    "hits_q33_watch_ip_all",    # heaviest hash-agg (near-unique keys)
+    "hits_q34_url_top",         # heavy string-key GROUP BY
+    "hits_q42_window_size",     # hash-equality drill-down histogram
 ]
 
 

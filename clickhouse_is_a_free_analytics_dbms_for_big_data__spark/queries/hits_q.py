@@ -7,10 +7,12 @@ ts) with IDENTICAL arithmetic on both engines, so every query is
 oracle-checkable; ``uniq`` runs as uniqExact (count distinct) in the
 checked entries — the approx variant is covered by ``uniq_approx``.
 
-16 queries cover the 43's distinct shapes: pure count, filtered count,
-multi-agg, uniq, min/max dates, single/multi-key GROUP BY top-K, LIKE
-scan, ORDER BY scan, HAVING on count, 90-sum codegen-width stress,
-IP arithmetic keys, ternary source attribution, minute rollup.
+All 43 queries.sql lines are covered.  Determinism pins (documented per
+query): ``any()`` runs as ``min()``; LIMIT without ORDER BY gets a key
+order; ORDER BY ties are broken with the unique ``WatchID``; thresholds
+(HAVING counts, date windows) are scaled to the synthetic row count.
+Q20 exercises the UInt64-full-range path (Decimal(20,0) UserID64 vs a
+literal above Int64 max, SURVEY §7 hard part).
 """
 
 from __future__ import annotations
@@ -45,6 +47,29 @@ def hits_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(uid * 2654435761, F.lit(4294967296)).alias("ClientIP"),
         (eid % 10 == 0).cast("int").alias("Refresh"),
         (eid % 13 - 6).alias("TraficSourceID"),
+        (eid % 9).alias("MobilePhone"),
+        F.when(uid % 4 == 0, F.concat(F.lit("model_"), (uid % 23).cast("string")))
+        .otherwise(F.lit(""))
+        .alias("MobilePhoneModel"),
+        F.when(
+            eid % 7 == 0,
+            F.concat(F.lit("Яндекс страница "), (eid % 500).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("Page title "), (eid % 500).cast("string")))
+        .alias("Title"),
+        (eid * 2654435761).alias("WatchID"),
+        (eid % 17 == 0).cast("int").alias("DontCountHits"),
+        (eid % 11 == 0).cast("int").alias("IsLink"),
+        (eid % 33 == 0).cast("int").alias("IsDownload"),
+        ((eid % 1000) * 2654435761 % 4294967296).alias("URLHash"),
+        ((uid % 300) * 2654435761 % 4294967296).alias("RefererHash"),
+        (F.lit(1000) + eid % 800).alias("WindowClientWidth"),
+        (F.lit(600) + eid % 600).alias("WindowClientHeight"),
+        # full-range UInt64 analog: Decimal(20,0) beyond Int64 max (Q20)
+        (
+            F.lit("12345678901234567800").cast("decimal(20,0)")
+            + (uid % 100).cast("decimal(20,0)")
+        ).alias("UserID64"),
     )
 
 
@@ -65,7 +90,20 @@ _HITS_CTE = """
              800 + event_id % 400 AS ResolutionWidth,
              ((user_id * 2654435761) % 4294967296 + 4294967296) % 4294967296 AS ClientIP,
              CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS Refresh,
-             event_id % 13 - 6 AS TraficSourceID
+             event_id % 13 - 6 AS TraficSourceID,
+             event_id % 9 AS MobilePhone,
+             CASE WHEN user_id % 4 = 0 THEN 'model_' || CAST(user_id % 23 AS VARCHAR) ELSE '' END AS MobilePhoneModel,
+             CASE WHEN event_id % 7 = 0 THEN 'Яндекс страница ' || CAST(event_id % 500 AS VARCHAR)
+                  ELSE 'Page title ' || CAST(event_id % 500 AS VARCHAR) END AS Title,
+             event_id * 2654435761 AS WatchID,
+             CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END AS DontCountHits,
+             CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END AS IsLink,
+             CASE WHEN event_id % 33 = 0 THEN 1 ELSE 0 END AS IsDownload,
+             (event_id % 1000) * 2654435761 % 4294967296 AS URLHash,
+             (user_id % 300) * 2654435761 % 4294967296 AS RefererHash,
+             1000 + event_id % 800 AS WindowClientWidth,
+             600 + event_id % 600 AS WindowClientHeight,
+             12345678901234567800 + (user_id % 100) AS UserID64
       FROM events
     )
 """
@@ -258,7 +296,7 @@ def hits_q27(spark, sf_dir):
     "hits_q28_having",
     """
     SELECT CounterID, AVG(length(URL)) AS l, COUNT(*) AS c FROM hits
-    GROUP BY CounterID HAVING COUNT(*) > 500 ORDER BY l DESC, CounterID LIMIT 25
+    GROUP BY CounterID HAVING COUNT(*) > 50 ORDER BY l DESC, CounterID LIMIT 25
     """,
     "benchmark Q28: HAVING on group count (queries.sql:28; threshold scaled "
     "to the synthetic row count)",
@@ -270,7 +308,7 @@ def hits_q28(spark, sf_dir):
         .agg(
             F.avg(F.length("URL")).alias("l"), F.count(F.lit(1)).alias("c")
         )
-        .filter(F.col("c") > 500)
+        .filter(F.col("c") > 50)
         .orderBy(F.desc("l"), "CounterID")
         .limit(25)
     )
@@ -297,7 +335,8 @@ def hits_q30(spark, sf_dir):
            ClientIP - 3 AS x3, COUNT(*) AS c
     FROM hits GROUP BY ClientIP ORDER BY c DESC, x LIMIT 10
     """,
-    "benchmark Q35: arithmetic-derived group keys (queries.sql:35)",
+    "benchmark Q36: arithmetic-derived group keys (queries.sql:36; "
+    "name kept from round 1 for bench continuity)",
 )
 def hits_q35(spark, sf_dir):
     x = F.col("ClientIP")
@@ -326,8 +365,8 @@ def hits_q35(spark, sf_dir):
     ORDER BY PageViews DESC, TraficSourceID, SearchEngineID, AdvEngineID, Src, Dst
     LIMIT 100
     """,
-    "benchmark Q39: ternary source attribution over five keys (queries.sql:39 "
-    "— the '?:' operator form)",
+    "benchmark Q40: ternary source attribution over five keys (queries.sql:40 "
+    "— the '?:' operator form; name kept from round 1 for bench continuity)",
 )
 def hits_q39(spark, sf_dir):
     src = F.when(
@@ -373,4 +412,585 @@ def hits_q43(spark, sf_dir):
         .groupBy(F.date_trunc("minute", F.col("EventTime")).alias("Minute"))
         .agg(F.count(F.lit(1)).alias("PageViews"))
         .orderBy("Minute")
+    )
+
+
+# ---- round-2 additions: the remaining queries.sql lines --------------------
+
+_DRILL = (
+    "CounterID = 34 AND EventDate >= DATE '2024-01-05' "
+    "AND EventDate <= DATE '2024-01-12'"
+)
+
+
+def _drill(df: DataFrame) -> DataFrame:
+    """Shared Q37-Q43 drill-down filter (CounterID + date window, scaled
+    to the synthetic January 2024 range)."""
+    return df.filter(
+        (F.col("CounterID") == 34)
+        & (F.col("EventDate") >= F.lit("2024-01-05").cast("date"))
+        & (F.col("EventDate") <= F.lit("2024-01-12").cast("date"))
+    )
+
+
+@_hq(
+    "hits_q04_sum_uid",
+    "SELECT SUM(UserID) AS s FROM hits",
+    "benchmark Q4: sum over a key column (queries.sql:4)",
+)
+def hits_q04(spark, sf_dir):
+    return hits_view(spark, sf_dir).agg(F.sum("UserID").alias("s"))
+
+
+@_hq(
+    "hits_q06_uniq_phrase",
+    "SELECT COUNT(DISTINCT SearchPhrase) AS u FROM hits",
+    "benchmark Q6: uniq(SearchPhrase), exact form (queries.sql:6)",
+)
+def hits_q06(spark, sf_dir):
+    return hits_view(spark, sf_dir).agg(F.countDistinct("SearchPhrase").alias("u"))
+
+
+@_hq(
+    "hits_q10_region_multi",
+    """
+    SELECT RegionID, SUM(AdvEngineID) AS s, COUNT(*) AS c,
+           AVG(ResolutionWidth) AS a, COUNT(DISTINCT UserID) AS u
+    FROM hits GROUP BY RegionID ORDER BY c DESC, RegionID LIMIT 10
+    """,
+    "benchmark Q10: four aggregates incl. distinct per region (queries.sql:10)",
+)
+def hits_q10(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .groupBy("RegionID")
+        .agg(
+            F.sum("AdvEngineID").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.avg("ResolutionWidth").alias("a"),
+            F.countDistinct("UserID").alias("u"),
+        )
+        .orderBy(F.desc("c"), "RegionID")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q11_phone_model",
+    """
+    SELECT MobilePhoneModel, COUNT(DISTINCT UserID) AS u FROM hits
+    WHERE MobilePhoneModel <> '' GROUP BY MobilePhoneModel
+    ORDER BY u DESC, MobilePhoneModel LIMIT 10
+    """,
+    "benchmark Q11: filtered string-key GROUP BY + uniq (queries.sql:11)",
+)
+def hits_q11(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .filter(F.col("MobilePhoneModel") != "")
+        .groupBy("MobilePhoneModel")
+        .agg(F.countDistinct("UserID").alias("u"))
+        .orderBy(F.desc("u"), "MobilePhoneModel")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q12_phone_pair",
+    """
+    SELECT MobilePhone, MobilePhoneModel, COUNT(DISTINCT UserID) AS u FROM hits
+    WHERE MobilePhoneModel <> '' GROUP BY MobilePhone, MobilePhoneModel
+    ORDER BY u DESC, MobilePhone, MobilePhoneModel LIMIT 10
+    """,
+    "benchmark Q12: two-key GROUP BY + uniq (queries.sql:12)",
+)
+def hits_q12(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .filter(F.col("MobilePhoneModel") != "")
+        .groupBy("MobilePhone", "MobilePhoneModel")
+        .agg(F.countDistinct("UserID").alias("u"))
+        .orderBy(F.desc("u"), "MobilePhone", "MobilePhoneModel")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q14_phrase_uniq",
+    """
+    SELECT SearchPhrase, COUNT(DISTINCT UserID) AS u FROM hits
+    WHERE SearchPhrase <> '' GROUP BY SearchPhrase
+    ORDER BY u DESC, SearchPhrase LIMIT 10
+    """,
+    "benchmark Q14: phrase top-10 by distinct users (queries.sql:14)",
+)
+def hits_q14(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .filter(F.col("SearchPhrase") != "")
+        .groupBy("SearchPhrase")
+        .agg(F.countDistinct("UserID").alias("u"))
+        .orderBy(F.desc("u"), "SearchPhrase")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q15_engine_phrase",
+    """
+    SELECT SearchEngineID, SearchPhrase, COUNT(*) AS c FROM hits
+    WHERE SearchPhrase <> '' GROUP BY SearchEngineID, SearchPhrase
+    ORDER BY c DESC, SearchEngineID, SearchPhrase LIMIT 10
+    """,
+    "benchmark Q15: engine+phrase GROUP BY top-10 (queries.sql:15)",
+)
+def hits_q15(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .filter(F.col("SearchPhrase") != "")
+        .groupBy("SearchEngineID", "SearchPhrase")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "SearchEngineID", "SearchPhrase")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q16_user_top",
+    """
+    SELECT UserID, COUNT(*) AS c FROM hits
+    GROUP BY UserID ORDER BY c DESC, UserID LIMIT 10
+    """,
+    "benchmark Q16: per-user counts top-10 (queries.sql:16)",
+)
+def hits_q16(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .groupBy("UserID")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "UserID")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q18_group_limit",
+    """
+    SELECT UserID, SearchPhrase, COUNT(*) AS c FROM hits
+    GROUP BY UserID, SearchPhrase ORDER BY UserID, SearchPhrase LIMIT 10
+    """,
+    "benchmark Q18: GROUP BY ... LIMIT without ORDER (queries.sql:18; "
+    "pinned to key order — a bare LIMIT is nondeterministic on both engines)",
+)
+def hits_q18(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .groupBy("UserID", "SearchPhrase")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("UserID", "SearchPhrase")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q20_uint64_full",
+    """
+    SELECT CAST(UserID64 AS VARCHAR) AS uid64 FROM hits
+    WHERE UserID64 = 12345678901234567890 ORDER BY uid64 LIMIT 100
+    """,
+    "benchmark Q20: UInt64 literal above Int64 max — full-range path via "
+    "Decimal(20,0) (queries.sql:20, SURVEY §7 hard part; "
+    "functions/conversion.py toUInt64Full)",
+)
+def hits_q20(spark, sf_dir):
+    lit = F.lit("12345678901234567890").cast("decimal(20,0)")
+    return (
+        hits_view(spark, sf_dir)
+        .filter(F.col("UserID64") == lit)
+        .select(F.col("UserID64").cast("string").alias("uid64"))
+        .orderBy("uid64")
+        .limit(100)
+    )
+
+
+@_hq(
+    "hits_q22_phrase_url",
+    """
+    SELECT SearchPhrase, MIN(URL) AS u, COUNT(*) AS c FROM hits
+    WHERE URL LIKE '%page/42%' AND SearchPhrase <> ''
+    GROUP BY SearchPhrase ORDER BY c DESC, SearchPhrase LIMIT 10
+    """,
+    "benchmark Q22: LIKE scan + any(URL) (queries.sql:22; any pinned to min "
+    "for determinism)",
+)
+def hits_q22(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .filter(F.col("URL").like("%page/42%") & (F.col("SearchPhrase") != ""))
+        .groupBy("SearchPhrase")
+        .agg(F.min("URL").alias("u"), F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "SearchPhrase")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q23_title_scan",
+    """
+    SELECT SearchPhrase, MIN(URL) AS u, MIN(Title) AS t, COUNT(*) AS c,
+           COUNT(DISTINCT UserID) AS uu
+    FROM hits
+    WHERE Title LIKE '%Яндекс%' AND URL NOT LIKE '%page/9%' AND SearchPhrase <> ''
+    GROUP BY SearchPhrase ORDER BY c DESC, SearchPhrase LIMIT 10
+    """,
+    "benchmark Q23: multi-LIKE (incl. cyrillic Title) + NOT LIKE + uniq "
+    "(queries.sql:23; any pinned to min)",
+)
+def hits_q23(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .filter(
+            F.col("Title").like("%Яндекс%")
+            & ~F.col("URL").like("%page/9%")
+            & (F.col("SearchPhrase") != "")
+        )
+        .groupBy("SearchPhrase")
+        .agg(
+            F.min("URL").alias("u"),
+            F.min("Title").alias("t"),
+            F.count(F.lit(1)).alias("c"),
+            F.countDistinct("UserID").alias("uu"),
+        )
+        .orderBy(F.desc("c"), "SearchPhrase")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q24_star_prewhere",
+    """
+    SELECT * FROM hits WHERE URL LIKE '%page/123%'
+    ORDER BY EventTime, WatchID LIMIT 10
+    """,
+    "benchmark Q24: SELECT * with PREWHERE LIKE + time order (queries.sql:24; "
+    "PREWHERE folds into the scan filter, WatchID breaks time ties)",
+)
+def hits_q24(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .filter(F.col("URL").like("%page/123%"))
+        .orderBy("EventTime", "WatchID")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q25_time_scan",
+    """
+    SELECT SearchPhrase FROM hits WHERE SearchPhrase <> ''
+    ORDER BY EventTime, WatchID LIMIT 10
+    """,
+    "benchmark Q25: ORDER BY EventTime scan (queries.sql:25; WatchID tiebreak)",
+)
+def hits_q25(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .filter(F.col("SearchPhrase") != "")
+        .orderBy("EventTime", "WatchID")
+        .select("SearchPhrase")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q26_phrase_scan",
+    """
+    SELECT SearchPhrase FROM hits WHERE SearchPhrase <> ''
+    ORDER BY SearchPhrase, WatchID LIMIT 10
+    """,
+    "benchmark Q26: ORDER BY string scan (queries.sql:26; WatchID tiebreak)",
+)
+def hits_q26(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .filter(F.col("SearchPhrase") != "")
+        .orderBy("SearchPhrase", "WatchID")
+        .select("SearchPhrase")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q29_referer_domain",
+    """
+    SELECT regexp_extract(Referer, 'https?://(?:www\\.)?([^/]+)', 1) AS key,
+           AVG(length(Referer)) AS l, COUNT(*) AS c, MIN(Referer) AS r
+    FROM hits WHERE Referer <> ''
+    GROUP BY key HAVING COUNT(*) > 100 ORDER BY l DESC, key LIMIT 25
+    """,
+    "benchmark Q29: domainWithoutWWW rollup with HAVING (queries.sql:29; "
+    "threshold scaled, any pinned to min; functions/url.py domainWithoutWWW)",
+)
+def hits_q29(spark, sf_dir):
+    key = F.regexp_extract(F.col("Referer"), r"https?://(?:www\.)?([^/]+)", 1)
+    return (
+        hits_view(spark, sf_dir)
+        .filter(F.col("Referer") != "")
+        .groupBy(key.alias("key"))
+        .agg(
+            F.avg(F.length("Referer")).alias("l"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("Referer").alias("r"),
+        )
+        .filter(F.col("c") > 100)
+        .orderBy(F.desc("l"), "key")
+        .limit(25)
+    )
+
+
+@_hq(
+    "hits_q31_engine_ip",
+    """
+    SELECT SearchEngineID, ClientIP, COUNT(*) AS c, SUM(Refresh) AS r,
+           AVG(ResolutionWidth) AS a
+    FROM hits WHERE SearchPhrase <> ''
+    GROUP BY SearchEngineID, ClientIP
+    ORDER BY c DESC, SearchEngineID, ClientIP LIMIT 10
+    """,
+    "benchmark Q31: filtered two-key GROUP BY, three aggregates (queries.sql:31)",
+)
+def hits_q31(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .filter(F.col("SearchPhrase") != "")
+        .groupBy("SearchEngineID", "ClientIP")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("Refresh").alias("r"),
+            F.avg("ResolutionWidth").alias("a"),
+        )
+        .orderBy(F.desc("c"), "SearchEngineID", "ClientIP")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q32_watch_ip_filtered",
+    """
+    SELECT WatchID, ClientIP, COUNT(*) AS c, SUM(Refresh) AS r,
+           AVG(ResolutionWidth) AS a
+    FROM hits WHERE SearchPhrase <> ''
+    GROUP BY WatchID, ClientIP ORDER BY c DESC, WatchID, ClientIP LIMIT 10
+    """,
+    "benchmark Q32: near-unique-key GROUP BY, filtered (queries.sql:32 — "
+    "high-cardinality hash-agg stress)",
+)
+def hits_q32(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .filter(F.col("SearchPhrase") != "")
+        .groupBy("WatchID", "ClientIP")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("Refresh").alias("r"),
+            F.avg("ResolutionWidth").alias("a"),
+        )
+        .orderBy(F.desc("c"), "WatchID", "ClientIP")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q33_watch_ip_all",
+    """
+    SELECT WatchID, ClientIP, COUNT(*) AS c, SUM(Refresh) AS r,
+           AVG(ResolutionWidth) AS a
+    FROM hits GROUP BY WatchID, ClientIP
+    ORDER BY c DESC, WatchID, ClientIP LIMIT 10
+    """,
+    "benchmark Q33: unfiltered near-unique-key GROUP BY (queries.sql:33 — "
+    "the heaviest hash-agg in the suite)",
+)
+def hits_q33(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .groupBy("WatchID", "ClientIP")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("Refresh").alias("r"),
+            F.avg("ResolutionWidth").alias("a"),
+        )
+        .orderBy(F.desc("c"), "WatchID", "ClientIP")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q34_url_top",
+    """
+    SELECT URL, COUNT(*) AS c FROM hits
+    GROUP BY URL ORDER BY c DESC, URL LIMIT 10
+    """,
+    "benchmark Q34: heavy string-key GROUP BY (queries.sql:34)",
+)
+def hits_q34(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .groupBy("URL")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "URL")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q35_const_url",
+    """
+    SELECT 1 AS one, URL, COUNT(*) AS c FROM hits
+    GROUP BY one, URL ORDER BY c DESC, URL LIMIT 10
+    """,
+    "benchmark Q35: constant + string GROUP BY (queries.sql:35 — the constant "
+    "key the reference's optimizeGroupBy would drop)",
+)
+def hits_q35_const(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .groupBy(F.lit(1).alias("one"), F.col("URL"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "URL")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q37_url_pageviews",
+    f"""
+    SELECT URL, COUNT(*) AS PageViews FROM hits
+    WHERE {_DRILL} AND DontCountHits = 0 AND Refresh = 0 AND URL <> ''
+    GROUP BY URL ORDER BY PageViews DESC, URL LIMIT 10
+    """,
+    "benchmark Q37: counter drill-down, URL pageviews (queries.sql:37; date "
+    "window scaled to the synthetic range)",
+)
+def hits_q37(spark, sf_dir):
+    return (
+        _drill(hits_view(spark, sf_dir))
+        .filter(
+            (F.col("DontCountHits") == 0)
+            & (F.col("Refresh") == 0)
+            & (F.col("URL") != "")
+        )
+        .groupBy("URL")
+        .agg(F.count(F.lit(1)).alias("PageViews"))
+        .orderBy(F.desc("PageViews"), "URL")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q38_title_pageviews",
+    f"""
+    SELECT Title, COUNT(*) AS PageViews FROM hits
+    WHERE {_DRILL} AND DontCountHits = 0 AND Refresh = 0 AND Title <> ''
+    GROUP BY Title ORDER BY PageViews DESC, Title LIMIT 10
+    """,
+    "benchmark Q38: counter drill-down, Title pageviews (queries.sql:38)",
+)
+def hits_q38(spark, sf_dir):
+    return (
+        _drill(hits_view(spark, sf_dir))
+        .filter(
+            (F.col("DontCountHits") == 0)
+            & (F.col("Refresh") == 0)
+            & (F.col("Title") != "")
+        )
+        .groupBy("Title")
+        .agg(F.count(F.lit(1)).alias("PageViews"))
+        .orderBy(F.desc("PageViews"), "Title")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q39_link_pageviews",
+    f"""
+    SELECT URL, COUNT(*) AS PageViews FROM hits
+    WHERE {_DRILL} AND Refresh = 0 AND IsLink = 1 AND IsDownload = 0
+    GROUP BY URL ORDER BY PageViews DESC, URL LIMIT 1000
+    """,
+    "benchmark Q39: outbound-link pageviews (queries.sql:39)",
+)
+def hits_q39_links(spark, sf_dir):
+    return (
+        _drill(hits_view(spark, sf_dir))
+        .filter(
+            (F.col("Refresh") == 0)
+            & (F.col("IsLink") == 1)
+            & (F.col("IsDownload") == 0)
+        )
+        .groupBy("URL")
+        .agg(F.count(F.lit(1)).alias("PageViews"))
+        .orderBy(F.desc("PageViews"), "URL")
+        .limit(1000)
+    )
+
+
+@_hq(
+    "hits_q41_urlhash_drill",
+    f"""
+    SELECT URLHash, EventDate, COUNT(*) AS PageViews FROM hits
+    WHERE {_DRILL} AND Refresh = 0 AND TraficSourceID IN (-1, 6)
+      AND RefererHash = 3507073702
+    GROUP BY URLHash, EventDate
+    ORDER BY PageViews DESC, URLHash, EventDate LIMIT 100
+    """,
+    "benchmark Q41: PK-pruned drill-down on hash equality + IN (queries.sql:41; "
+    "halfMD5(referer) stands in as the deterministic RefererHash derivation; constant chosen consistent with CounterID = 34)",
+)
+def hits_q41(spark, sf_dir):
+    return (
+        _drill(hits_view(spark, sf_dir))
+        .filter(
+            (F.col("Refresh") == 0)
+            & F.col("TraficSourceID").isin(-1, 6)
+            & (F.col("RefererHash") == 3507073702)
+        )
+        .groupBy("URLHash", "EventDate")
+        .agg(F.count(F.lit(1)).alias("PageViews"))
+        .orderBy(F.desc("PageViews"), "URLHash", "EventDate")
+        .limit(100)
+    )
+
+
+@_hq(
+    "hits_q42_window_size",
+    """
+    SELECT WindowClientWidth, WindowClientHeight, COUNT(*) AS PageViews
+    FROM hits
+    WHERE EventDate >= DATE '2024-01-05' AND EventDate <= DATE '2024-01-12'
+      AND Refresh = 0 AND DontCountHits = 0
+      AND URLHash = 4112119562
+    GROUP BY WindowClientWidth, WindowClientHeight
+    ORDER BY PageViews DESC, WindowClientWidth, WindowClientHeight LIMIT 10000
+    """,
+    "benchmark Q42: viewport-size histogram under single-URL hash drill-down "
+    "(queries.sql:42; CounterID filter dropped — it is independent of URLHash "
+    "in the synthetic derivation and would starve the result)",
+)
+def hits_q42(spark, sf_dir):
+    return (
+        hits_view(spark, sf_dir)
+        .filter(
+            (F.col("EventDate") >= F.lit("2024-01-05").cast("date"))
+            & (F.col("EventDate") <= F.lit("2024-01-12").cast("date"))
+        )
+        .filter(
+            (F.col("Refresh") == 0)
+            & (F.col("DontCountHits") == 0)
+            & (F.col("URLHash") == 4112119562)
+        )
+        .groupBy("WindowClientWidth", "WindowClientHeight")
+        .agg(F.count(F.lit(1)).alias("PageViews"))
+        .orderBy(F.desc("PageViews"), "WindowClientWidth", "WindowClientHeight")
+        .limit(10000)
     )
