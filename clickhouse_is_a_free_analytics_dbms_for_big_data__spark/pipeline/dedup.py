@@ -35,11 +35,82 @@ from ..functions._util import let_ as _let
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Hash-repartition to full parallelism before a compute-heavy
-    per-row expression.  Small inputs land in one scan partition, which
-    would serialize the work; at real scale this is a no-op-sized
-    shuffle of narrow rows."""
+    per-row expression — but ONLY when the input arrives with fewer
+    partitions than cores (a small local file lands in one scan
+    partition, serializing the work).  A 100 TB input already has
+    thousands of scan partitions, so this is a no-op there and the raw
+    text never takes a gratuitous full shuffle."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, key)
+
+
+def _banded_candidates(
+    banded: DataFrame,
+    keys: Sequence[str],
+    carry: Sequence[str] = (),
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Candidate pairs from same-bucket membership, skew-bounded.
+
+    Buckets with <= ``max_bucket`` members take the all-pairs self-join
+    (O(n^2) inside the bucket).  Oversized buckets — the mass-duplicated
+    boilerplate case that is the norm in web corpora — would blow up
+    quadratically (10M copies = one bucket = 5*10^13 pairs), so they
+    switch to a linear *star*: every member pairs with the bucket's
+    min-id representative.  For exact/near-identical clusters (what a
+    giant bucket is) the star loses nothing after transitive closure via
+    dedup_keep_representative; no candidates are silently dropped —
+    the cap only linearizes, it never truncates membership.
+
+    ``carry`` columns ride along as <name>_a / <name>_b for the verify
+    step.  Returns distinct (id_a < id_b [, carries]).
+    """
+    keys = list(keys)
+    counts = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    sized = banded.join(counts, keys)
+    small = sized.filter(F.col("__n") <= max_bucket)
+    big = sized.filter(F.col("__n") > max_bucket)
+
+    def _sel(l_id, r_id, l_pre, r_pre):
+        cols = [l_id.alias("id_a"), r_id.alias("id_b")]
+        for c in carry:
+            cols.append(l_pre(c).alias(f"{c}_a"))
+            cols.append(r_pre(c).alias(f"{c}_b"))
+        return cols
+
+    l, r = small.alias("l"), small.alias("r")
+    on = (F.col("l.id") < F.col("r.id"))
+    for k in keys:
+        on = on & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    pairs_small = l.join(r, on).select(
+        *_sel(
+            F.col("l.id"),
+            F.col("r.id"),
+            lambda c: F.col(f"l.{c}"),
+            lambda c: F.col(f"r.{c}"),
+        )
+    )
+
+    # star path: min(struct(id, carries)) picks the representative and
+    # its carried columns in one aggregate (struct min orders by id)
+    rep = big.groupBy(*keys).agg(
+        F.min(F.struct("id", *carry)).alias("__rep")
+    )
+    pairs_big = (
+        big.join(rep, keys)
+        .filter(F.col("id") != F.col("__rep.id"))
+        .select(
+            *_sel(
+                F.col("__rep.id"),
+                F.col("id"),
+                lambda c: F.col(f"__rep.{c}"),
+                lambda c: F.col(c),
+            )
+        )
+    )
+    return pairs_small.unionByName(pairs_big).dropDuplicates(["id_a", "id_b"])
 
 
 # --- exact ------------------------------------------------------------------
@@ -117,6 +188,7 @@ def minhash_dedup_pairs(
     bands: int = 8,
     k_shingle: int = 5,
     threshold: float = 0.7,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) via MinHash LSH banding with
     exact-Jaccard verification.
@@ -125,7 +197,9 @@ def minhash_dedup_pairs(
     -> within-bucket self-join on longs only -> distinct candidate id
     pairs -> join token arrays back for the Jaccard verify.  Token
     arrays never ride through the banding shuffle and the O(bands)
-    fan-out; no global cross join at any point.
+    fan-out; no global cross join at any point.  Buckets larger than
+    ``max_bucket`` (mass-duplicated docs) take the linear star path in
+    _banded_candidates instead of the quadratic self-join.
     """
     rows = n_hashes // bands
     sig = minhash_signature(F.col(text_col), n_hashes, k_shingle)
@@ -144,18 +218,7 @@ def minhash_dedup_pairs(
         .select("id", "bb.band", "bb.bucket")
         .cache()
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
+    cand = _banded_candidates(banded, ("band", "bucket"), max_bucket=max_bucket)
     # same reasoning: tokens are re-read for both sides of the verify join
     toks = spread.select(
         F.col(id_col).alias("tid"), tokens(F.col(text_col)).alias("toks")
@@ -261,12 +324,15 @@ def simhash_dedup_pairs(
     text_col: str,
     max_hamming: int = 6,
     n_chunks: int = 8,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the hash into ``n_chunks``
     bit-chunks; by pigeonhole any pair with hamming < n_chunks shares
     at least one exact chunk (8 chunks of 8 bits covers hamming<=7
     deterministically, more probabilistically); verify with the full
-    hamming distance."""
+    hamming distance.  Chunk buckets above ``max_bucket`` take the
+    linear star path (see _banded_candidates) instead of the quadratic
+    self-join."""
     width = 63 // n_chunks + (1 if 63 % n_chunks else 0)
     # ONE expression computes the bits (let-bound), the packed hash and
     # every chunk bucket; explode fans out without re-evaluating it (a
@@ -297,20 +363,15 @@ def simhash_dedup_pairs(
         .select("id", "sh", "bb.chunk", "bb.bucket")
         .cache()
     )
-    l, r = banded.alias("l"), banded.alias("r")
     return (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
+        _banded_candidates(
+            banded, ("chunk", "bucket"), carry=("sh",), max_bucket=max_bucket
         )
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            _hamming64(F.col("l.sh"), F.col("r.sh")).alias("hamming"),
+            "id_a",
+            "id_b",
+            _hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -72,10 +72,86 @@ def topk_brute(
     )
 
 
+def _centroid_df(df: DataFrame, centroids: Sequence[Sequence[float]]) -> DataFrame:
+    """Tiny (cluster id, vector) table — the broadcast side of
+    assignment joins.  k x dim doubles, kilobytes even at k=256/d=768."""
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "__cid INT, __cvec ARRAY<DOUBLE>",
+    )
+
+
+def _assign_join(
+    df: DataFrame, vec_col: str, id_col: str, centroids: Sequence[Sequence[float]]
+) -> DataFrame:
+    """(id, __cluster) via a broadcast nested-loop join against the
+    centroid table + map-side-combining argmax.  Plan size is O(1) in
+    k and dim (no literals); the k-way fan-out collapses in the partial
+    aggregate before the (id, cluster) pairs shuffle."""
+    cent = _centroid_df(df, centroids)
+    scored = (
+        df.select(id_col, vec_col)
+        .join(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            F.col("__cid"),
+            cosine(F.col(vec_col), F.col("__cvec")).alias("__s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("__s"), F.col("__cid"))).getField("__cid").alias("__cluster")
+    )
+
+
+def _assign_numpy(
+    df: DataFrame, vec_col: str, centroids: Sequence[Sequence[float]]
+) -> DataFrame:
+    """All original columns + __cluster via Arrow-batched mapInPandas:
+    one normalized matmul argmax per batch (BLAS), centroid matrix
+    shipped once per task — zero shuffles, the Spark-ML-KMeans shape
+    and the scale path for dim x k beyond expression-friendly sizes."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    CnT = Cn.T.copy()
+    schema = StructType(df.schema.fields[:]).add("__cluster", IntegerType())
+    cols = [f.name for f in df.schema.fields]
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf["__cluster"] = []
+                yield pdf[cols + ["__cluster"]]
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            pdf = pdf.copy()
+            pdf["__cluster"] = (Vn @ CnT).argmax(axis=1).astype("int32")
+            yield pdf[cols + ["__cluster"]]
+
+    return df.mapInPandas(fn, schema)
+
+
 @dataclass
 class IvfIndex:
     """Inverted-file ANN index: rows carry a cluster id; queries scan
-    only the n_probe nearest clusters."""
+    only the n_probe nearest clusters.
+
+    Assignment never inlines centroid literals into the plan (the
+    round-1 design collapsed at dim>=256/k>=64 — ~200k literals and a
+    codegen blowup).  Two plan-size-O(1) paths instead:
+
+    - join: broadcast centroid table + argmax aggregate (pure SQL ops,
+      no Python) — used for the Lloyd training iterations, whose input
+      is the capped training sample;
+    - numpy: Arrow-batched mapInPandas matmul argmax, zero shuffles —
+      used to label the full corpus, exactly how a 1000-executor
+      cluster should stamp 100 TB (each task: one BLAS call per batch).
+      Falls back to the join path if numpy is unavailable.
+    """
 
     indexed: DataFrame        # original columns + __cluster
     centroids: list[list[float]]
@@ -89,7 +165,17 @@ class IvfIndex:
         id_col: str,
         n_clusters: int = 16,
         iters: int = 2,
+        train_cap: int = 100_000,
+        use_numpy: bool | None = None,
     ) -> "IvfIndex":
+        if use_numpy is None:
+            try:
+                import numpy  # noqa: F401
+
+                use_numpy = True
+            except ImportError:
+                use_numpy = False
+
         # Deterministic seed centroids: hash-sample n_clusters rows.
         # (xxhash64 of the id — no RNG, reproducible across runs.)
         seed_rows = (
@@ -100,30 +186,42 @@ class IvfIndex:
         )
         centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
 
-        for _ in range(iters):
-            assigned = df.select(
-                F.col(vec_col),
-                _nearest_centroid(F.col(vec_col), centroids).alias("__cluster"),
-            )
-            # distributed mean per cluster; only k x dim floats collected
-            dim = len(centroids[0])
-            sums = assigned.groupBy("__cluster").agg(
-                *[
-                    F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
-                    for i in range(dim)
-                ],
-                F.count(F.lit(1)).alias("n"),
-            )
-            rows = sums.collect()
-            new = list(centroids)
-            for r in rows:
-                c = r["__cluster"]
-                new[c] = [r[f"s{i}"] / r["n"] for i in range(dim)]
-            centroids = new
-
-        indexed = df.withColumn(
-            "__cluster", _nearest_centroid(F.col(vec_col), centroids)
+        # Lloyd refinement on a deterministic hash-sampled cap — k-means
+        # quality saturates far below full-corpus size, and the cap
+        # bounds training cost independent of data scale (TakeOrdered
+        # top-k per partition, no full sort).
+        train = (
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .orderBy(F.xxhash64(F.col(id_col)))
+            .limit(train_cap)
+            .cache()
         )
+        for _ in range(iters):
+            asg = _assign_join(train, "v", "id", centroids)
+            # array-native centroid update: ONE aggregate over
+            # (cluster, position) — plan size independent of dim;
+            # k x dim (cluster, pos, sum) triples come back to the driver
+            sums = (
+                train.join(asg, "id")
+                .select("__cluster", F.posexplode("v"))
+                .groupBy("__cluster", "pos")
+                .agg(
+                    F.sum(F.col("col").cast("double")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            new = [list(c) for c in centroids]
+            for r in sums:
+                new[r["__cluster"]][r["pos"]] = r["s"] / r["n"]
+            centroids = new
+        train.unpersist()
+
+        if use_numpy:
+            indexed = _assign_numpy(df, vec_col, centroids)
+        else:
+            asg = _assign_join(df, vec_col, id_col, centroids)
+            indexed = df.join(asg, id_col)
         return IvfIndex(indexed, centroids, vec_col, id_col)
 
     def search(
@@ -144,19 +242,3 @@ class IvfIndex:
         probe = ranked[:n_probe]
         candidates = self.indexed.filter(F.col("__cluster").isin(probe))
         return topk_brute(candidates, self.vec_col, query, k, self.id_col)
-
-
-def _nearest_centroid(
-    vec: Column, centroids: Sequence[Sequence[float]]
-) -> Column:
-    """argmax cosine over centroid literals — one expression, no UDF."""
-    pairs = F.array(
-        *[
-            F.struct(
-                cosine(vec, _lit_vec(c)).alias("s"),
-                F.lit(i).alias("c"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.array_max(pairs).getField("c")

@@ -171,3 +171,92 @@ def test_language_id_on_real_stopwords(spark):
         ).collect()
     }
     assert out == {1: "en", 2: "de", 3: "unknown"}
+
+
+def test_minhash_skew_star_path(spark):
+    """A mass-duplicated cluster (one giant LSH bucket) must complete
+    with linear — not quadratic — pair count, and dedup must still
+    collapse the cluster to one representative."""
+    rng = random.Random(11)
+    boiler = _doc(rng, 80)
+    rows = [(i, boiler) for i in range(300)]  # 300 identical copies
+    rows += [(1000 + i, _doc(rng, 80)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    pairs = D.minhash_dedup_pairs(
+        df, "doc_id", "text", n_hashes=16, bands=4, max_bucket=50
+    )
+    got = pairs.collect()
+    # star path: 299 pairs (each copy -> min id 0), not C(300,2)=44850
+    assert len(got) < 2 * 300
+    assert all(p["id_a"] == 0 for p in got if p["id_b"] < 1000)
+    kept = D.dedup_keep_representative(df, pairs, "doc_id")
+    assert kept.filter(F.col("doc_id") < 1000).count() == 1
+
+
+def test_simhash_skew_star_path(spark):
+    rng = random.Random(12)
+    boiler = _doc(rng, 80)
+    rows = [(i, boiler) for i in range(200)]
+    rows += [(1000 + i, _doc(rng, 80)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    pairs = D.simhash_dedup_pairs(
+        df, "doc_id", "text", max_hamming=3, max_bucket=40
+    ).collect()
+    assert 0 < len(pairs) < 2 * 200
+    assert all(p["hamming"] == 0 for p in pairs if p["id_b"] < 1000)
+    ids_b = {p["id_b"] for p in pairs if p["id_b"] < 1000}
+    assert ids_b == set(range(1, 200))  # every copy linked to rep 0
+
+
+def test_minhash_cap_matches_uncapped_on_small_corpus(spark):
+    """Where no bucket exceeds the cap, capped and uncapped plans must
+    emit identical pairs."""
+    df, _expected = _corpus_with_dups(spark)
+    a = sorted(
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_dedup_pairs(df, "doc_id", "text", max_bucket=256).collect()
+    )
+    b = sorted(
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_dedup_pairs(
+            df, "doc_id", "text", max_bucket=10**9
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_ivf_high_dim_real_scale_shape(spark):
+    """dim=256, k=64 — the sizes the round-1 literal-expression design
+    could not plan.  Plan must contain no per-dimension columns; recall
+    vs brute force must be reasonable; join and numpy assignment paths
+    must agree on cluster geometry."""
+    rng = random.Random(9)
+    dim, k = 256, 64
+    # clustered data: 32 gaussian blobs
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(32)]
+    rows = []
+    for i in range(2000):
+        c = centers[i % 32]
+        rows.append((i, [float(x + rng.gauss(0, 0.05)) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x + rng.gauss(0, 0.05)) for x in centers[3]]
+
+    idx = SIM.IvfIndex.build(
+        df, "embedding", "vec_id", n_clusters=k, iters=2, use_numpy=True
+    )
+    # plan free of per-dimension columns: no s0..s255 aggregate names
+    plan = idx.indexed._jdf.queryExecution().simpleString()
+    assert "s17" not in plan and "s255" not in plan
+
+    brute = [r["vec_id"] for r in SIM.topk_brute(df, "embedding", q, 10).collect()]
+    ann = [r["vec_id"] for r in idx.search(q, k=10, n_probe=8).collect()]
+    assert len(set(brute) & set(ann)) >= 8
+
+    # join-path assignment agrees with numpy path
+    idx2 = SIM.IvfIndex.build(
+        df, "embedding", "vec_id", n_clusters=k, iters=2, use_numpy=False
+    )
+    a = {r["vec_id"]: r["__cluster"] for r in idx.indexed.select("vec_id", "__cluster").collect()}
+    b = {r["vec_id"]: r["__cluster"] for r in idx2.indexed.select("vec_id", "__cluster").collect()}
+    agree = sum(1 for i in a if a[i] == b.get(i)) / len(a)
+    assert agree > 0.99
