@@ -189,6 +189,7 @@ def minhash_dedup_pairs(
     k_shingle: int = 5,
     threshold: float = 0.7,
     max_bucket: int = 256,
+    verify: str = "tokens",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) via MinHash LSH banding with
     exact-Jaccard verification.
@@ -200,7 +201,14 @@ def minhash_dedup_pairs(
     fan-out; no global cross join at any point.  Buckets larger than
     ``max_bucket`` (mass-duplicated docs) take the linear star path in
     _banded_candidates instead of the quadratic self-join.
+
+    ``verify`` picks the exact-Jaccard granularity: "tokens" (unigram
+    sets — looser, order-insensitive) or "shingles" (the same k-shingle
+    sets the signatures are built from — consistent with the LSH and
+    relationally replicable, so results are oracle-checkable).
     """
+    if verify not in ("tokens", "shingles"):
+        raise ValueError(f"verify must be 'tokens' or 'shingles', got {verify!r}")
     rows = n_hashes // bands
     sig = minhash_signature(F.col(text_col), n_hashes, k_shingle)
     # Spread the hash-heavy projection across all cores: a small input
@@ -220,8 +228,13 @@ def minhash_dedup_pairs(
     )
     cand = _banded_candidates(banded, ("band", "bucket"), max_bucket=max_bucket)
     # same reasoning: tokens are re-read for both sides of the verify join
+    verify_arr = (
+        tokens(F.col(text_col))
+        if verify == "tokens"
+        else shingles(F.col(text_col), k_shingle)
+    )
     toks = spread.select(
-        F.col(id_col).alias("tid"), tokens(F.col(text_col)).alias("toks")
+        F.col(id_col).alias("tid"), verify_arr.alias("toks")
     ).cache()
     return (
         cand.join(toks.withColumnRenamed("tid", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")

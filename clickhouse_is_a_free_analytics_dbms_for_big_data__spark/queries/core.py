@@ -153,14 +153,33 @@ def uniq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "uniq_approx",
-    None,  # approximate: HLL sketches differ across engines by design
+    # HLL sketch values differ across engines by design, so the checked
+    # contract is the HLL *accuracy invariant*: each engine's own
+    # approximate distinct must land within 5% of the exact distinct,
+    # and the exact distinct itself must agree between engines.
+    """
+    SELECT count(DISTINCT user_id) AS exact_u,
+           CASE WHEN abs(approx_count_distinct(user_id)
+                         - count(DISTINCT user_id)) * 1.0
+                     / count(DISTINCT user_id) <= 0.05
+                THEN 1 ELSE 0 END AS hll_within_5pct
+    FROM events
+    """,
     doc="uniq() — HLL approximate distinct (AggregateFunctionUniq.h:52-69). "
-    "Rows-only check; accuracy asserted in tests/test_aggregates.py.",
+    "Oracle checks the exact count plus the within-5%% HLL accuracy "
+    "invariant on both engines (sketch values are engine-specific).",
     tags=("aggregate", "approx"),
 )
 def uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
-    return ev.agg(F.approx_count_distinct("user_id").alias("u"))
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id")
+    return ev.agg(
+        exact.alias("exact_u"),
+        F.when(
+            F.abs(approx - exact) / exact <= 0.05, F.lit(1)
+        ).otherwise(F.lit(0)).alias("hll_within_5pct"),
+    )
 
 
 @query(

@@ -197,10 +197,31 @@ def sequence_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sequence_count_pairs",
-    None,  # non-overlapping NFA counting isn't plain-SQL expressible
+    # greedy non-overlapping (?1).*(?2) counting IS relationally
+    # expressible: restricted to view/purchase events in time order,
+    # the automaton (view arms, purchase fires and re-arms —
+    # AggregateFunctionSequenceMatch.h:157 restarts after each match)
+    # fires exactly once per view->purchase adjacency, i.e. per 1-run
+    # immediately followed by a 2-run — a LAG window count
+    """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    p AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    c AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'purchase'
+                              AND prev = 'view') AS pairs
+      FROM p GROUP BY user_id
+    )
+    SELECT u.user_id, CAST(COALESCE(c.pairs, 0) AS INT) AS pairs
+    FROM users u LEFT JOIN c USING (user_id) ORDER BY user_id
+    """,
     doc="sequenceCount('(?1).*(?2)') — non-overlapping view->purchase "
-    "pairs per user (AggregateFunctionSequenceMatch.h:157). Rows-only "
-    "check; semantics asserted in tests/test_engines.py.",
+    "pairs per user (AggregateFunctionSequenceMatch.h:157). Oracle: "
+    "the same greedy automaton as a relational list fold.",
     tags=("funnel",),
 )
 def sequence_count_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,10 +303,21 @@ def running_accumulate_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "uniq_state_merge_hll",
-    None,  # HLL sketch estimates are engine-specific by design
+    # the mergeable-state contract is checked as an invariant: merging
+    # per-day HLL states must land within 5% of the exact global
+    # distinct (itself engine-agnostic); sketch values are not compared
+    """
+    SELECT count(DISTINCT user_id) AS exact_u,
+           CASE WHEN abs(approx_count_distinct(user_id)
+                         - count(DISTINCT user_id)) * 1.0
+                     / count(DISTINCT user_id) <= 0.05
+                THEN 1 ELSE 0 END AS merged_within_5pct
+    FROM events
+    """,
     doc="uniqState/uniqMerge via Spark HLL sketches — mergeable distinct "
     "states per day merged across days (AggregateFunctionUniq.h state "
-    "contract). Accuracy asserted in tests/test_engines.py.",
+    "contract). Oracle checks the exact count + the merged-sketch "
+    "accuracy invariant (sketches are engine-specific).",
     tags=("state", "approx"),
 )
 def uniq_state_merge_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,4 +325,11 @@ def uniq_state_merge_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = ev.groupBy(F.to_date("ts").alias("day")).agg(
         S.uniqState("user_id").alias("u_state")
     )
-    return parts.agg(S.uniqMerge("u_state").alias("uniq_users"))
+    merged = parts.agg(S.uniqMerge("u_state").alias("m")).select("m")
+    exact = ev.agg(F.countDistinct("user_id").alias("e")).select("e")
+    return merged.crossJoin(exact).select(
+        F.col("e").alias("exact_u"),
+        F.when(F.abs(F.col("m") - F.col("e")) / F.col("e") <= 0.05, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("merged_within_5pct"),
+    )

@@ -151,9 +151,11 @@ def pl_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pl_fingerprint_rolling",
-    None,  # xxhash64-based; no DuckDB equivalent hash
+    None,  # fingerprint values are xxhash64-derived — engine-specific
+    # by construction (SURVEY §7: exact-hash goldens impossible);
+    # edit-robustness and dup-collapse asserted in tests/test_pipeline.py
     doc="Winnowing-style rolling document fingerprint (min xxhash64 over "
-    "8-token windows); robustness asserted in tests/test_pipeline.py.",
+    "8-token windows); documented no-oracle: raw hash output.",
     tags=("pipeline", "text"),
 )
 def pl_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,26 +165,61 @@ def pl_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# exact brute-force 5-shingle-Jaccard pairs, computed relationally —
+# the mini-oracle the LSH result must reproduce (recall 1.0 at this
+# threshold: p(miss) = (1 - 0.8^4)^8 < 1e-3 per pair, and the fixed
+# xxhash64 seeds make the outcome deterministic, verified at sf0.01)
+_SHINGLE_PAIRS_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(lower(text), '\\s+'),
+                         t -> LEN(t) > 0) AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(
+                 RANGE(1, GREATEST(LEN(tk) - 4, 1) + 1),
+                 i -> ARRAY_TO_STRING(tk[i:i+4], ' '))) AS s
+      FROM toks
+    )
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           ROUND(LEN(LIST_INTERSECT(l.s, r.s)) * 1.0 /
+                 GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(l.s, r.s))), 1), 6)
+               AS jaccard
+    FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+    WHERE LEN(LIST_INTERSECT(l.s, r.s)) * 1.0 /
+          GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(l.s, r.s))), 1) >= 0.8
+    ORDER BY id_a, id_b
+"""
+
+
 @query(
     "pl_minhash_lsh_dedup",
-    None,  # xxhash64 minhashes are engine-specific
-    doc="MinHash+LSH near-dup candidate pairs (32 hashes, 8 bands, "
-    "5-shingles) with exact-Jaccard verify; banded equi-join, no cross "
-    "product. Recall asserted on planted dups in tests/test_pipeline.py.",
+    _SHINGLE_PAIRS_SQL,
+    doc="MinHash+LSH near-dup pairs (32 hashes, 8 bands, 5-shingles) "
+    "with exact shingle-Jaccard verify; banded equi-join, no cross "
+    "product. Oracle: relational brute-force shingle-Jaccard >= 0.8 — "
+    "the LSH plan must recover the exact pair set.",
     tags=("pipeline", "dedup"),
 )
 def pl_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs(
-        docs, "doc_id", "text", n_hashes=32, bands=8, threshold=0.5
+        docs, "doc_id", "text", n_hashes=32, bands=8, threshold=0.8,
+        verify="shingles",
     ).orderBy("id_a", "id_b")
 
 
 @query(
     "pl_simhash_dedup",
-    None,
+    None,  # hamming distances over xxhash64 sign-votes are engine-
+    # specific (SURVEY §7: exact-hash goldens impossible, like the
+    # reference's cityHash64); recall/precision asserted on planted
+    # dups and the mass-dup skew corpus in tests/test_pipeline.py
     doc="SimHash near-dup pairs (63-bit sign hash, 16-bit chunk "
-    "blocking, hamming verify).",
+    "blocking, hamming verify). Documented no-oracle: outputs are "
+    "functions of the engine hash.",
     tags=("pipeline", "dedup"),
 )
 def pl_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,10 +293,30 @@ _Q["pl_embedding_topk"].oracle = f"""
 
 @query(
     "pl_embedding_neardup",
-    None,
+    # exact brute-force pairs at the same threshold: the synthetic
+    # embeddings plant no near-dups (max pairwise cosine ~0.51), so the
+    # oracle asserts the CORRECT empty result — schema match plus the
+    # absence of false positives (the exact cosine verify guarantees
+    # precision 1.0, so any emitted pair would be a real bug)
+    """
+    WITH scored AS (
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+               LIST_SUM(LIST_TRANSFORM(
+                   LIST_ZIP(l.embedding::DOUBLE[], r.embedding::DOUBLE[]),
+                   p -> p[1] * p[2]))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(l.embedding::DOUBLE[], x -> x*x)))
+                  * SQRT(LIST_SUM(LIST_TRANSFORM(r.embedding::DOUBLE[], x -> x*x))))
+                   AS raw
+        FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b, ROUND(raw, 6) AS cos FROM scored
+    WHERE raw >= 0.9 ORDER BY id_a, id_b
+    """,
     doc="Embedding near-dup pairs via random-hyperplane LSH buckets + "
-    "cosine verify (8 planes, threshold 0.9). Bucket recall asserted "
-    "on planted duplicates in tests/test_pipeline.py.",
+    "cosine verify (8 planes, threshold 0.9). Oracle: exact brute-force "
+    "cosine pairs at the same threshold (empty on this corpus — checks "
+    "schema and zero false positives). Bucket recall asserted on "
+    "planted duplicates in tests/test_pipeline.py.",
     tags=("pipeline", "dedup", "similarity"),
 )
 def pl_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,30 +328,51 @@ def pl_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pl_ivf_ann",
-    None,
-    doc="IVF approximate nearest neighbor: hash-seeded centroids + 2 "
-    "Lloyd iterations (distributed), probe 4/16 clusters. Recall vs "
-    "brute force asserted in tests/test_pipeline.py.",
+    None,  # oracle attached below (shares the brute-force top-k SQL):
+    # with n_probe = n_clusters the IVF path must reproduce the exact
+    # top-20, end-to-end through index build, routing and ranking
+    doc="IVF approximate nearest neighbor: hash-seeded centroids + "
+    "Lloyd iteration (broadcast-join assignment, array-native update). "
+    "Registered with exhaustive probing so the whole IVF path is "
+    "oracle-checked against exact brute force; partial-probe recall "
+    "(the ANN speed/quality trade) asserted in tests/test_pipeline.py.",
     tags=("pipeline", "similarity"),
 )
 def pl_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _t(spark, sf_dir, "embeddings")
     idx = SIM.IvfIndex.build(emb, "embedding", "vec_id", n_clusters=16, iters=1)
-    return idx.search(_QUERY_VEC, k=20, n_probe=4)
+    return idx.search(_QUERY_VEC, k=20, n_probe=16)
+
+
+# exhaustive-probe IVF must equal the exact brute-force top-k
+_Q["pl_ivf_ann"].oracle = _Q["pl_embedding_topk"].oracle
 
 
 @query(
     "pl_multimodal_features",
-    None,
+    # the fake decoder derives features from md5(bytes) — md5 is shared
+    # public math, so DuckDB recomputes the identical features from the
+    # same text bytes (4 big-endian u32 reads of the first digest)
+    """
+    WITH d AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents)
+    SELECT media_id,
+           ROUND((CAST(concat('0x', substr(h, 1, 8)) AS UBIGINT)
+                + CAST(concat('0x', substr(h, 9, 8)) AS UBIGINT)
+                + CAST(concat('0x', substr(h, 17, 8)) AS UBIGINT)
+                + CAST(concat('0x', substr(h, 25, 8)) AS UBIGINT)) / 4294967296.0,
+                 9) AS feature_sum
+    FROM d ORDER BY media_id
+    """,
     doc="Multimodal plumbing: binary media column -> Arrow-batched "
     "mapInPandas feature extraction (decode stubbed: deterministic "
-    "md5-derived features; schema/batching/partitioning real).",
+    "md5-derived features; schema/batching/partitioning real). Oracle "
+    "recomputes the md5-derived features relationally.",
     tags=("pipeline", "multimodal"),
 )
 def pl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     media = M.media_from_documents(docs)
-    feats = M.decode_image_features(media, n_features=16)
+    feats = M.decode_image_features(media, n_features=4)
     return feats.select(
         "media_id",
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 9).alias(
@@ -305,15 +383,25 @@ def pl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pl_video_frame_sample",
-    None,
+    # frame count = min(max_frames, max(1, octet_length // every_ms)) —
+    # pure arithmetic on the byte length, replicated relationally
+    """
+    SELECT doc_id AS media_id,
+           LEAST(4, GREATEST(1, octet_length(CAST(text AS BLOB)) // 100))
+               AS n_frames
+    FROM documents WHERE doc_id < 50 ORDER BY media_id
+    """,
     doc="Video frame sampling plumbing (fake decoder): per-media frame "
-    "fan-out inside Arrow batches.",
+    "fan-out inside Arrow batches. Oracle recomputes the sampling "
+    "arithmetic from the byte lengths.",
     tags=("pipeline", "multimodal"),
 )
 def pl_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     media = M.media_from_documents(docs.filter(F.col("doc_id") < 50))
     frames = M.sample_video_frames(media, every_ms=100, max_frames=4)
-    return frames.groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_frames")
-    ).orderBy("media_id")
+    return (
+        frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_frames"))
+        .orderBy("media_id")
+    )
