@@ -468,6 +468,10 @@ PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     "quantileTiming": _p_quantile(exact=False),
     "quantileTDigest": _p_quantile(exact=False),
     "quantileExact": _p_quantile(exact=True),
+    # weighted: percentile(x, p, frequency) — each value counts w times
+    "quantileExactWeighted": lambda p, a: (
+        f"percentile({a[0]}, {p[0] if p else '0.5'}, CAST({a[1]} AS BIGINT))"
+    ),
     "quantiles": _p_quantiles(exact=False),
     "quantilesExact": _p_quantiles(exact=True),
     "quantilesTiming": _p_quantiles(exact=False),

@@ -29,6 +29,9 @@ __all__ = [
     "quantileTiming", "quantileTDigest", "median", "varPop", "varSamp",
     "stddevPop", "stddevSamp", "covarPop", "covarSamp", "corr_",
     "agg_if", "sum_array", "avg_array", "count_array", "sumMap",
+    "quantileDeterministic", "quantileExactWeighted",
+    "sumForEach", "minForEach", "maxForEach", "avgForEach",
+    "countForEach", "for_each",
 ]
 
 
@@ -154,8 +157,90 @@ def quantileTDigest(x, level: float = 0.5) -> Column:
     return F.percentile_approx(col_of(x), level, 100)
 
 
+def quantileDeterministic(x, determinator=None, level: float = 0.5) -> Column:
+    """quantileDeterministic(x, determinator) — the reference seeds its
+    reservoir sampler from ``determinator`` so repeated runs agree
+    (AggregateFunctionQuantileExact.h family / ReservoirSamplerDeterministic).
+    Here the quantile is computed EXACTLY, which is deterministic by
+    construction — a strict superset of the reference's guarantee — so
+    the determinator only documents intent."""
+    return F.percentile(col_of(x), level)
+
+
+def quantileExactWeighted(x, weight, level: float = 0.5) -> Column:
+    """quantileExactWeighted(x, w): exact quantile where each value
+    counts ``w`` times (AggregateFunctionQuantileExactWeighted.h) —
+    Spark's percentile(expr, pct, frequency) implements precisely this
+    weighted form (frequency must be a positive integral column)."""
+    return F.percentile(col_of(x), level, col_of(weight).cast("long"))
+
+
 def median(x) -> Column:
     return quantile(x, 0.5)
+
+
+# ---- -ForEach combinator ----------------------------------------------------
+# Reference: AggregateFunctions/AggregateFunctionForEach.h (factory
+# registration AggregateFunctionFactory.cpp:51-55): agg applied
+# per array index across rows; result length = longest input array,
+# missing trailing values behave as absent (null-skipped).
+
+
+def _for_each(arrays: Column, merge) -> Column:
+    """Elementwise fold over collected arrays: zip_with pads the
+    shorter side with NULL, so ``merge`` sees null for absent values.
+    The collect_list holds one group's arrays transiently — fine for
+    the reference's use (small per-group maps); for huge groups prefer
+    the relational posexplode+groupBy(pos) form."""
+    return F.aggregate(
+        F.collect_list(arrays),
+        F.array().cast("array<double>"),
+        lambda acc, arr: F.zip_with(acc, arr.cast("array<double>"), merge),
+    )
+
+
+def sumForEach(arr) -> Column:
+    return _for_each(
+        col_of(arr), lambda a, b: F.coalesce(a, F.lit(0.0)) + F.coalesce(b, F.lit(0.0))
+    )
+
+
+def minForEach(arr) -> Column:
+    return _for_each(col_of(arr), lambda a, b: F.least(a, b))
+
+
+def maxForEach(arr) -> Column:
+    return _for_each(col_of(arr), lambda a, b: F.greatest(a, b))
+
+
+def countForEach(arr) -> Column:
+    return _for_each(
+        col_of(arr),
+        lambda a, b: F.coalesce(a, F.lit(0.0))
+        + F.when(b.isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+
+
+def avgForEach(arr) -> Column:
+    return F.zip_with(
+        sumForEach(arr), countForEach(arr), lambda s, c: s / c
+    )
+
+
+_FOR_EACH = {
+    "sum": sumForEach, "min": minForEach, "max": maxForEach,
+    "avg": avgForEach, "count": countForEach,
+}
+
+
+def for_each(agg_name: str, arr) -> Column:
+    """Dispatch `<agg>ForEach` by name (the factory-combinator form)."""
+    try:
+        return _FOR_EACH[agg_name](arr)
+    except KeyError:
+        raise ValueError(
+            f"-ForEach supports {sorted(_FOR_EACH)}, got {agg_name!r}"
+        ) from None
 
 
 def varPop(x) -> Column:

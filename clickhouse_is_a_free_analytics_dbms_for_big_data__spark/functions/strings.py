@@ -25,6 +25,7 @@ __all__ = [
     "replaceRegexpOne", "replaceRegexpAll",
     "splitByChar", "splitByString", "alphaTokens", "extractAll",
     "arrayStringConcat", "startsWith", "endsWith", "trimBoth",
+    "convertCharset",
 ]
 
 
@@ -192,3 +193,25 @@ def endsWith(s, suffix) -> Column:
 
 def trimBoth(s) -> Column:
     return F.trim(col_of(s))
+
+
+_CHARSETS = {"utf-8", "utf8", "us-ascii", "ascii", "iso-8859-1", "latin1",
+             "utf-16", "utf-16be", "utf-16le"}
+
+
+def convertCharset(x, from_charset: str, to_charset: str) -> Column:
+    """convertCharset(s, from, to) (Functions/FunctionsCharset.cpp,
+    ICU-backed in the reference): reinterpret the byte string from one
+    charset and re-encode into another.  Spark strings are UTF-8, so
+    the byte round trip is decode(from) -> encode(to); only the JVM
+    built-in charsets are supported (the reference supports every ICU
+    charset — out of scope here, raise instead of silently differing)."""
+    f, t = from_charset.lower(), to_charset.lower()
+    if f not in _CHARSETS or t not in _CHARSETS:
+        raise ValueError(
+            f"convertCharset supports {sorted(_CHARSETS)}; got {from_charset!r} -> {to_charset!r}"
+        )
+    norm = {"utf8": "UTF-8", "ascii": "US-ASCII", "latin1": "ISO-8859-1"}
+    f_cs = norm.get(f, f.upper())
+    t_cs = norm.get(t, t.upper())
+    return F.encode(F.decode(col_of(x).cast("binary"), f_cs), t_cs)

@@ -63,3 +63,13 @@ def row_number_in_all_blocks(
 def block_number(df: DataFrame, out: str = "block_number") -> DataFrame:
     """Partition id — the closest Spark analog of a block id."""
     return df.withColumn(out, F.spark_partition_id())
+
+
+def row_number_in_block(df: DataFrame, out: str = "row_number_in_block") -> DataFrame:
+    """rowNumberInBlock (FunctionsMiscellaneous.cpp): 0-based row index
+    within the current block.  monotonically_increasing_id packs
+    (partition_id << 33) | row_in_partition, so the low 33 bits are
+    exactly the within-partition row number — no window, no shuffle."""
+    return df.withColumn(
+        out, F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    )

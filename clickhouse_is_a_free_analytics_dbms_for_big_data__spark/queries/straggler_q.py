@@ -128,3 +128,73 @@ def fn_reinterpret_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         reinterpretAsString(code).alias("s"),
         reinterpretAsUInt32(reinterpretAsString(code)).cast("long").alias("back"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "fn_sum_foreach",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+             ([CAST(l_quantity AS BIGINT), CAST(l_linenumber AS BIGINT),
+               CAST(l_partkey % 10 AS BIGINT)])[:(l_linenumber % 3 + 1)] AS arr
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           [SUM(arr[1]) * 1.0, SUM(arr[2]) * 1.0, SUM(arr[3]) * 1.0] AS sums
+    FROM a GROUP BY 1 ORDER BY 1
+    """,
+    doc="sumForEach — the -ForEach combinator "
+    "(AggregateFunctions/AggregateFunctionForEach.h, factory "
+    "AggregateFunctionFactory.cpp:51-55): per-index aggregation across "
+    "variable-length arrays; oracle computes per-index sums with "
+    "NULL-skip on short arrays.",
+    tags=("functions", "aggregate", "combinator"),
+)
+def fn_sum_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.aggregates import sumForEach
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    arr = F.slice(
+        F.array(
+            F.col("l_quantity").cast("long"),
+            F.col("l_linenumber").cast("long"),
+            (F.col("l_partkey") % 10).cast("long"),
+        ),
+        F.lit(1),
+        (F.col("l_linenumber") % 3 + 1).cast("int"),
+    )
+    return (
+        li.select("l_returnflag", arr.alias("arr"))
+        .groupBy("l_returnflag")
+        .agg(sumForEach(F.col("arr")).alias("sums"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "fn_quantile_weighted",
+    """
+    SELECT l_returnflag, quantile_cont(v, 0.5) AS q FROM (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v
+      FROM lineitem, UNNEST(range(CAST(l_linenumber AS BIGINT))) AS t(i)
+    ) GROUP BY 1 ORDER BY 1
+    """,
+    doc="quantileExactWeighted "
+    "(AggregateFunctionQuantileExactWeighted.h): exact weighted median "
+    "via percentile(x, p, frequency); oracle expands each row by its "
+    "weight and takes the continuous quantile.",
+    tags=("functions", "aggregate"),
+)
+def fn_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.aggregates import quantileExactWeighted
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            quantileExactWeighted(
+                F.col("l_quantity").cast("long"), F.col("l_linenumber")
+            ).alias("q")
+        )
+        .orderBy("l_returnflag")
+    )

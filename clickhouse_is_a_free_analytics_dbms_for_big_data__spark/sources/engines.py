@@ -175,6 +175,29 @@ def one(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([(0,)], "dummy TINYINT")
 
 
+def shard_by_hash(
+    spark: SparkSession,
+    table: str,
+    key_value: str,
+    n_shards: int,
+    shard_key: str,
+) -> DataFrame:
+    """shardByHash(cluster, key, db, table) analog
+    (TableFunctions/TableFunctionShardByHash.h): the reference hashes
+    ``key`` to pick ONE shard of the cluster and reads that shard's
+    table.  Spark has no physical shards, so a shard is the hash-slice
+    of rows whose ``shard_key`` lands on the selected index — the same
+    subset a sharded-by-key cluster would hold on that node."""
+    idx_row = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(key_value)), F.lit(n_shards)).alias("i")
+    ).collect()
+    idx = idx_row[0]["i"]
+    df = spark.table(table)
+    return df.filter(
+        F.pmod(F.xxhash64(F.col(shard_key)), F.lit(n_shards)) == F.lit(idx)
+    )
+
+
 def remote(spark: SparkSession, table: str) -> DataFrame:
     """remote()/Distributed (TableFunctionRemote.h, StorageFactory.cpp:436):
     on the reference this ships the query to shards and gathers

@@ -92,3 +92,134 @@ def test_reinterpret_string_no_nul(spark):
     # all 8 bytes nonzero (ADVICE regression: array_position yields 0,
     # not NULL, when no NUL byte exists)
     assert _one(spark, reinterpretAsString(F.lit(0x4141414141414141))) == "AAAAAAAA"
+
+
+def test_for_each_combinator(spark):
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.functions.aggregates import (
+        avgForEach,
+        for_each,
+        maxForEach,
+        minForEach,
+        sumForEach,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [10.0, 20.0, 30.0]), (2, [5.0])],
+        "g INT, a ARRAY<DOUBLE>",
+    )
+    r = {
+        row["g"]: row
+        for row in df.groupBy("g")
+        .agg(
+            sumForEach("a").alias("s"),
+            minForEach("a").alias("mn"),
+            maxForEach("a").alias("mx"),
+            avgForEach("a").alias("av"),
+        )
+        .collect()
+    }
+    assert r[1]["s"] == [11.0, 22.0, 30.0]
+    assert r[1]["mn"] == [1.0, 2.0, 30.0]
+    assert r[1]["mx"] == [10.0, 20.0, 30.0]
+    assert r[1]["av"] == [5.5, 11.0, 30.0]
+    assert r[2]["s"] == [5.0]
+    with pytest.raises(ValueError):
+        for_each("bogus", F.col("a"))
+
+
+def test_quantile_weighted_and_deterministic(spark):
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.functions.aggregates import (
+        quantileDeterministic,
+        quantileExactWeighted,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 8)], "v DOUBLE, w INT"
+    )
+    r = df.agg(
+        quantileExactWeighted("v", "w").alias("wq"),
+        quantileDeterministic("v", "w").alias("dq"),
+    ).first()
+    assert r["wq"] == 3.0  # 3 carries 80% of the weight
+    assert r["dq"] == 2.0
+
+
+def test_ipv6_roundtrip_and_cut(spark):
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.functions.ip import (
+        IPv6NumToString,
+        IPv6StringToNum,
+        cutIPv6,
+    )
+
+    cases = {
+        "2001:0db8:0000:0000:0000:0000:0000:0001": "2001:db8::1",
+        "::1": "::1",
+        "::": "::",
+        "2001:db8::8:800:200c:417a": "2001:db8::8:800:200c:417a",
+        "::ffff:192.168.0.1": "::ffff:192.168.0.1",
+        "fe80::": "fe80::",
+        "1:0:0:2:0:0:3:4": "1::2:0:0:3:4",  # leftmost-longest run wins
+        "1:2:3:4:5:6:7:8": "1:2:3:4:5:6:7:8",
+    }
+    df = spark.createDataFrame([(s,) for s in cases], "s STRING")
+    got = {
+        r["s"]: r["rt"]
+        for r in df.select(
+            "s", IPv6NumToString(IPv6StringToNum(F.col("s"))).alias("rt")
+        ).collect()
+    }
+    assert got == cases
+    cut = {
+        r["s"]: r["c"]
+        for r in df.select(
+            "s", cutIPv6(IPv6StringToNum(F.col("s")), 2, 1).alias("c")
+        ).collect()
+    }
+    assert cut["1:2:3:4:5:6:7:8"] == "1:2:3:4:5:6:7:0"
+    assert cut["::ffff:192.168.0.1"] == "::ffff:192.168.0.0"
+
+
+def test_row_number_in_block_and_shard_by_hash(spark):
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.running import (
+        row_number_in_block,
+    )
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.engines import (
+        shard_by_hash,
+    )
+
+    df = spark.range(100).repartition(4)
+    out = row_number_in_block(df)
+    rows = out.collect()
+    # each partition restarts at 0 and increments densely
+    from collections import Counter
+
+    counts = Counter(r["row_number_in_block"] for r in rows)
+    assert counts[0] == 4  # 4 partitions -> 4 zeros
+    assert max(counts) >= 1
+
+    spark.range(1000).withColumnRenamed("id", "k").createOrReplaceTempView(
+        "shard_t"
+    )
+    a = shard_by_hash(spark, "shard_t", "userA", 4, "k")
+    b = shard_by_hash(spark, "shard_t", "userA", 4, "k")
+    assert a.count() == b.count() and 0 < a.count() < 1000
+
+
+def test_convert_charset(spark):
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.functions.strings import (
+        convertCharset,
+    )
+
+    df = spark.createDataFrame([("héllo",)], "s STRING")
+    out = df.select(
+        convertCharset(F.col("s"), "utf-8", "iso-8859-1").alias("b")
+    ).first()["b"]
+    assert bytes(out) == "héllo".encode("iso-8859-1")
+    back = df.select(
+        F.decode(
+            convertCharset(F.col("s"), "utf-8", "utf-16be"), "UTF-16BE"
+        ).alias("s2")
+    ).first()["s2"]
+    assert back == "héllo"
+    with pytest.raises(ValueError):
+        convertCharset(F.col("s"), "utf-8", "koi8-r")
