@@ -42,30 +42,29 @@ def limit_by(
 
 
 def with_totals(
-    grouped: DataFrame,
     df: DataFrame,
     keys: Sequence[str],
     aggs: Sequence[Column],
     having: Column | None = None,
 ) -> DataFrame:
-    """``GROUP BY ... WITH TOTALS`` — append one row aggregating ALL rows
-    (keys become NULL), reference semantics of totals_mode =
+    """``GROUP BY ... WITH TOTALS`` — groups plus one row aggregating
+    ALL rows (keys become NULL), reference semantics of totals_mode =
     before_having (DataStreams/TotalsHavingBlockInputStream.h:16).
+    HAVING applies to groups only, never to the totals row — matching
+    the reference's default.
 
-    ``grouped`` is the already-grouped+aggregated frame; ``df`` the
-    pre-aggregation input used to compute the totals row.  HAVING is
-    applied to groups only, never to the totals row — matching the
-    reference's default.
-
-    Scale: the totals row is a 1-row global agg — Spark computes it as a
-    partial+final agg with no extra shuffle of the grouped side.
+    Scale: ONE pass over the input via GROUPING SETS ((keys), ()) —
+    the same plan the dialect layer emits (dialect/translate.py) —
+    instead of the former grouped ∪ global-agg shape that scanned the
+    input twice.  Spark computes both sets in a single partial+final
+    aggregate with one shuffle.
     """
+    gs = df.groupingSets(
+        [[F.col(k) for k in keys], []], *[F.col(k) for k in keys]
+    ).agg(*aggs, F.grouping_id(*keys).alias("__gid"))
     if having is not None:
-        grouped = grouped.filter(having)
-    totals = df.agg(*aggs)
-    for k in keys:
-        totals = totals.withColumn(k, F.lit(None).cast(grouped.schema[k].dataType))
-    return grouped.unionByName(totals.select(*grouped.columns))
+        gs = gs.filter((F.col("__gid") != 0) | having)
+    return gs.drop("__gid")
 
 
 def array_join(

@@ -506,8 +506,7 @@ def with_totals_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
     ]
-    grouped = orders.groupBy("o_orderstatus").agg(*aggs)
-    return with_totals(grouped, orders, keys=["o_orderstatus"], aggs=aggs)
+    return with_totals(orders, keys=["o_orderstatus"], aggs=aggs)
 
 
 @query(

@@ -260,3 +260,50 @@ def test_ivf_high_dim_real_scale_shape(spark):
     b = {r["vec_id"]: r["__cluster"] for r in idx2.indexed.select("vec_id", "__cluster").collect()}
     agree = sum(1 for i in a if a[i] == b.get(i)) / len(a)
     assert agree > 0.99
+
+
+def test_multimodal_pil_decode_real_images(spark):
+    """Real decode path: synthesize PNGs with Pillow, extract intensity
+    features through the same mapInPandas plumbing.  Skipped where
+    Pillow is absent (the NotImplementedError guard covers that)."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    from io import BytesIO
+
+    from PIL import Image
+
+    def png(color):
+        img = Image.new("L", (16, 16), color)
+        buf = BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, png(0)), (2, png(255)), (3, None), (4, b"not a png")],
+        "media_id long, data binary",
+    )
+    out = {
+        r["media_id"]: r["features"]
+        for r in M.decode_image_features(df, n_features=4, decoder="pil").collect()
+    }
+    assert out[1] == [0.0] * 4          # black image
+    assert out[2] == [1.0] * 4          # white image
+    assert out[3] == [0.0] * 4          # NULL blob -> zero vector
+    assert out[4] == [0.0] * 4          # corrupt blob -> zero vector
+
+
+def test_multimodal_pil_guard_without_pillow(spark):
+    """When Pillow is missing the pil decoder must raise the documented
+    NotImplementedError (not an obscure import failure)."""
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present; guard path not reachable")
+    except ImportError:
+        pass
+    df = spark.createDataFrame([(1, b"x")], "media_id long, data binary")
+    with pytest.raises(NotImplementedError):
+        M.decode_image_features(df, decoder="pil")
