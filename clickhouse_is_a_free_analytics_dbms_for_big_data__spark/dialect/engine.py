@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .sql_udfs import register_sql_udfs
 from .translate import DictSpec, TableMeta, translate_sql
 
 __all__ = ["ChEngine", "TableMeta"]
@@ -25,6 +26,9 @@ class ChEngine:
         self.spark = spark
         self.table_meta: dict[str, TableMeta] = {}
         self.dictionaries: dict[str, DictSpec] = {}
+        # SQL-UDF-backed dialect functions (IPv6 codecs) — the
+        # translator passes their calls through by name
+        register_sql_udfs(spark)
 
     # -------------------------------------------------------- catalog
 

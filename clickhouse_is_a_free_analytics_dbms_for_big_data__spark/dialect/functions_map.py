@@ -52,7 +52,6 @@ SIMPLE: dict[str, str] = {
     # math (FunctionsMath.cpp)
     "pow": "power",
     # arrays (FunctionsArray.cpp)
-    "arrayElement": "element_at",
     "has": "array_contains",
     "indexOf": "array_position",
     "arrayDistinct": "array_distinct",
@@ -60,7 +59,6 @@ SIMPLE: dict[str, str] = {
     "arrayConcat": "concat",
     "arrayReverse": "reverse",
     "arraySort": "sort_array",
-    "arrayStringConcat": "array_join",
     "arrayIntersect": "array_intersect",
     # aggregates (AggregateFunctionFactory.cpp:65-77)
     "uniq": "approx_count_distinct",
@@ -173,12 +171,14 @@ def _t_ipv4_num_to_string(a: Args) -> str:
 
 
 def _t_ipv4_string_to_num(a: Args) -> str:
+    # malformed input -> 0, matching the reference's type-default
+    # behavior (FunctionsCoding.cpp IPv4StringToNum)
     s = a[0]
     return (
-        f"(CAST(split({s}, '\\\\.')[0] AS BIGINT) * 16777216 + "
+        f"coalesce(CAST(split({s}, '\\\\.')[0] AS BIGINT) * 16777216 + "
         f"CAST(split({s}, '\\\\.')[1] AS BIGINT) * 65536 + "
         f"CAST(split({s}, '\\\\.')[2] AS BIGINT) * 256 + "
-        f"CAST(split({s}, '\\\\.')[3] AS BIGINT))"
+        f"CAST(split({s}, '\\\\.')[3] AS BIGINT), CAST(0 AS BIGINT))"
     )
 
 
@@ -371,7 +371,25 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "arrayAll": lambda a: f"forall({a[1]}, {a[0]})",
     "arraySum": lambda a: f"aggregate({a[0]}, CAST(0 AS DOUBLE), (__acc, __x) -> __acc + __x)",
     "arrayFirst": lambda a: f"element_at(filter({a[1]}, {a[0]}), 1)",
+    # 1-based occurrence counter per element (FunctionsArray.cpp
+    # arrayEnumerateUniq, single-array form): count equal elements in
+    # the prefix up to the current position
+    "arrayEnumerateUniq": lambda a: (
+        f"transform({a[0]}, (x, i) -> "
+        f"size(filter(slice({a[0]}, 1, i + 1), y -> y = x)))"
+    ),
+    # null-safe 1-based access, negative from end; 0/out-of-range → NULL
+    # (FunctionsArray.cpp arrayElement; same form as the [] subscript in
+    # translate._postfix)
+    "arrayElement": lambda a: (
+        f"get({a[0]}, (CASE WHEN ({a[1]}) > 0 THEN ({a[1]}) - 1 "
+        f"ELSE size({a[0]}) + ({a[1]}) END))"
+    ),
     "arrayReverseSort": lambda a: f"reverse(sort_array({a[0]}))",
+    # separator defaults to '' (FunctionsString.cpp arrayStringConcat)
+    "arrayStringConcat": lambda a: (
+        f"array_join({a[0]}, {a[1] if len(a) > 1 else chr(39) * 2})"
+    ),
     "arrayUniq": lambda a: f"size(array_distinct({a[0]}))",
     "countEqual": lambda a: f"size(filter({a[0]}, __x -> __x = {a[1]}))",
     "arrayEnumerate": lambda a: f"sequence(1, size({a[0]}))",

@@ -21,6 +21,7 @@ _TOKEN_RE = re.compile(
     | (?P<block_comment>/\*.*?\*/)
     | (?P<string>'(?:[^'\\]|\\.)*')
     | (?P<qident>`(?:[^`\\]|\\.)*`)
+    | (?P<hexnum>0[xX][0-9A-Fa-f]+)
     | (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<punct><=|>=|!=|<>|==|->|\|\||[-+*/%(),.\[\]<>=?:])
@@ -54,7 +55,12 @@ def tokenize(sql: str) -> list[Token]:
         kind = m.lastgroup
         if kind in ("ws", "line_comment", "block_comment"):
             continue
-        out.append(Token(kind=kind, text=m.group(), pos=m.start()))
+        text = m.group()
+        if kind == "hexnum":
+            # hex literal 0xFF (ExpressionElementParsers.cpp number
+            # parsing) — Spark SQL has no 0x form; emit decimal
+            kind, text = "number", str(int(text, 16))
+        out.append(Token(kind=kind, text=text, pos=m.start()))
     return out
 
 

@@ -319,9 +319,11 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     select_sql_items = [_rewrite_select_item(aj_subst(s), ctx) for s in select_items]
     where_parts: list[str] = []
     if prewhere_toks:
-        where_parts.append(f"({_rewrite(aj_subst(prewhere_toks), ctx)})")
+        pw = aj_subst(prewhere_toks)
+        where_parts.append(f"({_boolify(pw, _rewrite(pw, ctx))})")
     if where_toks:
-        where_parts.append(f"({_rewrite(aj_subst(where_toks), ctx)})")
+        w = aj_subst(where_toks)
+        where_parts.append(f"({_boolify(w, _rewrite(w, ctx))})")
 
     # ---- SAMPLE → hash-range predicate on the registered sampling key
     if sample_toks:
@@ -331,11 +333,16 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
         where_parts.append(_sample_predicate(sample_toks, meta.sample_key, ctx))
 
     group_sql = _rewrite_list(aj_subst(group_toks), ctx) if group_toks else ""
-    having_sql = _rewrite(aj_subst(having_toks), ctx) if having_toks else ""
+    having_sql = (
+        _boolify(aj_subst(having_toks), _rewrite(aj_subst(having_toks), ctx))
+        if having_toks
+        else ""
+    )
     # ORDER BY scopes over the output projection — select aliases resolve
     # there, so array-join substitution must NOT apply (it would name a
     # pre-aggregation column that no longer exists above a GROUP BY).
-    order_sql = _rewrite_list(order_toks, ctx, keep_dir=True) if order_toks else ""
+    order_items = _order_items(order_toks, ctx) if order_toks else []
+    order_sql = ", ".join(e + d for e, d in order_items)
 
     # ---- joins
     join_sql = ""
@@ -346,6 +353,52 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
         hint = hint or jhint
 
     # ---- assemble core
+    # WITH TOTALS + ORDER BY / LIMIT: the reference sorts and limits the
+    # GROUP rows only, then appends the totals row as a separate block
+    # (TotalsHavingBlockInputStream.h).  Emulate by tagging rows with
+    # grouping_id(), limiting via a per-tag row_number window, and
+    # sorting totals last.  Order expressions are materialized as hidden
+    # aliased columns so aggregate expressions in ORDER BY stay valid in
+    # the outer scope.
+    totals_wrap = (
+        with_totals
+        and bool(group_sql)
+        and limit_by is None
+        and (bool(order_items) or limit_txt is not None)
+    )
+    gsym = ctx.gensym("gid") if totals_wrap else None
+    wrap_order: list[tuple[str, str]] = []  # (outer column ref, dir)
+    if totals_wrap:
+        # Output-scope aliases: ORDER BY resolves against the selected
+        # columns; a bare alias reuses the output column directly (no
+        # hidden column — referencing a sibling alias inside the
+        # aggregate would be a lateral alias ref Spark rejects under
+        # grouping sets).  Non-trivial expressions become hidden aliased
+        # columns with select aliases substituted by their bodies.
+        sel_aliases: dict[str, list[Token]] = {}
+        for s in select_items:
+            body, al = _strip_alias(s)
+            if al:
+                sel_aliases[al] = body
+            elif len(body) == 1 and body[0].kind in ("ident", "qident"):
+                sel_aliases[body[0].text] = body
+        alias_subs = {
+            a: f"({_rewrite(aj_subst(b), ctx)})" for a, b in sel_aliases.items()
+        }
+        hidden: list[str] = []
+        for item in _split_top(order_toks, ","):
+            direction = ""
+            if item and item[-1].is_kw("ASC", "DESC"):
+                direction = " " + item[-1].text.upper()
+                item = item[:-1]
+            if len(item) == 1 and item[0].kind in ("ident", "qident") and item[0].text in sel_aliases:
+                wrap_order.append((item[0].text, direction))
+                continue
+            expr = _rewrite(aj_subst(_substitute(item, alias_subs)), ctx)
+            name = f"{gsym}_o{len(hidden)}"
+            hidden.append(f"{expr} AS {name}")
+            wrap_order.append((name, direction))
+        select_sql_items = select_sql_items + [f"grouping_id() AS {gsym}"] + hidden
     sql = "SELECT "
     if hint:
         sql += f"/*+ {hint} */ "
@@ -385,6 +438,24 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
             f"FROM (\n{sql}\n)\n) WHERE {rn} > {off} AND {rn} <= {off} + {lim}"
         )
 
+    if totals_wrap:
+        helpers = [gsym] + [r for r, _ in wrap_order if r.startswith(f"{gsym}_o")]
+        o_refs = ", ".join(f"{r}{d}" for r, d in wrap_order)
+        if limit_txt is not None:
+            rn = f"{gsym}_rn"
+            win = o_refs if order_items else gsym
+            sql = (
+                f"SELECT *, row_number() OVER (PARTITION BY {gsym} "
+                f"ORDER BY {win}) AS {rn} FROM (\n{sql}\n)"
+            )
+            off = offset_txt or "0"
+            helpers.append(rn)
+            cond = f"{gsym} <> 0 OR ({rn} > {off} AND {rn} <= {off} + ({limit_txt}))"
+            sql = f"SELECT * EXCEPT ({', '.join(helpers)}) FROM (\n{sql}\n) WHERE {cond}"
+        else:
+            sql = f"SELECT * EXCEPT ({', '.join(helpers)}) FROM (\n{sql}\n)"
+        sql += f"\nORDER BY {gsym}" + (f", {o_refs}" if o_refs else "")
+        return sql
     if order_sql:
         sql += f"\nORDER BY {order_sql}"
     if limit_txt is not None:
@@ -630,6 +701,29 @@ def _kw_at(tokens: list[Token], i: int, word: str) -> bool:
     return i < len(tokens) and tokens[i].is_kw(word)
 
 
+_BOOL_PUNCT = {"=", "==", "!=", "<>", "<", ">", "<=", ">=", "?"}
+_BOOL_KW = {"IN", "LIKE", "NOT", "AND", "OR", "IS", "BETWEEN", "EXISTS"}
+
+
+def _boolify(toks: list[Token], sql: str) -> str:
+    """The reference treats any numeric condition as a boolean (UInt8
+    nonzero = true, Interpreters/ExpressionAnalyzer.cpp filter columns);
+    Spark requires BOOLEAN.  When no top-level boolean operator is
+    visible, wrap in CAST(... AS BOOLEAN) — a no-op Catalyst strips when
+    the expression is already boolean."""
+    depth = 0
+    for t in toks:
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and (
+            t.text in _BOOL_PUNCT or (t.kind == "ident" and t.text.upper() in _BOOL_KW)
+        ):
+            return sql
+    return f"CAST(({sql}) AS BOOLEAN)"
+
+
 def _take_clause(tokens: list[Token], i: int) -> tuple[list[Token], int]:
     """Take tokens until the next top-level clause keyword."""
     out: list[Token] = []
@@ -768,6 +862,18 @@ def _find_call(tokens: list[Token], name: str) -> tuple[int, int, list[Token]] |
 # --------------------------------------------------- expression rewriting
 
 
+def _order_items(tokens: list[Token], ctx: Ctx) -> list[tuple[str, str]]:
+    """ORDER BY items as (expr_sql, ' ASC'|' DESC'|'') pairs."""
+    items: list[tuple[str, str]] = []
+    for item in _split_top(tokens, ","):
+        direction = ""
+        if item and item[-1].is_kw("ASC", "DESC"):
+            direction = " " + item[-1].text.upper()
+            item = item[:-1]
+        items.append((_rewrite(item, ctx), direction))
+    return items
+
+
 def _rewrite_list(tokens: list[Token], ctx: Ctx, keep_dir: bool = False) -> str:
     parts = []
     for item in _split_top(tokens, ","):
@@ -790,6 +896,104 @@ def _rewrite(tokens: list[Token], ctx: Ctx) -> str:
     return text
 
 
+# Syntactic result-kind classification.  The reference's type system
+# resolves Date/DateTime arithmetic and array-vs-string overloads at
+# analysis time (DataTypes/); without column types we approximate by
+# classifying the outermost call.  Conservative: unknown -> None, and
+# the arithmetic fold below only fires when a kind IS known.
+_DATE_FNS = {
+    "toDate", "today", "yesterday", "toMonday", "toStartOfMonth",
+    "toStartOfQuarter", "toStartOfYear", "addDays", "subtractDays",
+}
+_DATETIME_FNS = {
+    "toDateTime", "now", "toStartOfMinute", "toStartOfFiveMinute",
+    "toStartOfHour", "toStartOfDay", "timeSlot", "toTime",
+}
+_ARRAY_FNS = {
+    "array", "range", "splitByChar", "splitByString", "alphaTokens",
+    "extractAll", "arrayMap", "arrayFilter", "arraySort",
+    "arrayReverseSort", "arrayConcat", "arraySlice", "arrayDistinct",
+    "arrayEnumerate", "arrayEnumerateUniq", "arrayPushBack",
+    "arrayPushFront", "arrayResize", "arrayReverse", "groupArray",
+    "groupUniqArray", "topK", "bitmaskToArray", "emptyArrayUInt8",
+    "emptyArrayUInt16", "emptyArrayUInt32", "emptyArrayUInt64",
+    "emptyArrayInt8", "emptyArrayInt16", "emptyArrayInt32",
+    "emptyArrayInt64", "emptyArrayFloat32", "emptyArrayFloat64",
+    "emptyArrayDate", "emptyArrayDateTime", "emptyArrayString",
+}
+
+
+def _syntactic_kind(toks: list[Token]) -> str | None:
+    """Kind of a whole expression item: 'date' | 'datetime' | 'array'
+    or None when not syntactically evident."""
+    if not toks:
+        return None
+    t0 = toks[0]
+    if t0.text == "[" and _match_paren(toks, 0) == len(toks) - 1:
+        return "array"
+    if t0.kind == "ident" and len(toks) > 1 and toks[1].text == "(":
+        if _match_paren(toks, 1) == len(toks) - 1:
+            if t0.text in _ARRAY_FNS:
+                return "array"
+            if t0.text in _DATE_FNS:
+                return "date"
+            if t0.text in _DATETIME_FNS:
+                return "datetime"
+    return None
+
+
+_ARITH_OPS = {"+", "-", "*", "/", "%", "DIV"}
+
+
+def _fold_date_arith(pieces: list[str], kinds: list[str | None]) -> None:
+    """Rewrite Date/DateTime +/- N and Date-Date in place (the
+    reference's DateTime arithmetic is in seconds, Date in days —
+    FunctionsDateTime / FunctionsArithmetic type dispatch).
+
+    Conservative: both neighbours must be operands (not operators) and
+    the fold is skipped when a tighter-binding * / % follows, so plain
+    numeric expressions and precedence-sensitive forms pass through
+    untouched (Spark then reports the same error it would today).
+    """
+    j = 1
+    while j < len(pieces) - 1:
+        op = pieces[j]
+        if op not in ("+", "-"):
+            j += 1
+            continue
+        lk, rk = kinds[j - 1], kinds[j + 1]
+        l, r = pieces[j - 1], pieces[j + 1]
+        if (
+            l in _ARITH_OPS
+            or r in _ARITH_OPS
+            or (j >= 2 and pieces[j - 2] in ("*", "/", "%", "DIV"))
+            or (j + 2 < len(pieces) and pieces[j + 2] in ("*", "/", "%", "DIV"))
+        ):
+            j += 1
+            continue
+        rep: str | None = None
+        krep: str | None = None
+        if op == "-" and lk == "date" and rk == "date":
+            rep = f"datediff({l}, {r})"
+        elif op == "-" and lk == "datetime" and rk == "datetime":
+            rep = f"(unix_timestamp({l}) - unix_timestamp({r}))"
+        elif lk == "date" and rk is None:
+            fn = "date_add" if op == "+" else "date_sub"
+            rep, krep = f"{fn}({l}, {r})", "date"
+        elif lk == "datetime" and rk is None:
+            n = r if op == "+" else f"-({r})"
+            rep, krep = f"timestampadd(SECOND, {n}, {l})", "datetime"
+        elif op == "+" and lk is None and rk == "date":
+            rep, krep = f"date_add({r}, {l})", "date"
+        elif op == "+" and lk is None and rk == "datetime":
+            rep, krep = f"timestampadd(SECOND, {l}, {r})", "datetime"
+        if rep is not None:
+            pieces[j - 1 : j + 2] = [rep]
+            kinds[j - 1 : j + 2] = [krep]
+            continue
+        j += 1
+
+
 def _rw_seq(
     tokens: list[Token], i: int, ctx: Ctx, stop: set[str]
 ) -> tuple[str, int]:
@@ -798,6 +1002,7 @@ def _rw_seq(
     Handles ternary ``? :`` at this level by collecting the three arms.
     """
     pieces: list[str] = []
+    kinds: list[str | None] = []
     q_pos: int | None = None
     c_pos: int | None = None
     while i < len(tokens):
@@ -814,20 +1019,25 @@ def _rw_seq(
         if t.text == "?":
             q_pos = len(pieces)
             pieces.append("?")
+            kinds.append(None)
             i += 1
             continue
         if t.text == ":" and q_pos is not None:
             c_pos = len(pieces)
             pieces.append(":")
+            kinds.append(None)
             i += 1
             continue
+        start = i
         piece, i = _rw_item(tokens, i, ctx)
         pieces.append(piece)
+        kinds.append(_syntactic_kind(tokens[start:i]))
     if q_pos is not None and c_pos is not None:
         cond = " ".join(pieces[:q_pos])
         then = " ".join(pieces[q_pos + 1 : c_pos])
         other = " ".join(pieces[c_pos + 1 :])
         return f"if({cond}, {then}, {other})", i
+    _fold_date_arith(pieces, kinds)
     return " ".join(pieces), i
 
 
@@ -852,16 +1062,21 @@ def _rw_item(tokens: list[Token], i: int, ctx: Ctx) -> tuple[str, int]:
 
     # identifier: maybe function call / parametric call
     if t.kind == "ident" and i + 1 < len(tokens) and tokens[i + 1].text == "(":
+        if t.is_kw("IN", "EXISTS"):
+            # operator keyword directly before '(' — not a call; fall
+            # through so the paren branch translates an inner SELECT
+            return t.text.upper(), i + 1
         name = t.text
         close = _match_paren(tokens, i + 1)
-        args = [_rewrite(p, ctx) for p in _split_top(tokens[i + 2 : close], ",")]
+        arg_items = _split_top(tokens[i + 2 : close], ",")
+        args = [_rewrite(p, ctx) for p in arg_items]
         nxt = close + 1
         # parametric: f(params)(args)
         if nxt < len(tokens) and tokens[nxt].text == "(" and name in PARAMETRIC:
             close2 = _match_paren(tokens, nxt)
             args2 = [_rewrite(p, ctx) for p in _split_top(tokens[nxt + 1 : close2], ",")]
             return _postfix(PARAMETRIC[name](args, args2), tokens, close2 + 1, ctx)
-        out = _apply_fn(name, args, tokens, i, ctx)
+        out = _apply_fn(name, args, tokens, i, ctx, arg_items)
         return _postfix(out, tokens, nxt, ctx)
 
     if t.kind == "raw":
@@ -870,13 +1085,34 @@ def _rw_item(tokens: list[Token], i: int, ctx: Ctx) -> tuple[str, int]:
     return _postfix(t.text, tokens, i + 1, ctx)
 
 
-def _apply_fn(name: str, args: list[str], tokens: list[Token], i: int, ctx: Ctx) -> str:
+def _apply_fn(
+    name: str,
+    args: list[str],
+    tokens: list[Token],
+    i: int,
+    ctx: Ctx,
+    arg_items: list[list[Token]] | None = None,
+) -> str:
     # dictionary functions (FunctionsExternalDictionaries.cpp) —
     # correlated scalar subquery → Catalyst plans a (broadcast) left join
     if name.startswith("dictGet") or name == "dictHas":
         out = _dict_fn(name, args, ctx)
         if out is not None:
             return out
+    # length/empty/notEmpty are array+string polymorphic in the
+    # reference (FunctionsArray.cpp / FunctionsString.cpp); Spark splits
+    # them into size() and length().  Dispatch on the syntactic kind of
+    # the argument — string-typed columns keep the string form.
+    if (
+        name in ("length", "empty", "notEmpty")
+        and arg_items
+        and _syntactic_kind(arg_items[0]) == "array"
+    ):
+        if name == "length":
+            return f"size({args[0]})"
+        if name == "empty":
+            return f"(size({args[0]}) = 0)"
+        return f"(size({args[0]}) > 0)"
     combo = if_combinator(name, args)
     if combo is not None:
         return combo
@@ -914,7 +1150,13 @@ def _postfix(base: str, tokens: list[Token], i: int, ctx: Ctx) -> tuple[str, int
         if tokens[i].text == "[":
             close = _match_paren(tokens, i)
             idx = _rewrite(tokens[i + 1 : close], ctx)
-            base = f"element_at({base}, {idx})"
+            # null-safe 1-based access, negative-from-end; index 0 and
+            # out-of-range yield NULL (documented divergence from the
+            # reference's type-default — FunctionsArray.cpp arrayElement)
+            base = (
+                f"get({base}, (CASE WHEN ({idx}) > 0 THEN ({idx}) - 1 "
+                f"ELSE size({base}) + ({idx}) END))"
+            )
             i = close + 1
         elif (
             tokens[i].text == "."

@@ -33,8 +33,39 @@ def test_count_star_rewrite():
 
 
 def test_array_literal_and_index():
+    # null-safe subscript: 1-based via get(), negative from end, 0/OOB → NULL
     out = translate_sql("SELECT [1,2,3][2]")
-    assert "element_at(array(1, 2, 3), 2)" in out
+    assert "get(array(1, 2, 3)" in out and "CASE WHEN (2) > 0" in out
+
+
+def test_hex_literal():
+    out = translate_sql("SELECT 0xFF + 0x10")
+    assert "255 + 16" in out
+
+
+def test_where_integer_coerced_to_boolean():
+    out = translate_sql("SELECT a FROM t WHERE 0")
+    assert "CAST((0) AS BOOLEAN)" in out
+    # visible top-level boolean operator → untouched
+    out2 = translate_sql("SELECT a FROM t WHERE a = 1")
+    assert "CAST" not in out2
+
+
+def test_in_subquery_translated():
+    # IN (SELECT ...) must go through the translator, not render as a
+    # pseudo function call IN(...)
+    out = translate_sql(
+        "SELECT count() FROM t WHERE x IN (SELECT number FROM system.numbers LIMIT 5)"
+    )
+    assert "range(" in out
+
+
+def test_totals_order_limit_groups_only():
+    # LIMIT applies to group rows; totals row survives and sorts last
+    out = translate_sql(
+        "SELECT a, count() AS c FROM t GROUP BY a WITH TOTALS ORDER BY a LIMIT 2"
+    )
+    assert "grouping_id()" in out and "row_number() OVER (PARTITION BY" in out
 
 
 def test_ternary():
@@ -290,3 +321,53 @@ def test_exec_summap_repeated_keys(eng, spark):
     ).collect()
     assert rows[0]["m"] == {1: 11.0, 2: 20.0, 3: 2.0}
     assert rows[1]["m"] == {5: 7.0}
+
+
+def test_date_arith_translation():
+    # Date ± N days, DateTime ± N seconds, Date - Date → days
+    # (FunctionsDateTime type dispatch; approximated syntactically)
+    out = translate_sql("SELECT toDate('2024-02-28') + 2")
+    assert "date_add(CAST('2024-02-28' AS DATE), 2)" in out
+    out = translate_sql("SELECT toDateTime('1970-01-02 00:00:00') - 1")
+    assert "timestampadd(SECOND, -(1)" in out
+    out = translate_sql("SELECT toDate('2024-03-01') - toDate('2024-02-01')")
+    assert "datediff(" in out
+    # plain numeric arithmetic untouched
+    out = translate_sql("SELECT 1 + 2 * 3")
+    assert "1 + 2 * 3" in out
+    # tighter-binding * after the right operand blocks the fold
+    out = translate_sql("SELECT toDateTime(x) + 3600 * 24 FROM t")
+    assert "timestampadd" not in out
+
+
+def test_exec_date_arith(eng):
+    r = eng.sql(
+        "SELECT yesterday() + 1 = today() AS a, "
+        "toDate('2024-03-01') - toDate('2024-02-01') AS d"
+    ).collect()[0]
+    assert r["a"] is True and r["d"] == 29
+
+
+def test_length_polymorphic():
+    assert "size(array(1, 2, 3))" in translate_sql("SELECT length([1,2,3])")
+    assert "length(s)" in translate_sql("SELECT length(s) FROM t")
+    assert "size(" in translate_sql("SELECT empty(splitByChar(',', s)) FROM t")
+    assert "length(" in translate_sql("SELECT notEmpty(s) FROM t")
+
+
+def test_array_string_concat_default_sep():
+    out = translate_sql("SELECT arrayStringConcat(['a','b'])")
+    assert "array_join(array('a', 'b'), '')" in out
+    out = translate_sql("SELECT arrayStringConcat(['a','b'], '-')")
+    assert "array_join(array('a', 'b'), '-')" in out
+
+
+def test_exec_ipv6_roundtrip(eng):
+    r = eng.sql(
+        "SELECT IPv6NumToString(IPv6StringToNum('2001:0db8:0000:0000:0000:ff00:0042:8329')) AS c, "
+        "IPv6NumToString(IPv6StringToNum('::ffff:127.0.0.1')) AS v4, "
+        "cutIPv6(IPv6StringToNum('2001:db8:ac10:fe01:feed:babe:cafe:f00d'), 3, 0) AS cut"
+    ).collect()[0]
+    assert r["c"] == "2001:db8::ff00:42:8329"
+    assert r["v4"] == "::ffff:127.0.0.1"
+    assert r["cut"] == "2001:db8:ac10:fe01:feed:babe:ca00:0"
