@@ -108,6 +108,42 @@ def _bool(cond: str) -> str:
     return f"CAST(({cond}) AS BOOLEAN)"
 
 
+def _array_reduce(a: Args) -> str:
+    """arrayReduce('agg', arr) — SQL twin of functions/arrays.py:139."""
+    name = a[0].strip("'").lower()
+    arr = a[1]
+    total = f"aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
+    forms = {
+        "sum": total,
+        "min": f"array_min({arr})",
+        "max": f"array_max({arr})",
+        "avg": f"({total} / size({arr}))",
+        "count": f"size({arr})",
+        "uniq": f"size(array_distinct({arr}))",
+        "uniqexact": f"size(array_distinct({arr}))",
+        "any": f"element_at({arr}, 1)",
+        "anylast": f"element_at({arr}, -1)",
+        "median": f"element_at(array_sort({arr}), CAST((size({arr}) + 1) / 2 AS INT))",
+        "quantile": f"element_at(array_sort({arr}), CAST((size({arr}) + 1) / 2 AS INT))",
+        "grouparray": arr,
+    }
+    if name not in forms:
+        raise ValueError(f"arrayReduce: unsupported aggregate {name!r}")
+    return forms[name]
+
+
+def _format_readable_size(x: str) -> str:
+    """1.23 KiB / 4.56 MiB ... — SQL twin of functions/misc.py:52."""
+    v = f"CAST({x} AS DOUBLE)"
+    tiers = [("PiB", 1024 ** 5), ("TiB", 1024 ** 4), ("GiB", 1024 ** 3),
+             ("MiB", 1024 ** 2), ("KiB", 1024)]
+    clauses = " ".join(
+        f"WHEN {v} >= {float(bound)} THEN concat(format_number({v} / {float(bound)}, 2), ' {u}')"
+        for u, bound in tiers
+    )
+    return f"(CASE {clauses} ELSE concat(format_number({v}, 2), ' B') END)"
+
+
 def _t_multi_if(a: Args) -> str:
     pairs = []
     for i in range(0, len(a) - 1, 2):
@@ -234,6 +270,24 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     # aggregates
     "count": lambda a: f"count({', '.join(a) or '*'})",
     "uniqExact": lambda a: f"count(DISTINCT {', '.join(a)})",
+    # -State / -Merge combinators — SQL twins of functions/state.py
+    # (states are typed columns: plain partials, avg struct, HLL sketch)
+    "sumState": lambda a: f"sum({a[0]})",
+    "sumMerge": lambda a: f"sum({a[0]})",
+    "countState": lambda a: f"count({a[0] if a else '1'})",
+    "countMerge": lambda a: f"sum({a[0]})",
+    "minState": lambda a: f"min({a[0]})",
+    "minMerge": lambda a: f"min({a[0]})",
+    "maxState": lambda a: f"max({a[0]})",
+    "maxMerge": lambda a: f"max({a[0]})",
+    "avgState": lambda a: (
+        f"named_struct('sum', sum(CAST({a[0]} AS DOUBLE)), 'cnt', count({a[0]}))"
+    ),
+    "avgMerge": lambda a: f"(sum({a[0]}.sum) / sum({a[0]}.cnt))",
+    "uniqState": lambda a: f"hll_sketch_agg({a[0]})",
+    "uniqMerge": lambda a: f"hll_sketch_estimate(hll_union_agg({a[0]}))",
+    "groupArrayState": lambda a: f"collect_list({a[0]})",
+    "groupArrayMerge": lambda a: f"flatten(collect_list({a[0]}))",
     "median": lambda a: f"percentile_approx({a[0]}, 0.5)",
     "quantile": lambda a: f"percentile_approx({a[0]}, 0.5)",
     "quantileExact": lambda a: f"percentile({a[0]}, 0.5)",
@@ -402,9 +456,37 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "emptyArrayFloat64": lambda a: "CAST(array() AS ARRAY<DOUBLE>)",
     "emptyArrayString": lambda a: "CAST(array() AS ARRAY<STRING>)",
     "range": lambda a: f"sequence(0, {a[0]} - 1)" if len(a) == 1 else f"sequence({a[0]}, {a[1]} - 1)",
-    # tuples
-    "tuple": lambda a: f"struct({', '.join(a)})",
+    # tuples — positional col1..colN names, so tupleElement / t.N access
+    # stays valid when an element is a bare column (plain struct() would
+    # keep the column's own name instead of colN)
+    "tuple": lambda a: (
+        "named_struct("
+        + ", ".join(f"'col{i + 1}', {x}" for i, x in enumerate(a))
+        + ")"
+    ),
     "tupleElement": lambda a: f"({a[0]}.col{a[1]})",
+    # emptyArrayToSingle (FunctionsArray.cpp): [] → [0] / [''].  Element
+    # type is not known syntactically; string default only when the
+    # argument is a syntactic string-array constructor.
+    "emptyArrayToSingle": lambda a: (
+        f"if(size({a[0]}) = 0, array("
+        + ("''" if "STRING" in a[0].upper() or "VARCHAR" in a[0].upper() else "0")
+        + f"), {a[0]})"
+    ),
+    # arrayReduce('agg', a) (FunctionsArray.h:1387) — array-native, no
+    # explode; the aggregate name must be a string literal
+    "arrayReduce": lambda a: _array_reduce(a),
+    # bitTestAll/bitTestAny (FunctionsCoding.cpp): conjunction /
+    # disjunction over the tested bit positions
+    "bitTestAll": lambda a: (
+        "(" + " AND ".join(f"((shiftright({a[0]}, {i}) & 1) = 1)" for i in a[1:]) + ")"
+    ),
+    "bitTestAny": lambda a: (
+        "(" + " OR ".join(f"((shiftright({a[0]}, {i}) & 1) = 1)" for i in a[1:]) + ")"
+    ),
+    # formatReadableSize (FunctionsFormatting.cpp) — mirror of
+    # functions/misc.py:52 (same tier ladder, format_number 2 dp)
+    "formatReadableSize": lambda a: _format_readable_size(a[0]),
     # URL (FunctionsURL.cpp)
     "protocol": lambda a: f"parse_url({a[0]}, 'PROTOCOL')",
     "domain": lambda a: f"parse_url({a[0]}, 'HOST')",
@@ -480,7 +562,35 @@ def _p_quantiles(exact: bool) -> Callable[[Args, Args], str]:
     return tpl
 
 
+def _seq_encoded(args: Args) -> str:
+    """Time-ordered condition-digit string — SQL twin of
+    operators/sequence_match.py:_encode_events (same sort_array over
+    collect_list aggregate, first-match-wins digit)."""
+    ts, conds = args[0], args[1:]
+    whens = " ".join(
+        f"WHEN {_bool(c)} THEN '{i + 1}'" for i, c in enumerate(conds)
+    )
+    char = f"(CASE {whens} ELSE 'x' END)"
+    pairs = f"collect_list(named_struct('t', {ts}, 'c', {char}))"
+    return f"array_join(transform(array_sort({pairs}), s -> s.c), '')"
+
+
+def _p_sequence(count: bool) -> Callable[[Args, Args], str]:
+    from ..operators.sequence_match import _pattern_to_regex
+
+    def tpl(params: Args, args: Args) -> str:
+        regex = _pattern_to_regex(params[0].strip("'"))
+        enc = _seq_encoded(args)
+        if count:
+            return f"size(regexp_extract_all({enc}, '({regex})', 1))"
+        return f"CAST(({enc} RLIKE '{regex}') AS INT)"
+
+    return tpl
+
+
 PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
+    "sequenceMatch": _p_sequence(count=False),
+    "sequenceCount": _p_sequence(count=True),
     "quantile": _p_quantile(exact=False),
     "quantileDeterministic": _p_quantile(exact=False),
     "quantileTiming": _p_quantile(exact=False),

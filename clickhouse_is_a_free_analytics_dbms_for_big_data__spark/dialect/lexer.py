@@ -60,8 +60,27 @@ def tokenize(sql: str) -> list[Token]:
             # hex literal 0xFF (ExpressionElementParsers.cpp number
             # parsing) — Spark SQL has no 0x form; emit decimal
             kind, text = "number", str(int(text, 16))
+        elif kind == "string":
+            text = _decode_hex_escapes(text)
         out.append(Token(kind=kind, text=text, pos=m.start()))
     return out
+
+
+def _decode_hex_escapes(text: str) -> str:
+    """``\\xHH`` byte escapes (ExpressionElementParsers.cpp
+    parseEscapeSequence) are not a Spark SQL escape — decode them to the
+    literal character here, re-escaping quote/backslash."""
+
+    def _sub(m: re.Match) -> str:
+        esc = m.group(1)
+        if esc[0] in ("x", "X") and len(esc) == 3:
+            ch = chr(int(esc[1:], 16))
+            if ch in ("'", "\\"):
+                return "\\" + ch
+            return ch
+        return m.group(0)
+
+    return re.sub(r"\\(x[0-9A-Fa-f]{2}|.)", _sub, text)
 
 
 def render(tokens: list[Token]) -> str:

@@ -120,7 +120,15 @@ def _translate_union(tokens: list[Token], ctx: Ctx) -> str:
             continue
         i += 1
     parts.append(tokens[start:])
-    return "\nUNION ALL\n".join(_translate_select(p, ctx) for p in parts)
+    if len(parts) == 1:
+        return _translate_select(parts[0], ctx)
+    # Each UNION ALL branch keeps its own ORDER BY / LIMIT (the
+    # reference applies them per-select — ASTSelectQuery.h:78 chains
+    # complete selects); parenthesize so Spark scopes them per branch
+    # instead of attaching a trailing LIMIT to the whole union.
+    return "\nUNION ALL\n".join(
+        f"(\n{_translate_select(p, ctx)}\n)" for p in parts
+    )
 
 
 # -------------------------------------------------------- clause splitting
@@ -172,15 +180,40 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     limit_txt: str | None = None
     offset_txt: str | None = None
 
+    # Clause order is fixed (ParserSelectQuery.cpp parses the clauses in
+    # sequence, so e.g. `LIMIT 5 GROUP BY k` is a syntax error there).
+    # Enforcing the same order here matters: accepting it silently would
+    # apply the LIMIT *after* the aggregation — a different query.
+    _RANK = {
+        "FROM": 1, "SAMPLE": 2, "ARRAY": 3, "JOIN": 3, "PREWHERE": 4,
+        "WHERE": 5, "GROUP": 6, "WITH": 6, "HAVING": 7, "ORDER": 8,
+        "LIMIT": 9,
+    }
+    clause_rank = 0
+
+    def _order(kw: str) -> None:
+        nonlocal clause_rank
+        r = _RANK[kw]
+        if r < clause_rank:
+            raise ValueError(
+                f"{kw} clause out of order (reference clause sequence: "
+                "FROM SAMPLE [ARRAY] JOIN PREWHERE WHERE GROUP BY HAVING "
+                "ORDER BY LIMIT)"
+            )
+        clause_rank = max(clause_rank, r)
+
     while i < n:
         t = tokens[i]
         if t.is_kw("FROM"):
+            _order("FROM")
             i += 1
             from_toks, i = _take_from(tokens, i)
         elif t.is_kw("SAMPLE"):
+            _order("SAMPLE")
             i += 1
             sample_toks, i = _take_clause(tokens, i)
         elif t.is_kw("ARRAY") and _kw_at(tokens, i + 1, "JOIN"):
+            _order("ARRAY")
             i += 2
             items, i = _take_clause(tokens, i)
             for item in _split_top(items, ","):
@@ -190,37 +223,46 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
             and _kw_at(tokens, i + 1, "ARRAY")
             and _kw_at(tokens, i + 2, "JOIN")
         ):
+            _order("ARRAY")
             i += 3
             items, i = _take_clause(tokens, i)
             for item in _split_top(items, ","):
                 array_join_items.append((True, item))
         elif _is_join_start(tokens, i):
+            _order("JOIN")
             j, i = _take_join(tokens, i)
             joins.append(j)
         elif t.is_kw("PREWHERE"):
+            _order("PREWHERE")
             i += 1
             prewhere_toks, i = _take_clause(tokens, i)
         elif t.is_kw("WHERE"):
+            _order("WHERE")
             i += 1
             where_toks, i = _take_clause(tokens, i)
         elif t.is_kw("GROUP") and _kw_at(tokens, i + 1, "BY"):
+            _order("GROUP")
             i += 2
             group_toks, i = _take_clause(tokens, i)
             if _kw_at(tokens, i, "WITH") and _kw_at(tokens, i + 1, "TOTALS"):
                 with_totals = True
                 i += 2
         elif t.is_kw("WITH") and _kw_at(tokens, i + 1, "TOTALS"):
+            _order("WITH")
             # keyless `count() WITH TOTALS` form (totals row duplicates
             # the global aggregate, matching the reference)
             with_totals = True
             i += 2
         elif t.is_kw("HAVING"):
+            _order("HAVING")
             i += 1
             having_toks, i = _take_clause(tokens, i)
         elif t.is_kw("ORDER") and _kw_at(tokens, i + 1, "BY"):
+            _order("ORDER")
             i += 2
             order_toks, i = _take_clause(tokens, i)
         elif t.is_kw("LIMIT"):
+            _order("LIMIT")
             i += 1
             lim_toks, i = _take_clause(tokens, i)
             # forms: n | o, n | n OFFSET o — optionally followed by BY cols
@@ -295,22 +337,31 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     aj_subs: dict[str, str] = {}
     if array_join_items:
         first_left, first_toks = array_join_items[0]
-        exprs: list[tuple[str, str]] = []  # (alias, expr_sql)
+        exprs: list[tuple[str, str, bool]] = []  # (alias, expr_sql, explicit)
         for is_left, item in array_join_items:
             item_toks, alias = _strip_alias(item)
             expr_sql = _rewrite(item_toks, ctx)
+            explicit = alias is not None
             if alias is None:
                 if len(item_toks) == 1 and item_toks[0].kind in ("ident", "qident"):
                     alias = item_toks[0].text.strip("`")
                 else:
                     alias = ctx.gensym("aj")
-            exprs.append((alias, expr_sql))
+            exprs.append((alias, expr_sql, explicit))
         pos_alias = ctx.gensym("ajpos")
-        val_alias = ctx.gensym("ajval")
+        # An explicit `ARRAY JOIN arr AS e` alias becomes the lateral
+        # view's real output column: `e` then resolves everywhere
+        # (including output-scope ORDER BY) with no substitution, and
+        # cannot collide with a source column the way the bare form
+        # (`ARRAY JOIN arr` shadowing column arr) would.
+        if exprs[0][2]:
+            val_alias = exprs[0][0]
+        else:
+            val_alias = ctx.gensym("ajval")
+            aj_subs[exprs[0][0]] = val_alias
         fn = "posexplode_outer" if first_left else "posexplode"
         lateral = f" LATERAL VIEW {fn}({exprs[0][1]}) {ctx.gensym('ajv')} AS {pos_alias}, {val_alias}"
-        aj_subs[exprs[0][0]] = val_alias
-        for alias, expr_sql in exprs[1:]:
+        for alias, expr_sql, _explicit in exprs[1:]:
             aj_subs[alias] = f"element_at({expr_sql}, {pos_alias} + 1)"
 
     def aj_subst(toks: list[Token]) -> list[Token]:
@@ -579,6 +630,14 @@ def _is_join_start(tokens: list[Token], i: int) -> bool:
     return False if not seen else False
 
 
+_JOIN_ALIAS_STOP = {
+    "USING", "ON", "WHERE", "PREWHERE", "GROUP", "ORDER", "HAVING",
+    "LIMIT", "SETTINGS", "FORMAT", "UNION", "SAMPLE", "ARRAY", "WITH",
+    "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "ANY", "ALL", "GLOBAL",
+    "JOIN",
+}
+
+
 def _take_join(tokens: list[Token], i: int) -> tuple[dict, int]:
     mods: list[str] = []
     while not tokens[i].is_kw("JOIN"):
@@ -591,18 +650,28 @@ def _take_join(tokens: list[Token], i: int) -> tuple[dict, int]:
         right_toks = tokens[i : close + 1]
         i = close + 1
     else:
+        # dotted table name only: ident (. ident)* — an AS (or bare)
+        # alias must NOT be glued into the name
         start = i
-        while i < len(tokens) and (
-            tokens[i].kind in ("ident", "qident") or tokens[i].text == "."
+        i += 1
+        while (
+            i + 1 < len(tokens)
+            and tokens[i].text == "."
+            and tokens[i + 1].kind in ("ident", "qident")
         ):
-            if tokens[i].is_kw("USING", "ON"):
-                break
-            i += 1
+            i += 2
         right_toks = tokens[start:i]
     alias = None
     if i < len(tokens) and tokens[i].is_kw("AS"):
         alias = tokens[i + 1].text
         i += 2
+    elif (
+        i < len(tokens)
+        and tokens[i].kind == "ident"
+        and tokens[i].text.upper() not in _JOIN_ALIAS_STOP
+    ):
+        alias = tokens[i].text  # bare alias: `JOIN region r ON ...`
+        i += 1
     using: list[Token] | None = None
     on: list[Token] | None = None
     if i < len(tokens) and tokens[i].is_kw("USING"):
@@ -1005,10 +1074,27 @@ def _rw_seq(
     kinds: list[str | None] = []
     q_pos: int | None = None
     c_pos: int | None = None
+    not_pos: list[int] = []
     while i < len(tokens):
         t = tokens[i]
         if t.text in stop:
             break
+        if (
+            t.is_kw("NOT")
+            and not (i > 0 and tokens[i - 1].is_kw("IS"))
+            and not (
+                i + 1 < len(tokens)
+                and tokens[i + 1].is_kw("IN", "LIKE", "BETWEEN")
+            )
+        ):
+            # unary logical NOT: the reference accepts any numeric
+            # (UInt8 truthiness, FunctionsLogical.cpp); Spark requires
+            # BOOLEAN, so the operand gets a CAST (see below)
+            not_pos.append(len(pieces))
+            pieces.append("NOT")
+            kinds.append(None)
+            i += 1
+            continue
         if t.is_kw("GLOBAL") and i + 1 < len(tokens) and (
             tokens[i + 1].is_kw("IN") or tokens[i + 1].is_kw("NOT")
         ):
@@ -1038,6 +1124,18 @@ def _rw_seq(
         other = " ".join(pieces[c_pos + 1 :])
         return f"if({cond}, {then}, {other})", i
     _fold_date_arith(pieces, kinds)
+    # NOT binds looser than comparisons but tighter than AND/OR: wrap
+    # the operand run (everything up to AND/OR or end) with a boolean
+    # cast so `NOT 0` / `NOT x = y` both work; innermost (rightmost)
+    # NOT first so `NOT NOT 1` nests.
+    for pos in reversed(not_pos):
+        if pos >= len(pieces) or pieces[pos] != "NOT":
+            continue  # consumed by an inner rewrite
+        end = pos + 1
+        while end < len(pieces) and pieces[end].upper() not in ("AND", "OR"):
+            end += 1
+        operand = " ".join(pieces[pos + 1 : end])
+        pieces[pos:end] = [f"(NOT CAST(({operand}) AS BOOLEAN))"]
     return " ".join(pieces), i
 
 

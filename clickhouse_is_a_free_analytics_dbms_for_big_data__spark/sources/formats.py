@@ -192,7 +192,7 @@ def format_result(df: DataFrame, fmt: str, max_rows: int = 10000) -> str:
             "(" + ", ".join(_sql_literal(r[n]) for n in names) + ")" for r in rows
         )
     if fmt in ("TabSeparated", "TSV"):
-        return "\n".join("\t".join(_cell(r[n]) for n in names) for r in rows)
+        return "\n".join("\t".join(_tsv_cell(r[n]) for n in names) for r in rows)
     if fmt == "XML":
         out = ["<result>"]
         for r in rows:
@@ -233,6 +233,16 @@ def _cell(v) -> str:
     if isinstance(v, bool):
         return "1" if v else "0"
     return str(v)
+
+
+def _tsv_cell(v) -> str:
+    """TabSeparated escapes embedded separators in string values
+    (IO/WriteHelpers.h writeEscapedString: \\, tab, newline) — without
+    this a value containing a tab corrupts the column structure."""
+    s = _cell(v)
+    if isinstance(v, str):
+        s = s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+    return s
 
 
 def _jsonable(v):
