@@ -198,3 +198,126 @@ def dialect_dict_get(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT n_name, dictGetString('regions', 'r_name', n_regionkey) "
         "AS region_name FROM nation ORDER BY n_name"
     )
+
+
+@query(
+    "dialect_union_branch_limit",
+    """
+    (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 5)
+    UNION ALL
+    (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey DESC LIMIT 5)
+    """,
+    doc="UNION ALL branches keep their own ORDER BY/LIMIT — the "
+    "reference chains complete selects (ASTSelectQuery.h:78), so a "
+    "branch LIMIT must scope per branch, not to the whole union.",
+    tags=("dialect", "union"),
+)
+def dialect_union_branch_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        "SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 5 "
+        "UNION ALL "
+        "SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey DESC LIMIT 5"
+    )
+
+
+@query(
+    "dialect_sequence_funnel",
+    """
+    SELECT CAST(SUM(m) AS BIGINT) AS users_converted FROM (
+        SELECT user_id,
+               CASE WHEN MIN(CASE WHEN event_type = 'view' THEN ts END)
+                         < MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                    THEN 1 ELSE 0 END AS m
+        FROM events GROUP BY user_id
+    )
+    """,
+    doc="sequenceMatch('(?1).*(?2)')(ts, ...) through the dialect's "
+    "parametric-aggregate syntax (AggregateFunctionSequenceMatch.h:145; "
+    "f(params)(args) grammar, ParserSelectQuery.cpp).",
+    tags=("dialect", "funnel"),
+)
+def dialect_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        """
+        SELECT toInt64(sum(m)) AS users_converted FROM (
+            SELECT user_id,
+                   sequenceMatch('(?1).*(?2)')(
+                       ts, event_type = 'view', event_type = 'purchase'
+                   ) AS m
+            FROM events GROUP BY user_id
+        )
+        """
+    )
+
+
+@query(
+    "dialect_state_merge",
+    """
+    SELECT CAST(SUM(qty) AS DOUBLE) AS total_qty,
+           CAST(SUM(line_sum) AS DOUBLE) / SUM(line_cnt) AS avg_linenumber
+    FROM (
+        SELECT l_returnflag,
+               SUM(CAST(l_quantity AS DECIMAL(18, 2))) AS qty,
+               SUM(CAST(l_linenumber AS DOUBLE)) AS line_sum,
+               COUNT(l_linenumber) AS line_cnt
+        FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+    doc="-State/-Merge two-level aggregation through the dialect "
+    "(AggregateFunctionState.h/AggregateFunctionMerge.h): partial "
+    "states per group in a subquery, merged in the outer select.",
+    tags=("dialect", "state"),
+)
+def dialect_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        """
+        SELECT toFloat64(sumMerge(s)) AS total_qty,
+               avgMerge(a) AS avg_linenumber
+        FROM (
+            SELECT l_returnflag,
+                   sumState(CAST(l_quantity AS DECIMAL(18, 2))) AS s,
+                   avgState(l_linenumber) AS a
+            FROM lineitem GROUP BY l_returnflag
+        )
+        """
+    )
+
+
+@query(
+    "dialect_scalar_subquery",
+    """
+    SELECT n_name FROM nation
+    WHERE n_regionkey = (SELECT MAX(r_regionkey) FROM region)
+    ORDER BY n_name
+    """,
+    doc="Scalar subquery in WHERE (the reference materializes scalar "
+    "subqueries at analysis time, ExpressionAnalyzer.cpp scalar "
+    "subquery execution).",
+    tags=("dialect", "subquery"),
+)
+def dialect_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        "SELECT n_name FROM nation "
+        "WHERE n_regionkey = (SELECT max(r_regionkey) FROM region) "
+        "ORDER BY n_name"
+    )
+
+
+@query(
+    "dialect_not_tuple_in",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation
+    WHERE (n_regionkey, n_nationkey % 2) NOT IN ((1, 0), (2, 1))
+      AND NOT (n_nationkey = 0)
+    """,
+    doc="Tuple NOT IN over a literal set plus unary NOT "
+    "(Interpreters/Set.h:24 tuple-capable sets; FunctionsLogical.cpp "
+    "NOT on UInt8).",
+    tags=("dialect", "set"),
+)
+def dialect_not_tuple_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        "SELECT count() AS c FROM nation "
+        "WHERE (n_regionkey, n_nationkey % 2) NOT IN ((1, 0), (2, 1)) "
+        "AND NOT (n_nationkey = 0)"
+    )
