@@ -23,6 +23,8 @@ arg END)``.
 
 from __future__ import annotations
 
+import re
+
 from collections.abc import Callable
 
 Args = list[str]
@@ -31,13 +33,8 @@ Args = list[str]
 
 SIMPLE: dict[str, str] = {
     # dates (FunctionsDateTime.cpp)
-    "toYear": "year",
-    "toMonth": "month",
-    "toDayOfMonth": "day",
-    "toHour": "hour",
-    "toMinute": "minute",
-    "toSecond": "second",
-    "toUnixTimestamp": "unix_timestamp",
+    # (toYear/toMonth/... live in TEMPLATES: they take an optional
+    # timezone second argument — FunctionsDateTime.cpp)
     "today": "current_date",
     # strings (FunctionsString.cpp) — *UTF8 variants ARE Spark's default
     "lowerUTF8": "lower",
@@ -91,7 +88,6 @@ SIMPLE: dict[str, str] = {
     # misc
     "toTypeName": "typeof",
     "isNaN": "isnan",
-    "round": "bround",  # reference rounds half-to-even (FunctionsRound.cpp)
 }
 
 # ---------------------------------------------------------------- templates
@@ -106,6 +102,31 @@ def _bool(cond: str) -> str:
     # UInt8 doubles as Boolean in the reference (no bool type, Types.h);
     # CAST is a no-op on real booleans and coerces 0/1 ints.
     return f"CAST(({cond}) AS BOOLEAN)"
+
+
+def _lam_bool(lam: str) -> str:
+    """Coerce a rendered lambda's body to BOOLEAN.  The reference's
+    higher-order predicates take UInt8 lambdas (FunctionsHigherOrder.h)
+    — ``arrayFilter(x -> 1, a)`` is legal there; Spark's filter/exists/
+    forall demand a boolean body."""
+    if "->" in lam:
+        params, body = lam.split("->", 1)
+        return f"{params.strip()} -> {_bool(body.strip())}"
+    return lam
+
+
+def _sort_by_key(lam: str, arr: str, reverse: bool) -> str:
+    if "->" not in lam:
+        raise ValueError("arraySort lambda form expects x -> key")
+    params, body = lam.split("->", 1)
+    p = params.strip().lstrip("(").rstrip(")").strip()
+    decorated = (
+        f"array_sort(transform({arr}, {p} -> "
+        f"named_struct('col1', {body.strip()}, 'col2', {p})))"
+    )
+    if reverse:
+        decorated = f"reverse({decorated})"
+    return f"transform({decorated}, __s -> __s.col2)"
 
 
 def _array_reduce(a: Args) -> str:
@@ -126,6 +147,7 @@ def _array_reduce(a: Args) -> str:
         "median": f"element_at(array_sort({arr}), CAST((size({arr}) + 1) / 2 AS INT))",
         "quantile": f"element_at(array_sort({arr}), CAST((size({arr}) + 1) / 2 AS INT))",
         "grouparray": arr,
+        "groupuniqarray": f"array_distinct({arr})",
     }
     if name not in forms:
         raise ValueError(f"arrayReduce: unsupported aggregate {name!r}")
@@ -197,6 +219,84 @@ def _t_split_by_char(a: Args) -> str:
     return f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))"
 
 
+def _sql_let(value: str, var: str, body: str) -> str:
+    """Bind a scalar once (same trick as sql_udfs._let)."""
+    return f"element_at(transform(array({value}), {var} -> {body}), 1)"
+
+
+def _sql_url_hierarchy(u: str) -> str:
+    """SQL twin of functions/url.py:URLHierarchy — proto://host, then
+    cumulatively longer path prefixes."""
+    host = "concat(parse_url(__u, 'PROTOCOL'), '://', parse_url(__u, 'HOST'))"
+    segs = "split(parse_url(__u, 'PATH'), '/')"
+    return _sql_let(
+        u,
+        "__u",
+        f"filter(transform(sequence(0, size({segs}) - 1), "
+        f"__i -> (CASE WHEN __i = 0 THEN {host} "
+        f"ELSE concat({host}, array_join(slice({segs}, 1, __i + 1), '/')) END)), "
+        "__h -> __h IS NOT NULL AND __h <> '://')",
+    )
+
+
+def _sql_erf(x: str) -> str:
+    """SQL twin of functions/math_fns.py:erf (A-S 7.1.26)."""
+    ax = f"abs(CAST({x} AS DOUBLE))"
+    poly = (
+        "(__t * 0.254829592d + __t * __t * -0.284496736d "
+        "+ __t * __t * __t * 1.421413741d "
+        "+ __t * __t * __t * __t * -1.453152027d "
+        "+ __t * __t * __t * __t * __t * 1.061405429d)"
+    )
+    body = _sql_let(
+        f"1.0d / (1.0d + 0.3275911d * __ax)",
+        "__t",
+        f"1.0d - {poly} * exp(-__ax * __ax)",
+    )
+    return _sql_let(
+        ax, "__ax", f"(CASE WHEN CAST({x} AS DOUBLE) < 0 THEN -({body}) ELSE ({body}) END)"
+    )
+
+
+def _sql_lgamma(x: str) -> str:
+    """SQL twin of functions/math_fns.py:lgamma (Lanczos g=7, n=9)."""
+    coeffs = [
+        676.5203681218851, -1259.1392167224028, 771.32342877765313,
+        -176.61502916214059, 12.507343278686905, -0.13857109526572012,
+        9.9843695780195716e-6, 1.5056327351493116e-7,
+    ]
+    acc = "0.99999999999980993d" + "".join(
+        f" + {c!r}d / (__z + {float(i + 1)}d)" for i, c in enumerate(coeffs)
+    )
+    half_log_2pi = 0.9189385332046727
+    return _sql_let(
+        f"CAST({x} AS DOUBLE) - 1.0d",
+        "__z",
+        f"({half_log_2pi}d + (__z + 0.5d) * ln(__z + 7.5d) "
+        f"- (__z + 7.5d) + ln({acc}))",
+    )
+
+
+def _t_replace_regexp_one(a: Args) -> str:
+    """replaceRegexpOne (FunctionsStringSearch.cpp, replace_one=true):
+    Spark's regexp_replace is replace-all, so the first-match-only form
+    appends a ``(.*)$`` group that swallows the rest of the string (one
+    match possible), re-emitting it via the extra backreference.  Needs
+    literal pattern/replacement to count capture groups; non-literal
+    args fall back to replace-all."""
+    s, p, r = a[0], a[1].strip(), a[2].strip()
+    if not (p.startswith("'") and p.endswith("'") and r.startswith("'") and r.endswith("'")):
+        return f"regexp_replace({s}, {p}, {r})"
+    pat, rep = p[1:-1], r[1:-1]
+    ngroups = len(re.findall(r"(?<!\\)\((?!\?)", pat))
+    # CH/re2 backrefs \1..\9 and \0 (whole match) → Java $N
+    rep2 = re.sub(r"\\\\(\d)", r"$\1", rep)
+    return (
+        f"regexp_replace({s}, '(?s){pat}(.*)$', "
+        f"'{rep2}${ngroups + 1}')"
+    )
+
+
 def _t_ipv4_num_to_string(a: Args) -> str:
     x = a[0]
     return (
@@ -222,9 +322,55 @@ def _cast_tpl(sql_type: str) -> Callable[[Args], str]:
     return lambda a: f"CAST({a[0]} AS {sql_type})"
 
 
+def _tz_ts(a: Args) -> str:
+    """Timestamp expr, shifted into the optional tz argument (session
+    timezone is UTC; FunctionsDateTime.cpp passes a DateLUT per zone)."""
+    ts = f"CAST({a[0]} AS TIMESTAMP)"
+    if len(a) > 1:
+        return f"convert_timezone('UTC', {a[1]}, {ts})"
+    return ts
+
+
+def _tz_part(fn: str) -> Callable[[Args], str]:
+    return lambda a: f"{fn}({_tz_ts(a)})"
+
+
+def _t_to_date(a: Args) -> str:
+    """toDate is polymorphic (FunctionsConversion.cpp): strings/dates/
+    datetimes cast; integer literals are unix seconds when > 65535,
+    days-since-epoch otherwise (DataTypeDate is UInt16 days)."""
+    if len(a) == 2:
+        return f"CAST(convert_timezone('UTC', {a[1]}, CAST({a[0]} AS TIMESTAMP)) AS DATE)"
+    arg = a[0].strip()
+    if re.fullmatch(r"\d+", arg):
+        if int(arg) > 65535:
+            return f"CAST(CAST({arg} AS TIMESTAMP) AS DATE)"
+        return f"date_add(DATE'1970-01-01', {arg})"
+    return f"CAST({a[0]} AS DATE)"
+
+
 def _cast_or_zero_tpl(sql_type: str) -> Callable[[Args], str]:
     # ANSI off: bad casts yield NULL; reference's *OrZero yields 0.
     return lambda a: f"coalesce(CAST({a[0]} AS {sql_type}), CAST(0 AS {sql_type}))"
+
+
+def _t_round_scale(fn: str) -> Callable[[Args], str]:
+    """round/ceil/floor with an optional scale.  Spark requires a
+    foldable scale literal; the reference accepts any expression
+    (FunctionsRound.cpp), so a non-literal scale falls back to the
+    power-of-ten arithmetic form."""
+
+    def tpl(a: Args) -> str:
+        if len(a) == 1:
+            return f"{fn}({a[0]})"
+        s = a[1].strip()
+        if re.fullmatch(r"-?\d+", s):
+            return f"{fn}({a[0]}, {s})"
+        return (
+            f"({fn}(({a[0]}) * power(10, {s})) / power(10, {s}))"
+        )
+
+    return tpl
 
 
 _DURATION_BUCKETS = [1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800, 3600, 7200, 18000, 36000]
@@ -325,6 +471,27 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "position": lambda a: f"locate({a[1]}, {a[0]})",
     "positionUTF8": lambda a: f"locate({a[1]}, {a[0]})",
     "positionCaseInsensitive": lambda a: f"locate(lower({a[1]}), lower({a[0]}))",
+    "positionCaseInsensitiveUTF8": lambda a: f"locate(lower({a[1]}), lower({a[0]}))",
+    "replaceRegexpOne": _t_replace_regexp_one,
+    # FixedString(N): zero-padded byte string (DataTypeFixedString.h);
+    # divergence: rpad truncates instead of erroring when len > N
+    "toFixedString": lambda a: f"rpad({a[0]}, {a[1]}, chr(0))",
+    "decodeURLComponent": lambda a: f"url_decode({a[0]})",
+    # constant-per-query random (FunctionsRandom.cpp randConstant):
+    # a scalar subquery evaluates once
+    "randConstant": lambda a: "(SELECT CAST(rand() * 4294967296 AS BIGINT))",
+    "visibleWidth": lambda a: f"length(CAST({a[0]} AS STRING))",
+    # little-endian integer bytes up to the first NUL — SQL twin of
+    # functions/reinterpret.py:reinterpretAsString (FunctionsReinterpret.cpp)
+    "reinterpretAsString": lambda a: _sql_let(
+        f"transform(sequence(0, 7), __i -> CAST(CAST({a[0]} AS BIGINT) "
+        f"DIV CAST(power(256, __i) AS BIGINT) % 256 AS INT))",
+        "__b",
+        "array_join(transform(slice(__b, 1, "
+        "(CASE WHEN array_position(__b, 0) = 0 THEN 8 "
+        "ELSE CAST(array_position(__b, 0) AS INT) - 1 END)), "
+        "__c -> char(__c)), '')",
+    ),
     "match": lambda a: f"({a[0]} RLIKE {a[1]})",
     "like": lambda a: f"({a[0]} LIKE {a[1]})",
     "notLike": lambda a: f"({a[0]} NOT LIKE {a[1]})",
@@ -350,6 +517,20 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "isFinite": lambda a: f"(NOT isnan({a[0]}) AND abs({a[0]}) <> double('Infinity'))",
     "isInfinite": lambda a: f"(abs({a[0]}) = double('Infinity'))",
     # rounding (FunctionsRound.cpp)
+    # reference rounds half-to-even (FunctionsRound.cpp) → bround
+    "round": _t_round_scale("bround"),
+    "ceil": _t_round_scale("ceil"),
+    "ceiling": _t_round_scale("ceil"),
+    "floor": _t_round_scale("floor"),
+    # truncate = round toward zero (FunctionsRound.cpp truncate)
+    "truncate": lambda a: (
+        f"(CAST(({a[0]}) * power(10, {a[1] if len(a) > 1 else 0}) AS BIGINT)"
+        f" / power(10, {a[1] if len(a) > 1 else 0}))"
+    ),
+    "trunc": lambda a: (
+        f"(CAST(({a[0]}) * power(10, {a[1] if len(a) > 1 else 0}) AS BIGINT)"
+        f" / power(10, {a[1] if len(a) > 1 else 0}))"
+    ),
     "roundToExp2": lambda a: (
         f"(CASE WHEN {a[0]} < 1 THEN 0 ELSE CAST(power(2, floor(log2(CAST({a[0]} AS DOUBLE)))) AS BIGINT) END)"
     ),
@@ -376,10 +557,39 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "toInt64OrZero": _cast_or_zero_tpl("BIGINT"),
     "toFloat32OrZero": _cast_or_zero_tpl("FLOAT"),
     "toFloat64OrZero": _cast_or_zero_tpl("DOUBLE"),
-    "toString": _cast_tpl("STRING"),
-    "toDate": _cast_tpl("DATE"),
-    "toDateTime": _cast_tpl("TIMESTAMP"),
-    # dates
+    "toString": lambda a: (
+        f"CAST({a[0]} AS STRING)"
+        if len(a) == 1
+        # toString(DateTime, tz) renders in that zone (session TZ = UTC)
+        else f"date_format(convert_timezone('UTC', {a[1]}, "
+        f"CAST({a[0]} AS TIMESTAMP)), 'yyyy-MM-dd HH:mm:ss')"
+    ),
+    "toDate": lambda a: _t_to_date(a),
+    # 2nd arg is a TIMEZONE (FunctionsDateTime.cpp), not a format —
+    # string parsed as wall-clock in that zone
+    "toUnixTimestamp": lambda a: (
+        f"unix_timestamp({a[0]})"
+        if len(a) == 1
+        else f"CAST(to_utc_timestamp(CAST({a[0]} AS TIMESTAMP), {a[1]}) AS BIGINT)"
+    ),
+    "toDateTime": lambda a: (
+        f"CAST({a[0]} AS TIMESTAMP)"
+        if len(a) == 1
+        else f"convert_timezone({a[1]}, 'UTC', CAST({a[0]} AS TIMESTAMP))"
+    ),
+    # dates — each takes an optional timezone 2nd arg
+    "toYear": _tz_part("year"),
+    "toMonth": _tz_part("month"),
+    "toDayOfMonth": _tz_part("day"),
+    "toHour": _tz_part("hour"),
+    "toMinute": _tz_part("minute"),
+    "toSecond": _tz_part("second"),
+    # toTime: keep time-of-day, anchor the date at 1970-01-02
+    # (FunctionsDateTime.cpp ToTimeImpl)
+    "toTime": lambda a: (
+        f"CAST(concat('1970-01-02 ', date_format("
+        f"{_tz_ts(a)}, 'HH:mm:ss')) AS TIMESTAMP)"
+    ),
     "toDayOfWeek": lambda a: f"(weekday({a[0]}) + 1)",  # Monday=1 (reference)
     "toMonday": lambda a: f"date_sub(CAST({a[0]} AS DATE), weekday({a[0]}))",
     "toStartOfDay": lambda a: f"CAST(CAST({a[0]} AS DATE) AS TIMESTAMP)",
@@ -411,20 +621,39 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "exp2": lambda a: f"power(2, {a[0]})",
     "exp10": lambda a: f"power(10, {a[0]})",
     "e": lambda a: "exp(1)",
+    # SQL twins of functions/math_fns.py erf/erfc/lgamma/tgamma
+    # (Abramowitz-Stegun 7.1.26 / Lanczos g=7) — let-bound via a
+    # single-element transform so t is evaluated once
+    "erf": lambda a: _sql_erf(a[0]),
+    "erfc": lambda a: f"(1.0d - {_sql_erf(a[0])})",
+    "lgamma": lambda a: _sql_lgamma(a[0]),
+    "tgamma": lambda a: f"exp({_sql_lgamma(a[0])})",
     "rand": lambda a: "CAST(rand() * 4294967296 AS BIGINT)",
     "rand64": lambda a: "CAST(rand() * 9.223372036854776e18 AS BIGINT)",
     # arrays
     "arrayMap": lambda a: f"transform({', '.join(a[1:])}, {a[0]})"
     if len(a) == 2
     else f"zip_with({a[1]}, {a[2]}, {a[0]})",
-    "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
+    "arrayFilter": lambda a: f"filter({a[1]}, {_lam_bool(a[0])})",
     "arrayCount": lambda a: (
-        f"size(filter({a[1]}, {a[0]}))" if len(a) == 2 else f"size(filter({a[0]}, __x -> __x <> 0))"
+        f"size(filter({a[1]}, {_lam_bool(a[0])}))"
+        if len(a) == 2
+        else f"size(filter({a[0]}, __x -> __x <> 0))"
     ),
-    "arrayExists": lambda a: f"exists({a[1]}, {a[0]})",
-    "arrayAll": lambda a: f"forall({a[1]}, {a[0]})",
-    "arraySum": lambda a: f"aggregate({a[0]}, CAST(0 AS DOUBLE), (__acc, __x) -> __acc + __x)",
-    "arrayFirst": lambda a: f"element_at(filter({a[1]}, {a[0]}), 1)",
+    "arrayExists": lambda a: f"exists({a[1]}, {_lam_bool(a[0])})",
+    "arrayAll": lambda a: f"forall({a[1]}, {_lam_bool(a[0])})",
+    # 1-arg form sums the array; 2-arg maps the lambda first
+    # (FunctionsHigherOrder.h arraySum takes the lambda as arg 1)
+    "arraySum": lambda a: (
+        f"aggregate({a[0] if len(a) == 1 else f'transform({a[1]}, {a[0]})'}, "
+        f"CAST(0 AS DOUBLE), (__acc, __x) -> __acc + __x)"
+    ),
+    "arrayFirst": lambda a: f"element_at(filter({a[1]}, {_lam_bool(a[0])}), 1)",
+    # 1-based index of first satisfying element, 0 when none
+    # (FunctionsHigherOrder.h arrayFirstIndex)
+    "arrayFirstIndex": lambda a: (
+        f"array_position(transform({a[1]}, {_lam_bool(a[0])}), TRUE)"
+    ),
     # 1-based occurrence counter per element (FunctionsArray.cpp
     # arrayEnumerateUniq, single-array form): count equal elements in
     # the prefix up to the current position
@@ -439,7 +668,18 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
         f"get({a[0]}, (CASE WHEN ({a[1]}) > 0 THEN ({a[1]}) - 1 "
         f"ELSE size({a[0]}) + ({a[1]}) END))"
     ),
-    "arrayReverseSort": lambda a: f"reverse(sort_array({a[0]}))",
+    # lambda forms sort by the mapped key (FunctionsHigherOrder.h
+    # arraySort(f, arr)): decorate-sort-undecorate over structs
+    "arraySort": lambda a: (
+        f"sort_array({a[0]})"
+        if len(a) == 1
+        else _sort_by_key(a[0], a[1], reverse=False)
+    ),
+    "arrayReverseSort": lambda a: (
+        f"reverse(sort_array({a[0]}))"
+        if len(a) == 1
+        else _sort_by_key(a[0], a[1], reverse=True)
+    ),
     # separator defaults to '' (FunctionsString.cpp arrayStringConcat)
     "arrayStringConcat": lambda a: (
         f"array_join({a[0]}, {a[1] if len(a) > 1 else chr(39) * 2})"
@@ -497,6 +737,33 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "fragment": lambda a: f"parse_url({a[0]}, 'REF')",
     "extractURLParameter": lambda a: f"coalesce(parse_url({a[0]}, 'QUERY', {a[1]}), '')",
     "cutWWW": lambda a: f"regexp_replace({a[0]}, '//www\\\\.', '//')",
+    # URLHierarchy: cumulative prefixes proto://host, /seg1, /seg1/seg2…
+    # (SQL twin of functions/url.py:URLHierarchy)
+    "URLHierarchy": lambda a: _sql_url_hierarchy(a[0]),
+    # URLHash stand-in (FunctionsHashing.cpp URLHash): hash of the URL
+    # with ONE trailing slash/fragment stripped — equality-compatible
+    # with appendTrailingCharIfAbsent(url, '/'); values differ from
+    # the reference (xxhash64 stand-in, never golden-test them)
+    "URLHash": lambda a: (
+        f"xxhash64(regexp_replace({a[0]}, '[/#]$', ''))"
+        if len(a) == 1
+        else (
+            f"xxhash64(regexp_replace(element_at("
+            f"{_sql_url_hierarchy(a[0])}, CAST(({a[1]}) + 1 AS INT)), "
+            f"'[/#]$', ''))"
+        )
+    ),
+    # UUID codecs (FunctionsCoding.cpp): FixedString(16) ↔ canonical text
+    "UUIDNumToString": lambda a: _sql_let(
+        f"lower(hex({a[0]}))",
+        "__x",
+        "concat_ws('-', substr(__x, 1, 8), substr(__x, 9, 4), "
+        "substr(__x, 13, 4), substr(__x, 17, 4), substr(__x, 21, 12))",
+    ),
+    "UUIDStringToNum": lambda a: f"unhex(replace({a[0]}, '-', ''))",
+    # replicate(x, arr): constant x expanded to arr's shape
+    # (FunctionsMiscellaneous.cpp FunctionReplicate)
+    "replicate": lambda a: f"transform({a[1]}, __x -> {a[0]})",
     "cutQueryString": lambda a: f"regexp_replace({a[0]}, '\\\\?.*$', '')",
     "cutFragment": lambda a: f"regexp_replace({a[0]}, '#.*$', '')",
     # IP (FunctionsCoding.cpp)
@@ -579,13 +846,54 @@ def _p_sequence(count: bool) -> Callable[[Args, Args], str]:
     from ..operators.sequence_match import _pattern_to_regex
 
     def tpl(params: Args, args: Args) -> str:
-        regex = _pattern_to_regex(params[0].strip("'"))
+        pattern = params[0].strip("'")
+        if "(?t" in pattern:
+            return _seq_timed_sql(pattern, args, count)
+        regex = _pattern_to_regex(pattern)
         enc = _seq_encoded(args)
         if count:
-            return f"size(regexp_extract_all({enc}, '({regex})', 1))"
+            import re as _re
+
+            if _re.match(f"(?:{regex})$", ""):
+                # empty-matchable: forced progress = one match per event
+                return f"CAST(length({enc}) AS BIGINT)"
+            return f"CAST(size(regexp_extract_all({enc}, '({regex})', 1)) AS BIGINT)"
         return f"CAST(({enc} RLIKE '{regex}') AS INT)"
 
     return tpl
+
+
+def _seq_timed_sql(pattern: str, args: Args, count: bool) -> str:
+    """Time-constrained sequenceMatch/Count in SQL: register the exact
+    NFA (operators/sequence_match.py:match_events — the port of
+    AggregateFunctionSequenceMatch.h:364-497) as a grouped-agg pandas
+    UDF on the active session and emit a call to it over (epoch-secs,
+    condition-bitmask)."""
+    import hashlib
+
+    from pyspark.sql import SparkSession
+
+    from ..operators.sequence_match import _timed_udf
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("time-constrained sequenceMatch needs an active SparkSession")
+    tag = hashlib.md5(f"{pattern}|{count}".encode()).hexdigest()[:10]
+    name = f"__seq_{'count' if count else 'match'}_{tag}"
+    registered = spark.conf.get(f"spark.__seq_udf.{name}", None)
+    if registered is None:
+        spark.udf.register(name, _timed_udf(pattern, count))
+        spark.conf.set(f"spark.__seq_udf.{name}", "1")
+    ts, conds = args[0], args[1:]
+    mask = " + ".join(
+        f"(CASE WHEN {_bool(c)} THEN {1 << i} ELSE 0 END)"
+        for i, c in enumerate(conds)
+    )
+    call = (
+        f"{name}(CAST(CAST({ts} AS TIMESTAMP) AS BIGINT), "
+        f"CAST({mask} AS BIGINT))"
+    )
+    return call if count else f"CAST({call} AS INT)"
 
 
 PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
@@ -603,6 +911,14 @@ PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     "quantiles": _p_quantiles(exact=False),
     "quantilesExact": _p_quantiles(exact=True),
     "quantilesTiming": _p_quantiles(exact=False),
+    "quantilesDeterministic": _p_quantiles(exact=False),
+    "quantilesTDigest": _p_quantiles(exact=False),
+    "quantileTimingWeighted": lambda p, a: (
+        f"percentile({a[0]}, {p[0] if p else '0.5'}, CAST({a[1]} AS BIGINT))"
+    ),
+    "quantilesTimingWeighted": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}), CAST({a[1]} AS BIGINT))"
+    ),
     "uniqUpTo": lambda p, a: f"least(count(DISTINCT {a[0]}), {p[0]} + 1)",
     "groupArray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
     "topK": lambda p, a: (
@@ -627,6 +943,48 @@ _IF_COMBINATOR_BASES: dict[str, str] = {
     "uniqExact": "count_distinct_case",  # special-cased below
     "groupArray": "collect_list",
 }
+
+
+_FOREACH_MERGES = {
+    "sum": "coalesce(__p, 0.0d) + coalesce(CAST(__q AS DOUBLE), 0.0d)",
+    "min": "least(__p, CAST(__q AS DOUBLE))",
+    "max": "greatest(__p, CAST(__q AS DOUBLE))",
+    "count": "coalesce(__p, 0.0d) + (CASE WHEN __q IS NULL THEN 0.0d ELSE 1.0d END)",
+}
+
+
+def foreach_combinator(name: str, args: Args) -> str | None:
+    """``<agg>ForEach(arr)`` — per-index aggregation across rows.
+
+    SQL twin of functions/aggregates.py:_for_each (reference:
+    AggregateFunctionForEach.h): fold collected arrays with zip_with,
+    which pads the shorter side with NULL.  avgForEach divides the sum
+    and count folds; groupArrayForEach transposes into arrays-per-index.
+    """
+    if not name.endswith("ForEach"):
+        return None
+    base = name[: -len("ForEach")]
+    arr = args[0]
+    lists = f"collect_list({arr})"
+
+    def fold(merge: str, init: str = "CAST(array() AS ARRAY<DOUBLE>)") -> str:
+        return (
+            f"aggregate({lists}, {init}, "
+            f"(__acc, __arr) -> zip_with(__acc, __arr, (__p, __q) -> {merge}))"
+        )
+
+    if base in _FOREACH_MERGES:
+        return fold(_FOREACH_MERGES[base])
+    if base == "avg":
+        return f"zip_with({fold(_FOREACH_MERGES['sum'])}, {fold(_FOREACH_MERGES['count'])}, (__s, __c) -> __s / __c)"
+    if base == "groupArray":
+        return (
+            f"aggregate({lists}, CAST(array() AS ARRAY<ARRAY<STRING>>), "
+            f"(__acc, __arr) -> zip_with(__acc, transform(__arr, __e -> CAST(__e AS STRING)), "
+            f"(__p, __q) -> concat(coalesce(__p, array()), "
+            f"CASE WHEN __q IS NULL THEN CAST(array() AS ARRAY<STRING>) ELSE array(__q) END)))"
+        )
+    return None
 
 
 def if_combinator(name: str, args: Args) -> str | None:

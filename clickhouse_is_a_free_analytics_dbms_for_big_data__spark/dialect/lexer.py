@@ -21,6 +21,7 @@ _TOKEN_RE = re.compile(
     | (?P<block_comment>/\*.*?\*/)
     | (?P<string>'(?:[^'\\]|\\.)*')
     | (?P<qident>`(?:[^`\\]|\\.)*`)
+    | (?P<hexfloat>0[xX][0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?[pP][+-]?\d+)
     | (?P<hexnum>0[xX][0-9A-Fa-f]+)
     | (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
@@ -60,6 +61,13 @@ def tokenize(sql: str) -> list[Token]:
             # hex literal 0xFF (ExpressionElementParsers.cpp number
             # parsing) — Spark SQL has no 0x form; emit decimal
             kind, text = "number", str(int(text, 16))
+        elif kind == "hexfloat":
+            # C99 hex float 0x123p4 (strtod-style, same parser)
+            kind, text = "number", repr(float.fromhex(text))
+        elif kind == "number" and text.endswith("."):
+            # `-0.` / `1.` trailing-dot floats: Spark's parser rejects
+            # a bare trailing dot
+            text += "0"
         elif kind == "string":
             text = _decode_hex_escapes(text)
         out.append(Token(kind=kind, text=text, pos=m.start()))

@@ -38,7 +38,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from .functions_map import PARAMETRIC, SIMPLE, TEMPLATES, if_combinator
+from .functions_map import (
+    PARAMETRIC,
+    SIMPLE,
+    TEMPLATES,
+    foreach_combinator,
+    if_combinator,
+)
 from .lexer import Token, tokenize
 
 _JOIN_KINDS = {"INNER", "LEFT", "RIGHT", "FULL", "CROSS", "OUTER"}
@@ -293,12 +299,33 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
         else:
             raise ValueError(f"unexpected token in query: {t.text!r}")
 
-    # ---- WITH substitutions apply to every expression clause
+    # ---- inline expression aliases (ExpressionAnalyzer normalizeTree
+    # alias substitution: ANY subexpression may carry `AS name`, and the
+    # name is visible query-wide — `position('abc' AS h, lower('x' AS n))
+    # ... = h`).  Nested aliases are stripped from the token stream and
+    # recorded; top-level select-item aliases stay (they name output
+    # columns) but are recorded for reference elsewhere.
+    # output-column aliases (top-level `expr AS name` select items) are
+    # substituted only into WHERE/PREWHERE — Spark resolves them itself
+    # in GROUP BY / HAVING / ORDER BY, and substituting a literal there
+    # would turn `ORDER BY x` into a constant (or positional!) sort.
+    out_subs: dict[str, str] = {}
+    select_toks = _collect_inline_aliases(
+        select_toks, ctx, with_subs, out_subs=out_subs, top_select=True
+    )
+    where_toks = _collect_inline_aliases(where_toks, ctx, with_subs)
+    prewhere_toks = _collect_inline_aliases(prewhere_toks, ctx, with_subs)
+    having_toks = _collect_inline_aliases(having_toks, ctx, with_subs)
+    order_toks = _collect_inline_aliases(order_toks, ctx, with_subs)
+
+    # ---- WITH + inline-alias substitutions apply to every expression clause
     def subst(toks: list[Token]) -> list[Token]:
         return _substitute(toks, with_subs)
 
     select_items = [subst(s) for s in _split_top(select_toks, ",")]
-    where_toks, prewhere_toks = subst(where_toks), subst(prewhere_toks)
+    where_subs = {**with_subs, **out_subs}
+    where_toks = _substitute(where_toks, where_subs)
+    prewhere_toks = _substitute(prewhere_toks, where_subs)
     group_toks, having_toks, order_toks = (
         subst(group_toks), subst(having_toks), subst(order_toks),
     )
@@ -903,6 +930,93 @@ def _strip_alias(item: list[Token]) -> tuple[list[Token], str | None]:
     return item, None
 
 
+def _collect_inline_aliases(
+    tokens: list[Token],
+    ctx: Ctx,
+    subs: dict[str, str],
+    out_subs: dict[str, str] | None = None,
+    top_select: bool = False,
+) -> list[Token]:
+    """Record `expr AS name` aliases and strip the nested ones.
+
+    Reference: ExpressionAnalyzer.cpp normalizeTree — any expression
+    element may be aliased and referenced anywhere in the query.  The
+    aliased expression extends back to the nearest `(`, `[` or `,` at
+    the same bracket depth (ParserExpressionWithOptionalAlias scope).
+    Subqueries are skipped — their aliases are their own.
+    """
+    out: list[Token] = []
+    depth_stack: list[str] = []
+    k = 0
+    n = len(tokens)
+    while k < n:
+        t = tokens[k]
+        if t.text == "(" and k + 1 < n and tokens[k + 1].is_kw("SELECT"):
+            close = _match_paren(tokens, k)
+            out.extend(tokens[k : close + 1])
+            k = close + 1
+            continue
+        # CAST(x AS Type): the AS is grammar, not an alias
+        if (
+            t.kind == "ident"
+            and t.text.upper() == "CAST"
+            and k + 1 < n
+            and tokens[k + 1].text == "("
+        ):
+            close = _match_paren(tokens, k + 1)
+            out.extend(tokens[k : close + 1])
+            k = close + 1
+            continue
+        if t.text in ("(", "["):
+            depth_stack.append(t.text)
+        elif t.text in (")", "]") and depth_stack:
+            depth_stack.pop()
+        if (
+            t.is_kw("AS")
+            and k + 1 < n
+            and tokens[k + 1].kind in ("ident", "qident")
+            and not tokens[k + 1].is_kw(
+                "SELECT", "FROM", "WHERE", "GROUP", "ORDER", "LIMIT"
+            )
+        ):
+            name = tokens[k + 1].text
+            # item-ending alias at depth 0: output-column alias
+            nxt = k + 2
+            ends_item = nxt >= n or (not depth_stack and tokens[nxt].text == ",")
+            # find expression start: last boundary in `out` at this depth
+            b = len(out) - 1
+            d = 0
+            while b >= 0:
+                txt = out[b].text
+                if txt in (")", "]"):
+                    d += 1
+                elif txt in ("(", "["):
+                    if d == 0:
+                        break
+                    d -= 1
+                elif txt == "," and d == 0:
+                    break
+                b -= 1
+            expr_toks = out[b + 1 :]
+            has_array_join = any(
+                e.kind == "ident" and e.text == "arrayJoin" for e in expr_toks
+            )
+            is_output = not depth_stack and top_select and ends_item
+            target = out_subs if (is_output and out_subs is not None) else subs
+            if expr_toks and name not in target and not has_array_join:
+                # arrayJoin aliases resolve to the exploded column via
+                # the ARRAY JOIN machinery below, not by substitution
+                rendered = _rewrite(_substitute(list(expr_toks), subs), ctx)
+                target[name] = f"({rendered})"
+            if is_output:
+                out.extend(tokens[k : k + 2])  # keep output alias
+            k += 2
+            continue
+        out.append(t)
+        k += 1
+    return out
+
+
 def _substitute(tokens: list[Token], subs: dict[str, str]) -> list[Token]:
     if not subs:
         return tokens
@@ -1048,12 +1162,12 @@ def _fold_date_arith(pieces: list[str], kinds: list[str | None]) -> None:
             rep = f"(unix_timestamp({l}) - unix_timestamp({r}))"
         elif lk == "date" and rk is None:
             fn = "date_add" if op == "+" else "date_sub"
-            rep, krep = f"{fn}({l}, {r})", "date"
+            rep, krep = f"{fn}({l}, CAST({r} AS INT))", "date"
         elif lk == "datetime" and rk is None:
             n = r if op == "+" else f"-({r})"
             rep, krep = f"timestampadd(SECOND, {n}, {l})", "datetime"
         elif op == "+" and lk is None and rk == "date":
-            rep, krep = f"date_add({r}, {l})", "date"
+            rep, krep = f"date_add({r}, CAST({l} AS INT))", "date"
         elif op == "+" and lk is None and rk == "datetime":
             rep, krep = f"timestampadd(SECOND, {l}, {r})", "datetime"
         if rep is not None:
@@ -1115,14 +1229,16 @@ def _rw_seq(
             i += 1
             continue
         start = i
-        piece, i = _rw_item(tokens, i, ctx)
+        prev_in = bool(pieces) and pieces[-1].upper() == "IN"
+        piece, i = _rw_item(tokens, i, ctx, in_list=prev_in)
         pieces.append(piece)
         kinds.append(_syntactic_kind(tokens[start:i]))
     if q_pos is not None and c_pos is not None:
         cond = " ".join(pieces[:q_pos])
         then = " ".join(pieces[q_pos + 1 : c_pos])
         other = " ".join(pieces[c_pos + 1 :])
-        return f"if({cond}, {then}, {other})", i
+        # UInt8 truthiness (FunctionsConditional.cpp): `x % 2 ? a : b`
+        return f"if(CAST(({cond}) AS BOOLEAN), {then}, {other})", i
     _fold_date_arith(pieces, kinds)
     # NOT binds looser than comparisons but tighter than AND/OR: wrap
     # the operand run (everything up to AND/OR or end) with a boolean
@@ -1139,8 +1255,71 @@ def _rw_seq(
     return " ".join(pieces), i
 
 
-def _rw_item(tokens: list[Token], i: int, ctx: Ctx) -> tuple[str, int]:
+_RESERVED_OPERAND_KWS = {
+    "CASE", "WHEN", "THEN", "ELSE", "END", "AND", "OR", "XOR",
+    "LIKE", "BETWEEN", "IS", "NULL", "INTERVAL", "DISTINCT",
+    "AS", "ASC", "DESC",
+}
+
+# keywords that cannot END an operand (for infix-vs-call disambiguation)
+_NON_OPERAND_KWS = _RESERVED_OPERAND_KWS | {
+    "SELECT", "WHERE", "PREWHERE", "HAVING", "BY", "ON", "IN", "NOT",
+    "UNION", "ALL", "FROM", "GROUP", "ORDER", "LIMIT",
+}
+
+
+def _rw_row_elem(toks: list[Token], ctx: Ctx) -> str:
+    """One element of an IN list: a paren tuple stays in row form."""
+    if (
+        toks
+        and toks[0].text == "("
+        and _match_paren(toks, 0) == len(toks) - 1
+    ):
+        inner = _split_top(toks[1:-1], ",")
+        if len(inner) > 1:
+            return f"({', '.join(_rewrite(p, ctx) for p in inner)})"
+    return _rewrite(toks, ctx)
+
+
+def _rw_item(
+    tokens: list[Token], i: int, ctx: Ctx, in_list: bool = False
+) -> tuple[str, int]:
     t = tokens[i]
+
+    # reserved expression keywords are neither operands nor function
+    # names: emit verbatim so `THEN [1,2]` is not parsed as indexing
+    # THEN and `WHEN(x)` is not a call (ExpressionListParsers.cpp
+    # treats these as grammar, not identifiers).  LIKE/AND/OR/XOR stay
+    # callable — the reference registers them as functions too
+    # (FunctionsStringSearch.cpp like, FunctionsLogical.cpp and/or/xor).
+    if t.kind == "ident" and t.text.upper() in _RESERVED_OPERAND_KWS:
+        # function form only in operand position: `like(s, p)` is a
+        # call, `s LIKE (p)` is infix (left operand precedes)
+        callable_kw = t.text.upper() in ("LIKE", "AND", "OR", "XOR")
+        prev = tokens[i - 1] if i > 0 else None
+        has_left_operand = prev is not None and (
+            prev.kind in ("number", "string", "qident")
+            or prev.text in (")", "]")
+            or (prev.kind == "ident" and prev.text.upper() not in _NON_OPERAND_KWS)
+        )
+        if not (
+            callable_kw
+            and not has_left_operand
+            and i + 1 < len(tokens)
+            and tokens[i + 1].text == "("
+        ):
+            return t.text.upper(), i + 1
+
+    # nan / inf literals (ParserNumber accepts them; Spark has no
+    # keyword form) — only when not a column access or function call
+    if (
+        t.kind == "ident"
+        and t.text.lower() in ("nan", "inf", "infinity")
+        and not (i + 1 < len(tokens) and tokens[i + 1].text in ("(", "."))
+        and not (i > 0 and tokens[i - 1].text == ".")
+    ):
+        lit = "'NaN'" if t.text.lower() == "nan" else "'Infinity'"
+        return _postfix(f"CAST({lit} AS DOUBLE)", tokens, i + 1, ctx)
 
     # parenthesized: subquery or grouping/tuple
     if t.text == "(":
@@ -1149,7 +1328,27 @@ def _rw_item(tokens: list[Token], i: int, ctx: Ctx) -> tuple[str, int]:
         if inner and inner[0].is_kw("SELECT"):
             sub = _translate_union(inner, ctx)
             return _postfix(f"({sub})", tokens, close + 1, ctx)
-        parts = [_rewrite(p, ctx) for p in _split_top(inner, ",")]
+        parts_toks = _split_top(inner, ",")
+        if len(parts_toks) > 1:
+            # tuple literal (ExpressionElementParsers.cpp ParserTuple):
+            # named_struct with positional colN fields so arrays of
+            # tuples unify and = compares across sources.  Inside an IN
+            # list (or as its LHS) keep Spark's row-constructor form.
+            nxt = tokens[close + 1] if close + 1 < len(tokens) else None
+            nxt2 = tokens[close + 2] if close + 2 < len(tokens) else None
+            lhs_of_in = nxt is not None and (
+                nxt.is_kw("IN", "GLOBAL")
+                or (nxt.is_kw("NOT") and nxt2 is not None and nxt2.is_kw("IN"))
+            )
+            if in_list or lhs_of_in:
+                parts = [_rw_row_elem(p, ctx) for p in parts_toks]
+                return _postfix(f"({', '.join(parts)})", tokens, close + 1, ctx)
+            parts = [_rewrite(p, ctx) for p in parts_toks]
+            ns = ", ".join(
+                f"'col{k + 1}', {p}" for k, p in enumerate(parts)
+            )
+            return _postfix(f"named_struct({ns})", tokens, close + 1, ctx)
+        parts = [_rewrite(p, ctx) for p in parts_toks]
         return _postfix(f"({', '.join(parts)})", tokens, close + 1, ctx)
 
     # array literal
@@ -1211,7 +1410,18 @@ def _apply_fn(
         if name == "empty":
             return f"(size({args[0]}) = 0)"
         return f"(size({args[0]}) > 0)"
+    # catalog introspection resolved at translate time
+    # (FunctionsMiscellaneous.cpp hasColumnInTable is constant-folded
+    # at analysis in the reference too)
+    if name == "hasColumnInTable" and len(args) >= 2:
+        table = args[-2].strip("'")
+        col = args[-1].strip("'")
+        cols = ctx.columns_of(table) if ctx.columns_of is not None else None
+        return "1" if cols is not None and col in cols else "0"
     combo = if_combinator(name, args)
+    if combo is not None:
+        return combo
+    combo = foreach_combinator(name, args)
     if combo is not None:
         return combo
     if name in TEMPLATES:

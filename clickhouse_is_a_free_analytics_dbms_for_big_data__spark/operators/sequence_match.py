@@ -1,23 +1,35 @@
 """sequenceMatch / sequenceCount — event-sequence pattern aggregates.
 
 Reference: dbms/src/AggregateFunctions/AggregateFunctionSequenceMatch.h
-(:145 sequenceMatch, :157 sequenceCount; pattern parser :289-359).
-Pattern grammar supported here: ``(?N)`` = event satisfying condition N,
-``.*`` = any events between, ``.`` = exactly one event.  The time
-constraint ``(?t<=n)`` is not supported (raises).
+(:145 sequenceMatch, :157 sequenceCount; pattern parser :272-361,
+backtracking matcher :364-497).  Pattern grammar: ``(?N)`` = event
+satisfying condition N, ``.*`` = any events between, ``.`` = exactly
+one event, ``(?t<=n)`` / ``(?t<n)`` / ``(?t>=n)`` / ``(?t>n)`` = the
+time gap between the two surrounding matched events must satisfy the
+comparison (seconds).
 
-Spark-first design: instead of a stateful NFA per group (the
-reference's approach), each event is encoded as one character — the
-digit of the first condition it satisfies, or 'x' — events are sorted
-by timestamp *inside an aggregate expression* (sort_array over
-collect_list), and the pattern becomes an ordinary regex over the
-encoded string.  Everything stays JVM-side: one shuffle for the
-groupBy, regex in codegen, no Python in the loop.
+Spark-first design, two tiers:
 
-Caveat (documented divergence): conditions are assumed disjoint per
-event (each event matches at most one (?N)); the reference's NFA
-allows overlapping conditions.  Funnel queries — the function's actual
-use — have disjoint conditions by construction.
+- Time-free patterns (the common funnel case): each event is encoded
+  as one character — the digit of the first condition it satisfies, or
+  'x' — events are sorted by timestamp *inside an aggregate
+  expression* (sort_array over collect_list), and the pattern becomes
+  an ordinary regex over the encoded string.  Everything stays
+  JVM-side: one shuffle for the groupBy, regex in codegen, no Python
+  in the loop.
+
+- Time-constrained patterns cannot be a regex (the gap predicate is
+  arithmetic over timestamps), so they run the reference's exact
+  backtracking NFA in an Arrow-batched grouped-agg pandas UDF over
+  (timestamp, condition-bitmask) pairs.  Still one shuffle; Python
+  cost is paid only by patterns that need it, and the bitmask makes
+  this path exact even for overlapping conditions.
+
+Caveat (documented divergence, fast path only): the regex tier
+assumes conditions are disjoint per event (each event matches at most
+one (?N)); the reference's NFA allows overlapping conditions.  Funnel
+queries — the function's actual use — have disjoint conditions by
+construction.  The timed tier has no such caveat.
 """
 
 from __future__ import annotations
@@ -27,6 +39,10 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# reference guard: sequence_match_max_iterations (Settings.h) — bail
+# out on pathological backtracking rather than hang an executor.
+_MAX_ITERATIONS = 1_000_000
 
 
 def _encode_events(ts: Column, conds: Sequence[Column]) -> Column:
@@ -39,6 +55,168 @@ def _encode_events(ts: Column, conds: Sequence[Column]) -> Column:
     return F.array_join(
         F.transform(F.array_sort(pairs), lambda s: s.getField("c")), ""
     )
+
+
+def parse_pattern(pattern: str) -> list[tuple[str, int]]:
+    """Pattern → action list, mirroring parsePattern
+    (AggregateFunctionSequenceMatch.h:272-361): an implicit leading
+    Kleene star, then 'event' (0-based cond index), 'any', 'star', and
+    the four time-constraint kinds ('tle','tl','tge','tg', seconds)."""
+    actions: list[tuple[str, int]] = [("star", 0)]
+    i = 0
+    while i < len(pattern):
+        if pattern.startswith("(?t", i):
+            j = pattern.index(")", i)
+            body = pattern[i + 3 : j]
+            m = re.match(r"(<=|<|>=|>)\s*(\d+)$", body.strip())
+            if not m:
+                raise ValueError(f"bad time constraint {pattern[i:j+1]!r}")
+            kind = {"<=": "tle", "<": "tl", ">=": "tge", ">": "tg"}[m.group(1)]
+            if actions[-1][0] not in ("event", "any", "star"):
+                raise ValueError(
+                    "time constraint must follow an event condition"
+                )
+            actions.append((kind, int(m.group(2))))
+            i = j + 1
+        elif pattern.startswith("(?", i):
+            j = pattern.index(")", i)
+            actions.append(("event", int(pattern[i + 2 : j]) - 1))
+            i = j + 1
+        elif pattern.startswith(".*", i):
+            actions.append(("star", 0))
+            i += 2
+        elif pattern[i] == ".":
+            actions.append(("any", 0))
+            i += 1
+        else:
+            raise ValueError(f"unsupported pattern token at {pattern[i:]}")
+    return actions
+
+
+def match_events(
+    actions: list[tuple[str, int]],
+    times: Sequence[int],
+    masks: Sequence[int],
+    start: int,
+) -> tuple[bool, int]:
+    """One backtracking match attempt from ``start`` — faithful to the
+    reference's match() (AggregateFunctionSequenceMatch.h:364-497).
+    Returns (matched, resume position for non-overlapping counting)."""
+    n = len(times)
+    a_end = len(actions)
+    action_it, events_it, base_it = 0, start, start
+    stack: list[tuple[int, int, int]] = []
+
+    def backtrack() -> bool:
+        nonlocal action_it, events_it, base_it
+        while stack:
+            a, e, b = stack.pop()
+            action_it, events_it, base_it = a, e + 1, b
+            if events_it != n:
+                return True
+        return False
+
+    i = 0
+    while action_it < a_end and events_it < n:
+        typ, extra = actions[action_it]
+        if typ == "event":
+            if masks[events_it] >> extra & 1:
+                base_it = events_it
+                action_it += 1
+                events_it += 1
+            elif not backtrack():
+                break
+        elif typ == "any":
+            base_it = events_it
+            action_it += 1
+            events_it += 1
+        elif typ == "star":
+            stack.append((action_it, events_it, base_it))
+            base_it = events_it
+            action_it += 1
+        else:
+            diff = times[events_it] - times[base_it]
+            ok = (
+                diff <= extra
+                if typ == "tle"
+                else diff < extra
+                if typ == "tl"
+                else diff >= extra
+                if typ == "tge"
+                else diff > extra
+            )
+            if ok:
+                stack.append((action_it, events_it, base_it))
+                base_it = events_it
+                action_it += 1
+            elif typ in ("tge", "tg"):
+                # gap can only grow — scan forward
+                events_it += 1
+                if events_it == n and not backtrack():
+                    break
+            elif not backtrack():
+                break
+        i += 1
+        if i > _MAX_ITERATIONS:
+            raise RuntimeError(
+                "sequenceMatch pattern exceeds max iterations"
+            )
+
+    # trailing actions that can match the empty suffix
+    while action_it < a_end and (
+        actions[action_it][0] in ("star", "tle", "tl")
+        or (actions[action_it][0] == "tge" and actions[action_it][1] == 0)
+    ):
+        action_it += 1
+
+    if events_it == start:
+        events_it += 1
+    return action_it == a_end, events_it
+
+
+def _mask_expr(conds: Sequence[Column]) -> Column:
+    """Condition bitmask per event (bit i = condition i+1 holds) —
+    the Spark twin of the reference's per-event std::bitset
+    (AggregateFunctionSequenceMatch.h:47)."""
+    mask = F.lit(0)
+    for i, c in enumerate(conds):
+        mask = mask + F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
+    return mask.cast("long")
+
+
+def _timed_udf(pattern: str, count: bool):
+    """The exact-NFA grouped-agg pandas UDF for one (pattern, mode) —
+    shared by the DataFrame path and the SQL dialect (which registers
+    it with spark.udf.register for use inside translated GROUP BYs)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    actions = parse_pattern(pattern)
+
+    # functionType given explicitly: the module-wide `from __future__
+    # import annotations` turns hints into strings, which defeats
+    # pandas_udf's signature inference.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def seq_agg(t, m):
+        order = sorted(range(len(t)), key=lambda k: (t.iloc[k], m.iloc[k]))
+        times = [int(t.iloc[k]) for k in order]
+        masks = [int(m.iloc[k]) for k in order]
+        if count:
+            pos = total = 0
+            while pos < len(times):
+                matched, pos = match_events(actions, times, masks, pos)
+                if not matched:
+                    break
+                total += 1
+            return total
+        return int(match_events(actions, times, masks, 0)[0])
+
+    return seq_agg
+
+
+def _timed_agg(pattern: str, ts: Column, conds: Sequence[Column], count: bool) -> Column:
+    """Grouped-agg pandas UDF running the exact NFA (timed patterns)."""
+    ts_secs = ts.cast("timestamp").cast("long")
+    return _timed_udf(pattern, count)(ts_secs, _mask_expr(conds))
 
 
 def _pattern_to_regex(pattern: str) -> str:
@@ -69,6 +247,8 @@ def sequence_match(
     pattern: str, ts: Column, conds: Sequence[Column]
 ) -> Column:
     """Aggregate expression: 1 if the group's event sequence matches."""
+    if "(?t" in pattern:
+        return _timed_agg(pattern, ts, conds, count=False).cast("int")
     encoded = _encode_events(ts, conds)
     regex = _pattern_to_regex(pattern)
     return encoded.rlike(regex).cast("int")
@@ -78,6 +258,13 @@ def sequence_count(
     pattern: str, ts: Column, conds: Sequence[Column]
 ) -> Column:
     """Aggregate expression: number of non-overlapping matches."""
+    if "(?t" in pattern:
+        return _timed_agg(pattern, ts, conds, count=True)
     encoded = _encode_events(ts, conds)
     regex = _pattern_to_regex(pattern)
-    return F.size(F.regexp_extract_all(encoded, F.lit(f"({regex})"), 1))
+    if re.match(f"(?:{regex})$", ""):
+        # empty-matchable pattern: the reference's forced-progress rule
+        # (match.h:494 `if (events_it == events_begin) ++events_it`)
+        # consumes one event per empty match -> count = event count
+        return F.length(encoded).cast("long")
+    return F.size(F.regexp_extract_all(encoded, F.lit(f"({regex})"), 1)).cast("long")

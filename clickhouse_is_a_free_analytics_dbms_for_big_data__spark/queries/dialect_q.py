@@ -321,3 +321,82 @@ def dialect_not_tuple_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE (n_regionkey, n_nationkey % 2) NOT IN ((1, 0), (2, 1)) "
         "AND NOT (n_nationkey = 0)"
     )
+
+
+@query(
+    "dialect_inline_alias",
+    """
+    SELECT n_name,
+           POSITION('AR' IN n_name) AS p
+    FROM nation
+    WHERE POSITION('AR' IN n_name) > 0
+    ORDER BY n_name
+    """,
+    doc="Inline expression aliases (ExpressionAnalyzer.cpp "
+    "normalizeTree): a subexpression aliased inside a function call is "
+    "referable query-wide, including in WHERE.",
+    tags=("dialect", "alias"),
+)
+def dialect_inline_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        "SELECT n_name, position(n_name, 'AR' AS needle) AS p "
+        "FROM nation WHERE position(n_name, needle) > 0 ORDER BY n_name"
+    )
+
+
+@query(
+    "dialect_tuple_array",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation
+    WHERE (n_regionkey, n_nationkey % 3) IN ((1, 0), (2, 1), (4, 2))
+    """,
+    doc="Tuple literals normalize to positional-field structs "
+    "(ParserTuple, Interpreters/Set.h tuple-capable sets): tuple-array "
+    "membership via has() agrees with tuple IN.",
+    tags=("dialect", "tuple"),
+)
+def dialect_tuple_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        "SELECT count() AS c FROM nation "
+        "WHERE has([(1, 0), (2, 1), (4, 2)], (n_regionkey, n_nationkey % 3))"
+    )
+
+
+@query(
+    "dialect_sequence_timed",
+    """
+    SELECT CAST(SUM(m) AS BIGINT) AS fast_converters FROM (
+        SELECT user_id,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM events v
+                   WHERE v.user_id = e.user_id AND v.event_type = 'view'
+                     AND EXISTS (
+                       SELECT 1 FROM events p
+                       WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                         AND CAST(floor(epoch(p.ts)) AS BIGINT)
+                             >= CAST(floor(epoch(v.ts)) AS BIGINT)
+                         AND CAST(floor(epoch(p.ts)) AS BIGINT)
+                             - CAST(floor(epoch(v.ts)) AS BIGINT) <= 86400
+                     )
+               ) THEN 1 ELSE 0 END AS m
+        FROM events e GROUP BY user_id
+    )
+    """,
+    doc="Time-constrained sequenceMatch '(?1)(?t<=86400)(?2)' — the "
+    "exact backtracking NFA (AggregateFunctionSequenceMatch.h:364-497) "
+    "as an Arrow-batched grouped-agg pandas UDF; only timed patterns "
+    "pay the Python cost.",
+    tags=("dialect", "funnel"),
+)
+def dialect_sequence_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        """
+        SELECT toInt64(sum(m)) AS fast_converters FROM (
+            SELECT user_id,
+                   sequenceMatch('(?1)(?t<=86400)(?2)')(
+                       ts, event_type = 'view', event_type = 'purchase'
+                   ) AS m
+            FROM events GROUP BY user_id
+        )
+        """
+    )

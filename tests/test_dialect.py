@@ -70,7 +70,7 @@ def test_totals_order_limit_groups_only():
 
 def test_ternary():
     out = translate_sql("SELECT x > 1 ? 'a' : 'b' FROM t")
-    assert "if(x > 1, 'a', 'b')" in out
+    assert "if(CAST((x > 1) AS BOOLEAN), 'a', 'b')" in out
 
 
 def test_prewhere_merges_into_where():
@@ -327,7 +327,7 @@ def test_date_arith_translation():
     # Date ± N days, DateTime ± N seconds, Date - Date → days
     # (FunctionsDateTime type dispatch; approximated syntactically)
     out = translate_sql("SELECT toDate('2024-02-28') + 2")
-    assert "date_add(CAST('2024-02-28' AS DATE), 2)" in out
+    assert "date_add(CAST('2024-02-28' AS DATE), CAST(2 AS INT))" in out
     out = translate_sql("SELECT toDateTime('1970-01-02 00:00:00') - 1")
     assert "timestampadd(SECOND, -(1)" in out
     out = translate_sql("SELECT toDate('2024-03-01') - toDate('2024-02-01')")

@@ -106,6 +106,45 @@ def test_sequence_match_and_count(spark):
     assert got == {1: (1, 2), 2: (0, 0), 3: (0, 0)}
 
 
+def test_sequence_match_reference_00222(spark):
+    """Full port of the reference's sequence-family golden test
+    (dbms/tests/queries/0_stateless/00222_sequence_aggregate_function_family.sql):
+    42 pattern cases over the 12-event fixture, including the
+    time-constrained (?t<=n)/(?t>n) forms run by the exact-NFA tier."""
+    data = [0, 0, 0, 0, 1, 2, 0, 0, 0, 0, 1, 1]
+    df = spark.createDataFrame(
+        [(t, d) for t, d in enumerate(data)], "time int, data int"
+    )
+    conds = [F.col("data") == i for i in range(4)]
+    ts = F.col("time").cast("timestamp")
+    cases = [  # (pattern, expected match, expected count)
+        ("", 1, 12), (".", 1, 12), (".*", 1, 12),
+        ("(?1)", 1, 8), ("(?2)", 1, 3), ("(?3)", 1, 1), ("(?4)", 0, 0),
+        ("(?1)(?1)", 1, 4), ("(?1)(?1)(?1)", 1, 2),
+        ("(?1)(?1)(?1)(?1)", 1, 2), ("(?1)(?1)(?1)(?1)(?1)", 0, 0),
+        ("(?1)(?1)(?1)(?1)(?2)", 1, 2),
+        ("(?1)(?t>10)(?2)", 1, 1), ("(?1)(?t>11)(?2)", 0, 0),
+        ("(?1)(?t<11)(?2)", 1, 2), ("(?1)(?t<3)(?3)", 1, 1),
+        ("(?1)(?t<=2)(?3)", 1, 1), ("(?1)(?t<2)(?3)", 0, 0),
+        ("(?2)(?t>=7)(?2)", 1, 1), ("(?2)(?t>7)(?2)", 0, 0),
+        ("(?2)(?3)(?1)", 1, 1),
+    ]
+    # regex-tier and NFA-tier aggregates can't share one .agg() call
+    # (Spark forbids mixing grouped-agg pandas UDFs with built-ins)
+    for tier in (False, True):
+        aggs = []
+        idx = [i for i, (p, _, _) in enumerate(cases) if ("(?t" in p) == tier]
+        for i in idx:
+            p = cases[i][0]
+            aggs.append(sequence_match(p, ts, conds).alias(f"m{i}"))
+            aggs.append(sequence_count(p, ts, conds).alias(f"c{i}"))
+        row = df.agg(*aggs).collect()[0]
+        for i in idx:
+            p, em, ec = cases[i]
+            assert row[f"m{i}"] == em, f"sequenceMatch({p!r})"
+            assert row[f"c{i}"] == ec, f"sequenceCount({p!r})"
+
+
 def test_mergetree_write_layout(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, f"2024-0{1 + i % 2}-15 00:00:00", i * 1.0) for i in range(100)],
