@@ -58,9 +58,7 @@ SIMPLE: dict[str, str] = {
     "arraySort": "sort_array",
     "arrayIntersect": "array_intersect",
     # aggregates (AggregateFunctionFactory.cpp:65-77)
-    "uniq": "approx_count_distinct",
-    "uniqHLL12": "approx_count_distinct",
-    "uniqCombined": "approx_count_distinct",
+    # (uniq family lives in TEMPLATES — multi-arg form counts tuples)
     "groupArray": "collect_list",
     "groupUniqArray": "collect_set",
     "any": "first",
@@ -133,6 +131,11 @@ def _array_reduce(a: Args) -> str:
     """arrayReduce('agg', arr) — SQL twin of functions/arrays.py:139."""
     name = a[0].strip("'").lower()
     arr = a[1]
+    # parametric form 'uniqUpTo(5)' (AggregateFunctionFactory parses
+    # params embedded in the name string for arrayReduce)
+    m = re.match(r"uniqupto\((\d+)\)$", name)
+    if m:
+        return f"least(size(array_distinct({arr})), {int(m.group(1)) + 1})"
     total = f"aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
     forms = {
         "sum": total,
@@ -277,6 +280,13 @@ def _sql_lgamma(x: str) -> str:
     )
 
 
+def _t_uniq(a: Args) -> str:
+    if len(a) == 1:
+        return f"approx_count_distinct({a[0]})"
+    ns = ", ".join(f"'col{k + 1}', {x}" for k, x in enumerate(a))
+    return f"approx_count_distinct(named_struct({ns}))"
+
+
 def _t_replace_regexp_one(a: Args) -> str:
     """replaceRegexpOne (FunctionsStringSearch.cpp, replace_one=true):
     Spark's regexp_replace is replace-all, so the first-match-only form
@@ -416,6 +426,10 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     # aggregates
     "count": lambda a: f"count({', '.join(a) or '*'})",
     "uniqExact": lambda a: f"count(DISTINCT {', '.join(a)})",
+    # multi-arg uniq counts distinct tuples (AggregateFunctionUniq.h)
+    "uniq": _t_uniq,
+    "uniqHLL12": _t_uniq,
+    "uniqCombined": _t_uniq,
     # -State / -Merge combinators — SQL twins of functions/state.py
     # (states are typed columns: plain partials, avg struct, HLL sketch)
     "sumState": lambda a: f"sum({a[0]})",
@@ -695,7 +709,14 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "emptyArrayInt64": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
     "emptyArrayFloat64": lambda a: "CAST(array() AS ARRAY<DOUBLE>)",
     "emptyArrayString": lambda a: "CAST(array() AS ARRAY<STRING>)",
-    "range": lambda a: f"sequence(0, {a[0]} - 1)" if len(a) == 1 else f"sequence({a[0]}, {a[1]} - 1)",
+    # range(0) must be [] — a bare sequence(0, -1) DESCENDS in Spark
+    "range": lambda a: (
+        f"(CASE WHEN ({a[0]}) <= 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"ELSE sequence(CAST(0 AS BIGINT), CAST({a[0]} AS BIGINT) - 1) END)"
+        if len(a) == 1
+        else f"(CASE WHEN ({a[1]}) <= ({a[0]}) THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"ELSE sequence(CAST({a[0]} AS BIGINT), CAST({a[1]} AS BIGINT) - 1) END)"
+    ),
     # tuples — positional col1..colN names, so tupleElement / t.N access
     # stays valid when an element is a bare column (plain struct() would
     # keep the column's own name instead of colN)
@@ -736,6 +757,16 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "queryString": lambda a: f"parse_url({a[0]}, 'QUERY')",
     "fragment": lambda a: f"parse_url({a[0]}, 'REF')",
     "extractURLParameter": lambda a: f"coalesce(parse_url({a[0]}, 'QUERY', {a[1]}), '')",
+    # k=v pieces / names of the query string (+ fragment params, which
+    # parse_url('QUERY') excludes — FunctionsURL.h treats ?,# alike)
+    "extractURLParameters": lambda a: (
+        f"filter(split(coalesce(parse_url({a[0]}, 'QUERY'), ''), '&'), "
+        f"__p -> __p <> '')"
+    ),
+    "extractURLParameterNames": lambda a: (
+        f"transform(filter(split(coalesce(parse_url({a[0]}, 'QUERY'), ''), '&'), "
+        f"__p -> __p <> ''), __p -> regexp_extract(__p, '^([^=]*)', 1))"
+    ),
     "cutWWW": lambda a: f"regexp_replace({a[0]}, '//www\\\\.', '//')",
     # URLHierarchy: cumulative prefixes proto://host, /seg1, /seg1/seg2…
     # (SQL twin of functions/url.py:URLHierarchy)
@@ -788,6 +819,7 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     ),
     "visitParamExtractRaw": lambda a: f"coalesce(get_json_object({a[0]}, concat('$.', {a[1]})), '')",
     # misc (FunctionsMiscellaneous.cpp)
+    "finalizeAggregation": lambda a: a[0],
     "materialize": lambda a: a[0],
     "identity": lambda a: a[0],
     "ignore": lambda a: "0",
@@ -919,6 +951,13 @@ PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     "quantilesTimingWeighted": lambda p, a: (
         f"percentile({a[0]}, array({', '.join(p)}), CAST({a[1]} AS BIGINT))"
     ),
+    "quantilesExactWeighted": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}), CAST({a[1]} AS BIGINT))"
+    ),
+    # -State on parametric quantiles: our state IS the finished value
+    # (finalizeAggregation is then the identity — functions/state.py)
+    "quantileTimingState": lambda p, a: PARAMETRIC["quantileTiming"](p, a),
+    "quantilesTimingState": lambda p, a: PARAMETRIC["quantilesTiming"](p, a),
     "uniqUpTo": lambda p, a: f"least(count(DISTINCT {a[0]}), {p[0]} + 1)",
     "groupArray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
     "topK": lambda p, a: (

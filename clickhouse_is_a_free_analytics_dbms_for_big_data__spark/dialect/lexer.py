@@ -79,6 +79,8 @@ def _decode_hex_escapes(text: str) -> str:
     parseEscapeSequence) are not a Spark SQL escape — decode them to the
     literal character here, re-escaping quote/backslash."""
 
+    _C_ESCAPES = {"a": "\a", "b": "\b", "f": "\f", "v": "\v", "0": "\x00", "e": "\x1b"}
+
     def _sub(m: re.Match) -> str:
         esc = m.group(1)
         if esc[0] in ("x", "X") and len(esc) == 3:
@@ -86,6 +88,10 @@ def _decode_hex_escapes(text: str) -> str:
             if ch in ("'", "\\"):
                 return "\\" + ch
             return ch
+        if esc in _C_ESCAPES:
+            # C escapes the reference accepts (parseEscapeSequence) but
+            # Spark's string parser does not: decode to the raw char
+            return _C_ESCAPES[esc]
         return m.group(0)
 
     return re.sub(r"\\(x[0-9A-Fa-f]{2}|.)", _sub, text)

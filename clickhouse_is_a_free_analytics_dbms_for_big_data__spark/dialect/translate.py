@@ -1268,6 +1268,60 @@ _NON_OPERAND_KWS = _RESERVED_OPERAND_KWS | {
 }
 
 
+_CH_TYPE_MAP = {
+    "UINT8": "SMALLINT", "UINT16": "INT", "UINT32": "BIGINT",
+    "UINT64": "BIGINT", "INT8": "TINYINT", "INT16": "SMALLINT",
+    "INT32": "INT", "INT64": "BIGINT", "FLOAT32": "FLOAT",
+    "FLOAT64": "DOUBLE", "STRING": "STRING", "DATE": "DATE",
+    "DATETIME": "TIMESTAMP",
+}
+
+
+def _render_ch_cast(expr: str, type_toks: list[Token], ctx: Ctx) -> str | None:
+    """CAST target type translation.  Returns None for types Spark
+    already understands (DECIMAL, ARRAY<...>, …) — generic handling
+    then renders the CAST verbatim."""
+    if not type_toks:
+        return None
+    head = type_toks[0].text
+    up = head.upper()
+    if len(type_toks) == 1:
+        mapped = _CH_TYPE_MAP.get(up)
+        return f"CAST({expr} AS {mapped})" if mapped else None
+    if type_toks[1].text == "(":
+        args = _split_top(type_toks[2:-1], ",")
+        if up in ("ENUM8", "ENUM16"):
+            # 'Name' = value pairs: render value→name (DataTypeEnum
+            # text form); string inputs pass through when they match a
+            # name (lenient non-ANSI coercion handles the mixed CASE)
+            whens = []
+            names = []
+            for pair in args:
+                # pair tokens: 'Name' = value
+                name_tok = pair[0].text
+                val = pair[-1].text
+                if len(pair) >= 2 and pair[-2].text == "-":
+                    val = "-" + val
+                names.append(name_tok)
+                whens.append(f"WHEN ({expr}) = {val} THEN {name_tok}")
+            in_names = ", ".join(names)
+            ladder = " ".join(whens)
+            return (
+                f"(CASE WHEN CAST({expr} AS STRING) IN ({in_names}) "
+                f"THEN CAST({expr} AS STRING) {ladder} END)"
+            )
+        if up == "FIXEDSTRING":
+            return f"rpad(CAST({expr} AS STRING), {args[0][0].text}, chr(0))"
+        if up == "NULLABLE":
+            return _render_ch_cast(expr, args[0], ctx) or f"CAST({expr} AS {_rewrite(args[0], ctx)})"
+        if up == "ARRAY":
+            elem = args[0][0].text.upper() if len(args[0]) == 1 else None
+            mapped = _CH_TYPE_MAP.get(elem or "")
+            if mapped:
+                return f"CAST({expr} AS ARRAY<{mapped}>)"
+    return None
+
+
 def _rw_row_elem(toks: list[Token], ctx: Ctx) -> str:
     """One element of an IN list: a paren tuple stays in row form."""
     if (
@@ -1320,6 +1374,32 @@ def _rw_item(
     ):
         lit = "'NaN'" if t.text.lower() == "nan" else "'Infinity'"
         return _postfix(f"CAST({lit} AS DOUBLE)", tokens, i + 1, ctx)
+
+    # CAST(expr AS ChType): map the reference's type names to Spark's
+    # (DataTypeFactory.cpp registrations; §1.2 type table)
+    if (
+        t.kind == "ident"
+        and t.text.upper() == "CAST"
+        and i + 1 < len(tokens)
+        and tokens[i + 1].text == "("
+    ):
+        close = _match_paren(tokens, i + 1)
+        inner = tokens[i + 2 : close]
+        as_pos = None
+        d = 0
+        for k, tk in enumerate(inner):
+            if tk.text in ("(", "["):
+                d += 1
+            elif tk.text in (")", "]"):
+                d -= 1
+            elif d == 0 and tk.is_kw("AS"):
+                as_pos = k
+        if as_pos is not None:
+            expr_sql = _rewrite(inner[:as_pos], ctx)
+            cast_sql = _render_ch_cast(expr_sql, inner[as_pos + 1 :], ctx)
+            if cast_sql is not None:
+                return _postfix(cast_sql, tokens, close + 1, ctx)
+        # fall through to generic call handling (native Spark types)
 
     # parenthesized: subquery or grouping/tuple
     if t.text == "(":

@@ -232,7 +232,56 @@ def _cell(v) -> str:
         return "\\N"
     if isinstance(v, bool):
         return "1" if v else "0"
+    if isinstance(v, float):
+        return _ch_float(v)
+    # Row subclasses tuple — check it first so structs render (…)
+    from pyspark.sql import Row
+
+    if isinstance(v, Row):
+        return _ch_composite(tuple(v), parens=True)
+    if isinstance(v, (list, tuple)):
+        return _ch_composite(v)
     return str(v)
+
+
+def _ch_float(v: float) -> str:
+    """Float text like the reference's writeFloatText
+    (IO/WriteHelpers.h): integral doubles print without '.0',
+    nan/inf by name."""
+    if v != v:
+        return "nan"
+    if v == float("inf"):
+        return "inf"
+    if v == float("-inf"):
+        return "-inf"
+    if v == int(v) and abs(v) < 1e16:
+        return str(int(v))
+    return repr(v)
+
+
+def _ch_composite(v, parens: bool = False) -> str:
+    """Array/tuple text form (DataTypeArray/DataTypeTuple text serde):
+    no spaces, strings single-quoted with backslash escapes."""
+    inner = ",".join(_ch_nested(x) for x in v)
+    return f"({inner})" if parens else f"[{inner}]"
+
+
+def _ch_nested(x) -> str:
+    if isinstance(x, str):
+        esc = (
+            x.replace("\\", "\\\\")
+            .replace("'", "\\'")
+            .replace("\t", "\\t")
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\x00", "\\0")
+            .replace("\b", "\\b")
+            .replace("\f", "\\f")
+        )
+        return f"'{esc}'"
+    if x is None:
+        return "NULL"
+    return _cell(x)
 
 
 def _tsv_cell(v) -> str:
@@ -241,7 +290,15 @@ def _tsv_cell(v) -> str:
     this a value containing a tab corrupts the column structure."""
     s = _cell(v)
     if isinstance(v, str):
-        s = s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+        s = (
+            s.replace("\\", "\\\\")
+            .replace("\t", "\\t")
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\x00", "\\0")
+            .replace("\b", "\\b")
+            .replace("\f", "\\f")
+        )
     return s
 
 
