@@ -280,6 +280,27 @@ def _sql_lgamma(x: str) -> str:
     )
 
 
+def _timing_quantile(x: str, levels: list[str]) -> str:
+    """quantileTiming exact emulation (AggregateFunctionQuantileTiming.h):
+    values clamp at BIG_THRESHOLD=30000; result = sorted[floor(count *
+    level)] (last element when level >= 1) — NO interpolation.  The
+    large-state 16ms bucketing + intHash32 de-evening noise (:263-264)
+    is not reproduced; small/medium states (the exact ones) match the
+    reference bit-for-bit."""
+    arr = f"array_sort(collect_list(least(CAST({x} AS BIGINT), 30000)))"
+    cnt = f"count({x})"
+
+    def one(p: str) -> str:
+        return (
+            f"element_at({arr}, CAST((CASE WHEN {p} < 1 "
+            f"THEN floor({cnt} * {p}) ELSE {cnt} - 1 END) AS INT) + 1)"
+        )
+
+    if len(levels) == 1:
+        return one(levels[0])
+    return f"array({', '.join(one(p) for p in levels)})"
+
+
 def _t_uniq(a: Args) -> str:
     if len(a) == 1:
         return f"approx_count_distinct({a[0]})"
@@ -933,7 +954,7 @@ PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     "sequenceCount": _p_sequence(count=True),
     "quantile": _p_quantile(exact=False),
     "quantileDeterministic": _p_quantile(exact=False),
-    "quantileTiming": _p_quantile(exact=False),
+    "quantileTiming": lambda p, a: _timing_quantile(a[0], p or ["0.5"]),
     "quantileTDigest": _p_quantile(exact=False),
     "quantileExact": _p_quantile(exact=True),
     # weighted: percentile(x, p, frequency) — each value counts w times
@@ -942,7 +963,7 @@ PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     ),
     "quantiles": _p_quantiles(exact=False),
     "quantilesExact": _p_quantiles(exact=True),
-    "quantilesTiming": _p_quantiles(exact=False),
+    "quantilesTiming": lambda p, a: _timing_quantile(a[0], p),
     "quantilesDeterministic": _p_quantiles(exact=False),
     "quantilesTDigest": _p_quantiles(exact=False),
     "quantileTimingWeighted": lambda p, a: (
@@ -956,8 +977,8 @@ PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     ),
     # -State on parametric quantiles: our state IS the finished value
     # (finalizeAggregation is then the identity — functions/state.py)
-    "quantileTimingState": lambda p, a: PARAMETRIC["quantileTiming"](p, a),
-    "quantilesTimingState": lambda p, a: PARAMETRIC["quantilesTiming"](p, a),
+    "quantileTimingState": lambda p, a: _timing_quantile(a[0], p or ["0.5"]),
+    "quantilesTimingState": lambda p, a: _timing_quantile(a[0], p),
     "uniqUpTo": lambda p, a: f"least(count(DISTINCT {a[0]}), {p[0]} + 1)",
     "groupArray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
     "topK": lambda p, a: (

@@ -35,8 +35,9 @@ CASES = sorted(
 
 
 def split_statements(text: str) -> list[str]:
-    """Split on ';' outside string literals (clickhouse-test does the
-    same via the client's statement reader)."""
+    """Split on ';' outside string literals and comments
+    (clickhouse-test does the same via the client's statement reader —
+    a ';' inside a '--' comment must not split)."""
     stmts, cur, in_str = [], [], False
     i = 0
     while i < len(text):
@@ -44,6 +45,10 @@ def split_statements(text: str) -> list[str]:
         if in_str and ch == "\\":
             cur.append(text[i : i + 2])
             i += 2
+            continue
+        if not in_str and text.startswith("--", i):
+            while i < len(text) and text[i] != "\n":
+                i += 1
             continue
         if ch == "'":
             in_str = not in_str
