@@ -26,6 +26,10 @@ class ChEngine:
         self.spark = spark
         self.table_meta: dict[str, TableMeta] = {}
         self.dictionaries: dict[str, DictSpec] = {}
+        # tables created through CREATE TABLE (dialect/statements.py):
+        # dotted CH name → TableDef, and its dot-free temp-view twin
+        self.tables: dict[str, object] = {}
+        self.table_views: dict[str, str] = {}
         # SQL-UDF-backed dialect functions (IPv6 codecs) — the
         # translator passes their calls through by name
         register_sql_udfs(spark)
@@ -61,10 +65,19 @@ class ChEngine:
             table_meta=self.table_meta,
             columns_of=self._columns_of,
             dictionaries=self.dictionaries,
+            table_views=self.table_views,
         )
 
     def sql(self, ch_sql: str) -> DataFrame:
         return self.spark.sql(self.translate(ch_sql))
+
+    def execute(self, ch_sql: str) -> DataFrame | None:
+        """Full statement surface: SELECT returns a DataFrame;
+        CREATE TABLE / INSERT / DROP / SET return None
+        (Interpreters/InterpreterFactory.cpp dispatch)."""
+        from .statements import execute_statement
+
+        return execute_statement(self, ch_sql)
 
     def _columns_of(self, table: str) -> list[str] | None:
         try:

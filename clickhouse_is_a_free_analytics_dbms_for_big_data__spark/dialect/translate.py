@@ -70,6 +70,9 @@ class Ctx:
     table_meta: dict[str, TableMeta] = field(default_factory=dict)
     columns_of: object | None = None  # Callable[[str], list[str] | None]
     dictionaries: dict[str, "DictSpec"] = field(default_factory=dict)
+    # dotted CH name → Spark temp-view name (created tables; Spark
+    # views cannot contain dots)
+    table_views: dict[str, str] = field(default_factory=dict)
     counter: int = 0
 
     def gensym(self, prefix: str) -> str:
@@ -88,11 +91,13 @@ def translate_sql(
     table_meta: dict[str, TableMeta] | None = None,
     columns_of=None,
     dictionaries: dict[str, DictSpec] | None = None,
+    table_views: dict[str, str] | None = None,
 ) -> str:
     ctx = Ctx(
         table_meta=table_meta or {},
         columns_of=columns_of,
         dictionaries=dictionaries or {},
+        table_views=table_views or {},
     )
     tokens = tokenize(sql)
     while tokens and tokens[-1].text == ";":
@@ -592,6 +597,9 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
         return "(SELECT id AS number FROM range(1000000)) AS __numbers", None
     if name == "system.one":
         return "(SELECT 1 AS dummy) AS __one", None
+
+    # created tables registered under a dot-free view name
+    name = ctx.table_views.get(name, name)
 
     final = False
     alias = None

@@ -192,7 +192,12 @@ def format_result(df: DataFrame, fmt: str, max_rows: int = 10000) -> str:
             "(" + ", ".join(_sql_literal(r[n]) for n in names) + ")" for r in rows
         )
     if fmt in ("TabSeparated", "TSV"):
-        return "\n".join("\t".join(_tsv_cell(r[n]) for n in names) for r in rows)
+        # every row newline-terminated (IO/WriteHelpers.h writeChar after
+        # each row) — zero rows is the empty string, one empty-string
+        # cell is a single blank line; they must stay distinguishable
+        return "".join(
+            "\t".join(_tsv_cell(r[n]) for n in names) + "\n" for r in rows
+        )
     if fmt == "XML":
         out = ["<result>"]
         for r in rows:

@@ -371,3 +371,28 @@ def test_exec_ipv6_roundtrip(eng):
     assert r["c"] == "2001:db8::ff00:42:8329"
     assert r["v4"] == "::ffff:127.0.0.1"
     assert r["cut"] == "2001:db8:ac10:fe01:feed:babe:ca00:0"
+
+
+def test_exec_create_insert_drop(eng):
+    """CREATE TABLE / INSERT / DROP through the statement layer
+    (InterpreterFactory dispatch; dialect/statements.py).  CH
+    semantics: missing INSERT columns get type defaults (not NULL),
+    Enum columns store the NAME, classic ReplacingMergeTree engine
+    args feed FINAL."""
+    eng.execute("DROP TABLE IF EXISTS test.ddl_t")
+    eng.execute(
+        "CREATE TABLE test.ddl_t (d Date, k UInt32, "
+        "e Enum8('lo' = 0, 'hi' = 1), v UInt32) "
+        "ENGINE = ReplacingMergeTree(d, (k), 8192, v)"
+    )
+    eng.execute(
+        "INSERT INTO test.ddl_t VALUES ('2024-01-01', 1, 0, 1), "
+        "('2024-01-01', 1, 1, 2), ('2024-01-02', 2, 1, 1)"
+    )
+    eng.execute("INSERT INTO test.ddl_t (d, k) VALUES ('2024-01-03', 3)")
+    rows = eng.execute(
+        "SELECT k, e, v FROM test.ddl_t FINAL ORDER BY k"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, "hi", 2), (2, "hi", 1), (3, "lo", 0)]
+    assert eng.execute("SELECT count() FROM test.ddl_t").collect()[0][0] == 4
+    eng.execute("DROP TABLE test.ddl_t")

@@ -67,8 +67,10 @@ def run_sql_file(engine: ChEngine, path: str) -> str:
         text = f.read()
     outputs = []
     for stmt in split_statements(text):
-        outputs.append(format_result(engine.sql(stmt), "TabSeparated"))
-    return "\n".join(outputs).rstrip("\n") + "\n"
+        df = engine.execute(stmt)
+        if df is not None:  # DDL/DML/SET produce no output
+            outputs.append(format_result(df, "TabSeparated"))
+    return "".join(outputs)
 
 
 @pytest.fixture(scope="module")
