@@ -163,11 +163,14 @@ def graphite_rollup(
     precision and averaged within the bucket.
     """
     now_ = now_ts if now_ts is not None else F.current_timestamp()
-    age = now_.cast("long") - F.col(ts).cast("long")
+    # Two-step cast: TIMESTAMP_NTZ (how Spark 4.x loads untagged
+    # parquet timestamp[us]) cannot cast directly to BIGINT.
+    ts_epoch = F.col(ts).cast("timestamp").cast("long")
+    age = now_.cast("timestamp").cast("long") - ts_epoch
     precision = F.lit(retentions[0][1])
     for min_age, prec in retentions:
         precision = F.when(age >= min_age, F.lit(prec)).otherwise(precision)
-    epoch = F.col(ts).cast("long")
+    epoch = ts_epoch
     bucket = F.timestamp_seconds(epoch - (epoch % precision))
     return (
         df.withColumn("__bucket", bucket)
