@@ -28,8 +28,12 @@ Clause rewrites:
   shared position (IColumn::replicate semantics).
 - ANY JOIN → right side deduped to one row per key; GLOBAL → BROADCAST
   hint (ExpressionAnalyzer.cpp:433-574 external-table shipping).
-- GROUP BY ... WITH TOTALS → GROUPING SETS ((keys), ()); HAVING applies
-  to real groups only (TotalsHavingBlockInputStream.h totals_mode).
+- GROUP BY ... WITH TOTALS → GROUPING SETS ((keys), ()).  With HAVING,
+  the default totals_mode = AFTER_HAVING_EXCLUSIVE (Settings.h:92):
+  input rows are first semi-filtered to the groups passing HAVING, so
+  the totals row covers only surviving groups; SETTINGS
+  totals_mode='before_having' keeps totals over all rows with HAVING
+  filtering group rows only (TotalsHavingBlockInputStream.h).
 - LIMIT n BY cols → row_number window subquery.
 - system.numbers / numbers(N) / system.one → range()/one-row inline.
 """
@@ -190,6 +194,7 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     limit_by: tuple[str, str, list[Token]] | None = None  # (n, offset, cols)
     limit_txt: str | None = None
     offset_txt: str | None = None
+    settings: dict[str, str] = {}
 
     # Clause order is fixed (ParserSelectQuery.cpp parses the clauses in
     # sequence, so e.g. `LIMIT 5 GROUP BY k` is a syntax error there).
@@ -299,8 +304,29 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
                 limit_by = (lim, off or "0", by_cols)
             else:
                 limit_txt, offset_txt = lim, off
-        elif t.is_kw("SETTINGS") or t.is_kw("FORMAT"):
-            break  # engine-level; nothing to translate
+        elif t.is_kw("SETTINGS"):
+            # Most settings are engine-level/advisory (Settings.h), but
+            # totals_mode changes result semantics — parse name=value
+            # pairs and keep the ones the translator honors.
+            i += 1
+            while i < n and not tokens[i].is_kw("FORMAT"):
+                if (
+                    tokens[i].kind in ("ident", "qident")
+                    and i + 2 < n + 1
+                    and i + 1 < n
+                    and tokens[i + 1].text == "="
+                    and i + 2 < n
+                ):
+                    val = tokens[i + 2].text
+                    settings[tokens[i].text] = val.strip("'\"")
+                    i += 3
+                else:
+                    i += 1
+                if i < n and tokens[i].text == ",":
+                    i += 1
+            break
+        elif t.is_kw("FORMAT"):
+            break  # client-side output format; nothing to translate
         else:
             raise ValueError(f"unexpected token in query: {t.text!r}")
 
@@ -482,6 +508,41 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
             hidden.append(f"{expr} AS {name}")
             wrap_order.append((name, direction))
         select_sql_items = select_sql_items + [f"grouping_id() AS {gsym}"] + hidden
+
+    # WITH TOTALS + HAVING: the reference default totals_mode =
+    # AFTER_HAVING_EXCLUSIVE (Interpreters/Settings.h:92) aggregates the
+    # totals row over only the groups that pass HAVING
+    # (TotalsHavingBlockInputStream.h addToTotals with the HAVING filter).
+    # Emulate by restricting the input to rows of passing groups — a
+    # keyed-agg subquery + tuple-IN semi join — then running the plain
+    # GROUPING SETS, which then needs no HAVING at all.  before_having
+    # (SETTINGS totals_mode='before_having') keeps the single-pass shape
+    # with HAVING applied to group rows only.
+    if (
+        with_totals
+        and group_sql
+        and having_sql
+        and settings.get("totals_mode", "after_having_exclusive")
+        == "after_having_exclusive"
+    ):
+        # The subquery lives at WHERE scope — select-output aliases
+        # (which Spark resolves in GROUP BY / HAVING of the outer
+        # query) do not exist there, so substitute them by their bodies.
+        sub_aliases: dict[str, str] = {}
+        for s in select_items:
+            body, al = _strip_alias(s)
+            if al:
+                sub_aliases[al] = f"({_rewrite(aj_subst(body), ctx)})"
+        g_toks = aj_subst(_substitute(group_toks, sub_aliases))
+        group_sub = _rewrite_list(g_toks, ctx)
+        h_toks = aj_subst(_substitute(having_toks, sub_aliases))
+        having_sub = _boolify(h_toks, _rewrite(h_toks, ctx))
+        sub = f"SELECT {group_sub}\nFROM {from_sql}{lateral}{join_sql}"
+        if where_parts:
+            sub += "\nWHERE " + " AND ".join(where_parts)
+        sub += f"\nGROUP BY {group_sub}\nHAVING {having_sub}"
+        where_parts = where_parts + [f"({group_sub}) IN (\n{sub}\n)"]
+        having_sql = ""
     sql = "SELECT "
     if hint:
         sql += f"/*+ {hint} */ "

@@ -46,25 +46,47 @@ def with_totals(
     keys: Sequence[str],
     aggs: Sequence[Column],
     having: Column | None = None,
+    totals_mode: str = "after_having_exclusive",
 ) -> DataFrame:
     """``GROUP BY ... WITH TOTALS`` — groups plus one row aggregating
-    ALL rows (keys become NULL), reference semantics of totals_mode =
-    before_having (DataStreams/TotalsHavingBlockInputStream.h:16).
-    HAVING applies to groups only, never to the totals row — matching
-    the reference's default.
+    all (surviving) rows, keys NULL in the totals row.
 
-    Scale: ONE pass over the input via GROUPING SETS ((keys), ()) —
-    the same plan the dialect layer emits (dialect/translate.py) —
-    instead of the former grouped ∪ global-agg shape that scanned the
-    input twice.  Spark computes both sets in a single partial+final
-    aggregate with one shuffle.
+    ``totals_mode`` follows the reference setting (Interpreters/
+    Settings.h:92, semantics DataStreams/TotalsHavingBlockInputStream.h):
+
+    - ``after_having_exclusive`` (the reference DEFAULT): the totals row
+      aggregates only rows belonging to groups that pass HAVING.
+    - ``before_having``: the totals row aggregates ALL rows; HAVING
+      filters the group rows only.
+
+    Scale: without HAVING (modes coincide) this is ONE pass via
+    GROUPING SETS ((keys), ()) — a single partial+final aggregate, one
+    shuffle.  after_having_exclusive + HAVING needs the passing key set
+    first: one keyed aggregate computes it, a semi-join (AQE broadcasts
+    the small passing set) restricts the input, then the same one-pass
+    GROUPING SETS runs over the survivors.
     """
-    gs = df.groupingSets(
-        [[F.col(k) for k in keys], []], *[F.col(k) for k in keys]
-    ).agg(*aggs, F.grouping_id(*keys).alias("__gid"))
-    if having is not None:
-        gs = gs.filter((F.col("__gid") != 0) | having)
-    return gs.drop("__gid")
+    if totals_mode not in ("after_having_exclusive", "before_having"):
+        raise ValueError(f"unsupported totals_mode: {totals_mode!r}")
+
+    def _grouping_sets(src: DataFrame, hav: Column | None) -> DataFrame:
+        gs = src.groupingSets(
+            [[F.col(k) for k in keys], []], *[F.col(k) for k in keys]
+        ).agg(*aggs, F.grouping_id(*keys).alias("__gid"))
+        if hav is not None:
+            gs = gs.filter((F.col("__gid") != 0) | hav)
+        return gs.drop("__gid")
+
+    if having is None or totals_mode == "before_having":
+        return _grouping_sets(df, having)
+    passing = (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(*aggs)
+        .filter(having)
+        .select(*keys)
+    )
+    survivors = df.join(passing, list(keys), "left_semi")
+    return _grouping_sets(survivors, None)
 
 
 def array_join(

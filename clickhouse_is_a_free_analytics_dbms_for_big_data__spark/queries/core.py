@@ -510,6 +510,71 @@ def with_totals_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "totals_after_having",
+    """
+    WITH g AS (
+      SELECT o_orderstatus, COUNT(*) AS cnt,
+             CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus HAVING COUNT(*) > 1000
+    )
+    SELECT o_orderstatus, cnt, sum_price FROM g
+    UNION ALL
+    SELECT NULL AS o_orderstatus, COUNT(*) AS cnt,
+           CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderstatus IN (SELECT o_orderstatus FROM g)
+    """,
+    doc="WITH TOTALS + HAVING under the reference DEFAULT totals_mode = "
+    "AFTER_HAVING_EXCLUSIVE (Interpreters/Settings.h:92, "
+    "DataStreams/TotalsHavingBlockInputStream.h): the totals row "
+    "aggregates only groups passing HAVING.",
+    tags=("totals",),
+)
+def totals_after_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    aggs = [
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    ]
+    return with_totals(
+        orders,
+        keys=["o_orderstatus"],
+        aggs=aggs,
+        having=F.col("cnt") > 1000,
+    )
+
+
+@query(
+    "totals_before_having",
+    """
+    SELECT o_orderstatus, cnt, sum_price FROM (
+      SELECT o_orderstatus, COUNT(*) AS cnt,
+             CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+             GROUPING(o_orderstatus) AS g
+      FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ())
+    ) WHERE g = 1 OR cnt > 1000
+    """,
+    doc="WITH TOTALS + HAVING under totals_mode = before_having "
+    "(TotalsHavingBlockInputStream.h): totals over ALL rows, HAVING "
+    "filters group rows only.",
+    tags=("totals",),
+)
+def totals_before_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    aggs = [
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    ]
+    return with_totals(
+        orders,
+        keys=["o_orderstatus"],
+        aggs=aggs,
+        having=F.col("cnt") > 1000,
+        totals_mode="before_having",
+    )
+
+
+@query(
     "sample_deterministic",
     """
     SELECT COUNT(*) AS cnt, CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty

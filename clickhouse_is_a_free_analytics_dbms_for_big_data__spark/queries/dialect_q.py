@@ -97,6 +97,51 @@ def dialect_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dialect_totals_having",
+    """
+    WITH g AS (
+      SELECT o_orderstatus, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderstatus HAVING COUNT(*) > 1000
+    )
+    SELECT o_orderstatus, cnt FROM g
+    UNION ALL
+    SELECT NULL AS o_orderstatus, COUNT(*) AS cnt FROM orders
+    WHERE o_orderstatus IN (SELECT o_orderstatus FROM g)
+    """,
+    doc="WITH TOTALS + HAVING via dialect under the reference default "
+    "totals_mode = AFTER_HAVING_EXCLUSIVE (Settings.h:92): totals row "
+    "covers only groups passing HAVING.",
+    tags=("dialect", "totals"),
+)
+def dialect_totals_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        "SELECT o_orderstatus, count() AS cnt FROM orders "
+        "GROUP BY o_orderstatus WITH TOTALS HAVING cnt > 1000"
+    )
+
+
+@query(
+    "dialect_totals_before_having",
+    """
+    SELECT o_orderstatus, cnt FROM (
+      SELECT o_orderstatus, COUNT(*) AS cnt, GROUPING(o_orderstatus) AS g
+      FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ())
+    ) WHERE g = 1 OR cnt > 1000
+    """,
+    doc="WITH TOTALS + HAVING with SETTINGS totals_mode='before_having': "
+    "totals over ALL rows, HAVING filters group rows only "
+    "(TotalsHavingBlockInputStream.h).",
+    tags=("dialect", "totals"),
+)
+def dialect_totals_before_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        "SELECT o_orderstatus, count() AS cnt FROM orders "
+        "GROUP BY o_orderstatus WITH TOTALS HAVING cnt > 1000 "
+        "SETTINGS totals_mode = 'before_having'"
+    )
+
+
+@query(
     "dialect_any_join",
     """
     SELECT n_name, r_name FROM nation

@@ -104,9 +104,22 @@ def test_with_totals_grouping_sets():
     assert "GROUPING SETS ((a), ())" in out
 
 
-def test_totals_having_groups_only():
+def test_totals_having_default_after_having_exclusive():
+    # Reference default totals_mode = AFTER_HAVING_EXCLUSIVE
+    # (Interpreters/Settings.h:92): the input is semi-filtered to the
+    # groups passing HAVING, so the totals row covers survivors only.
     out = translate_sql(
         "SELECT a, count() AS c FROM t GROUP BY a WITH TOTALS HAVING c > 5"
+    )
+    assert "GROUPING SETS ((a), ())" in out
+    assert "(a) IN (" in out
+    assert "HAVING (count(*)) > 5" in out
+
+
+def test_totals_having_before_having_setting():
+    out = translate_sql(
+        "SELECT a, count() AS c FROM t GROUP BY a WITH TOTALS HAVING c > 5 "
+        "SETTINGS totals_mode = 'before_having'"
     )
     assert "grouping_id() <> 0 OR (c > 5)" in out
 
