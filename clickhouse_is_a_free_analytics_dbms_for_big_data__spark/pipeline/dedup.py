@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import shingles, tokens
+from .text import shingles, shingles_sql, tokens, tokens_sql
 
 __all__ = [
     "exact_dedup", "minhash_signature", "minhash_dedup_pairs",
@@ -68,19 +68,26 @@ def _banded_candidates(
     step.  Returns distinct (id_a < id_b [, carries]).
 
     Shuffle budget: ONE hash shuffle on the bucket keys.  A window pass
-    annotates every member with (bucket size, min-id representative);
-    small buckets then groupBy the SAME keys — the window's hash
-    partitioning is preserved through the filter, so Catalyst inserts no
-    second Exchange — and all-pairs expand array-natively (sorted
-    collect_list + indexed transform/slice), replacing the former
-    self-join + count-join + rep-join (three extra shuffles, measured
-    3.4x slower at sf0.1).  Big buckets never materialize a member
-    array: their star pairs project straight off the windowed rep.
+    annotates every member with (bucket size, min-id representative)
+    and the annotated frame is CACHED — narrow longs plus carries —
+    so the expensive upstream expressions (minhash signatures, simhash
+    votes) are computed exactly once, on the cold fill.  Small buckets
+    expand all-pairs via a self-join of the cached frame: both sides
+    are already clustered on the bucket keys (no further exchange at
+    scale) and AQE broadcast-converts one side at small scale.  Big
+    buckets never self-join: their star pairs project straight off the
+    windowed rep — linear, skew-safe for arbitrarily large buckets.
+    [r4 re-measurement at sf0.1: the former all-window shape
+    (collect_list + array expansion downstream of the window) cost
+    ~2.5x more wall-clock — window operators block AQE's broadcast
+    conversion and added two extra query stages per run.]
     """
     keys = list(keys)
     w = Window.partitionBy(*keys)
-    sized = banded.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
-        "__rep", F.min(F.struct("id", *carry)).over(w)
+    sized = (
+        banded.withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("__rep", F.min(F.struct("id", *carry)).over(w))
+        .cache()
     )
 
     def _sel(l_pre, r_pre):
@@ -90,29 +97,15 @@ def _banded_candidates(
             cols.append(r_pre(c).alias(f"{c}_b"))
         return cols
 
-    # small: sorted member array per bucket -> indexed all-pairs expansion
-    members = (
-        sized.filter(F.col("__n") <= max_bucket)
-        .groupBy(*keys)
-        .agg(F.sort_array(F.collect_list(F.struct("id", *carry))).alias("__ms"))
-    )
-    pairs_small = members.select(
-        F.explode(
-            _let(
-                F.col("__ms"),
-                lambda ms: F.flatten(
-                    F.transform(
-                        ms,
-                        lambda x, i: F.transform(
-                            F.slice(ms, i + 2, F.size(ms)),
-                            lambda y: F.struct(x.alias("a"), y.alias("b")),
-                        ),
-                    )
-                ),
-            )
-        ).alias("__p")
-    ).select(
-        *_sel(lambda c: F.col(f"__p.a.{c}"), lambda c: F.col(f"__p.b.{c}"))
+    # small: all-pairs self-join within the bucket (O(n^2) bounded by
+    # max_bucket); both sides read the cached annotated frame
+    small = sized.filter(F.col("__n") <= max_bucket)
+    l, r = small.alias("l"), small.alias("r")
+    on = F.col("l.id") < F.col("r.id")
+    for k in keys:
+        on = on & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    pairs_small = l.join(r, on).select(
+        *_sel(lambda c: F.col(f"l.{c}"), lambda c: F.col(f"r.{c}"))
     )
 
     # star path: every member pairs with the windowed representative —
@@ -184,6 +177,32 @@ def _lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def _minhash_bands_sql(
+    text_sql: str, n_hashes: int, bands: int, rows: int, k_shingle: int
+) -> str:
+    """One SQL fragment for shingles → signature → banded buckets.
+
+    Same plan as minhash_signature + _lsh_bands, but built as a single
+    ``F.expr`` parse instead of hundreds of py4j Column calls — the
+    Column build cost ~0.5 s of driver time per query construction
+    (measured r4), which dominated the warm runtime at bench scale.
+    The signature array is let-bound so the per-band slice does not
+    re-evaluate it.
+    """
+    sig = (
+        f"get(transform(array(transform({shingles_sql(text_sql, k_shingle)}, "
+        f"s -> xxhash64(s))), "
+        f"hs -> transform(sequence(0, {n_hashes - 1}), "
+        f"i -> array_min(transform(hs, h -> xxhash64(h, i))))), 0)"
+    )
+    return (
+        f"get(transform(array({sig}), "
+        f"sg -> transform(sequence(0, {bands - 1}), "
+        f"b -> struct(b as band, "
+        f"xxhash64(slice(sg, b * {rows} + 1, {rows})) as bucket))), 0)"
+    )
+
+
 def jaccard(tokens_a: Column, tokens_b: Column) -> Column:
     a = F.array_distinct(tokens_a)
     b = F.array_distinct(tokens_b)
@@ -222,31 +241,30 @@ def minhash_dedup_pairs(
     if verify not in ("tokens", "shingles"):
         raise ValueError(f"verify must be 'tokens' or 'shingles', got {verify!r}")
     rows = n_hashes // bands
-    sig = minhash_signature(F.col(text_col), n_hashes, k_shingle)
+    text_sql = f"`{text_col}`"
     # Spread the hash-heavy projection across all cores: a small input
     # file arrives as one partition, which would serialize the compute.
     spread = _spread(df.select(id_col, text_col), id_col)
-    # cache() the narrow banded frame: the self-join would otherwise
-    # recompute the n_hashes×shingles signature on BOTH sides (no
-    # ReusedExchange under AQE here, measured).  (id, band, bucket) is
-    # 3 longs/row × bands — cache-safe at any scale; 4× faster at sf0.1.
-    banded = (
-        spread.select(
-            F.col(id_col).alias("id"),
-            F.explode(_lsh_bands(sig, bands, rows)).alias("bb"),
-        )
-        .select("id", "bb.band", "bb.bucket")
-        .cache()
-    )
+    # The narrow (id, band, bucket) frame is annotated + cached inside
+    # _banded_candidates, so the n_hashes×shingles signature is
+    # evaluated exactly once (cold fill) — no cache here.  The banding
+    # expression is built as ONE F.expr parse (same plan as
+    # minhash_signature + _lsh_bands) — see _minhash_bands_sql.
+    banded = spread.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(_minhash_bands_sql(text_sql, n_hashes, bands, rows, k_shingle))
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
     cand = _banded_candidates(banded, ("band", "bucket"), max_bucket=max_bucket)
     # same reasoning: tokens are re-read for both sides of the verify join
-    verify_arr = (
-        tokens(F.col(text_col))
+    verify_sql = (
+        tokens_sql(text_sql)
         if verify == "tokens"
-        else shingles(F.col(text_col), k_shingle)
+        else shingles_sql(text_sql, k_shingle)
     )
     toks = spread.select(
-        F.col(id_col).alias("tid"), verify_arr.alias("toks")
+        F.col(id_col).alias("tid"), F.expr(verify_sql).alias("toks")
     ).cache()
     return (
         cand.join(toks.withColumnRenamed("tid", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
@@ -339,6 +357,40 @@ def simhash(text) -> Column:
     return _pack_bits(_simhash_bits(text))
 
 
+def _pack_sql(bits_sql: str, offset: int, width: int) -> str:
+    """SQL twin of _pack_bits over a bound bits-array variable."""
+    return (
+        f"aggregate(zip_with(slice({bits_sql}, {offset + 1}, {width}), "
+        f"sequence(0, {width - 1}), "
+        f"(b, i) -> b * cast(pow(2.0, i) as bigint)), "
+        f"cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def _simhash_parts_sql(text_sql: str, n_chunks: int, width: int) -> str:
+    """One SQL fragment for token-hash votes → packed hash + chunk
+    buckets (same plan as _simhash_bits/_pack_bits, single F.expr parse
+    — the Column build was construction-bound, see _minhash_bands_sql)."""
+    bits = (
+        f"get(transform(array(transform({tokens_sql(text_sql)}, "
+        f"t -> xxhash64(t))), "
+        f"hs -> transform(sequence(0, 62), "
+        f"i -> if(aggregate(hs, 0, (acc, h) -> acc + "
+        f"if((h & cast(pow(2.0, i) as bigint)) != 0, 1, -1)) > 0, "
+        f"cast(1 as bigint), cast(0 as bigint)))), 0)"
+    )
+    chunk_structs = ", ".join(
+        f"struct({i} as chunk, "
+        f"{_pack_sql('bs', i * width, min(width, 63 - i * width))} as bucket)"
+        for i in range(n_chunks)
+    )
+    return (
+        f"get(transform(array({bits}), "
+        f"bs -> struct({_pack_sql('bs', 0, 63)} as sh, "
+        f"array({chunk_structs}) as bands)), 0)"
+    )
+
+
 def _hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -361,32 +413,16 @@ def simhash_dedup_pairs(
     width = 63 // n_chunks + (1 if 63 % n_chunks else 0)
     # ONE expression computes the bits (let-bound), the packed hash and
     # every chunk bucket; explode fans out without re-evaluating it (a
-    # generator's child is evaluated once per input row).
+    # generator's child is evaluated once per input row).  Built as a
+    # single F.expr parse — see _minhash_bands_sql for why.
     spread = _spread(df.select(id_col, text_col), id_col)
-    parts = _let(
-        _simhash_bits(F.col(text_col)),
-        lambda bits: F.struct(
-            _pack_bits(bits).alias("sh"),
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        _pack_bits(
-                            bits, i * width, min(width, 63 - i * width)
-                        ).alias("bucket"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            ).alias("bands"),
-        ),
-    )
-    # cache: the self-join would recompute the 63-bit vote expression on
-    # both sides (same measured non-reuse as minhash_dedup_pairs)
+    parts = F.expr(_simhash_parts_sql(f"`{text_col}`", n_chunks, width))
+    # annotation + cache happen inside _banded_candidates, so the
+    # 63-bit vote expression is evaluated once (cold fill)
     banded = (
         spread.select(F.col(id_col).alias("id"), parts.alias("p"))
         .select("id", F.col("p.sh").alias("sh"), F.explode("p.bands").alias("bb"))
         .select("id", "sh", "bb.chunk", "bb.bucket")
-        .cache()
     )
     return (
         _banded_candidates(
@@ -430,6 +466,24 @@ def _rhp_bucket(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
     return bucket
 
 
+def _rhp_bucket_sql(vec_sql: str, planes: Sequence[Sequence[float]]) -> str:
+    """SQL twin of _rhp_bucket — the Column loop costs n_planes × dim
+    py4j literal calls per build (see _minhash_bands_sql)."""
+    planes_lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in p) + ")"
+        for p in planes
+    ) + ")"
+    return (
+        f"aggregate(transform(sequence(0, {len(planes) - 1}), "
+        f"j -> if(aggregate(zip_with({vec_sql}, "
+        f"element_at({planes_lit}, j + 1), "
+        f"(a, b) -> cast(a as double) * b), "
+        f"cast(0.0 as double), (acc, x) -> acc + x) > 0, "
+        f"cast(pow(2.0, j) as bigint), cast(0 as bigint))), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -438,33 +492,39 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via random-hyperplane LSH buckets.
 
     High-cosine pairs land in the same sign-bucket with probability
-    (1 - theta/pi)^n_planes; candidate join is an equi-join on the
-    bucket, then exact cosine verify.  At 100 TB: multiple plane sets
-    (OR-amplification) instead of one, same plan shape.
+    (1 - theta/pi)^n_planes; candidates come from the same skew-bounded
+    bucket machinery as minhash/simhash (_banded_candidates: all-pairs
+    self-join only inside buckets <= ``max_bucket``, linear star path
+    above — a mass-duplicated embedding cluster can no longer go
+    quadratic).  The vector rides through the banding shuffle as a
+    carry column; exact cosine verifies each candidate.
+
+    Sizing at corpus scale: raise ``n_planes`` so the bucket space
+    (2^n_planes) keeps expected bucket size under ``max_bucket``
+    (e.g. 20 planes = 1M buckets for a 100M-doc corpus), and OR over
+    multiple plane sets (seed+i) for recall — same plan shape per set.
     """
     from .similarity import cosine
 
     planes = _hyperplanes(dim, n_planes, seed)
-    base = _spread(df.select(id_col, vec_col), id_col).select(
+    banded = _spread(df.select(id_col, vec_col), id_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        _rhp_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.expr(_rhp_bucket_sql(f"`{vec_col}`", planes)).alias("bucket"),
     )
-    l, r = base.alias("l"), base.alias("r")
+    cand = _banded_candidates(
+        banded, ("bucket",), carry=("v",), max_bucket=max_bucket
+    )
     return (
-        l.join(
-            r,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"),
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -17,6 +17,7 @@ __all__ = [
     "mean_token_len", "stopword_ratio", "punct_ratio", "digit_ratio",
     "quality_score", "language_scores", "language_id",
     "fingerprint_md5", "rolling_fingerprint", "shingles",
+    "tokens_sql", "shingles_sql",
 ]
 
 # Tiny per-language stopword lists (top function words) for the n-gram
@@ -33,6 +34,26 @@ def tokens(text) -> Column:
     """Whitespace tokenization (lowered)."""
     return F.filter(
         F.split(F.lower(col_of(text)), "\\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def tokens_sql(text_sql: str) -> str:
+    """SQL-fragment twin of :func:`tokens` for construction-hot paths:
+    a dedup query built from nested Column lambdas costs hundreds of
+    py4j round-trips (~0.5 s of driver time per build, measured r4);
+    one ``F.expr`` string is a single round-trip for the same plan."""
+    return (
+        f"filter(split(lower({text_sql}), '\\\\s+'), t -> length(t) > 0)"
+    )
+
+
+def shingles_sql(text_sql: str, k: int = 5) -> str:
+    """SQL-fragment twin of :func:`shingles` (token array let-bound via
+    the single-element transform trick, exactly like let_)."""
+    return (
+        f"get(transform(array({tokens_sql(text_sql)}), "
+        f"tk -> transform(sequence(1, greatest(size(tk) - {k} + 1, 1)), "
+        f"i -> array_join(slice(tk, i, {k}), ' '))), 0)"
     )
 
 

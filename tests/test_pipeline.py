@@ -208,6 +208,30 @@ def test_simhash_skew_star_path(spark):
     assert ids_b == set(range(1, 200))  # every copy linked to rep 0
 
 
+def test_embedding_skew_star_path(spark):
+    """A mass-duplicated embedding cluster (one giant RHP bucket) must
+    produce a linear star pair set, not the C(n,2) quadratic blowup the
+    pre-r4 uncapped bucket self-join had."""
+    rng = random.Random(13)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    rows = [
+        (i, [float(x + rng.gauss(0, 0.001)) for x in base]) for i in range(300)
+    ]
+    rows += [
+        (1000 + i, [float(rng.gauss(0, 1)) for _ in range(16)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = D.embedding_neardup_pairs(
+        df, "vec_id", "embedding", dim=16, threshold=0.99, n_planes=6,
+        max_bucket=50,
+    ).collect()
+    cluster = [p for p in pairs if p["id_b"] < 1000]
+    # star path: every copy pairs with rep 0 — 299 pairs, not 44850
+    assert len(cluster) == 299
+    assert all(p["id_a"] == 0 for p in cluster)
+
+
 def test_minhash_cap_matches_uncapped_on_small_corpus(spark):
     """Where no bucket exceeds the cap, capped and uncapped plans must
     emit identical pairs."""
