@@ -30,6 +30,9 @@ class ChEngine:
         # dotted CH name → TableDef, and its dot-free temp-view twin
         self.tables: dict[str, object] = {}
         self.table_views: dict[str, str] = {}
+        # CREATE/DROP DATABASE bookkeeping + USE target
+        self.databases: set[str] = set()
+        self.current_db: str | None = None
         # SQL-UDF-backed dialect functions (IPv6 codecs) — the
         # translator passes their calls through by name
         register_sql_udfs(spark)
@@ -66,6 +69,7 @@ class ChEngine:
             columns_of=self._columns_of,
             dictionaries=self.dictionaries,
             table_views=self.table_views,
+            system_sql=self._system_sql,
         )
 
     def sql(self, ch_sql: str) -> DataFrame:
@@ -84,3 +88,75 @@ class ChEngine:
             return self.spark.table(table).columns
         except Exception:
             return None
+
+    # ---------------------------------------------- system.* tables
+
+    def _catalog_tables(self) -> list[tuple[str, str, str]]:
+        """(database, table, engine) rows — created tables plus the
+        directly-registered default-database views (the reference's
+        StorageSystemTables reads the Context database map)."""
+        rows = []
+        for name, tdef in self.tables.items():
+            db, _, t = name.rpartition(".")
+            rows.append((db or "default", t, tdef.engine))
+        dotted_twins = {v for k, v in self.table_views.items() if "." in k}
+        for t in self.spark.catalog.listTables():
+            if t.name.startswith("__") or t.name in dotted_twins:
+                continue
+            if any(r[0] == "default" and r[1] == t.name for r in rows):
+                continue
+            rows.append(("default", t.name, "MergeTree"))
+        return sorted(rows)
+
+    def _system_sql(self, which: str) -> str | None:
+        """Inline SQL for system.<which> (Storages/System/ in the
+        reference: Tables, Columns, Databases, Settings...), built from
+        the engine catalog at translate time."""
+
+        def q(s: str) -> str:
+            return "'" + s.replace("'", "''") + "'"
+
+        def values(rows: list[tuple], cols: str) -> str:
+            if not rows:
+                tup = ", ".join(["''"] * len(cols.split(",")))
+                return (
+                    f"SELECT * FROM (VALUES ({tup})) AS __t({cols}) WHERE 1 = 0"
+                )
+            body = ", ".join(
+                "(" + ", ".join(q(str(v)) for v in r) + ")" for r in rows
+            )
+            return f"SELECT * FROM (VALUES {body}) AS __t({cols})"
+
+        if which == "tables":
+            return values(self._catalog_tables(), "database, name, engine")
+        if which == "databases":
+            dbs = sorted({"default", "system", *self.databases})
+            return values([(d,) for d in dbs], "name")
+        if which == "columns":
+            from .statements import _tabledef_of
+
+            rows = []
+            for db, t, _eng in self._catalog_tables():
+                name = t if db == "default" else f"{db}.{t}"
+                try:
+                    tdef = _tabledef_of(self, name)
+                except Exception:
+                    continue
+                for c in tdef.columns:
+                    rows.append((db, t, c.name, c.ch_type or c.spark_type, "", ""))
+            return values(
+                rows,
+                "database, table, name, type, default_type, default_expression",
+            )
+        if which == "settings":
+            # the handful of settings the dialect honors (Settings.h
+            # defaults); changed=0 — per-query SETTINGS never lands here
+            rows = [
+                ("totals_mode", "after_having_exclusive", "0"),
+                ("max_threads", str(self.spark.sparkContext.defaultParallelism), "0"),
+                ("max_block_size", "65536", "0"),
+            ]
+            return values(rows, "name, value, changed")
+        if which == "functions":
+            return None  # not modeled; the function registry is Python
+        return None

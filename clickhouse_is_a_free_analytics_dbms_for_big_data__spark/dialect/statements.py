@@ -1,12 +1,20 @@
-"""Non-SELECT statements: CREATE TABLE / INSERT / DROP / SET.
+"""Non-SELECT statements: CREATE TABLE/DATABASE / INSERT / DROP /
+ALTER / RENAME / SHOW / DESCRIBE / EXISTS / OPTIMIZE / SET.
 
 Reference: Interpreters/InterpreterFactory.cpp dispatches on AST node
 type — InterpreterCreateQuery (Parsers/ParserCreateQuery.cpp schema +
-ENGINE clause), InterpreterInsertQuery (VALUES / INSERT SELECT), Drop.
+ENGINE clause), InterpreterInsertQuery (VALUES / INSERT SELECT),
+InterpreterAlterQuery (Parsers/ParserAlterQuery.cpp ADD/DROP/MODIFY
+COLUMN), InterpreterRenameQuery, InterpreterShowTablesQuery,
+InterpreterDescribeQuery, InterpreterExistsQuery,
+InterpreterOptimizeQuery, Drop.
 Here a created table is a named DataFrame (temp view) plus TableMeta
 derived from the classic MergeTree-family engine arguments
 (StorageFactory.cpp:242-859); INSERT unions new rows in and re-registers
-the view — the Spark analog of appending a part.
+the view — the Spark analog of appending a part.  ALTER rewrites the
+registered view with the projected/extended schema (the reference
+rewrites columns.txt and converts parts lazily); OPTIMIZE applies the
+engine's merge transform eagerly (the reference's background merge).
 
 CH semantics kept:
 - column types map per §1.2 (UInt widened one size, Enum8/16 stored as
@@ -49,6 +57,7 @@ class ColumnDef:
     spark_type: str          # Spark SQL type text
     wrapper: str | None = None  # value transform template with {v}
     default: str | None = None  # type-specific default (Enum: first name)
+    ch_type: str = ""        # original CH type text (DESCRIBE output)
 
     def default_sql(self) -> str:
         if self.default is not None:
@@ -66,10 +75,37 @@ class TableDef:
     meta: TableMeta
 
 
+def _render_type(toks: list[Token]) -> str:
+    """Re-render a CH type token list canonically: ``Array(UInt8)``,
+    ``Enum8('a' = 1, 'b' = 2)`` — used for DESCRIBE output parity
+    (the reference prints the canonical type name)."""
+    out: list[str] = []
+    for j, t in enumerate(toks):
+        txt = t.text
+        if out and txt == ",":
+            out[-1] = out[-1] + ","
+            continue
+        if txt == "(" and out:
+            out[-1] = out[-1] + "("
+            continue
+        if txt == ")" and out:
+            out[-1] = out[-1] + ")"
+            continue
+        out.append(txt)
+    return " ".join(out).replace("( ", "(").replace(" )", ")")
+
+
 def _ch_type(toks: list[Token]) -> ColumnDef | None:
     """Parse one CH type spec into (spark type, optional insert wrap)."""
     if not toks:
         return None
+    cd = _ch_type_inner(toks)
+    if cd is not None and not cd.ch_type:
+        cd.ch_type = _render_type(toks)
+    return cd
+
+
+def _ch_type_inner(toks: list[Token]) -> ColumnDef | None:
     up = toks[0].text.upper()
     if len(toks) == 1:
         if up in _NUM_TYPES:
@@ -119,23 +155,60 @@ def _ch_type(toks: list[Token]) -> ColumnDef | None:
     return None
 
 
+def _col_name(item: list[Token]) -> tuple[str, int]:
+    """Column name, possibly dotted (Nested member: ``N.A``)."""
+    name = item[0].text
+    k = 1
+    while k + 1 < len(item) and item[k].text == "." and item[k + 1].kind in (
+        "ident", "qident"
+    ):
+        name += "." + item[k + 1].text
+        k += 2
+    return name, k
+
+
+def _parse_one_column(item: list[Token]) -> list[ColumnDef] | None:
+    """One column declaration → one ColumnDef, or several for
+    Nested(...) (DataTypeNested = parallel arrays: ``N Nested(A T)``
+    declares column ``N.A Array(T)`` — SURVEY §1.2)."""
+    if not item:
+        return None
+    name, k = _col_name(item)
+    # strip DEFAULT/MATERIALIZED/ALIAS expressions (ColumnDefault.h)
+    type_toks = item[k:]
+    for j, t in enumerate(type_toks):
+        if t.is_kw("DEFAULT", "MATERIALIZED", "ALIAS"):
+            type_toks = type_toks[:j]
+            break
+    if type_toks and type_toks[0].text.upper() == "NESTED":
+        members = _split_top(type_toks[2:-1], ",")
+        out = []
+        for m in members:
+            elem = _ch_type(m[1:])
+            if elem is None or elem.wrapper is not None:
+                return None
+            out.append(
+                ColumnDef(
+                    f"{name}.{m[0].text}",
+                    f"ARRAY<{elem.spark_type}>",
+                    ch_type=f"Array({elem.ch_type})",
+                )
+            )
+        return out
+    cd = _ch_type(type_toks)
+    if cd is None:
+        return None
+    cd.name = name
+    return [cd]
+
+
 def _parse_columns(toks: list[Token]) -> list[ColumnDef] | None:
     cols: list[ColumnDef] = []
     for item in _split_top(toks, ","):
-        if not item:
+        parsed = _parse_one_column(item)
+        if parsed is None:
             return None
-        name = item[0].text
-        # strip DEFAULT/MATERIALIZED/ALIAS expressions (ColumnDefault.h)
-        type_toks = item[1:]
-        for k, t in enumerate(type_toks):
-            if t.is_kw("DEFAULT", "MATERIALIZED", "ALIAS"):
-                type_toks = type_toks[:k]
-                break
-        cd = _ch_type(type_toks)
-        if cd is None:
-            return None
-        cd.name = name
-        cols.append(cd)
+        cols.extend(parsed)
     return cols
 
 
@@ -155,12 +228,20 @@ def _engine_meta(engine: str, args: list[list[Token]]) -> TableMeta:
         return (toks[0].text,) if toks else ()
 
     if engine.endswith("MergeTree") and args:
-        if len(args) >= 2:
-            meta.primary_key = key_of(args[1])
-        if engine == "ReplacingMergeTree" and len(args) >= 4:
-            meta.version_col = args[3][0].text
-        if engine == "CollapsingMergeTree" and len(args) >= 4:
-            meta.sign_col = args[3][0].text
+        # signature: (date, [sampling_expr,] (pk...), granularity, ...)
+        # — the primary key is the first parenthesized-tuple argument;
+        # anything between the date and it is the sampling expression
+        pk_idx = next(
+            (j for j, a in enumerate(args) if a and a[0].text == "("), 1
+        )
+        if len(args) > pk_idx:
+            meta.primary_key = key_of(args[pk_idx])
+        if pk_idx == 2 and len(args[1]) == 1:
+            meta.sample_key = args[1][0].text
+        if engine == "ReplacingMergeTree" and len(args) > pk_idx + 2:
+            meta.version_col = args[pk_idx + 2][0].text
+        if engine == "CollapsingMergeTree" and len(args) > pk_idx + 2:
+            meta.sign_col = args[pk_idx + 2][0].text
     return meta
 
 
@@ -183,6 +264,21 @@ def execute_statement(engine, ch_sql: str) -> DataFrame | None:
         return _insert(engine, tokens)
     if head == "DROP":
         return _drop(engine, tokens)
+    if head == "ALTER":
+        return _alter(engine, tokens)
+    if head == "RENAME":
+        return _rename(engine, tokens)
+    if head == "SHOW":
+        return _show(engine, tokens)
+    if head in ("DESC", "DESCRIBE"):
+        return _describe(engine, tokens)
+    if head == "EXISTS":
+        return _exists(engine, tokens)
+    if head == "OPTIMIZE":
+        return _optimize(engine, tokens)
+    if head == "USE":
+        engine.current_db = tokens[1].text
+        return None
     raise ValueError(f"unsupported statement kind: {head}")
 
 
@@ -202,7 +298,13 @@ def _view_of(name: str) -> str:
 
 def _create(engine, tokens: list[Token]) -> None:
     i = 1
-    assert tokens[i].is_kw("TABLE"), "only CREATE TABLE is supported"
+    if tokens[i].is_kw("DATABASE"):
+        i += 1
+        if tokens[i].is_kw("IF"):
+            i += 3  # IF NOT EXISTS
+        engine.databases.add(tokens[i].text)
+        return None
+    assert tokens[i].is_kw("TABLE"), "only CREATE TABLE/DATABASE is supported"
     i += 1
     if tokens[i].is_kw("IF"):
         i += 3  # IF NOT EXISTS
@@ -233,11 +335,24 @@ def _create(engine, tokens: list[Token]) -> None:
 
 def _drop(engine, tokens: list[Token]) -> None:
     i = 1
+    if tokens[i].is_kw("DATABASE"):
+        i += 1
+        if tokens[i].is_kw("IF"):
+            i += 2  # IF EXISTS
+        db = tokens[i].text
+        engine.databases.discard(db)
+        for name in [n for n in list(engine.tables) if n.startswith(db + ".")]:
+            _drop_table(engine, name)
+        return None
     assert tokens[i].is_kw("TABLE")
     i += 1
     if tokens[i].is_kw("IF"):
         i += 2  # IF EXISTS
     name, _ = _table_name(tokens, i)
+    _drop_table(engine, name)
+
+
+def _drop_table(engine, name: str) -> None:
     engine.tables.pop(name, None)
     view = engine.table_views.pop(name, _view_of(name))
     engine.table_meta.pop(view, None)
@@ -304,3 +419,269 @@ def _insert(engine, tokens: list[Token]) -> None:
     # break lineage: the re-registered view must not reference itself
     merged = existing.unionByName(shaped).localCheckpoint(eager=True)
     engine.register_table(view, merged, tdef.meta)
+
+
+# ------------------------------------------------------------- ALTER etc.
+
+_SPARK_TO_CH = {
+    "TINYINT": "Int8", "SMALLINT": "Int16", "INT": "Int32",
+    "BIGINT": "Int64", "FLOAT": "Float32", "DOUBLE": "Float64",
+    "STRING": "String", "DATE": "Date", "TIMESTAMP": "DateTime",
+    "TIMESTAMP_NTZ": "DateTime",
+}
+
+
+def _ch_of_spark(simple: str) -> str:
+    """Best-effort Spark→CH type name (DESCRIBE on tables that were
+    registered directly from parquet, not via CREATE TABLE)."""
+    up = simple.upper()
+    if up.startswith("ARRAY<") and up.endswith(">"):
+        return f"Array({_ch_of_spark(simple[6:-1])})"
+    if up.startswith("DECIMAL"):
+        return "UInt64"  # the one Decimal use: full-range UInt64
+    return _SPARK_TO_CH.get(up, simple)
+
+
+def _tabledef_of(engine, name: str):
+    """TableDef for a created table, or one synthesized from the Spark
+    schema for directly-registered views."""
+    tdef = engine.tables.get(name)
+    if tdef is not None:
+        return tdef
+    view = engine.table_views.get(name, _view_of(name))
+    df = engine.spark.table(view)
+    cols = [
+        ColumnDef(
+            f.name,
+            f.dataType.simpleString(),
+            ch_type=_ch_of_spark(f.dataType.simpleString()),
+        )
+        for f in df.schema.fields
+    ]
+    return TableDef(name, cols, "MergeTree", engine.table_meta.get(view, TableMeta()))
+
+
+def _reproject(engine, tdef) -> None:
+    """Re-register the table's view as the current column list (ALTER's
+    lazy part-conversion, done eagerly on the registered DataFrame)."""
+    view = engine.table_views.get(tdef.name, _view_of(tdef.name))
+    df = engine.spark.table(view)
+    have = set(df.columns)
+    sel = []
+    for c in tdef.columns:
+        if c.name in have:
+            sel.append(f"CAST(`{c.name}` AS {c.spark_type}) AS `{c.name}`")
+        else:
+            sel.append(f"CAST({c.default_sql()} AS {c.spark_type}) AS `{c.name}`")
+    df.createOrReplaceTempView(f"__alter_{view}")
+    shaped = engine.spark.sql(
+        f"SELECT {', '.join(sel)} FROM __alter_{view}"
+    ).localCheckpoint(eager=True)
+    engine.spark.catalog.dropTempView(f"__alter_{view}")
+    engine.register_table(view, shaped, tdef.meta)
+
+
+def _alter(engine, tokens: list[Token]) -> None:
+    """ALTER TABLE t ADD COLUMN c T [AFTER x] | DROP COLUMN c |
+    MODIFY COLUMN c T  (Parsers/ParserAlterQuery.cpp,
+    Interpreters/InterpreterAlterQuery.cpp)."""
+    i = 1
+    assert tokens[i].is_kw("TABLE")
+    name, i = _table_name(tokens, i + 1)
+    tdef = engine.tables.get(name)
+    if tdef is None:
+        raise ValueError(f"ALTER on unknown table {name!r}")
+    for action in _split_top(tokens[i:], ","):
+        if not action:
+            continue
+        verb = action[0].text.upper()
+        assert action[1].is_kw("COLUMN"), "ALTER supports COLUMN actions"
+        rest = action[2:]
+        if rest and rest[0].is_kw("IF"):
+            rest = rest[3:] if verb == "ADD" else rest[2:]  # IF [NOT] EXISTS
+        if verb == "DROP":
+            col, _ = _col_name(rest)
+            tdef.columns = [c for c in tdef.columns if c.name != col]
+        elif verb in ("ADD", "MODIFY"):
+            after: str | None = None
+            for j in range(len(rest) - 1):
+                if rest[j].is_kw("AFTER"):
+                    after, _ = _col_name(rest[j + 1 :])
+                    rest = rest[:j]
+                    break
+            parsed = _parse_one_column(rest)
+            if parsed is None:
+                raise ValueError(
+                    f"unsupported column type in ALTER: "
+                    f"{' '.join(t.text for t in rest)!r}"
+                )
+            if verb == "MODIFY":
+                for newc in parsed:
+                    for k, c in enumerate(tdef.columns):
+                        if c.name == newc.name:
+                            tdef.columns[k] = newc
+            else:
+                names = [c.name for c in tdef.columns]
+                if any(p.name in names for p in parsed):
+                    continue  # IF NOT EXISTS semantics / idempotent re-add
+                if after is not None:
+                    # dotted AFTER targets the named member; a Nested
+                    # block lands after the target's last sibling
+                    pos = len(tdef.columns)
+                    for k, c in enumerate(tdef.columns):
+                        if c.name == after or c.name.startswith(after + "."):
+                            pos = k + 1
+                    tdef.columns[pos:pos] = parsed
+                else:
+                    tdef.columns.extend(parsed)
+        else:
+            raise ValueError(f"unsupported ALTER action {verb!r}")
+    _reproject(engine, tdef)
+
+
+def _rename(engine, tokens: list[Token]) -> None:
+    """RENAME TABLE a TO b[, c TO d] (InterpreterRenameQuery)."""
+    i = 1
+    assert tokens[i].is_kw("TABLE")
+    i += 1
+    while i < len(tokens):
+        old, i = _table_name(tokens, i)
+        assert tokens[i].is_kw("TO")
+        new, i = _table_name(tokens, i + 1)
+        tdef = engine.tables.pop(old, None)
+        if tdef is None:
+            raise ValueError(f"RENAME of unknown table {old!r}")
+        old_view = engine.table_views.pop(old, _view_of(old))
+        new_view = _view_of(new)
+        df = engine.spark.table(old_view)
+        meta = engine.table_meta.pop(old_view, tdef.meta)
+        tdef.name = new
+        engine.tables[new] = tdef
+        engine.table_views[new] = new_view
+        engine.register_table(new_view, df, meta)
+        engine.spark.catalog.dropTempView(old_view)
+        if i < len(tokens) and tokens[i].text == ",":
+            i += 1
+
+
+def _str_df(engine, rows: list[list[str]], schema: str) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    if not rows:
+        return engine.spark.createDataFrame(
+            [], StructType.fromDDL(schema)
+        )
+    return engine.spark.createDataFrame(rows, schema)
+
+
+def _show(engine, tokens: list[Token]) -> DataFrame:
+    """SHOW TABLES [FROM db] [LIKE '...'] / SHOW DATABASES
+    (InterpreterShowTablesQuery — rewritten onto system.tables there,
+    built from the engine catalog here)."""
+    kind = tokens[1].text.upper()
+    if kind == "DATABASES":
+        dbs = sorted({"default", "system", *engine.databases})
+        return _str_df(engine, [[d] for d in dbs], "name STRING")
+    assert kind == "TABLES", f"unsupported SHOW {kind}"
+    i = 2
+    db = None
+    like = None
+    while i < len(tokens):
+        if tokens[i].is_kw("FROM"):
+            db = tokens[i + 1].text
+            i += 2
+        elif tokens[i].is_kw("LIKE"):
+            like = tokens[i + 1].text.strip("'")
+            i += 2
+        else:
+            i += 1
+    if db:
+        names = sorted(
+            n.split(".", 1)[1] for n in engine.tables if n.startswith(db + ".")
+        )
+    else:
+        dotted_twins = {v for k, v in engine.table_views.items() if "." in k}
+        names = sorted(
+            t.name
+            for t in engine.spark.catalog.listTables()
+            if not t.name.startswith("__") and t.name not in dotted_twins
+        )
+    if like is not None:
+        import re as _re
+
+        pat = _re.compile(
+            "^" + _re.escape(like).replace("%", ".*").replace("_", ".") + "$"
+        )
+        names = [n for n in names if pat.match(n)]
+    return _str_df(engine, [[n] for n in names], "name STRING")
+
+
+def _describe(engine, tokens: list[Token]) -> DataFrame:
+    """DESC|DESCRIBE [TABLE] t → (name, type, default_type,
+    default_expression) like InterpreterDescribeQuery."""
+    i = 1
+    if i < len(tokens) and tokens[i].is_kw("TABLE"):
+        i += 1
+    name, _ = _table_name(tokens, i)
+    tdef = _tabledef_of(engine, name)
+    rows = [[c.name, c.ch_type or c.spark_type, "", ""] for c in tdef.columns]
+    return _str_df(
+        engine,
+        rows,
+        "name STRING, type STRING, default_type STRING, default_expression STRING",
+    )
+
+
+def _exists(engine, tokens: list[Token]) -> DataFrame:
+    """EXISTS TABLE t → 1/0 (InterpreterExistsQuery)."""
+    i = 1
+    if i < len(tokens) and tokens[i].is_kw("TABLE"):
+        i += 1
+    name, _ = _table_name(tokens, i)
+    found = name in engine.tables
+    if not found:
+        try:
+            engine.spark.table(engine.table_views.get(name, _view_of(name)))
+            found = True
+        except Exception:
+            found = False
+    return engine.spark.createDataFrame([[1 if found else 0]], "result INT")
+
+
+def _optimize(engine, tokens: list[Token]) -> None:
+    """OPTIMIZE TABLE t — run the engine's merge transform eagerly
+    (InterpreterOptimizeQuery; merge semantics per
+    DataStreams/*SortedBlockInputStream.h)."""
+    from ..sources.mergetree import (
+        compact_collapsing,
+        compact_replacing,
+        compact_summing,
+    )
+
+    i = 1
+    assert tokens[i].is_kw("TABLE")
+    name, _ = _table_name(tokens, i + 1)
+    tdef = engine.tables.get(name)
+    if tdef is None:
+        raise ValueError(f"OPTIMIZE on unknown table {name!r}")
+    view = engine.table_views.get(name, _view_of(name))
+    df = engine.spark.table(view)
+    meta = tdef.meta
+    pk = [c for c in meta.primary_key if c in df.columns]
+    if not pk:
+        return None
+    if tdef.engine == "ReplacingMergeTree":
+        df = compact_replacing(df, pk, meta.version_col)
+    elif tdef.engine == "SummingMergeTree":
+        metrics = [
+            c.name
+            for c in tdef.columns
+            if c.name not in pk
+            and c.spark_type in ("TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE")
+        ]
+        df = compact_summing(df, pk, metrics)
+    elif tdef.engine == "CollapsingMergeTree" and meta.sign_col:
+        df = compact_collapsing(df, pk, meta.sign_col)
+    else:
+        return None  # plain MergeTree: merge changes layout, not rows
+    engine.register_table(view, df.localCheckpoint(eager=True), meta)

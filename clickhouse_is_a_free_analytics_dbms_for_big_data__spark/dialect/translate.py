@@ -77,6 +77,9 @@ class Ctx:
     # dotted CH name → Spark temp-view name (created tables; Spark
     # views cannot contain dots)
     table_views: dict[str, str] = field(default_factory=dict)
+    # Callable[[str], str | None]: inline SQL for system.* tables
+    # (Storages/System/ in the reference) built from the engine catalog
+    system_sql: object | None = None
     counter: int = 0
 
     def gensym(self, prefix: str) -> str:
@@ -96,12 +99,14 @@ def translate_sql(
     columns_of=None,
     dictionaries: dict[str, DictSpec] | None = None,
     table_views: dict[str, str] | None = None,
+    system_sql=None,
 ) -> str:
     ctx = Ctx(
         table_meta=table_meta or {},
         columns_of=columns_of,
         dictionaries=dictionaries or {},
         table_views=table_views or {},
+        system_sql=system_sql,
     )
     tokens = tokenize(sql)
     while tokens and tokens[-1].text == ";":
@@ -658,6 +663,10 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
         return "(SELECT id AS number FROM range(1000000)) AS __numbers", None
     if name == "system.one":
         return "(SELECT 1 AS dummy) AS __one", None
+    if name.startswith("system.") and ctx.system_sql is not None:
+        sys_sql = ctx.system_sql(name[len("system."):])
+        if sys_sql is not None:
+            return f"({sys_sql}) AS __{name.replace('.', '_')}", None
 
     # created tables registered under a dot-free view name
     name = ctx.table_views.get(name, name)

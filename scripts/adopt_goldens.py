@@ -1,0 +1,91 @@
+"""Golden-adoption sweep: run every not-yet-adopted reference stateless
+golden (dbms/tests/queries/0_stateless) through ChEngine and report the
+ones whose output is byte-identical to the .reference file.  Passing
+cases can then be copied into tests/queries as ref_* pairs.
+
+Usage:
+    python scripts/adopt_goldens.py [--copy] [--limit N] [--only PAT]
+
+Dev tool only — the conformance gate is tests/test_golden.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_DIR = "/root/reference/dbms/tests/queries/0_stateless"
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "queries")
+
+
+def main() -> None:
+    copy = "--copy" in sys.argv
+    limit = None
+    only = None
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--limit":
+            limit = int(argv[i + 1])
+        if a == "--only":
+            only = argv[i + 1]
+
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark import (
+        get_session,
+        register_tables,
+    )
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.dialect import (
+        ChEngine,
+        TableMeta,
+    )
+    from tests.test_golden import run_sql_file
+
+    adopted = {
+        f[4:-4] for f in os.listdir(OUT_DIR)
+        if f.startswith("ref_") and f.endswith(".sql")
+    }
+    cases = sorted(
+        f[:-4] for f in os.listdir(REF_DIR)
+        if f.endswith(".sql") and f[:-4] not in adopted
+        and os.path.exists(os.path.join(REF_DIR, f[:-4] + ".reference"))
+    )
+    if only:
+        cases = [c for c in cases if only in c]
+    if limit:
+        cases = cases[:limit]
+
+    spark = get_session(app_name="adopt", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    register_tables(spark, "/root/testdata/sf0.001")
+
+    ok, fail, err = [], [], []
+    for case in cases:
+        eng = ChEngine(spark)
+        eng.set_meta("events", TableMeta(sample_key="user_id"))
+        sql_path = os.path.join(REF_DIR, case + ".sql")
+        ref_path = os.path.join(REF_DIR, case + ".reference")
+        try:
+            got = run_sql_file(eng, sql_path)
+        except Exception as e:
+            err.append((case, f"{type(e).__name__}: {str(e)[:120]}"))
+            continue
+        with open(ref_path) as f:
+            expected = f.read()
+        if got == expected:
+            ok.append(case)
+            print(f"OK   {case}", flush=True)
+            if copy:
+                shutil.copy(sql_path, os.path.join(OUT_DIR, f"ref_{case}.sql"))
+                shutil.copy(ref_path, os.path.join(OUT_DIR, f"ref_{case}.reference"))
+        else:
+            fail.append(case)
+            print(f"DIFF {case}", flush=True)
+    print(f"\nSUMMARY: {len(ok)} ok, {len(fail)} diff, {len(err)} error")
+    for case, msg in err[:40]:
+        print(f"ERR  {case}: {msg}")
+
+
+if __name__ == "__main__":
+    main()

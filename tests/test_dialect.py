@@ -409,3 +409,119 @@ def test_exec_create_insert_drop(eng):
     assert [tuple(r) for r in rows] == [(1, "hi", 2), (2, "hi", 1), (3, "lo", 0)]
     assert eng.execute("SELECT count() FROM test.ddl_t").collect()[0][0] == 4
     eng.execute("DROP TABLE test.ddl_t")
+
+
+def test_exec_alter_describe(eng):
+    """ALTER ADD/DROP/MODIFY COLUMN + DESCRIBE
+    (Parsers/ParserAlterQuery.cpp, InterpreterDescribeQuery)."""
+    eng.execute("DROP TABLE IF EXISTS alt_t")
+    eng.execute(
+        "CREATE TABLE alt_t (k UInt32, v String) ENGINE = MergeTree(k, (k), 8192)"
+    )
+    eng.execute("INSERT INTO alt_t VALUES (1, 'a')")
+    eng.execute("ALTER TABLE alt_t ADD COLUMN n UInt32")
+    eng.execute("ALTER TABLE alt_t ADD COLUMN m UInt32 AFTER k")
+    desc = [tuple(r) for r in eng.execute("DESC TABLE alt_t").collect()]
+    assert desc == [
+        ("k", "UInt32", "", ""),
+        ("m", "UInt32", "", ""),
+        ("v", "String", "", ""),
+        ("n", "UInt32", "", ""),
+    ]
+    # existing rows take the type default for the added columns
+    assert [tuple(r) for r in eng.execute("SELECT * FROM alt_t").collect()] == [
+        (1, 0, "a", 0)
+    ]
+    eng.execute("ALTER TABLE alt_t DROP COLUMN v, MODIFY COLUMN n UInt64")
+    desc = [tuple(r) for r in eng.execute("DESCRIBE TABLE alt_t").collect()]
+    assert desc == [
+        ("k", "UInt32", "", ""),
+        ("m", "UInt32", "", ""),
+        ("n", "UInt64", "", ""),
+    ]
+    eng.execute("DROP TABLE alt_t")
+
+
+def test_exec_rename_exists_show(eng):
+    """RENAME TABLE / EXISTS TABLE / SHOW TABLES / SHOW DATABASES."""
+    eng.execute("DROP DATABASE IF EXISTS shdb")
+    eng.execute("CREATE DATABASE shdb")
+    eng.execute("CREATE TABLE shdb.a (x UInt8) ENGINE = TinyLog")
+    eng.execute("CREATE TABLE shdb.b (x UInt8) ENGINE = TinyLog")
+    assert [r[0] for r in eng.execute("SHOW TABLES FROM shdb").collect()] == [
+        "a", "b",
+    ]
+    assert "shdb" in [
+        r[0] for r in eng.execute("SHOW DATABASES").collect()
+    ]
+    eng.execute("RENAME TABLE shdb.a TO shdb.c")
+    assert [r[0] for r in eng.execute("SHOW TABLES FROM shdb").collect()] == [
+        "b", "c",
+    ]
+    assert eng.execute("EXISTS TABLE shdb.c").collect()[0][0] == 1
+    assert eng.execute("EXISTS TABLE shdb.a").collect()[0][0] == 0
+    eng.execute("DROP DATABASE shdb")
+    assert eng.execute("EXISTS TABLE shdb.c").collect()[0][0] == 0
+
+
+def test_exec_optimize_replacing(eng):
+    """OPTIMIZE TABLE applies the engine merge transform eagerly
+    (InterpreterOptimizeQuery; ReplacingSortedBlockInputStream.h)."""
+    eng.execute("DROP TABLE IF EXISTS opt_t")
+    eng.execute(
+        "CREATE TABLE opt_t (d Date, k UInt32, v UInt32) "
+        "ENGINE = ReplacingMergeTree(d, (k), 8192, v)"
+    )
+    eng.execute(
+        "INSERT INTO opt_t VALUES ('2024-01-01', 1, 1), "
+        "('2024-01-01', 1, 2), ('2024-01-02', 2, 1)"
+    )
+    assert eng.execute("SELECT count() FROM opt_t").collect()[0][0] == 3
+    eng.execute("OPTIMIZE TABLE opt_t")
+    rows = [
+        tuple(r)
+        for r in eng.execute("SELECT k, v FROM opt_t ORDER BY k").collect()
+    ]
+    assert rows == [(1, 2), (2, 1)]
+    eng.execute("DROP TABLE opt_t")
+
+
+def test_system_tables_columns(eng):
+    """system.tables / system.columns / system.databases /
+    system.settings through the dialect (Storages/System/)."""
+    eng.execute("DROP TABLE IF EXISTS sys_probe")
+    eng.execute(
+        "CREATE TABLE sys_probe (k UInt32, s String) ENGINE = Memory"
+    )
+    t = {
+        (r["database"], r["name"])
+        for r in eng.sql("SELECT database, name FROM system.tables").collect()
+    }
+    assert ("default", "sys_probe") in t
+    assert ("default", "orders") in t
+    cols = [
+        tuple(r)
+        for r in eng.sql(
+            "SELECT name, type FROM system.columns "
+            "WHERE table = 'sys_probe' ORDER BY name"
+        ).collect()
+    ]
+    assert cols == [("k", "UInt32"), ("s", "String")]
+    # registered parquet tables reverse-map to CH type names
+    ncols = {
+        r["name"]: r["type"]
+        for r in eng.sql(
+            "SELECT name, type FROM system.columns WHERE table = 'nation'"
+        ).collect()
+    }
+    assert ncols["n_name"] == "String"
+    assert ncols["n_nationkey"] == "Int32"  # parquet int32 → CH Int32
+    assert ("default",) in {
+        tuple(r) for r in eng.sql("SELECT name FROM system.databases").collect()
+    }
+    st = {
+        r["name"]: r["value"]
+        for r in eng.sql("SELECT name, value FROM system.settings").collect()
+    }
+    assert st["totals_mode"] == "after_having_exclusive"
+    eng.execute("DROP TABLE sys_probe")
