@@ -22,6 +22,8 @@ needs.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -31,7 +33,10 @@ __all__ = [
     "sumState", "sumMerge", "countState", "countMerge", "minState",
     "minMerge", "maxState", "maxMerge", "avgState", "avgMerge",
     "uniqState", "uniqMerge", "uniqStateEstimate", "groupArrayState",
-    "groupArrayMerge",
+    "groupArrayMerge", "groupUniqArrayState", "groupUniqArrayMerge",
+    "argMinState", "argMinMerge", "argMaxState", "argMaxMerge",
+    "quantileExactState", "quantileExactMerge", "quantilesExactMerge",
+    "sequenceState", "sequenceMatchMerge", "sequenceCountMerge",
 ]
 
 
@@ -101,3 +106,111 @@ def groupArrayState(x) -> Column:
 
 def groupArrayMerge(state) -> Column:
     return F.flatten(F.collect_list(col_of(state)))
+
+
+def groupUniqArrayState(x) -> Column:
+    return F.collect_set(col_of(x))
+
+
+def groupUniqArrayMerge(state) -> Column:
+    return F.array_distinct(F.flatten(F.collect_list(col_of(state))))
+
+
+def argMinState(val, cmp) -> Column:
+    """State = struct<k, v> of the best (k, val) so far.  Struct min
+    orders by k then v — the reference keeps the first-seen row on
+    ties (AggregateFunctionsArgMinMax.h), which is stream-order
+    dependent; the v tie-break makes it deterministic instead."""
+    return F.min(F.struct(col_of(cmp).alias("k"), col_of(val).alias("v")))
+
+
+def argMinMerge(state) -> Column:
+    return F.min(col_of(state)).getField("v")
+
+
+def argMaxState(val, cmp) -> Column:
+    return F.max(F.struct(col_of(cmp).alias("k"), col_of(val).alias("v")))
+
+
+def argMaxMerge(state) -> Column:
+    return F.max(col_of(state)).getField("v")
+
+
+def quantileExactState(x) -> Column:
+    """quantileExact state = the exact value multiset
+    (AggregateFunctionQuantileExact.h keeps a plain value array)."""
+    return F.collect_list(col_of(x))
+
+
+def _nth_of_sorted(arr: Column, level: float) -> Column:
+    """The reference's nth_element rule: n = level * size (clamped to
+    size-1), 0-based (AggregateFunctionQuantileExact.h)."""
+    from ._util import let_
+
+    return let_(
+        F.array_sort(arr),
+        lambda a: F.element_at(
+            a,
+            (
+                F.least(
+                    F.floor(F.size(a) * F.lit(level)),
+                    (F.size(a) - 1).cast("bigint"),
+                )
+                + 1
+            ).cast("int"),
+        ),
+    )
+
+
+def quantileExactMerge(state, level: float = 0.5) -> Column:
+    return _nth_of_sorted(F.flatten(F.collect_list(col_of(state))), level)
+
+
+def quantilesExactMerge(state, levels: Sequence[float]) -> Column:
+    from ._util import let_
+
+    return let_(
+        F.flatten(F.collect_list(col_of(state))),
+        lambda merged: F.array(
+            *[_nth_of_sorted(merged, lv) for lv in levels]
+        ),
+    )
+
+
+def sequenceState(ts, conds) -> Column:
+    """sequenceMatch/Count state = the (time, condition-digit) event
+    list (AggregateFunctionSequenceMatch.h stores (timestamp, bitset)
+    events; merge concatenates then sorts)."""
+    from ..operators.sequence_match import _cond_char
+
+    return F.collect_list(
+        F.struct(col_of(ts).alias("t"), _cond_char(conds).alias("c"))
+    )
+
+
+def sequenceMatchMerge(pattern: str, state) -> Column:
+    from ..operators.sequence_match import _pattern_to_regex
+
+    merged = F.flatten(F.collect_list(col_of(state)))
+    encoded = F.array_join(
+        F.transform(F.array_sort(merged), lambda s: s.getField("c")), ""
+    )
+    return encoded.rlike(_pattern_to_regex(pattern)).cast("int")
+
+
+def sequenceCountMerge(pattern: str, state) -> Column:
+    import re as _re
+
+    from ..operators.sequence_match import _pattern_to_regex
+
+    merged = F.flatten(F.collect_list(col_of(state)))
+    encoded = F.array_join(
+        F.transform(F.array_sort(merged), lambda s: s.getField("c")), ""
+    )
+    regex = _pattern_to_regex(pattern)
+    if _re.match(f"(?:{regex})$", ""):
+        # empty-matchable: forced-progress rule — one event per match
+        return F.length(encoded).cast("long")
+    return F.size(
+        F.regexp_extract_all(encoded, F.lit(f"({regex})"), 1)
+    ).cast("long")

@@ -45,12 +45,17 @@ from pyspark.sql import functions as F
 _MAX_ITERATIONS = 1_000_000
 
 
-def _encode_events(ts: Column, conds: Sequence[Column]) -> Column:
-    """Aggregate expression: time-ordered condition-digit string."""
-    # first-match-wins condition digit
+def _cond_char(conds: Sequence[Column]) -> Column:
+    """First-match-wins condition digit per event ('x' = none)."""
     char = F.lit("x")
     for i in reversed(range(len(conds))):
         char = F.when(conds[i], F.lit(str(i + 1))).otherwise(char)
+    return char
+
+
+def _encode_events(ts: Column, conds: Sequence[Column]) -> Column:
+    """Aggregate expression: time-ordered condition-digit string."""
+    char = _cond_char(conds)
     pairs = F.collect_list(F.struct(ts.alias("t"), char.alias("c")))
     return F.array_join(
         F.transform(F.array_sort(pairs), lambda s: s.getField("c")), ""

@@ -196,6 +196,90 @@ def sequence_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "argmax_quantile_state_merge",
+    """
+    WITH am AS (
+      SELECT user_id, event_type AS top_event FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_type DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT user_id,
+             list_sort(array_agg(value))[
+               CAST(LEAST(FLOOR(COUNT(*) * 0.5), COUNT(*) - 1) AS INT) + 1
+             ] AS med
+      FROM events GROUP BY user_id
+    )
+    SELECT am.user_id, am.top_event, q.med
+    FROM am JOIN q USING (user_id) ORDER BY user_id
+    """,
+    doc="Generic -State/-Merge beyond the basic five: argMaxState/Merge "
+    "(AggregateFunctionsArgMinMax.h; deterministic value tie-break) and "
+    "quantileExactState/Merge (AggregateFunctionQuantileExact.h "
+    "nth_element rule) through the two-phase part-merge shape of "
+    "AggregatingMergeTree.",
+    tags=("mergetree", "state"),
+)
+def argmax_quantile_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    parts = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        S.argMaxState("event_type", F.col("value")).alias("am_state"),
+        S.quantileExactState(F.col("value")).alias("q_state"),
+    )
+    return (
+        parts.groupBy("user_id")
+        .agg(
+            S.argMaxMerge("am_state").alias("top_event"),
+            S.quantileExactMerge("q_state", 0.5).alias("med"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "sequence_state_merge",
+    """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    p AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    c AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'purchase'
+                              AND prev = 'view') AS pairs
+      FROM p GROUP BY user_id
+    )
+    SELECT u.user_id, CAST(COALESCE(c.pairs, 0) AS INT) AS pairs
+    FROM users u LEFT JOIN c USING (user_id) ORDER BY user_id
+    """,
+    doc="sequenceCount as a mergeable state: day-level event lists "
+    "(sequenceState) merged per user and counted with the same greedy "
+    "automaton (AggregateFunctionSequenceMatch.h merge() concatenates "
+    "then sorts events — identical result to the single-pass count).",
+    tags=("funnel", "state"),
+)
+def sequence_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    conds = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+    ]
+    parts = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        S.sequenceState(F.col("ts"), conds).alias("seq_state")
+    )
+    return (
+        parts.groupBy("user_id")
+        .agg(S.sequenceCountMerge("(?1).*(?2)", "seq_state").alias("pairs"))
+        .orderBy("user_id")
+    )
+
+
+@query(
     "sequence_count_pairs",
     # greedy non-overlapping (?1).*(?2) counting IS relationally
     # expressible: restricted to view/purchase events in time order,
