@@ -70,6 +70,7 @@ class ChEngine:
             dictionaries=self.dictionaries,
             table_views=self.table_views,
             system_sql=self._system_sql,
+            default_db=self.current_db,
         )
 
     def sql(self, ch_sql: str) -> DataFrame:

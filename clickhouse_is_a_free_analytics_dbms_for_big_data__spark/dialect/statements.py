@@ -277,18 +277,23 @@ def execute_statement(engine, ch_sql: str) -> DataFrame | None:
     if head == "OPTIMIZE":
         return _optimize(engine, tokens)
     if head == "USE":
-        engine.current_db = tokens[1].text
+        db = tokens[1].text
+        engine.current_db = None if db == "default" else db
         return None
     raise ValueError(f"unsupported statement kind: {head}")
 
 
-def _table_name(tokens: list[Token], i: int) -> tuple[str, int]:
+def _table_name(tokens: list[Token], i: int, engine=None) -> tuple[str, int]:
     """Dotted CH table name (db.t) — kept dotted as the canonical key;
-    the temp view uses a dot-free twin (db__t)."""
+    the temp view uses a dot-free twin (db__t).  With ``engine``, an
+    undotted name is qualified by the USE'd current database
+    (Interpreters/Context.h current_database resolution)."""
     name = tokens[i].text
     if i + 2 < len(tokens) and tokens[i + 1].text == ".":
         name = f"{name}.{tokens[i + 2].text}"
         i += 2
+    elif engine is not None and getattr(engine, "current_db", None):
+        name = f"{engine.current_db}.{name}"
     return name, i + 1
 
 
@@ -308,7 +313,7 @@ def _create(engine, tokens: list[Token]) -> None:
     i += 1
     if tokens[i].is_kw("IF"):
         i += 3  # IF NOT EXISTS
-    name, i = _table_name(tokens, i)
+    name, i = _table_name(tokens, i, engine)
     assert tokens[i].text == "(", "CREATE TABLE needs a column list"
     close = _match_paren(tokens, i)
     cols = _parse_columns(tokens[i + 1 : close])
@@ -348,7 +353,7 @@ def _drop(engine, tokens: list[Token]) -> None:
     i += 1
     if tokens[i].is_kw("IF"):
         i += 2  # IF EXISTS
-    name, _ = _table_name(tokens, i)
+    name, _ = _table_name(tokens, i, engine)
     _drop_table(engine, name)
 
 
@@ -365,7 +370,7 @@ def _insert(engine, tokens: list[Token]) -> None:
     i = 1
     assert tokens[i].is_kw("INTO")
     i += 1
-    name, i = _table_name(tokens, i)
+    name, i = _table_name(tokens, i, engine)
     tdef = engine.tables.get(name)
     if tdef is None:
         raise ValueError(f"INSERT into unknown table {name!r}")
@@ -487,7 +492,7 @@ def _alter(engine, tokens: list[Token]) -> None:
     Interpreters/InterpreterAlterQuery.cpp)."""
     i = 1
     assert tokens[i].is_kw("TABLE")
-    name, i = _table_name(tokens, i + 1)
+    name, i = _table_name(tokens, i + 1, engine)
     tdef = engine.tables.get(name)
     if tdef is None:
         raise ValueError(f"ALTER on unknown table {name!r}")
@@ -545,9 +550,9 @@ def _rename(engine, tokens: list[Token]) -> None:
     assert tokens[i].is_kw("TABLE")
     i += 1
     while i < len(tokens):
-        old, i = _table_name(tokens, i)
+        old, i = _table_name(tokens, i, engine)
         assert tokens[i].is_kw("TO")
-        new, i = _table_name(tokens, i + 1)
+        new, i = _table_name(tokens, i + 1, engine)
         tdef = engine.tables.pop(old, None)
         if tdef is None:
             raise ValueError(f"RENAME of unknown table {old!r}")
@@ -622,7 +627,7 @@ def _describe(engine, tokens: list[Token]) -> DataFrame:
     i = 1
     if i < len(tokens) and tokens[i].is_kw("TABLE"):
         i += 1
-    name, _ = _table_name(tokens, i)
+    name, _ = _table_name(tokens, i, engine)
     tdef = _tabledef_of(engine, name)
     rows = [[c.name, c.ch_type or c.spark_type, "", ""] for c in tdef.columns]
     return _str_df(
@@ -637,7 +642,7 @@ def _exists(engine, tokens: list[Token]) -> DataFrame:
     i = 1
     if i < len(tokens) and tokens[i].is_kw("TABLE"):
         i += 1
-    name, _ = _table_name(tokens, i)
+    name, _ = _table_name(tokens, i, engine)
     found = name in engine.tables
     if not found:
         try:
@@ -660,7 +665,7 @@ def _optimize(engine, tokens: list[Token]) -> None:
 
     i = 1
     assert tokens[i].is_kw("TABLE")
-    name, _ = _table_name(tokens, i + 1)
+    name, _ = _table_name(tokens, i + 1, engine)
     tdef = engine.tables.get(name)
     if tdef is None:
         raise ValueError(f"OPTIMIZE on unknown table {name!r}")

@@ -80,6 +80,8 @@ class Ctx:
     # Callable[[str], str | None]: inline SQL for system.* tables
     # (Storages/System/ in the reference) built from the engine catalog
     system_sql: object | None = None
+    # USE'd database: undotted table names resolve against it first
+    default_db: str | None = None
     counter: int = 0
 
     def gensym(self, prefix: str) -> str:
@@ -100,6 +102,7 @@ def translate_sql(
     dictionaries: dict[str, DictSpec] | None = None,
     table_views: dict[str, str] | None = None,
     system_sql=None,
+    default_db: str | None = None,
 ) -> str:
     ctx = Ctx(
         table_meta=table_meta or {},
@@ -107,6 +110,7 @@ def translate_sql(
         dictionaries=dictionaries or {},
         table_views=table_views or {},
         system_sql=system_sql,
+        default_db=default_db,
     )
     tokens = tokenize(sql)
     while tokens and tokens[-1].text == ";":
@@ -668,7 +672,15 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
         if sys_sql is not None:
             return f"({sys_sql}) AS __{name.replace('.', '_')}", None
 
-    # created tables registered under a dot-free view name
+    # created tables registered under a dot-free view name; undotted
+    # names resolve against the USE'd database first
+    if (
+        "." not in name
+        and name not in ctx.table_views
+        and ctx.default_db
+        and f"{ctx.default_db}.{name}" in ctx.table_views
+    ):
+        name = f"{ctx.default_db}.{name}"
     name = ctx.table_views.get(name, name)
 
     final = False

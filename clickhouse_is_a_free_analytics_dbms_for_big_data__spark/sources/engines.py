@@ -188,13 +188,12 @@ def shard_by_hash(
     table.  Spark has no physical shards, so a shard is the hash-slice
     of rows whose ``shard_key`` lands on the selected index — the same
     subset a sharded-by-key cluster would hold on that node."""
-    idx_row = spark.range(1).select(
-        F.pmod(F.xxhash64(F.lit(key_value)), F.lit(n_shards)).alias("i")
-    ).collect()
-    idx = idx_row[0]["i"]
     df = spark.table(table)
+    # the selected shard index is a literal expression — Catalyst
+    # constant-folds it inside the predicate, no driver-side job
+    idx = F.pmod(F.xxhash64(F.lit(key_value)), F.lit(n_shards))
     return df.filter(
-        F.pmod(F.xxhash64(F.col(shard_key)), F.lit(n_shards)) == F.lit(idx)
+        F.pmod(F.xxhash64(F.col(shard_key)), F.lit(n_shards)) == idx
     )
 
 

@@ -464,6 +464,22 @@ def test_exec_rename_exists_show(eng):
     assert eng.execute("EXISTS TABLE shdb.c").collect()[0][0] == 0
 
 
+def test_exec_use_database(eng):
+    """USE db: undotted names resolve against the current database
+    (Interpreters/Context.h current_database)."""
+    eng.execute("DROP DATABASE IF EXISTS usedb")
+    eng.execute("CREATE DATABASE usedb")
+    eng.execute("USE usedb")
+    try:
+        eng.execute("CREATE TABLE ut (x UInt8) ENGINE = Memory")
+        eng.execute("INSERT INTO ut VALUES (7)")
+        assert eng.execute("SELECT x FROM ut").collect()[0][0] == 7
+        assert eng.execute("EXISTS TABLE usedb.ut").collect()[0][0] == 1
+    finally:
+        eng.execute("USE default")
+    eng.execute("DROP DATABASE usedb")
+
+
 def test_exec_optimize_replacing(eng):
     """OPTIMIZE TABLE applies the engine merge transform eagerly
     (InterpreterOptimizeQuery; ReplacingSortedBlockInputStream.h)."""
