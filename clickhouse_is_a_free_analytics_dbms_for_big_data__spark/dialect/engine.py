@@ -71,7 +71,43 @@ class ChEngine:
             table_views=self.table_views,
             system_sql=self._system_sql,
             default_db=self.current_db,
+            tabledef_of=self._tabledef_by_view,
+            agg_fn_of=self._agg_fn_of,
+            schema_of_sql=self._schema_of_sql,
         )
+
+    def _schema_of_sql(self, from_sql: str):
+        """Analyzed (name, simple type) pairs of a FROM-able fragment —
+        analysis only, nothing executes."""
+        for suffix in (" __schema_probe", ""):
+            try:
+                df = self.spark.sql(f"SELECT * FROM {from_sql}{suffix}")
+                return [
+                    (f.name, f.dataType.simpleString())
+                    for f in df.schema.fields
+                ]
+            except Exception:
+                continue
+        return None
+
+    def _tabledef_by_view(self, view: str):
+        for name, v in self.table_views.items():
+            if v == view:
+                return self.tables.get(name)
+        return self.tables.get(view)
+
+    def _agg_fn_of(self, col: str) -> str | None:
+        """Aggregate fn behind a stored AggregateFunction column, by
+        scanning created tables (finalizeAggregation dispatch)."""
+        import re as _re
+
+        for tdef in self.tables.values():
+            for c in tdef.columns:
+                if c.name == col:
+                    m = _re.match(r"AggregateFunction\((\w+)", c.ch_type or "")
+                    if m:
+                        return m.group(1)
+        return None
 
     def sql(self, ch_sql: str) -> DataFrame:
         return self.spark.sql(self.translate(ch_sql))

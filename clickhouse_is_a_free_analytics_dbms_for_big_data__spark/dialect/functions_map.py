@@ -353,6 +353,22 @@ def _cast_tpl(sql_type: str) -> Callable[[Args], str]:
     return lambda a: f"CAST({a[0]} AS {sql_type})"
 
 
+def _int_cast_tpl(sql_type: str) -> Callable[[Args], str]:
+    """toUInt*/toInt* are Date-polymorphic in the reference
+    (FunctionsConversion.cpp): toUInt16(Date) = raw days-since-epoch
+    (DataTypeDate is UInt16 days).  Spark's DATE→INT cast is NULL, so
+    fall back to unix_date via a string round-trip on NULL."""
+    def t(a: Args) -> str:
+        x = a[0]
+        return (
+            f"coalesce(CAST({x} AS {sql_type}), "
+            f"CAST(unix_date(try_cast(try_cast({x} AS STRING) AS DATE)) "
+            f"AS {sql_type}))"
+        )
+
+    return t
+
+
 def _tz_ts(a: Args) -> str:
     """Timestamp expr, shifted into the optional tz argument (session
     timezone is UTC; FunctionsDateTime.cpp passes a DateLUT per zone)."""
@@ -377,7 +393,20 @@ def _t_to_date(a: Args) -> str:
         if int(arg) > 65535:
             return f"CAST(CAST({arg} AS TIMESTAMP) AS DATE)"
         return f"date_add(DATE'1970-01-01', {arg})"
-    return f"CAST({a[0]} AS DATE)"
+    if re.fullmatch(r"'[^']*'", arg):
+        return f"CAST({a[0]} AS DATE)"
+    # non-literal argument: runtime-polymorphic via a string round-trip.
+    # Numeric values FIRST (a numeric string would otherwise cast to a
+    # year): days-since-epoch when <= 65535 (DataTypeDate UInt16), unix
+    # seconds above; non-numeric falls back to the date/datetime cast.
+    s = f"try_cast({a[0]} AS STRING)"
+    n = f"try_cast({s} AS BIGINT)"
+    return (
+        f"if({n} IS NOT NULL, "
+        f"if({n} > 65535, CAST(timestamp_seconds({n}) AS DATE), "
+        f"date_from_unix_date(CAST({n} AS INT))), "
+        f"try_cast({s} AS DATE))"
+    )
 
 
 def _cast_or_zero_tpl(sql_type: str) -> Callable[[Args], str]:
@@ -465,7 +494,9 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
         f"named_struct('sum', sum(CAST({a[0]} AS DOUBLE)), 'cnt', count({a[0]}))"
     ),
     "avgMerge": lambda a: f"(sum({a[0]}.sum) / sum({a[0]}.cnt))",
-    "uniqState": lambda a: f"hll_sketch_agg({a[0]})",
+    # lgConfigK=14: exact for small sets like the reference's
+    # HyperLogLogWithSmallSetOptimization (AggregateFunctionUniq.h)
+    "uniqState": lambda a: f"hll_sketch_agg({a[0]}, 14)",
     "uniqMerge": lambda a: f"hll_sketch_estimate(hll_union_agg({a[0]}))",
     "groupArrayState": lambda a: f"collect_list({a[0]})",
     "groupArrayMerge": lambda a: f"flatten(collect_list({a[0]}))",
@@ -478,9 +509,9 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "minus": lambda a: f"({a[0]} - {a[1]})",
     "multiply": lambda a: f"({a[0]} * {a[1]})",
     "divide": lambda a: f"({a[0]} / {a[1]})",
-    "intDiv": lambda a: f"({a[0]} DIV {a[1]})",
-    "intDivOrZero": lambda a: f"(CASE WHEN {a[1]} = 0 THEN 0 ELSE {a[0]} DIV {a[1]} END)",
-    "modulo": lambda a: f"({a[0]} % {a[1]})",
+    "intDiv": lambda a: f"(({a[0]}) DIV ({a[1]}))",
+    "intDivOrZero": lambda a: f"(CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]}) DIV ({a[1]}) END)",
+    "modulo": lambda a: f"(({a[0]}) % ({a[1]}))",
     "negate": lambda a: f"(- {a[0]})",
     "bitAnd": lambda a: f"({a[0]} & {a[1]})",
     "bitOr": lambda a: f"({a[0]} | {a[1]})",
@@ -572,14 +603,14 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "roundDuration": _t_round_duration,
     "roundAge": _t_round_age,
     # conversion (FunctionsConversion.cpp) — unsigned widen by one size
-    "toUInt8": _cast_tpl("SMALLINT"),
-    "toUInt16": _cast_tpl("INT"),
-    "toUInt32": _cast_tpl("BIGINT"),
-    "toUInt64": _cast_tpl("BIGINT"),
-    "toInt8": _cast_tpl("TINYINT"),
-    "toInt16": _cast_tpl("SMALLINT"),
-    "toInt32": _cast_tpl("INT"),
-    "toInt64": _cast_tpl("BIGINT"),
+    "toUInt8": _int_cast_tpl("SMALLINT"),
+    "toUInt16": _int_cast_tpl("INT"),
+    "toUInt32": _int_cast_tpl("BIGINT"),
+    "toUInt64": _int_cast_tpl("BIGINT"),
+    "toInt8": _int_cast_tpl("TINYINT"),
+    "toInt16": _int_cast_tpl("SMALLINT"),
+    "toInt32": _int_cast_tpl("INT"),
+    "toInt64": _int_cast_tpl("BIGINT"),
     "toFloat32": _cast_tpl("FLOAT"),
     "toFloat64": _cast_tpl("DOUBLE"),
     "toUInt8OrZero": _cast_or_zero_tpl("SMALLINT"),

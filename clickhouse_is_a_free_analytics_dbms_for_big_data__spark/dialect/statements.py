@@ -58,8 +58,11 @@ class ColumnDef:
     wrapper: str | None = None  # value transform template with {v}
     default: str | None = None  # type-specific default (Enum: first name)
     ch_type: str = ""        # original CH type text (DESCRIBE output)
+    nullable: bool = False   # Nullable(T): default is NULL, not 0/''
 
     def default_sql(self) -> str:
+        if self.nullable:
+            return "NULL"
         if self.default is not None:
             return self.default
         if self.spark_type.startswith("ARRAY"):
@@ -73,6 +76,13 @@ class TableDef:
     columns: list[ColumnDef]
     engine: str
     meta: TableMeta
+    # Backing rows.  NULL in a non-Nullable column marks "not present
+    # in this part" (an ALTER-added column for pre-existing rows): the
+    # reference leaves old parts untouched and yields the CURRENT
+    # declared type's default at read time
+    # (Interpreters/InterpreterAlterQuery.cpp lazy part conversion).
+    # The published view applies COALESCE(col, current default).
+    raw: DataFrame | None = None
 
 
 def _render_type(toks: list[Token]) -> str:
@@ -121,7 +131,12 @@ def _ch_type_inner(toks: list[Token]) -> ColumnDef | None:
         return None
     args = _split_top(toks[2:-1], ",")
     if up == "NULLABLE":
-        return _ch_type(args[0])
+        inner = _ch_type(args[0])
+        if inner is None:
+            return None
+        inner.ch_type = ""  # outer call re-renders the full Nullable(T)
+        inner.nullable = True
+        return inner
     if up == "FIXEDSTRING":
         n = args[0][0].text
         return ColumnDef("", "STRING", wrapper=f"rpad(CAST({{v}} AS STRING), {n}, chr(0))")
@@ -151,7 +166,35 @@ def _ch_type_inner(toks: list[Token]) -> ColumnDef | None:
             return None
         return ColumnDef("", f"ARRAY<{elem.spark_type}>")
     if up == "AGGREGATEFUNCTION":
-        return None
+        # AggregateFunction(f, T...) columns store our typed states
+        # (DataTypes/DataTypeAggregateFunction.h → functions/state.py
+        # state schemas); the -State insert expression produces exactly
+        # these Spark types and -Merge consumes them.
+        fn = args[0][0].text.lower()
+        arg_defs = [_ch_type(a) for a in args[1:]]
+        t0 = (
+            arg_defs[0].spark_type
+            if arg_defs and arg_defs[0] is not None
+            else "BIGINT"
+        )
+        ints = ("TINYINT", "SMALLINT", "INT", "BIGINT")
+        if fn in ("uniq", "uniqhll12", "uniqcombined"):
+            st = "BINARY"
+        elif fn == "count":
+            st = "BIGINT"
+        elif fn == "sum":
+            st = "BIGINT" if t0 in ints else "DOUBLE"
+        elif fn == "avg":
+            st = "STRUCT<sum: DOUBLE, cnt: BIGINT>"
+        elif fn in ("min", "max", "any", "anylast"):
+            st = t0
+        elif fn in ("grouparray", "groupuniqarray", "quantileexact"):
+            st = f"ARRAY<{t0}>"
+        elif fn in ("argmin", "argmax") and len(arg_defs) >= 2 and arg_defs[1]:
+            st = f"STRUCT<k: {arg_defs[1].spark_type}, v: {t0}>"
+        else:
+            return None
+        return ColumnDef("", st)
     return None
 
 
@@ -332,10 +375,43 @@ def _create(engine, tokens: list[Token]) -> None:
     ddl = ", ".join(f"`{c.name}` {c.spark_type}" for c in cols)
     df = engine.spark.createDataFrame([], ddl)
     view = _view_of(name)
-    engine.tables[name] = TableDef(name, cols, eng_name, meta)
+    tdef = TableDef(name, cols, eng_name, meta, raw=df)
+    engine.tables[name] = tdef
     engine.table_views[name] = view
     engine.table_meta[view] = meta  # FINAL looks up by rendered name
-    engine.register_table(view, df, meta)
+    _publish(engine, tdef)
+
+
+def _publish(engine, tdef: TableDef) -> None:
+    """Register the public view: the raw rows projected through the
+    current column list, with NULL part-absence sentinels replaced by
+    the CURRENT declared type's default (non-Nullable columns only —
+    matches reading an old part that predates an ALTER ADD)."""
+    view = engine.table_views.get(tdef.name, _view_of(tdef.name))
+    raw = tdef.raw
+    have = set(raw.columns)
+    tmp = f"__pub_{view}"
+    raw.createOrReplaceTempView(tmp)
+    sel = []
+    for c in tdef.columns:
+        if c.name not in have:
+            sel.append(f"CAST({c.default_sql()} AS {c.spark_type}) AS `{c.name}`")
+        elif c.nullable:
+            sel.append(f"CAST(`{c.name}` AS {c.spark_type}) AS `{c.name}`")
+        else:
+            sel.append(
+                f"CAST(COALESCE(`{c.name}`, {c.default_sql()}) "
+                f"AS {c.spark_type}) AS `{c.name}`"
+            )
+    sql = f"SELECT {', '.join(sel)} FROM {tmp}"
+    # MergeTree-family reads are PK-ordered (sorted parts,
+    # MergeTreeData.h) — emulate by sorting the published view; outer
+    # ORDER BY / aggregation overrides it, plain SELECTs see PK order
+    pk = [k for k in tdef.meta.primary_key if any(c.name == k for c in tdef.columns)]
+    if pk and tdef.engine.endswith("MergeTree"):
+        sql += " ORDER BY " + ", ".join(f"`{k}`" for k in pk)
+    public = engine.spark.sql(sql)
+    engine.register_table(view, public, tdef.meta)
 
 
 def _drop(engine, tokens: list[Token]) -> None:
@@ -420,10 +496,14 @@ def _insert(engine, tokens: list[Token]) -> None:
     shaped = engine.spark.sql(
         f"SELECT {', '.join(sel)} FROM __ins_{view}"
     )
-    existing = engine.spark.table(view)
-    # break lineage: the re-registered view must not reference itself
-    merged = existing.unionByName(shaped).localCheckpoint(eager=True)
-    engine.register_table(view, merged, tdef.meta)
+    # append to the raw backing rows (the reference appends a part);
+    # localCheckpoint breaks lineage so repeated INSERTs stay flat
+    existing = tdef.raw if tdef.raw is not None else engine.spark.table(view)
+    merged = existing.unionByName(
+        shaped, allowMissingColumns=True
+    ).localCheckpoint(eager=True)
+    tdef.raw = merged
+    _publish(engine, tdef)
 
 
 # ------------------------------------------------------------- ALTER etc.
@@ -466,24 +546,28 @@ def _tabledef_of(engine, name: str):
     return TableDef(name, cols, "MergeTree", engine.table_meta.get(view, TableMeta()))
 
 
-def _reproject(engine, tdef) -> None:
-    """Re-register the table's view as the current column list (ALTER's
-    lazy part-conversion, done eagerly on the registered DataFrame)."""
-    view = engine.table_views.get(tdef.name, _view_of(tdef.name))
-    df = engine.spark.table(view)
-    have = set(df.columns)
-    sel = []
+def _sync_raw(engine, tdef) -> None:
+    """Align the raw backing frame with the column list after ALTER:
+    dropped columns leave the rows; added columns appear as NULL
+    part-absence sentinels (old parts don't have them — the published
+    view yields the current type default).  MODIFY touches nothing
+    here: the published projection casts."""
+    from pyspark.sql import functions as F
+
+    raw = tdef.raw if tdef.raw is not None else engine.spark.table(
+        engine.table_views.get(tdef.name, _view_of(tdef.name))
+    )
+    want = [c.name for c in tdef.columns]
+    for col in raw.columns:
+        if col not in want:
+            raw = raw.drop(col)
     for c in tdef.columns:
-        if c.name in have:
-            sel.append(f"CAST(`{c.name}` AS {c.spark_type}) AS `{c.name}`")
-        else:
-            sel.append(f"CAST({c.default_sql()} AS {c.spark_type}) AS `{c.name}`")
-    df.createOrReplaceTempView(f"__alter_{view}")
-    shaped = engine.spark.sql(
-        f"SELECT {', '.join(sel)} FROM __alter_{view}"
-    ).localCheckpoint(eager=True)
-    engine.spark.catalog.dropTempView(f"__alter_{view}")
-    engine.register_table(view, shaped, tdef.meta)
+        if c.name not in raw.columns:
+            raw = raw.withColumn(
+                c.name, F.expr(f"CAST(NULL AS {c.spark_type})")
+            )
+    tdef.raw = raw
+    _publish(engine, tdef)
 
 
 def _alter(engine, tokens: list[Token]) -> None:
@@ -541,7 +625,7 @@ def _alter(engine, tokens: list[Token]) -> None:
                     tdef.columns.extend(parsed)
         else:
             raise ValueError(f"unsupported ALTER action {verb!r}")
-    _reproject(engine, tdef)
+    _sync_raw(engine, tdef)
 
 
 def _rename(engine, tokens: list[Token]) -> None:
@@ -558,12 +642,15 @@ def _rename(engine, tokens: list[Token]) -> None:
             raise ValueError(f"RENAME of unknown table {old!r}")
         old_view = engine.table_views.pop(old, _view_of(old))
         new_view = _view_of(new)
-        df = engine.spark.table(old_view)
+        if tdef.raw is None:
+            tdef.raw = engine.spark.table(old_view)
         meta = engine.table_meta.pop(old_view, tdef.meta)
         tdef.name = new
+        tdef.meta = meta
         engine.tables[new] = tdef
         engine.table_views[new] = new_view
-        engine.register_table(new_view, df, meta)
+        engine.table_meta[new_view] = meta
+        _publish(engine, tdef)
         engine.spark.catalog.dropTempView(old_view)
         if i < len(tokens) and tokens[i].text == ",":
             i += 1
@@ -687,6 +774,28 @@ def _optimize(engine, tokens: list[Token]) -> None:
         df = compact_summing(df, pk, metrics)
     elif tdef.engine == "CollapsingMergeTree" and meta.sign_col:
         df = compact_collapsing(df, pk, meta.sign_col)
+    elif tdef.engine == "AggregatingMergeTree":
+        import re as _re
+
+        from .translate import agg_merge_sql
+
+        sel = []
+        for c in tdef.columns:
+            if c.name in pk:
+                sel.append(f"`{c.name}`")
+            else:
+                m = _re.match(r"AggregateFunction\((\w+)", c.ch_type or "")
+                sel.append(
+                    f"{agg_merge_sql(m.group(1) if m else '', c.name)} "
+                    f"AS `{c.name}`"
+                )
+        df.createOrReplaceTempView(f"__opt_{view}")
+        df = engine.spark.sql(
+            f"SELECT {', '.join(sel)} FROM __opt_{view} "
+            f"GROUP BY {', '.join(f'`{k}`' for k in pk)}"
+        ).select(*[f"`{c.name}`" for c in tdef.columns])
     else:
         return None  # plain MergeTree: merge changes layout, not rows
-    engine.register_table(view, df.localCheckpoint(eager=True), meta)
+    # a merge materializes current defaults into the merged part
+    tdef.raw = df.localCheckpoint(eager=True)
+    _publish(engine, tdef)

@@ -82,6 +82,15 @@ class Ctx:
     system_sql: object | None = None
     # USE'd database: undotted table names resolve against it first
     default_db: str | None = None
+    # Callable[[str], TableDef | None] by rendered view name — FINAL on
+    # AggregatingMergeTree needs the AggregateFunction column types
+    tabledef_of: object | None = None
+    # Callable[[str], str | None]: aggregate fn name of a stored
+    # AggregateFunction column (finalizeAggregation dispatch)
+    agg_fn_of: object | None = None
+    # Callable[[str], list[(col, simple_type)] | None]: analyzed output
+    # schema of a FROM-able SQL fragment (join-defaults substitution)
+    schema_of_sql: object | None = None
     counter: int = 0
 
     def gensym(self, prefix: str) -> str:
@@ -103,6 +112,9 @@ def translate_sql(
     table_views: dict[str, str] | None = None,
     system_sql=None,
     default_db: str | None = None,
+    tabledef_of=None,
+    agg_fn_of=None,
+    schema_of_sql=None,
 ) -> str:
     ctx = Ctx(
         table_meta=table_meta or {},
@@ -111,6 +123,9 @@ def translate_sql(
         table_views=table_views or {},
         system_sql=system_sql,
         default_db=default_db,
+        tabledef_of=tabledef_of,
+        agg_fn_of=agg_fn_of,
+        schema_of_sql=schema_of_sql,
     )
     tokens = tokenize(sql)
     while tokens and tokens[-1].text == ";":
@@ -431,13 +446,86 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
         for alias, expr_sql, _explicit in exprs[1:]:
             aj_subs[alias] = f"element_at({expr_sql}, {pos_alias} + 1)"
 
+    # ---- joins (rendered before the select list: LEFT/FULL joins
+    # substitute type defaults for missing right-side values)
+    join_sql = ""
+    hint = ""
+    jdef_subs: dict[str, str] = {}
+    for j in joins:
+        js, jhint = _render_join(j, ctx, jdef_subs)
+        join_sql += js
+        hint = hint or jhint
+
     def aj_subst(toks: list[Token]) -> list[Token]:
-        return _substitute(toks, aj_subs) if aj_subs else toks
+        if aj_subs:
+            toks = _substitute(toks, aj_subs)
+        if jdef_subs:
+            # missing right-side values read as TYPE DEFAULTS, not NULL
+            # (Interpreters/Join.cpp fills default values — the SURVEY
+            # §7 "0/'' not NULL" hard part); WHERE runs post-join in the
+            # pipeline (InterpreterSelectQuery.cpp:552-557)
+            toks = _substitute(toks, jdef_subs)
+        return toks
+
+    # `SELECT *` with a JOIN expands to the LEFT table's columns only
+    # (ExpressionAnalyzer normalizeTree asterisk expansion predates the
+    # join's right side in this version)
+    if joins and not array_join_items and ctx.schema_of_sql is not None:
+        for idx, item in enumerate(select_items):
+            if len(item) == 1 and item[0].text == "*":
+                schema = ctx.schema_of_sql(from_sql)
+                if schema:
+                    select_items[idx] = [
+                        Token("raw", ", ".join(f"`{c}`" for c, _t in schema))
+                    ]
+
+    # Top-level select aliases are visible query-wide in the reference
+    # (normalizeTree alias substitution): `number * 2 AS number,
+    # number * 10 AS j` computes j from the ALIASED number.  Substitute
+    # each alias body into the OTHER select items (one level, never the
+    # defining item — the body itself keeps source-column scope).
+    if out_subs:
+        for idx, item in enumerate(select_items):
+            body, al = _strip_alias(item)
+            # lambda formal parameters shadow aliases
+            # (00157_aliases_and_lambda_formal_parameters)
+            lam = _lambda_params(body)
+            subs = {
+                k: v
+                for k, v in out_subs.items()
+                if k != al and k not in lam
+            }
+            if not subs:
+                continue
+            new_body = _substitute(body, subs)
+            if al is not None:
+                new_body = new_body + [
+                    Token("ident", "AS"), Token("ident", al)
+                ]
+            select_items[idx] = new_body
+
+    # a bare right-side column wrapped in its join default keeps its
+    # name as the output column
+    if jdef_subs:
+        for idx, item in enumerate(select_items):
+            body, al = _strip_alias(item)
+            if (
+                al is None
+                and len(body) == 1
+                and body[0].kind == "ident"
+                and body[0].text in jdef_subs
+            ):
+                select_items[idx] = [
+                    body[0],
+                    Token("ident", "AS"),
+                    Token("ident", body[0].text),
+                ]
 
     select_sql_items = [_rewrite_select_item(aj_subst(s), ctx) for s in select_items]
     where_parts: list[str] = []
     if prewhere_toks:
-        pw = aj_subst(prewhere_toks)
+        # PREWHERE runs at scan time, before the join — no jdef subs
+        pw = _substitute(prewhere_toks, aj_subs) if aj_subs else prewhere_toks
         where_parts.append(f"({_boolify(pw, _rewrite(pw, ctx))})")
     if where_toks:
         w = aj_subst(where_toks)
@@ -462,13 +550,7 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     order_items = _order_items(order_toks, ctx) if order_toks else []
     order_sql = ", ".join(e + d for e, d in order_items)
 
-    # ---- joins
-    join_sql = ""
-    hint = ""
-    for j in joins:
-        js, jhint = _render_join(j, ctx)
-        join_sql += js
-        hint = hint or jhint
+    # (joins were rendered above, before the select list)
 
     # ---- assemble core
     # WITH TOTALS + ORDER BY / LIMIT: the reference sorts and limits the
@@ -623,7 +705,7 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
 
 def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
     if not toks:
-        return "(SELECT 1 AS dummy)", None
+        return "(SELECT 0 AS dummy)", None
     # subquery
     if toks[0].text == "(":
         close = _match_paren(toks, 0)
@@ -636,11 +718,12 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
             alias = f" AS {rest[0].text}"
         return f"(\n{inner}\n){alias or ' AS ' + ctx.gensym('sq')}", None
 
-    # dotted / plain name, optionally a table function
-    name_parts = [toks[0].text]
+    # dotted / plain name, optionally a table function; backquoted
+    # parts (`system`.`one`) normalize to the bare name
+    name_parts = [toks[0].text.strip("`")]
     i = 1
     while i + 1 < len(toks) and toks[i].text == ".":
-        name_parts.append(toks[i + 1].text)
+        name_parts.append(toks[i + 1].text.strip("`"))
         i += 2
     name = ".".join(name_parts)
 
@@ -649,7 +732,7 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
         close = _match_paren(toks, i)
         args = [_rewrite(a, ctx) for a in _split_top(toks[i + 1 : close], ",")]
         i = close + 1
-        if name == "numbers":
+        if name in ("numbers", "numbers_mt"):
             return f"(SELECT id AS number FROM range({args[0]})) AS __numbers", None
         if name == "remote":
             # remote('addrs', db, table) / remote('addrs', db.table):
@@ -663,10 +746,10 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
                 return "(SELECT id AS number FROM range(1000000)) AS __numbers", None
             return target, target
         raise ValueError(f"unsupported table function {name}()")
-    if name == "system.numbers":
+    if name in ("system.numbers", "system.numbers_mt"):
         return "(SELECT id AS number FROM range(1000000)) AS __numbers", None
     if name == "system.one":
-        return "(SELECT 1 AS dummy) AS __one", None
+        return "(SELECT 0 AS dummy) AS __one", None
     if name.startswith("system.") and ctx.system_sql is not None:
         sys_sql = ctx.system_sql(name[len("system."):])
         if sys_sql is not None:
@@ -706,14 +789,53 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
     return sql, name
 
 
+def agg_merge_sql(fn: str, col: str) -> str:
+    """Merge expression for one AggregateFunction(fn, ...) state column
+    (AggregatingSortedBlockInputStream.h merges states per PK; state
+    schemas per functions/state.py)."""
+    f = fn.lower()
+    qc = f"`{col}`"
+    if f in ("uniq", "uniqhll12", "uniqcombined"):
+        return f"hll_union_agg({qc})"
+    if f in ("sum", "count"):
+        return f"sum({qc})"
+    if f == "max" or f == "argmax":
+        return f"max({qc})"
+    if f == "avg":
+        return f"named_struct('sum', sum({qc}.sum), 'cnt', sum({qc}.cnt))"
+    if f in ("grouparray", "groupuniqarray", "quantileexact"):
+        return f"flatten(collect_list({qc}))"
+    # min / any / anyLast / argMin and ordinary columns: deterministic
+    # single value (the reference keeps the first-seen row's value)
+    return f"min({qc})"
+
+
 def _final_subquery(name: str, ctx: Ctx) -> str:
     """FINAL = merge-on-read dedup (CollapsingFinalBlockInputStream.h:14,
-    ReplacingSortedBlockInputStream.h:15), gated on table metadata."""
+    ReplacingSortedBlockInputStream.h:15); for AggregatingMergeTree it
+    merges AggregateFunction states per PK (AggregatingSortedBlockInputStream.h)
+    using the CREATE TABLE column types."""
     meta = ctx.table_meta.get(name)
     if meta is None or not meta.primary_key:
         raise ValueError(f"FINAL needs registered primary_key for table {name!r}")
     pk = ", ".join(meta.primary_key)
     rn = ctx.gensym("rn")
+    tdef = ctx.tabledef_of(name) if ctx.tabledef_of is not None else None
+    if meta.engine.startswith("Aggregating") and tdef is not None:
+        import re as _re
+
+        sel = []
+        for c in tdef.columns:
+            if c.name in meta.primary_key:
+                sel.append(f"`{c.name}`")
+                continue
+            m = _re.match(r"AggregateFunction\((\w+)", c.ch_type or "")
+            fn = m.group(1) if m else ""
+            sel.append(f"{agg_merge_sql(fn, c.name)} AS `{c.name}`")
+        return (
+            f"(SELECT {', '.join(sel)} FROM {name} GROUP BY {pk} "
+            f"ORDER BY {pk})"
+        )
     if meta.engine.startswith("Collapsing") and meta.sign_col:
         # keep latest row of keys whose sign-sum is positive
         return (
@@ -808,7 +930,26 @@ def _take_join(tokens: list[Token], i: int) -> tuple[dict, int]:
     )
 
 
-def _render_join(j: dict, ctx: Ctx) -> tuple[str, str]:
+_JOIN_DEFAULTS = {
+    "tinyint": "0", "smallint": "0", "int": "0", "bigint": "0",
+    "float": "CAST(0 AS FLOAT)", "double": "CAST(0 AS DOUBLE)",
+    "string": "''", "date": "DATE'1970-01-01'",
+    "timestamp": "TIMESTAMP'1970-01-01 00:00:00'",
+    "timestamp_ntz": "TIMESTAMP'1970-01-01 00:00:00'",
+}
+
+
+def _join_default_of(simple: str) -> str | None:
+    if simple.startswith("decimal"):
+        return f"CAST(0 AS {simple.upper()})"
+    if simple.startswith("array<"):
+        return f"CAST(array() AS {simple.upper()})"
+    return _JOIN_DEFAULTS.get(simple)
+
+
+def _render_join(
+    j: dict, ctx: Ctx, jdef_subs: dict[str, str] | None = None
+) -> tuple[str, str]:
     mods = j["mods"]
     kind = "INNER"
     for m in mods:
@@ -844,6 +985,25 @@ def _render_join(j: dict, ctx: Ctx) -> tuple[str, str]:
             f"(PARTITION BY {', '.join(using_cols)} ORDER BY {order}) AS {rn} "
             f"FROM {right_sql} ) WHERE {rn} = 1)"
         )
+
+    # non-matched LEFT/FULL rows read right-side columns as TYPE
+    # DEFAULTS, not NULL (Interpreters/Join.cpp inserts default values;
+    # join_use_nulls=0 is the reference default, Settings.h) — record
+    # coalesce substitutions for the outer clauses, driven by the right
+    # side's analyzed schema
+    if (
+        jdef_subs is not None
+        and kind in ("LEFT", "FULL")
+        and using_cols
+        and ctx.schema_of_sql is not None
+    ):
+        schema = ctx.schema_of_sql(right_sql)
+        for col, simple in schema or []:
+            if col in using_cols:
+                continue
+            d = _join_default_of(simple)
+            if d is not None:
+                jdef_subs[col] = f"coalesce(`{col}`, {d})"
 
     hint = f"BROADCAST({alias})" if global_ else ""
     sql = f"\n{kind} JOIN {right_sql} AS {alias}"
@@ -1105,6 +1265,24 @@ def _collect_inline_aliases(
         out.append(t)
         k += 1
     return out
+
+
+def _lambda_params(tokens: list[Token]) -> set[str]:
+    """Names bound as lambda formal parameters anywhere in the tokens
+    (``x ->`` or ``(a, b) ->`` — ExpressionElementParsers.cpp lambda)."""
+    names: set[str] = set()
+    for k, t in enumerate(tokens):
+        if t.text != "->":
+            continue
+        if k >= 1 and tokens[k - 1].kind == "ident":
+            names.add(tokens[k - 1].text)
+        elif k >= 1 and tokens[k - 1].text == ")":
+            b = k - 2
+            while b >= 0 and tokens[b].text != "(":
+                if tokens[b].kind == "ident":
+                    names.add(tokens[b].text)
+                b -= 1
+    return names
 
 
 def _substitute(tokens: list[Token], subs: dict[str, str]) -> list[Token]:
@@ -1583,6 +1761,18 @@ def _apply_fn(
     # catalog introspection resolved at translate time
     # (FunctionsMiscellaneous.cpp hasColumnInTable is constant-folded
     # at analysis in the reference too)
+    # finalizeAggregation over a stored AggregateFunction column:
+    # dispatch on the CREATE TABLE type (DataTypeAggregateFunction;
+    # identity for plain-value states, estimate for sketches)
+    if name == "finalizeAggregation" and args and ctx.agg_fn_of is not None:
+        fn = ctx.agg_fn_of(args[0].strip("`"))
+        if fn in ("uniq", "uniqHLL12", "uniqCombined"):
+            return f"hll_sketch_estimate({args[0]})"
+        if fn == "avg":
+            return f"({args[0]}.sum / {args[0]}.cnt)"
+        if fn in ("argMin", "argMax"):
+            return f"{args[0]}.v"
+        return args[0]
     if name == "hasColumnInTable" and len(args) >= 2:
         table = args[-2].strip("'")
         col = args[-1].strip("'")

@@ -56,9 +56,26 @@ def main() -> None:
     if limit:
         cases = cases[:limit]
 
+    # statement-led cases (newly enabled surface) first — they resolve
+    # fast; big SELECT cases go last
+    def lead(case: str) -> int:
+        with open(os.path.join(REF_DIR, case + ".sql")) as f:
+            head = f.read(400).lstrip().upper()
+        return 0 if head.startswith(("DROP", "CREATE", "ALTER", "RENAME", "SHOW", "DESC", "EXISTS", "OPTIMIZE", "USE", "INSERT")) else 1
+
+    cases.sort(key=lambda c: (lead(c), c))
+
     spark = get_session(app_name="adopt", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     register_tables(spark, "/root/testdata/sf0.001")
+
+    import signal
+    import time
+
+    def _alarm(signum, frame):
+        raise TimeoutError("case timeout")
+
+    signal.signal(signal.SIGALRM, _alarm)
 
     ok, fail, err = [], [], []
     for case in cases:
@@ -66,25 +83,33 @@ def main() -> None:
         eng.set_meta("events", TableMeta(sample_key="user_id"))
         sql_path = os.path.join(REF_DIR, case + ".sql")
         ref_path = os.path.join(REF_DIR, case + ".reference")
+        t0 = time.time()
+        signal.alarm(90)  # skip pathological cases
         try:
             got = run_sql_file(eng, sql_path)
-        except Exception as e:
-            err.append((case, f"{type(e).__name__}: {str(e)[:120]}"))
+        except BaseException as e:  # noqa: BLE001 - includes alarm
+            err.append((case, f"{type(e).__name__}: {str(e)[:160]}"))
+            print(f"ERR  {case} ({time.time()-t0:.1f}s) {type(e).__name__}: {str(e)[:160]}", flush=True)
             continue
-        with open(ref_path) as f:
-            expected = f.read()
+        finally:
+            signal.alarm(0)
+        try:
+            with open(ref_path) as f:
+                expected = f.read()
+        except UnicodeDecodeError:
+            err.append((case, "non-UTF8 reference"))
+            print(f"ERR  {case} non-UTF8 reference", flush=True)
+            continue
         if got == expected:
             ok.append(case)
-            print(f"OK   {case}", flush=True)
+            print(f"OK   {case} ({time.time()-t0:.1f}s)", flush=True)
             if copy:
                 shutil.copy(sql_path, os.path.join(OUT_DIR, f"ref_{case}.sql"))
                 shutil.copy(ref_path, os.path.join(OUT_DIR, f"ref_{case}.reference"))
         else:
             fail.append(case)
-            print(f"DIFF {case}", flush=True)
+            print(f"DIFF {case} ({time.time()-t0:.1f}s)", flush=True)
     print(f"\nSUMMARY: {len(ok)} ok, {len(fail)} diff, {len(err)} error")
-    for case, msg in err[:40]:
-        print(f"ERR  {case}: {msg}")
 
 
 if __name__ == "__main__":

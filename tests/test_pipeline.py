@@ -208,6 +208,49 @@ def test_simhash_skew_star_path(spark):
     assert ids_b == set(range(1, 200))  # every copy linked to rep 0
 
 
+def test_sql_fastpath_matches_column_builders(spark):
+    """The single-parse SQL fragments (construction fast path) must
+    produce byte-identical results to the Column-builder twins."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.pipeline import (
+        text as TXT,
+    )
+
+    rng = _random.Random(7)
+    rows = [(i, _doc(rng, 30)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cmp = df.select(
+        (TXT.tokens(F.col("text")) == F.expr(TXT.tokens_sql("`text`"))).alias("t"),
+        (
+            TXT.shingles(F.col("text"), 5) == F.expr(TXT.shingles_sql("`text`", 5))
+        ).alias("s"),
+        (
+            D.simhash(F.col("text"))
+            == F.expr(D._simhash_parts_sql("`text`", 8, 8)).getField("sh")
+        ).alias("sh"),
+    )
+    agg = cmp.agg(
+        F.min("t").alias("t"), F.min("s").alias("s"), F.min("sh").alias("sh")
+    ).collect()[0]
+    assert (agg["t"], agg["s"], agg["sh"]) == (True, True, True)
+
+    vec_rows = [
+        (i, [float(rng.gauss(0, 1)) for _ in range(16)]) for i in range(40)
+    ]
+    vdf = spark.createDataFrame(vec_rows, "vec_id long, embedding array<float>")
+    planes = D._hyperplanes(16, 6, 42)
+    vagg = vdf.select(
+        (
+            D._rhp_bucket(F.col("embedding"), planes)
+            == F.expr(D._rhp_bucket_sql("`embedding`", planes))
+        ).alias("b")
+    ).agg(F.min("b").alias("b")).collect()[0]
+    assert vagg["b"] is True
+
+
 def test_embedding_skew_star_path(spark):
     """A mass-duplicated embedding cluster (one giant RHP bucket) must
     produce a linear star pair set, not the C(n,2) quadratic blowup the
