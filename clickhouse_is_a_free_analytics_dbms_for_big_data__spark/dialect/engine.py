@@ -33,6 +33,8 @@ class ChEngine:
         # CREATE/DROP DATABASE bookkeeping + USE target
         self.databases: set[str] = set()
         self.current_db: str | None = None
+        # DETACH'd tables awaiting ATTACH
+        self.detached: dict[str, object] = {}
         # SQL-UDF-backed dialect functions (IPv6 codecs) — the
         # translator passes their calls through by name
         register_sql_udfs(spark)

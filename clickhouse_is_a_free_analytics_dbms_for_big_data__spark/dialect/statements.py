@@ -323,6 +323,26 @@ def execute_statement(engine, ch_sql: str) -> DataFrame | None:
         db = tokens[1].text
         engine.current_db = None if db == "default" else db
         return None
+    if head == "DETACH":
+        i = 2 if tokens[1].is_kw("TABLE") else 1
+        name, _ = _table_name(tokens, i, engine)
+        tdef = engine.tables.pop(name, None)
+        if tdef is not None:
+            engine.detached[name] = tdef
+            view = engine.table_views.pop(name, _view_of(name))
+            engine.spark.catalog.dropTempView(view)
+        return None
+    if head == "ATTACH":
+        i = 2 if tokens[1].is_kw("TABLE") else 1
+        name, _ = _table_name(tokens, i, engine)
+        tdef = engine.detached.pop(name, None)
+        if tdef is None:
+            # full ATTACH TABLE t (cols) ENGINE — same as CREATE
+            return _create(engine, [Token("ident", "CREATE")] + tokens[1:])
+        engine.tables[name] = tdef
+        engine.table_views[name] = _view_of(name)
+        _publish(engine, tdef)
+        return None
     raise ValueError(f"unsupported statement kind: {head}")
 
 
@@ -344,6 +364,12 @@ def _view_of(name: str) -> str:
     return name.replace(".", "__")
 
 
+def _toks_sql(toks: list[Token]) -> str:
+    """Re-render tokens as parseable SQL (tokenizer is whitespace
+    agnostic, so a plain space join round-trips)."""
+    return " ".join(t.text for t in toks)
+
+
 def _create(engine, tokens: list[Token]) -> None:
     i = 1
     if tokens[i].is_kw("DATABASE"):
@@ -352,17 +378,46 @@ def _create(engine, tokens: list[Token]) -> None:
             i += 3  # IF NOT EXISTS
         engine.databases.add(tokens[i].text)
         return None
-    assert tokens[i].is_kw("TABLE"), "only CREATE TABLE/DATABASE is supported"
+    if tokens[i].is_kw("TEMPORARY"):
+        i += 1  # temporary tables: session-scoped — all our tables are
+    if tokens[i].is_kw("VIEW") or (
+        tokens[i].is_kw("MATERIALIZED") and tokens[i + 1].is_kw("VIEW")
+    ):
+        # CREATE [MATERIALIZED] VIEW v AS SELECT — a named query
+        # (StorageView / StorageMaterializedView; the MV's insert-time
+        # fan-out is modeled in streaming/materialized_view.py — here
+        # both register the SELECT's current result)
+        i += 2 if tokens[i].is_kw("MATERIALIZED") else 1
+        if tokens[i].is_kw("IF"):
+            i += 3
+        name, i = _table_name(tokens, i, engine)
+        while i < len(tokens) and not tokens[i].is_kw("AS"):
+            i += 1  # skip ENGINE/POPULATE clauses
+        sel_sql = _toks_sql(tokens[i + 1 :])
+        df = engine.spark.sql(engine.translate(sel_sql))
+        view = _view_of(name)
+        cols = [
+            ColumnDef(f.name, f.dataType.simpleString(),
+                      ch_type=_ch_of_spark(f.dataType.simpleString()))
+            for f in df.schema.fields
+        ]
+        tdef = TableDef(name, cols, "View", TableMeta(engine="View"), raw=df)
+        engine.tables[name] = tdef
+        engine.table_views[name] = view
+        df.createOrReplaceTempView(view)
+        return None
+    assert tokens[i].is_kw("TABLE"), "only CREATE TABLE/VIEW/DATABASE is supported"
     i += 1
     if tokens[i].is_kw("IF"):
         i += 3  # IF NOT EXISTS
     name, i = _table_name(tokens, i, engine)
-    assert tokens[i].text == "(", "CREATE TABLE needs a column list"
-    close = _match_paren(tokens, i)
-    cols = _parse_columns(tokens[i + 1 : close])
-    if cols is None:
-        raise ValueError("unsupported column type in CREATE TABLE")
-    i = close + 1
+    cols = None
+    if i < len(tokens) and tokens[i].text == "(":
+        close = _match_paren(tokens, i)
+        cols = _parse_columns(tokens[i + 1 : close])
+        if cols is None:
+            raise ValueError("unsupported column type in CREATE TABLE")
+        i = close + 1
     eng_name, eng_args = "Memory", []
     if i < len(tokens) and tokens[i].is_kw("ENGINE"):
         i += 2  # ENGINE =
@@ -371,10 +426,27 @@ def _create(engine, tokens: list[Token]) -> None:
         if i < len(tokens) and tokens[i].text == "(":
             ec = _match_paren(tokens, i)
             eng_args = _split_top(tokens[i + 1 : ec], ",")
+            i = ec + 1
     meta = _engine_meta(eng_name, eng_args)
-    ddl = ", ".join(f"`{c.name}` {c.spark_type}" for c in cols)
-    df = engine.spark.createDataFrame([], ddl)
     view = _view_of(name)
+    if i < len(tokens) and tokens[i].is_kw("AS"):
+        # CREATE TABLE t [ENGINE = X] AS SELECT ... — schema and initial
+        # rows from the query (InterpreterCreateQuery as-select)
+        sel_sql = _toks_sql(tokens[i + 1 :])
+        df = engine.spark.sql(engine.translate(sel_sql)).localCheckpoint(
+            eager=True
+        )
+        if cols is None:
+            cols = [
+                ColumnDef(f.name, f.dataType.simpleString(),
+                          ch_type=_ch_of_spark(f.dataType.simpleString()))
+                for f in df.schema.fields
+            ]
+    elif cols is not None:
+        ddl = ", ".join(f"`{c.name}` {c.spark_type}" for c in cols)
+        df = engine.spark.createDataFrame([], ddl)
+    else:
+        raise ValueError("CREATE TABLE needs a column list or AS SELECT")
     tdef = TableDef(name, cols, eng_name, meta, raw=df)
     engine.tables[name] = tdef
     engine.table_views[name] = view

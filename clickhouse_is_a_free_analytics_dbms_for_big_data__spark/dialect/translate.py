@@ -414,6 +414,25 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     # ---- FROM
     from_sql, table_name = _render_from(from_toks, ctx)
 
+    # Nested columns are literal dotted names (`nest.x` — DataTypeNested
+    # parallel arrays): fold ident.ident chains matching an actual
+    # column into one backquoted identifier so Spark doesn't read them
+    # as table-qualified references.
+    dotted: set[str] = set()
+    if table_name and ctx.columns_of is not None:
+        cols_ = ctx.columns_of(table_name)
+        dotted = {c for c in (cols_ or []) if "." in c}
+    if dotted:
+        select_items = [_fold_dotted(s, dotted) for s in select_items]
+        where_toks = _fold_dotted(where_toks, dotted)
+        prewhere_toks = _fold_dotted(prewhere_toks, dotted)
+        group_toks = _fold_dotted(group_toks, dotted)
+        having_toks = _fold_dotted(having_toks, dotted)
+        order_toks = _fold_dotted(order_toks, dotted)
+        array_join_items = [
+            (left_, _fold_dotted(it, dotted)) for left_, it in array_join_items
+        ]
+
     # ---- ARRAY JOIN → LATERAL VIEW (+ substitutions for lockstep items)
     lateral = ""
     aj_subs: dict[str, str] = {}
@@ -1262,6 +1281,30 @@ def _collect_inline_aliases(
                 out.extend(tokens[k : k + 2])  # keep output alias
             k += 2
             continue
+        out.append(t)
+        k += 1
+    return out
+
+
+def _fold_dotted(toks: list[Token], dotted: set[str]) -> list[Token]:
+    """Fold ``a . b`` ident chains that name a literal dotted column
+    (Nested member) into one backquoted identifier."""
+    out: list[Token] = []
+    k = 0
+    n = len(toks)
+    while k < n:
+        t = toks[k]
+        if (
+            t.kind == "ident"
+            and k + 2 < n
+            and toks[k + 1].text == "."
+            and toks[k + 2].kind in ("ident", "qident")
+        ):
+            name = f"{t.text}.{toks[k + 2].text.strip('`')}"
+            if name in dotted:
+                out.append(Token("qident", f"`{name}`"))
+                k += 3
+                continue
         out.append(t)
         k += 1
     return out

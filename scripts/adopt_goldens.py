@@ -42,6 +42,7 @@ def main() -> None:
     )
     from tests.test_golden import run_sql_file
 
+    shared = "--shared" in sys.argv
     adopted = {
         f[4:-4] for f in os.listdir(OUT_DIR)
         if f.startswith("ref_") and f.endswith(".sql")
@@ -57,13 +58,19 @@ def main() -> None:
         cases = cases[:limit]
 
     # statement-led cases (newly enabled surface) first — they resolve
-    # fast; big SELECT cases go last
+    # fast; big SELECT cases go last.  In --shared mode keep sorted
+    # order: one engine carries state across files exactly like
+    # tests/test_golden.py's module-scoped fixture (and the reference's
+    # single server across the 0_stateless run).
     def lead(case: str) -> int:
-        with open(os.path.join(REF_DIR, case + ".sql")) as f:
+        with open(os.path.join(REF_DIR, case + ".sql"), errors="replace") as f:
             head = f.read(400).lstrip().upper()
         return 0 if head.startswith(("DROP", "CREATE", "ALTER", "RENAME", "SHOW", "DESC", "EXISTS", "OPTIMIZE", "USE", "INSERT")) else 1
 
-    cases.sort(key=lambda c: (lead(c), c))
+    if shared:
+        cases = sorted(set(cases) | adopted)
+    else:
+        cases.sort(key=lambda c: (lead(c), c))
 
     spark = get_session(app_name="adopt", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -78,9 +85,27 @@ def main() -> None:
     signal.signal(signal.SIGALRM, _alarm)
 
     ok, fail, err = [], [], []
+    shared_eng = None
+    if shared:
+        shared_eng = ChEngine(spark)
+        shared_eng.set_meta("events", TableMeta(sample_key="user_id"))
     for case in cases:
-        eng = ChEngine(spark)
-        eng.set_meta("events", TableMeta(sample_key="user_id"))
+        if shared:
+            eng = shared_eng
+            if case in adopted:
+                # execute for state only (the adopted set re-verifies
+                # in tests/test_golden.py)
+                signal.alarm(90)
+                try:
+                    run_sql_file(eng, os.path.join(REF_DIR, case + ".sql"))
+                except BaseException:
+                    pass
+                finally:
+                    signal.alarm(0)
+                continue
+        else:
+            eng = ChEngine(spark)
+            eng.set_meta("events", TableMeta(sample_key="user_id"))
         sql_path = os.path.join(REF_DIR, case + ".sql")
         ref_path = os.path.join(REF_DIR, case + ".reference")
         t0 = time.time()
