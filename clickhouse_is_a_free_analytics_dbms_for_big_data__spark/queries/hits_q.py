@@ -31,7 +31,10 @@ def hits_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     eid, uid = F.col("event_id"), F.col("user_id")
     return ev.select(
-        F.col("ts").alias("EventTime"),
+        # cast NTZ parquet ts to session-tz timestamp: the oracle's naive
+        # TIMESTAMP hashes identically to TimestampType (q43 proves it),
+        # while TIMESTAMP_NTZ serializes differently in the driver compare
+        F.col("ts").cast("timestamp").alias("EventTime"),
         F.to_date("ts").alias("EventDate"),
         uid.alias("UserID"),
         (uid % 100).alias("CounterID"),
@@ -69,7 +72,11 @@ def hits_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.lit("12345678901234567800").cast("decimal(20,0)")
             + (uid % 100).cast("decimal(20,0)")
-        ).alias("UserID64"),
+        )
+        # pin back to decimal(20,0): Spark widens decimal addition to (21,0),
+        # which would hash-differently from the oracle's DECIMAL(20,0)
+        .cast("decimal(20,0)")
+        .alias("UserID64"),
     )
 
 
@@ -103,7 +110,7 @@ _HITS_CTE = """
              (user_id % 300) * 2654435761 % 4294967296 AS RefererHash,
              1000 + event_id % 800 AS WindowClientWidth,
              600 + event_id % 600 AS WindowClientHeight,
-             12345678901234567800 + (user_id % 100) AS UserID64
+             CAST(12345678901234567800 + (user_id % 100) AS DECIMAL(20,0)) AS UserID64
       FROM events
     )
 """
@@ -137,7 +144,7 @@ def hits_q02(spark, sf_dir):
 
 @_hq(
     "hits_q03_triple_agg",
-    "SELECT SUM(AdvEngineID) AS s, COUNT(*) AS c, AVG(ResolutionWidth) AS a FROM hits",
+    "SELECT CAST(SUM(AdvEngineID) AS BIGINT) AS s, COUNT(*) AS c, AVG(ResolutionWidth) AS a FROM hits",
     "benchmark Q3: sum + count + avg in one pass (queries.sql:3)",
 )
 def hits_q03(spark, sf_dir):
@@ -317,7 +324,7 @@ def hits_q28(spark, sf_dir):
 @_hq(
     "hits_q30_ninety_sums",
     "SELECT "
-    + ", ".join(f"SUM(ResolutionWidth + {i}) AS s{i}" for i in range(90))
+    + ", ".join(f"CAST(SUM(ResolutionWidth + {i}) AS BIGINT) AS s{i}" for i in range(90))
     + " FROM hits",
     "benchmark Q30: 90 simultaneous sums — codegen-width stress (queries.sql:30)",
 )
@@ -435,7 +442,7 @@ def _drill(df: DataFrame) -> DataFrame:
 
 @_hq(
     "hits_q04_sum_uid",
-    "SELECT SUM(UserID) AS s FROM hits",
+    "SELECT CAST(SUM(UserID) AS BIGINT) AS s FROM hits",
     "benchmark Q4: sum over a key column (queries.sql:4)",
 )
 def hits_q04(spark, sf_dir):
@@ -454,7 +461,7 @@ def hits_q06(spark, sf_dir):
 @_hq(
     "hits_q10_region_multi",
     """
-    SELECT RegionID, SUM(AdvEngineID) AS s, COUNT(*) AS c,
+    SELECT RegionID, CAST(SUM(AdvEngineID) AS BIGINT) AS s, COUNT(*) AS c,
            AVG(ResolutionWidth) AS a, COUNT(DISTINCT UserID) AS u
     FROM hits GROUP BY RegionID ORDER BY c DESC, RegionID LIMIT 10
     """,
@@ -751,7 +758,7 @@ def hits_q29(spark, sf_dir):
 @_hq(
     "hits_q31_engine_ip",
     """
-    SELECT SearchEngineID, ClientIP, COUNT(*) AS c, SUM(Refresh) AS r,
+    SELECT SearchEngineID, ClientIP, COUNT(*) AS c, CAST(SUM(Refresh) AS BIGINT) AS r,
            AVG(ResolutionWidth) AS a
     FROM hits WHERE SearchPhrase <> ''
     GROUP BY SearchEngineID, ClientIP
@@ -777,7 +784,7 @@ def hits_q31(spark, sf_dir):
 @_hq(
     "hits_q32_watch_ip_filtered",
     """
-    SELECT WatchID, ClientIP, COUNT(*) AS c, SUM(Refresh) AS r,
+    SELECT WatchID, ClientIP, COUNT(*) AS c, CAST(SUM(Refresh) AS BIGINT) AS r,
            AVG(ResolutionWidth) AS a
     FROM hits WHERE SearchPhrase <> ''
     GROUP BY WatchID, ClientIP ORDER BY c DESC, WatchID, ClientIP LIMIT 10
@@ -803,7 +810,7 @@ def hits_q32(spark, sf_dir):
 @_hq(
     "hits_q33_watch_ip_all",
     """
-    SELECT WatchID, ClientIP, COUNT(*) AS c, SUM(Refresh) AS r,
+    SELECT WatchID, ClientIP, COUNT(*) AS c, CAST(SUM(Refresh) AS BIGINT) AS r,
            AVG(ResolutionWidth) AS a
     FROM hits GROUP BY WatchID, ClientIP
     ORDER BY c DESC, WatchID, ClientIP LIMIT 10

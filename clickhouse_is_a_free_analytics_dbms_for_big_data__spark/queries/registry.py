@@ -59,6 +59,72 @@ def oracle_sql_map() -> dict[str, str]:
 
 _LOADED = False
 
+# Driver-sampling priority: external correctness harnesses snapshot the
+# FIRST 50 registry names.  Entries here go first (in this order) so
+# never-driver-verified and this-round-changed entries get a driver row;
+# everything else follows in module definition order.  Names not (yet)
+# registered are skipped harmlessly.  r1-r4 cumulative driver coverage:
+# 100/128 sampled; this list front-loads the 28 never-sampled, the 8
+# oracle-type-pinned hits entries, the rows-only + r03-err entries, and
+# round-5 additions.
+_PRIORITY: tuple[str, ...] = (
+    # never driver-sampled through r04 (28)
+    "dialect_array_funnel",
+    "dialect_dict_get",
+    "dialect_union_branch_limit",
+    "dialect_sequence_funnel",
+    "dialect_state_merge",
+    "dialect_scalar_subquery",
+    "dialect_not_tuple_in",
+    "dialect_inline_alias",
+    "dialect_tuple_array",
+    "dialect_sequence_timed",
+    "dict_flat_lookup",
+    "dict_range_lookup",
+    "dict_hierarchy",
+    "fn_enumerate_uniq_sessionize",
+    "fn_array_reduce",
+    "fn_reinterpret_roundtrip",
+    "fn_sum_foreach",
+    "fn_quantile_weighted",
+    "totals_after_having",
+    "totals_before_having",
+    "argmax_quantile_state_merge",
+    "sequence_state_merge",
+    "pl_ngram_jaccard",
+    "pl_embedding_topk",
+    "pl_embedding_neardup",
+    "pl_ivf_ann",
+    "pl_multimodal_features",
+    "pl_video_frame_sample",
+    # oracle-type pins this round (the 8 r04 hash-fails)
+    "hits_q03_triple_agg",
+    "hits_q04_sum_uid",
+    "hits_q10_region_multi",
+    "hits_q24_star_prewhere",
+    "hits_q30_ninety_sums",
+    "hits_q31_engine_ip",
+    "hits_q32_watch_ip_filtered",
+    "hits_q33_watch_ip_all",
+    # r03 err (graphite, fixed r04) + rows-only entries
+    "graphite_rollup_downsample",
+    "pl_simhash_dedup",
+    "pl_fingerprint_rolling",
+    # round-5 additions (registered below as they are built)
+    "system_parts_stats",
+    "pl_embedding_neardup_recall",
+    "dialect_show_create",
+    "uniq_approx",
+)
+
+
+def _reorder() -> None:
+    prioritized = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    rest = {n: s for n, s in QUERIES.items() if n not in prioritized}
+    QUERIES.clear()
+    QUERIES.update(prioritized)
+    QUERIES.update(rest)
+
 
 def _ensure_loaded() -> None:
     """Import all query modules (they self-register via @query).
@@ -102,4 +168,5 @@ def _ensure_loaded() -> None:
         from . import pipeline_q  # noqa: F401
     except ImportError:
         pass
+    _reorder()
     _LOADED = True

@@ -140,7 +140,8 @@ def fn_reinterpret_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT l_returnflag,
-           [SUM(arr[1]) * 1.0, SUM(arr[2]) * 1.0, SUM(arr[3]) * 1.0] AS sums
+           [CAST(SUM(arr[1]) AS DOUBLE), CAST(SUM(arr[2]) AS DOUBLE),
+            CAST(SUM(arr[3]) AS DOUBLE)] AS sums
     FROM a GROUP BY 1 ORDER BY 1
     """,
     doc="sumForEach — the -ForEach combinator "
