@@ -65,6 +65,7 @@ class ChEngine:
     # -------------------------------------------------------- querying
 
     def translate(self, ch_sql: str) -> str:
+        self._refresh_views(ch_sql)
         return translate_sql(
             ch_sql,
             table_meta=self.table_meta,
@@ -77,6 +78,28 @@ class ChEngine:
             agg_fn_of=self._agg_fn_of,
             schema_of_sql=self._schema_of_sql,
         )
+
+    def _refresh_views(self, ch_sql: str) -> None:
+        """Re-register every plain View referenced by ``ch_sql`` from
+        its stored SELECT text, so reads see base-table mutations
+        (StorageView re-executes the stored query on every read — a
+        snapshot DataFrame would silently serve pre-INSERT rows).
+        A substring probe over-approximates "referenced" — a spurious
+        refresh only re-runs analysis, no job executes."""
+        refreshing = self.__dict__.setdefault("_views_in_refresh", set())
+        for name, tdef in list(self.tables.items()):
+            if tdef.view_sql is None or name in refreshing:
+                continue
+            last = name.rsplit(".", 1)[-1]
+            if name not in ch_sql and last not in ch_sql:
+                continue
+            refreshing.add(name)
+            try:
+                df = self.spark.sql(self.translate(tdef.view_sql))
+                df.createOrReplaceTempView(self.table_views[name])
+                tdef.raw = df
+            finally:
+                refreshing.discard(name)
 
     def _schema_of_sql(self, from_sql: str):
         """Analyzed (name, simple type) pairs of a FROM-able fragment —
@@ -98,18 +121,37 @@ class ChEngine:
                 return self.tables.get(name)
         return self.tables.get(view)
 
-    def _agg_fn_of(self, col: str) -> str | None:
-        """Aggregate fn behind a stored AggregateFunction column, by
-        scanning created tables (finalizeAggregation dispatch)."""
+    def _agg_fn_of(self, col: str, table_view: str | None = None) -> str | None:
+        """Aggregate fn behind a stored AggregateFunction column
+        (finalizeAggregation dispatch).  Scoped to the table the query
+        actually reads when the translator supplies its FROM view;
+        otherwise a global scan that ERRORS on ambiguity (two tables
+        declaring same-named AggregateFunction columns with different
+        functions) instead of silently picking the first."""
         import re as _re
 
-        for tdef in self.tables.values():
+        def fn_in(tdef) -> str | None:
             for c in tdef.columns:
                 if c.name == col:
                     m = _re.match(r"AggregateFunction\((\w+)", c.ch_type or "")
                     if m:
                         return m.group(1)
-        return None
+            return None
+
+        if table_view is not None:
+            tdef = self._tabledef_by_view(table_view)
+            if tdef is not None:
+                fn = fn_in(tdef)
+                if fn is not None:
+                    return fn
+        found = {fn for t in self.tables.values() if (fn := fn_in(t)) is not None}
+        if len(found) > 1:
+            raise ValueError(
+                f"ambiguous AggregateFunction column {col!r}: declared with "
+                f"{sorted(found)} in different tables — qualify the query's "
+                "FROM table"
+            )
+        return next(iter(found), None)
 
     def sql(self, ch_sql: str) -> DataFrame:
         return self.spark.sql(self.translate(ch_sql))

@@ -83,6 +83,12 @@ class TableDef:
     # (Interpreters/InterpreterAlterQuery.cpp lazy part conversion).
     # The published view applies COALESCE(col, current default).
     raw: DataFrame | None = None
+    # plain CREATE VIEW: the stored CH SELECT text.  StorageView
+    # re-executes the stored query on every read; the engine re-registers
+    # the temp view from this text at translate time so reads see
+    # base-table mutations (never set for MATERIALIZED VIEW, whose
+    # contents update on insert, not on read).
+    view_sql: str | None = None
 
 
 def _render_type(toks: list[Token]) -> str:
@@ -383,11 +389,15 @@ def _create(engine, tokens: list[Token]) -> None:
     if tokens[i].is_kw("VIEW") or (
         tokens[i].is_kw("MATERIALIZED") and tokens[i + 1].is_kw("VIEW")
     ):
-        # CREATE [MATERIALIZED] VIEW v AS SELECT — a named query
-        # (StorageView / StorageMaterializedView; the MV's insert-time
-        # fan-out is modeled in streaming/materialized_view.py — here
-        # both register the SELECT's current result)
-        i += 2 if tokens[i].is_kw("MATERIALIZED") else 1
+        # CREATE [MATERIALIZED] VIEW v AS SELECT — a named query.
+        # Plain View (StorageView) re-executes the stored SELECT on
+        # every read: the CH text is kept in TableDef.view_sql and the
+        # engine re-registers the temp view at translate time, so reads
+        # see base-table mutations.  MATERIALIZED VIEW registers the
+        # SELECT's current result (its insert-time fan-out is modeled
+        # in streaming/materialized_view.py).
+        materialized = tokens[i].is_kw("MATERIALIZED")
+        i += 2 if materialized else 1
         if tokens[i].is_kw("IF"):
             i += 3
         name, i = _table_name(tokens, i, engine)
@@ -401,7 +411,14 @@ def _create(engine, tokens: list[Token]) -> None:
                       ch_type=_ch_of_spark(f.dataType.simpleString()))
             for f in df.schema.fields
         ]
-        tdef = TableDef(name, cols, "View", TableMeta(engine="View"), raw=df)
+        tdef = TableDef(
+            name,
+            cols,
+            "MaterializedView" if materialized else "View",
+            TableMeta(engine="View"),
+            raw=df,
+            view_sql=None if materialized else sel_sql,
+        )
         engine.tables[name] = tdef
         engine.table_views[name] = view
         df.createOrReplaceTempView(view)
@@ -759,6 +776,11 @@ def _show(engine, tokens: list[Token]) -> DataFrame:
             i += 2
         else:
             i += 1
+    if db is None and getattr(engine, "current_db", None):
+        # no FROM clause: the reference falls back to the USE'd current
+        # database (InterpreterShowTablesQuery.cpp:30
+        # context.getCurrentDatabase())
+        db = engine.current_db
     if db:
         names = sorted(
             n.split(".", 1)[1] for n in engine.tables if n.startswith(db + ".")

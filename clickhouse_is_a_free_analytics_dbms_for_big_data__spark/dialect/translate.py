@@ -85,9 +85,15 @@ class Ctx:
     # Callable[[str], TableDef | None] by rendered view name — FINAL on
     # AggregatingMergeTree needs the AggregateFunction column types
     tabledef_of: object | None = None
-    # Callable[[str], str | None]: aggregate fn name of a stored
-    # AggregateFunction column (finalizeAggregation dispatch)
+    # Callable[[str, str | None], str | None]: aggregate fn name of a
+    # stored AggregateFunction column (finalizeAggregation dispatch);
+    # second arg is the resolved FROM view so the lookup is scoped to
+    # the referenced table, not a global first-match scan
     agg_fn_of: object | None = None
+    # resolved FROM target of the SELECT currently being translated
+    # (set by _select after _render_from; save/restored per subquery
+    # by _translate_union)
+    current_table: str | None = None
     # Callable[[str], list[(col, simple_type)] | None]: analyzed output
     # schema of a FROM-able SQL fragment (join-defaults substitution)
     schema_of_sql: object | None = None
@@ -137,6 +143,16 @@ def translate_sql(
 
 
 def _translate_union(tokens: list[Token], ctx: Ctx) -> str:
+    # scope current_table to this (sub)query: an inner FROM-subquery or
+    # scalar subquery must not leak its table into the enclosing SELECT
+    prev_table = ctx.current_table
+    try:
+        return _translate_union_inner(tokens, ctx)
+    finally:
+        ctx.current_table = prev_table
+
+
+def _translate_union_inner(tokens: list[Token], ctx: Ctx) -> str:
     parts: list[list[Token]] = []
     depth = 0
     start = 0
@@ -413,6 +429,7 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
 
     # ---- FROM
     from_sql, table_name = _render_from(from_toks, ctx)
+    ctx.current_table = table_name
 
     # Nested columns are literal dotted names (`nest.x` — DataTypeNested
     # parallel arrays): fold ident.ident chains matching an actual
@@ -628,12 +645,20 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     # GROUPING SETS, which then needs no HAVING at all.  before_having
     # (SETTINGS totals_mode='before_having') keeps the single-pass shape
     # with HAVING applied to group rows only.
+    totals_mode = settings.get("totals_mode", "after_having_exclusive")
+    if with_totals and totals_mode not in (
+        "after_having_exclusive",
+        "before_having",
+    ):
+        # after_having_inclusive / after_having_auto are valid reference
+        # modes (TotalsHavingBlockInputStream.h) we do not implement —
+        # raise instead of silently degrading to before_having
+        raise ValueError(f"unsupported totals_mode {totals_mode!r}")
     if (
         with_totals
         and group_sql
         and having_sql
-        and settings.get("totals_mode", "after_having_exclusive")
-        == "after_having_exclusive"
+        and totals_mode == "after_having_exclusive"
     ):
         # The subquery lives at WHERE scope — select-output aliases
         # (which Spark resolves in GROUP BY / HAVING of the outer
@@ -1808,7 +1833,7 @@ def _apply_fn(
     # dispatch on the CREATE TABLE type (DataTypeAggregateFunction;
     # identity for plain-value states, estimate for sketches)
     if name == "finalizeAggregation" and args and ctx.agg_fn_of is not None:
-        fn = ctx.agg_fn_of(args[0].strip("`"))
+        fn = ctx.agg_fn_of(args[0].strip("`"), ctx.current_table)
         if fn in ("uniq", "uniqHLL12", "uniqCombined"):
             return f"hll_sketch_estimate({args[0]})"
         if fn == "avg":

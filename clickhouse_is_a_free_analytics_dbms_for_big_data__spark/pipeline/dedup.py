@@ -27,10 +27,31 @@ __all__ = [
     "exact_dedup", "minhash_signature", "minhash_dedup_pairs",
     "jaccard", "ngram_jaccard_pairs", "simhash", "simhash_dedup_pairs",
     "embedding_neardup_pairs", "dedup_keep_representative",
+    "release_dedup_caches",
 ]
 
 
 from ..functions._util import let_ as _let
+
+# Cached intermediates (banded-size annotations, verify-token frames)
+# from the MOST RECENT dedup call per kind.  A long-lived session
+# running dedup repeatedly must not accumulate cached blocks until LRU
+# eviction: each new call evicts the previous call's caches, and
+# release_dedup_caches() lets callers drop them explicitly once the
+# result is materialized.  An unpersisted frame that a still-held
+# result DataFrame later re-executes simply recomputes — the cache is
+# a per-call optimization, never a correctness dependency.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _cache_tracked(df: DataFrame) -> DataFrame:
+    return _LIVE_CACHES.append(df.cache()) or df
+
+
+def release_dedup_caches() -> None:
+    """Unpersist every cached intermediate from prior dedup calls."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
@@ -84,10 +105,9 @@ def _banded_candidates(
     """
     keys = list(keys)
     w = Window.partitionBy(*keys)
-    sized = (
+    sized = _cache_tracked(
         banded.withColumn("__n", F.count(F.lit(1)).over(w))
         .withColumn("__rep", F.min(F.struct("id", *carry)).over(w))
-        .cache()
     )
 
     def _sel(l_pre, r_pre):
@@ -240,6 +260,7 @@ def minhash_dedup_pairs(
     """
     if verify not in ("tokens", "shingles"):
         raise ValueError(f"verify must be 'tokens' or 'shingles', got {verify!r}")
+    release_dedup_caches()  # evict the previous call's cached blocks
     rows = n_hashes // bands
     text_sql = f"`{text_col}`"
     # Spread the hash-heavy projection across all cores: a small input
@@ -263,9 +284,9 @@ def minhash_dedup_pairs(
         if verify == "tokens"
         else shingles_sql(text_sql, k_shingle)
     )
-    toks = spread.select(
-        F.col(id_col).alias("tid"), F.expr(verify_sql).alias("toks")
-    ).cache()
+    toks = _cache_tracked(
+        spread.select(F.col(id_col).alias("tid"), F.expr(verify_sql).alias("toks"))
+    )
     return (
         cand.join(toks.withColumnRenamed("tid", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
         .join(toks.withColumnRenamed("tid", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
@@ -410,6 +431,7 @@ def simhash_dedup_pairs(
     hamming distance.  Chunk buckets above ``max_bucket`` take the
     linear star path (see _banded_candidates) instead of the quadratic
     self-join."""
+    release_dedup_caches()  # evict the previous call's cached blocks
     width = 63 // n_chunks + (1 if 63 % n_chunks else 0)
     # ONE expression computes the bits (let-bound), the packed hash and
     # every chunk bucket; explode fans out without re-evaluating it (a
@@ -511,6 +533,7 @@ def embedding_neardup_pairs(
     """
     from .similarity import cosine
 
+    release_dedup_caches()  # evict the previous call's cached blocks
     planes = _hyperplanes(dim, n_planes, seed)
     banded = _spread(df.select(id_col, vec_col), id_col).select(
         F.col(id_col).alias("id"),

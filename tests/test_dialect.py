@@ -541,3 +541,87 @@ def test_system_tables_columns(eng):
     }
     assert st["totals_mode"] == "after_having_exclusive"
     eng.execute("DROP TABLE sys_probe")
+
+
+# ------------------------------------------------- round-5 advice fixes
+
+
+def test_view_sees_base_table_mutations(eng):
+    """StorageView re-executes the stored SELECT on every read — a view
+    must reflect rows inserted into its base table after CREATE VIEW."""
+    eng.execute("DROP TABLE IF EXISTS vbase")
+    eng.execute("DROP TABLE IF EXISTS vlive")
+    eng.execute("CREATE TABLE vbase (x UInt32) ENGINE = Memory")
+    eng.execute("INSERT INTO vbase VALUES (1)")
+    eng.execute("CREATE VIEW vlive AS SELECT x FROM vbase")
+    assert eng.execute("SELECT count() FROM vlive").collect()[0][0] == 1
+    eng.execute("INSERT INTO vbase VALUES (2)")
+    got = sorted(r[0] for r in eng.execute("SELECT x FROM vlive").collect())
+    assert got == [1, 2], "view served a stale pre-INSERT snapshot"
+    eng.execute("DROP TABLE vlive")
+    eng.execute("DROP TABLE vbase")
+
+
+def test_materialized_view_stays_snapshot(eng):
+    """MATERIALIZED VIEW contents update on insert-time fan-out, not on
+    read — the statement layer keeps the creation-time result."""
+    eng.execute("DROP TABLE IF EXISTS mvbase")
+    eng.execute("DROP TABLE IF EXISTS mvsnap")
+    eng.execute("CREATE TABLE mvbase (x UInt32) ENGINE = Memory")
+    eng.execute("INSERT INTO mvbase VALUES (1)")
+    eng.execute("CREATE MATERIALIZED VIEW mvsnap AS SELECT x FROM mvbase")
+    eng.execute("INSERT INTO mvbase VALUES (2)")
+    assert eng.execute("SELECT count() FROM mvsnap").collect()[0][0] == 1
+    eng.execute("DROP TABLE mvsnap")
+    eng.execute("DROP TABLE mvbase")
+
+
+def test_show_tables_uses_current_database(eng):
+    """SHOW TABLES without FROM lists the USE'd database
+    (InterpreterShowTablesQuery.cpp:30 getCurrentDatabase fallback)."""
+    eng.execute("CREATE DATABASE IF NOT EXISTS udb5")
+    eng.execute("DROP TABLE IF EXISTS udb5.only_here")
+    eng.execute("CREATE TABLE udb5.only_here (x UInt8) ENGINE = Memory")
+    eng.execute("USE udb5")
+    try:
+        names = [r[0] for r in eng.execute("SHOW TABLES").collect()]
+        assert names == ["only_here"]
+    finally:
+        eng.execute("USE default")
+        eng.execute("DROP TABLE udb5.only_here")
+
+
+def test_agg_fn_of_scoped_to_from_table(eng):
+    """finalizeAggregation dispatch resolves the AggregateFunction
+    column against the table the query reads, not a global first-match
+    scan over every created table."""
+    eng.execute("DROP TABLE IF EXISTS aggdup_a")
+    eng.execute("DROP TABLE IF EXISTS aggdup_b")
+    eng.execute(
+        "CREATE TABLE aggdup_a (k UInt8, st AggregateFunction(uniq, UInt32)) "
+        "ENGINE = AggregatingMergeTree"
+    )
+    eng.execute(
+        "CREATE TABLE aggdup_b (k UInt8, st AggregateFunction(avg, UInt32)) "
+        "ENGINE = AggregatingMergeTree"
+    )
+    try:
+        # scoped: each table resolves its own declared function
+        a = eng.translate("SELECT finalizeAggregation(st) FROM aggdup_a")
+        b = eng.translate("SELECT finalizeAggregation(st) FROM aggdup_b")
+        assert "hll_sketch_estimate" in a
+        assert "hll_sketch_estimate" not in b and ".sum" in b and ".cnt" in b
+        # unscoped global lookup with conflicting declarations must raise
+        with pytest.raises(ValueError, match="ambiguous"):
+            eng._agg_fn_of("st")
+    finally:
+        eng.execute("DROP TABLE aggdup_a")
+        eng.execute("DROP TABLE aggdup_b")
+
+
+def test_unsupported_totals_mode_raises():
+    with pytest.raises(ValueError, match="totals_mode"):
+        translate_sql(
+            "SELECT a, count() FROM t GROUP BY a WITH TOTALS "
+            "SETTINGS totals_mode = 'after_having_inclusive'"
+        )
