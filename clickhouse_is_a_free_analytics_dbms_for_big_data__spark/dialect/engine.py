@@ -162,7 +162,11 @@ class ChEngine:
         (Interpreters/InterpreterFactory.cpp dispatch)."""
         from .statements import execute_statement
 
-        return execute_statement(self, ch_sql)
+        self._running_query = ch_sql  # surfaced by system.processes
+        try:
+            return execute_statement(self, ch_sql)
+        finally:
+            self._running_query = ""
 
     def _columns_of(self, table: str) -> list[str] | None:
         try:
@@ -238,6 +242,38 @@ class ChEngine:
                 ("max_block_size", "65536", "0"),
             ]
             return values(rows, "name, value, changed")
+        if which == "parts":
+            # Storages/System/StorageSystemParts.cpp:20-41 — one row per
+            # active data part of every created MergeTree table, from
+            # the per-INSERT part bookkeeping in statements.py
+            rows = []
+            for name, tdef in sorted(self.tables.items()):
+                db, _, t = name.rpartition(".")
+                for p in getattr(tdef, "parts", ()):
+                    rows.append(
+                        (
+                            p["partition"], p["name"], str(p["active"]),
+                            str(p["marks"]), str(p["rows"]), str(p["bytes"]),
+                            p["min_date"], p["max_date"],
+                            str(p["min_block"]), str(p["max_block"]),
+                            str(p["level"]), db or "default", t, tdef.engine,
+                        )
+                    )
+            return values(
+                rows,
+                "partition, name, active, marks, rows, bytes, min_date, "
+                "max_date, min_block_number, max_block_number, level, "
+                "database, table, engine",
+            )
+        if which == "processes":
+            # StorageSystemProcesses.cpp core columns; local mode has
+            # exactly one running query — the one being translated
+            # (elapsed pinned to 0 for determinism)
+            qtext = getattr(self, "_running_query", "") or ""
+            return values(
+                [("1", "default", "", "0", qtext)],
+                "is_initial_query, user, query_id, elapsed, query",
+            )
         if which == "functions":
             return None  # not modeled; the function registry is Python
         return None

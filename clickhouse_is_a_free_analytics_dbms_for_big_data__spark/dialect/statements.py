@@ -28,7 +28,7 @@ CH semantics kept:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -59,8 +59,19 @@ class ColumnDef:
     default: str | None = None  # type-specific default (Enum: first name)
     ch_type: str = ""        # original CH type text (DESCRIBE output)
     nullable: bool = False   # Nullable(T): default is NULL, not 0/''
+    # explicit DEFAULT/MATERIALIZED/ALIAS clause (ColumnDefault.h):
+    # kind + the original CH expression text, surfaced by DESCRIBE and
+    # SHOW CREATE TABLE; a DEFAULT expression also becomes the fill
+    # value for rows/parts that predate the column
+    default_kind: str = ""
+    default_expr: str = ""
 
     def default_sql(self) -> str:
+        # an explicit DEFAULT clause wins even for Nullable columns;
+        # the type-specific default (Enum first value) must NOT override
+        # Nullable's NULL
+        if self.default_kind == "DEFAULT" and self.default is not None:
+            return self.default
         if self.nullable:
             return "NULL"
         if self.default is not None:
@@ -89,6 +100,17 @@ class TableDef:
     # base-table mutations (never set for MATERIALIZED VIEW, whose
     # contents update on insert, not on read).
     view_sql: str | None = None
+    # original ENGINE clause text, e.g. "MergeTree(d, k, 8192)" —
+    # SHOW CREATE TABLE re-renders it verbatim (formatAST keeps the
+    # stored storage AST)
+    engine_full: str = ""
+    # MergeTree data parts, one per INSERT block per month partition
+    # (each INSERT creates a part; OPTIMIZE merges parts within a
+    # partition — MergeTreeData.h).  Dicts with partition, name, rows,
+    # marks, bytes, min/max date, block range, level; surfaced by
+    # system.parts (Storages/System/StorageSystemParts.cpp:20-41)
+    parts: list = field(default_factory=list)
+    next_block: int = 0
 
 
 def _render_type(toks: list[Token]) -> str:
@@ -205,13 +227,14 @@ def _ch_type_inner(toks: list[Token]) -> ColumnDef | None:
 
 
 def _col_name(item: list[Token]) -> tuple[str, int]:
-    """Column name, possibly dotted (Nested member: ``N.A``)."""
-    name = item[0].text
+    """Column name, possibly dotted (Nested member: ``N.A``);
+    backquotes are stripped — `n.d` names the dotted column itself."""
+    name = item[0].text.strip("`")
     k = 1
     while k + 1 < len(item) and item[k].text == "." and item[k + 1].kind in (
         "ident", "qident"
     ):
-        name += "." + item[k + 1].text
+        name += "." + item[k + 1].text.strip("`")
         k += 2
     return name, k
 
@@ -223,10 +246,15 @@ def _parse_one_column(item: list[Token]) -> list[ColumnDef] | None:
     if not item:
         return None
     name, k = _col_name(item)
-    # strip DEFAULT/MATERIALIZED/ALIAS expressions (ColumnDefault.h)
+    # split off DEFAULT/MATERIALIZED/ALIAS expressions (ColumnDefault.h)
     type_toks = item[k:]
+    default_kind, default_expr = "", ""
+    default_expr_toks: list[Token] = []
     for j, t in enumerate(type_toks):
         if t.is_kw("DEFAULT", "MATERIALIZED", "ALIAS"):
+            default_kind = t.text.upper()
+            default_expr_toks = type_toks[j + 1 :]
+            default_expr = _render_type(default_expr_toks)
             type_toks = type_toks[:j]
             break
     if type_toks and type_toks[0].text.upper() == "NESTED":
@@ -248,6 +276,14 @@ def _parse_one_column(item: list[Token]) -> list[ColumnDef] | None:
     if cd is None:
         return None
     cd.name = name
+    cd.default_kind = default_kind
+    cd.default_expr = default_expr
+    if default_kind == "DEFAULT" and default_expr_toks:
+        # the CH expression (today(), literals, ...) rewritten to Spark
+        # SQL becomes the fill value for rows/parts predating the column
+        from .translate import Ctx, _rewrite
+
+        cd.default = _rewrite(default_expr_toks, Ctx())
     return [cd]
 
 
@@ -283,6 +319,8 @@ def _engine_meta(engine: str, args: list[list[Token]]) -> TableMeta:
         pk_idx = next(
             (j for j, a in enumerate(args) if a and a[0].text == "("), 1
         )
+        if pk_idx >= 1 and args[0] and len(args[0]) == 1:
+            meta.date_col = args[0][0].text  # month-partitioning column
         if len(args) > pk_idx:
             meta.primary_key = key_of(args[pk_idx])
         if pk_idx == 2 and len(args[1]) == 1:
@@ -329,6 +367,29 @@ def execute_statement(engine, ch_sql: str) -> DataFrame | None:
         db = tokens[1].text
         engine.current_db = None if db == "default" else db
         return None
+    if head == "CHECK":
+        # CHECK TABLE t (InterpreterCheckQuery.cpp:251-258 simple path):
+        # one row, column `result` UInt8.  Spark datasets have no
+        # per-part checksums to verify — resolving the table IS the
+        # check (a missing/corrupt view raises instead).
+        i = 2 if tokens[1].is_kw("TABLE") else 1
+        name, _ = _table_name(tokens, i, engine)
+        engine.spark.table(
+            engine.table_views.get(name, _view_of(name))
+        )  # raises if unknown
+        return engine.spark.createDataFrame([[1]], "result INT")
+    if head == "KILL":
+        # KILL QUERY WHERE ... (InterpreterKillQueryQuery.cpp): Spark
+        # local mode tracks no server-side query list — the match set is
+        # empty; same (kill_status, query_id, user, query) block shape.
+        from pyspark.sql.types import StructType
+
+        return engine.spark.createDataFrame(
+            [],
+            StructType.fromDDL(
+                "kill_status STRING, query_id STRING, user STRING, query STRING"
+            ),
+        )
     if head == "DETACH":
         i = 2 if tokens[1].is_kw("TABLE") else 1
         name, _ = _table_name(tokens, i, engine)
@@ -436,13 +497,18 @@ def _create(engine, tokens: list[Token]) -> None:
             raise ValueError("unsupported column type in CREATE TABLE")
         i = close + 1
     eng_name, eng_args = "Memory", []
+    engine_full = "Memory"
     if i < len(tokens) and tokens[i].is_kw("ENGINE"):
         i += 2  # ENGINE =
         eng_name = tokens[i].text
+        engine_full = eng_name
         i += 1
         if i < len(tokens) and tokens[i].text == "(":
             ec = _match_paren(tokens, i)
             eng_args = _split_top(tokens[i + 1 : ec], ",")
+            engine_full += (
+                "(" + ", ".join(_render_type(a) for a in eng_args) + ")"
+            )
             i = ec + 1
     meta = _engine_meta(eng_name, eng_args)
     view = _view_of(name)
@@ -464,7 +530,7 @@ def _create(engine, tokens: list[Token]) -> None:
         df = engine.spark.createDataFrame([], ddl)
     else:
         raise ValueError("CREATE TABLE needs a column list or AS SELECT")
-    tdef = TableDef(name, cols, eng_name, meta, raw=df)
+    tdef = TableDef(name, cols, eng_name, meta, raw=df, engine_full=engine_full)
     engine.tables[name] = tdef
     engine.table_views[name] = view
     engine.table_meta[view] = meta  # FINAL looks up by rendered name
@@ -481,15 +547,44 @@ def _publish(engine, tdef: TableDef) -> None:
     have = set(raw.columns)
     tmp = f"__pub_{view}"
     raw.createOrReplaceTempView(tmp)
+
+    def nested_fill(c: ColumnDef) -> str | None:
+        """An absent Nested member fills to its SIBLING's length with
+        element defaults — DataTypeNested's parallel arrays share
+        offsets, so `n.d` added by ALTER reads as sibling-sized arrays
+        of zero dates, not [] (InterpreterAlterQuery + NestedUtils)."""
+        if "." not in c.name or not c.spark_type.startswith("ARRAY<"):
+            return None
+        prefix = c.name.split(".", 1)[0] + "."
+        sib = next(
+            (
+                s.name
+                for s in tdef.columns
+                if s.name != c.name
+                and s.name.startswith(prefix)
+                and s.name in have
+            ),
+            None,
+        )
+        if sib is None:
+            return None
+        elem_t = c.spark_type[6:-1]
+        elem_d = _TYPE_DEFAULTS.get(elem_t, "NULL")
+        return (
+            f"array_repeat(CAST({elem_d} AS {elem_t}), "
+            f"size(COALESCE(`{sib}`, array())))"
+        )
+
     sel = []
     for c in tdef.columns:
+        fill = nested_fill(c) or c.default_sql()
         if c.name not in have:
-            sel.append(f"CAST({c.default_sql()} AS {c.spark_type}) AS `{c.name}`")
+            sel.append(f"CAST({fill} AS {c.spark_type}) AS `{c.name}`")
         elif c.nullable:
             sel.append(f"CAST(`{c.name}` AS {c.spark_type}) AS `{c.name}`")
         else:
             sel.append(
-                f"CAST(COALESCE(`{c.name}`, {c.default_sql()}) "
+                f"CAST(COALESCE(`{c.name}`, {fill}) "
                 f"AS {c.spark_type}) AS `{c.name}`"
             )
     sql = f"SELECT {', '.join(sel)} FROM {tmp}"
@@ -592,7 +687,114 @@ def _insert(engine, tokens: list[Token]) -> None:
         shaped, allowMissingColumns=True
     ).localCheckpoint(eager=True)
     tdef.raw = merged
+    if tdef.engine.endswith("MergeTree"):
+        _track_insert_parts(engine, tdef, shaped)
     _publish(engine, tdef)
+
+
+# per-type on-disk width estimate for system.parts bytes
+# (uncompressed column sizes; String adds its character bytes)
+_TYPE_BYTES = {
+    "TINYINT": 1, "SMALLINT": 2, "INT": 4, "BIGINT": 8,
+    "FLOAT": 4, "DOUBLE": 8, "DATE": 2, "TIMESTAMP": 4,
+    "TIMESTAMP_NTZ": 4, "BOOLEAN": 1,
+}
+
+
+def _track_insert_parts(engine, tdef: TableDef, block: DataFrame) -> None:
+    """Record one data part per (INSERT block × month partition), like
+    the reference's per-block part creation (MergeTreeDataWriter).
+    Runs one tiny aggregation job over the just-inserted block — this
+    is the DDL path, never a query hot path."""
+    from pyspark.sql import functions as F
+
+    # the classic first engine arg is only a month-partition column when
+    # it is actually a Date — MergeTree(k, 8192)-style declarations put
+    # a PK there instead
+    dcol = tdef.meta.date_col
+    if dcol is not None and not any(
+        c.name == dcol and c.spark_type in ("DATE", "TIMESTAMP", "TIMESTAMP_NTZ")
+        for c in tdef.columns
+    ):
+        dcol = None
+    fixed = sum(_TYPE_BYTES.get(c.spark_type, 8) for c in tdef.columns)
+    str_cols = [c.name for c in tdef.columns if c.spark_type == "STRING"]
+    str_bytes = (
+        sum((F.sum(F.length(F.col(f"`{c}`"))) for c in str_cols), F.lit(0))
+        if str_cols
+        else F.lit(0)
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("__rows"),
+        str_bytes.alias("__sbytes"),
+    ]
+    if dcol is not None:
+        d = F.col(f"`{dcol}`")
+        grouped = block.groupBy(
+            F.date_format(d, "yyyyMM").alias("__partition")
+        ).agg(
+            *aggs,
+            F.date_format(F.min(d), "yyyyMMdd").alias("__mind"),
+            F.date_format(F.max(d), "yyyyMMdd").alias("__maxd"),
+        )
+    else:
+        grouped = block.groupBy(F.lit("all").alias("__partition")).agg(*aggs)
+    for r in grouped.collect():
+        tdef.next_block += 1
+        b = tdef.next_block
+        mind = r["__mind"] if dcol is not None else "19700101"
+        maxd = r["__maxd"] if dcol is not None else "19700101"
+        rows = int(r["__rows"])
+        tdef.parts.append(
+            {
+                "partition": r["__partition"] or "all",
+                "name": f"{mind}_{maxd}_{b}_{b}_0",
+                "rows": rows,
+                "marks": (rows + 8191) // 8192,
+                "bytes": fixed * rows + int(r["__sbytes"] or 0),
+                "min_date": mind,
+                "max_date": maxd,
+                "min_block": b,
+                "max_block": b,
+                "level": 0,
+                "active": 1,
+            }
+        )
+
+
+def merge_parts(tdef: TableDef) -> None:
+    """OPTIMIZE's part bookkeeping: merge all active parts within each
+    partition into one (level = max+1), like a full merge selecting the
+    whole partition (MergeTreeDataMerger)."""
+    by_part: dict[str, list[dict]] = {}
+    for p in tdef.parts:
+        by_part.setdefault(p["partition"], []).append(p)
+    merged: list[dict] = []
+    for partition, ps in sorted(by_part.items()):
+        if len(ps) == 1:
+            merged.append(ps[0])
+            continue
+        mind = min(p["min_date"] for p in ps)
+        maxd = max(p["max_date"] for p in ps)
+        minb = min(p["min_block"] for p in ps)
+        maxb = max(p["max_block"] for p in ps)
+        lvl = max(p["level"] for p in ps) + 1
+        merged.append(
+            {
+                "partition": partition,
+                "name": f"{mind}_{maxd}_{minb}_{maxb}_{lvl}",
+                "rows": sum(p["rows"] for p in ps),
+                "marks": sum(p["marks"] for p in ps),
+                "bytes": sum(p["bytes"] for p in ps),
+                "min_date": mind,
+                "max_date": maxd,
+                "min_block": minb,
+                "max_block": maxb,
+                "level": lvl,
+                "active": 1,
+            }
+        )
+    tdef.parts = merged
 
 
 # ------------------------------------------------------------- ALTER etc.
@@ -679,7 +881,13 @@ def _alter(engine, tokens: list[Token]) -> None:
             rest = rest[3:] if verb == "ADD" else rest[2:]  # IF [NOT] EXISTS
         if verb == "DROP":
             col, _ = _col_name(rest)
-            tdef.columns = [c for c in tdef.columns if c.name != col]
+            # DROP COLUMN n on a Nested block removes every n.* member
+            # (InterpreterAlterQuery expands Nested to its array columns)
+            tdef.columns = [
+                c
+                for c in tdef.columns
+                if c.name != col and not c.name.startswith(col + ".")
+            ]
         elif verb in ("ADD", "MODIFY"):
             after: str | None = None
             for j in range(len(rest) - 1):
@@ -755,11 +963,52 @@ def _str_df(engine, rows: list[list[str]], schema: str) -> DataFrame:
     return engine.spark.createDataFrame(rows, schema)
 
 
+def _bq_if_need(name: str) -> str:
+    """backQuoteIfNeed (IO/WriteHelpers.h): quote unless the name is a
+    plain identifier — dotted Nested members come out as `n.ui8`."""
+    import re as _re
+
+    return name if _re.fullmatch(r"[a-zA-Z_]\w*", name) else f"`{name}`"
+
+
+def _show_create(engine, tokens: list[Token]) -> DataFrame:
+    """SHOW CREATE TABLE t → one row, column ``statement``
+    (InterpreterShowCreateQuery.cpp:30-44: formatAST of the stored
+    create query, one-line).  Spacing matches formatAST's one-line
+    column list: ``( c1 T1,  c2 T2) ENGINE = ...``."""
+    i = 2
+    if i < len(tokens) and tokens[i].is_kw("TABLE"):
+        i += 1
+    name, _ = _table_name(tokens, i, engine)
+    tdef = _tabledef_of(engine, name)
+    if tdef.view_sql is not None or tdef.engine in ("View", "MaterializedView"):
+        kind = "MATERIALIZED VIEW" if tdef.engine == "MaterializedView" else "VIEW"
+        body = tdef.view_sql or "SELECT *"
+        stmt = f"CREATE {kind} {name} AS {body}"
+    else:
+        cols = []
+        for c in tdef.columns:
+            d = f" {c.default_kind} {c.default_expr}" if c.default_kind else ""
+            cols.append(f"{_bq_if_need(c.name)} {c.ch_type or c.spark_type}{d}")
+        stmt = (
+            f"CREATE TABLE {name} ( " + ",  ".join(cols) + ")"
+            f" ENGINE = {tdef.engine_full or tdef.engine}"
+        )
+    return _str_df(engine, [[stmt]], "statement STRING")
+
+
 def _show(engine, tokens: list[Token]) -> DataFrame:
-    """SHOW TABLES [FROM db] [LIKE '...'] / SHOW DATABASES
+    """SHOW TABLES [FROM db] [LIKE '...'] / SHOW DATABASES /
+    SHOW CREATE TABLE / SHOW PROCESSLIST
     (InterpreterShowTablesQuery — rewritten onto system.tables there,
     built from the engine catalog here)."""
     kind = tokens[1].text.upper()
+    if kind == "CREATE":
+        return _show_create(engine, tokens)
+    if kind == "PROCESSLIST":
+        # InterpreterShowProcesslistQuery.cpp:20 rewrites to
+        # SELECT * FROM system.processes
+        return engine.sql("SELECT * FROM system.processes")
     if kind == "DATABASES":
         dbs = sorted({"default", "system", *engine.databases})
         return _str_df(engine, [[d] for d in dbs], "name STRING")
@@ -810,7 +1059,10 @@ def _describe(engine, tokens: list[Token]) -> DataFrame:
         i += 1
     name, _ = _table_name(tokens, i, engine)
     tdef = _tabledef_of(engine, name)
-    rows = [[c.name, c.ch_type or c.spark_type, "", ""] for c in tdef.columns]
+    rows = [
+        [c.name, c.ch_type or c.spark_type, c.default_kind, c.default_expr]
+        for c in tdef.columns
+    ]
     return _str_df(
         engine,
         rows,
@@ -889,7 +1141,41 @@ def _optimize(engine, tokens: list[Token]) -> None:
             f"GROUP BY {', '.join(f'`{k}`' for k in pk)}"
         ).select(*[f"`{c.name}`" for c in tdef.columns])
     else:
-        return None  # plain MergeTree: merge changes layout, not rows
+        merge_parts(tdef)  # plain MergeTree: merge changes layout, not rows
+        return None
     # a merge materializes current defaults into the merged part
     tdef.raw = df.localCheckpoint(eager=True)
+    merge_parts(tdef)
+    if tdef.parts:
+        # compaction may have dropped rows (Replacing dedup, Collapsing
+        # cancellation, Summing/Aggregating group-merge): refresh each
+        # merged part's row count from the actual merged data
+        from pyspark.sql import functions as F
+
+        dcol = tdef.meta.date_col
+        if dcol is not None and not any(
+            c.name == dcol
+            and c.spark_type in ("DATE", "TIMESTAMP", "TIMESTAMP_NTZ")
+            for c in tdef.columns
+        ):
+            dcol = None
+        if dcol is not None and dcol in df.columns:
+            counts = {
+                r["__p"]: int(r["__c"])
+                for r in df.groupBy(
+                    F.date_format(F.col(f"`{dcol}`"), "yyyyMM").alias("__p")
+                )
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .collect()
+            }
+        else:
+            counts = {"all": df.count()}
+        kept = []
+        for p in tdef.parts:
+            rows = counts.get(p["partition"], 0)
+            if rows:
+                p["rows"] = rows
+                p["marks"] = (rows + 8191) // 8192
+                kept.append(p)
+        tdef.parts = kept
     _publish(engine, tdef)

@@ -67,6 +67,10 @@ class TableMeta:
     sign_col: str | None = None
     sample_key: str | None = None
     engine: str = "MergeTree"
+    # classic MergeTree first argument: the partition date column
+    # (month partitioning, MergeTreeData.h) — system.parts groups
+    # per-INSERT blocks into parts by its toYYYYMM value
+    date_col: str | None = None
 
 
 @dataclass

@@ -232,13 +232,34 @@ def _pretty(names: list[str], rows, compact: bool) -> str:
     return "\n".join(parts)
 
 
+def _ch_date_text(v) -> str:
+    """Date/DateTime text form.  The zero value (epoch) prints as
+    0000-00-00 — CH stores Date as days-since-epoch and renders 0
+    specially (IO/WriteHelpers.h writeDateText), so 1970-01-01 is
+    indistinguishable from the zero date there too."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        naive = v.replace(tzinfo=None)
+        if naive == _dt.datetime(1970, 1, 1):
+            return "0000-00-00 00:00:00"
+        return naive.strftime("%Y-%m-%d %H:%M:%S")
+    if v == _dt.date(1970, 1, 1):
+        return "0000-00-00"
+    return v.isoformat()
+
+
 def _cell(v) -> str:
+    import datetime as _dt
+
     if v is None:
         return "\\N"
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, float):
         return _ch_float(v)
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return _ch_date_text(v)
     # Row subclasses tuple — check it first so structs render (…)
     from pyspark.sql import Row
 
@@ -272,6 +293,12 @@ def _ch_composite(v, parens: bool = False) -> str:
 
 
 def _ch_nested(x) -> str:
+    import datetime as _dt
+
+    if isinstance(x, (_dt.date, _dt.datetime)):
+        # dates/datetimes quote like strings inside composites
+        # (DataTypeDate::serializeTextQuoted)
+        return f"'{_ch_date_text(x)}'"
     if isinstance(x, str):
         esc = (
             x.replace("\\", "\\\\")
@@ -291,12 +318,15 @@ def _ch_nested(x) -> str:
 
 def _tsv_cell(v) -> str:
     """TabSeparated escapes embedded separators in string values
-    (IO/WriteHelpers.h writeEscapedString: \\, tab, newline) — without
-    this a value containing a tab corrupts the column structure."""
+    (IO/WriteHelpers.h writeEscapedString = writeAnyEscapedString<'\\''>:
+    \\, tab, newline, AND single quotes) — without this a value
+    containing a tab corrupts the column structure, and a quote
+    diverges from the reference's byte output."""
     s = _cell(v)
     if isinstance(v, str):
         s = (
             s.replace("\\", "\\\\")
+            .replace("'", "\\'")
             .replace("\t", "\\t")
             .replace("\n", "\\n")
             .replace("\r", "\\r")

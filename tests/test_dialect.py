@@ -625,3 +625,86 @@ def test_unsupported_totals_mode_raises():
             "SELECT a, count() FROM t GROUP BY a WITH TOTALS "
             "SETTINGS totals_mode = 'after_having_inclusive'"
         )
+
+
+# --------------------------------------- round-5 statement completions
+
+
+def test_show_create_table(eng):
+    """SHOW CREATE TABLE renders formatAST's one-line form
+    (InterpreterShowCreateQuery.cpp:30-44; spacing per the reference's
+    00061_merge_tree_alter.reference)."""
+    eng.execute("DROP TABLE IF EXISTS sc_t")
+    eng.execute(
+        "CREATE TABLE sc_t (d Date, k UInt64, n Nested(ui8 UInt8, s String), "
+        "v String DEFAULT 'x') ENGINE = MergeTree(d, k, 8192)"
+    )
+    try:
+        stmt = eng.execute("SHOW CREATE TABLE sc_t").collect()[0][0]
+        assert stmt == (
+            "CREATE TABLE sc_t ( d Date,  k UInt64,  `n.ui8` Array(UInt8),  "
+            "`n.s` Array(String),  v String DEFAULT 'x') "
+            "ENGINE = MergeTree(d, k, 8192)"
+        )
+    finally:
+        eng.execute("DROP TABLE sc_t")
+
+
+def test_check_table_and_kill(eng):
+    eng.execute("DROP TABLE IF EXISTS chk_t")
+    eng.execute("CREATE TABLE chk_t (x UInt8) ENGINE = Memory")
+    try:
+        assert eng.execute("CHECK TABLE chk_t").collect()[0][0] == 1
+        killed = eng.execute("KILL QUERY WHERE query_id = 'none'")
+        assert killed.columns == ["kill_status", "query_id", "user", "query"]
+        assert killed.count() == 0
+    finally:
+        eng.execute("DROP TABLE chk_t")
+
+
+def test_show_processlist(eng):
+    rows = eng.execute("SHOW PROCESSLIST").collect()
+    assert len(rows) == 1
+    assert rows[0]["query"] == "SHOW PROCESSLIST"
+    assert rows[0]["user"] == "default"
+
+
+def test_system_parts_tracks_inserts_and_optimize(eng):
+    """Each INSERT creates one part per month partition; OPTIMIZE
+    merges parts within a partition (StorageSystemParts.cpp /
+    MergeTreeDataMerger)."""
+    eng.execute("DROP TABLE IF EXISTS parts_t")
+    eng.execute(
+        "CREATE TABLE parts_t (d Date, k UInt32) "
+        "ENGINE = MergeTree(d, k, 8192)"
+    )
+    try:
+        eng.execute(
+            "INSERT INTO parts_t VALUES ('2024-01-05', 1), ('2024-02-06', 2)"
+        )
+        eng.execute("INSERT INTO parts_t VALUES ('2024-01-07', 3)")
+        parts = {
+            (r["partition"], r["name"], r["rows"], r["level"])
+            for r in eng.sql(
+                "SELECT * FROM system.parts WHERE table = 'parts_t'"
+            ).collect()
+        }
+        # insert 1 spans two months -> two parts; insert 2 -> one more
+        assert parts == {
+            ("202401", "20240105_20240105_1_1_0", "1", "0"),
+            ("202402", "20240206_20240206_2_2_0", "1", "0"),
+            ("202401", "20240107_20240107_3_3_0", "1", "0"),
+        }
+        eng.execute("OPTIMIZE TABLE parts_t")
+        merged = {
+            (r["partition"], r["name"], r["rows"], r["level"])
+            for r in eng.sql(
+                "SELECT * FROM system.parts WHERE table = 'parts_t'"
+            ).collect()
+        }
+        assert merged == {
+            ("202401", "20240105_20240107_1_3_1", "2", "1"),
+            ("202402", "20240206_20240206_2_2_0", "1", "0"),
+        }
+    finally:
+        eng.execute("DROP TABLE parts_t")
