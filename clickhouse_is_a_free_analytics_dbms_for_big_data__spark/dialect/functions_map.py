@@ -302,10 +302,15 @@ def _timing_quantile(x: str, levels: list[str]) -> str:
 
 
 def _t_uniq(a: Args) -> str:
+    # rsd pinned to the reference's 2^12-register HLL error profile
+    # (1.04/sqrt(2^12) ~= 0.016, AggregateFunctionUniq.h) — see
+    # functions/aggregates.py UNIQ_HLL12_RSD
+    from ..functions.aggregates import UNIQ_HLL12_RSD
+
     if len(a) == 1:
-        return f"approx_count_distinct({a[0]})"
+        return f"approx_count_distinct({a[0]}, {UNIQ_HLL12_RSD!r})"
     ns = ", ".join(f"'col{k + 1}', {x}" for k, x in enumerate(a))
-    return f"approx_count_distinct(named_struct({ns}))"
+    return f"approx_count_distinct(named_struct({ns}), {UNIQ_HLL12_RSD!r})"
 
 
 def _t_replace_regexp_one(a: Args) -> str:

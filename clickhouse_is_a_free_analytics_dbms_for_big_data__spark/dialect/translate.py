@@ -784,15 +784,41 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
             return f"(SELECT id AS number FROM range({args[0]})) AS __numbers", None
         if name == "remote":
             # remote('addrs', db, table) / remote('addrs', db.table):
-            # Spark's scheduler already scatters/gathers — the address
-            # list is dropped, the table resolves locally
-            # (TableFunctions/TableFunctionRemote.h).
-            target = ".".join(a.strip("'") for a in args[1:]) if len(args) > 1 else args[0].strip("'")
+            # Spark's scheduler already scatters/gathers, so every
+            # "shard" resolves to the local table — but the ADDRESS
+            # MULTIPLICITY is semantic: remote('127.0.0.{1,2}', t)
+            # reads t once per expanded address (2 shards = rows
+            # duplicated twice, TableFunctionRemote.h brace
+            # expansion), which distributed goldens observe.
+            shards = _addr_count(args[0].strip().strip("'"))
+            target = ".".join(
+                a.strip().strip("'").replace("`", "").replace(" ", "")
+                for a in args[1:]
+            ) if len(args) > 1 else args[0].strip().strip("'")
             if target in ("system.one", "one"):
+                if shards > 1:
+                    return (
+                        f"(SELECT 0 AS dummy FROM range({shards})) AS __one",
+                        None,
+                    )
                 return "(SELECT 0 AS dummy) AS __one", None
             if target in ("system.numbers", "numbers"):
                 return "(SELECT id AS number FROM range(1000000)) AS __numbers", None
-            return target, target
+            if (
+                "." not in target
+                and target not in ctx.table_views
+                and ctx.default_db
+                and f"{ctx.default_db}.{target}" in ctx.table_views
+            ):
+                target = f"{ctx.default_db}.{target}"
+            resolved = ctx.table_views.get(target, target)
+            if shards > 1:
+                return (
+                    f"(SELECT __r.* FROM {resolved} AS __r "
+                    f"CROSS JOIN range({shards})) AS __remote",
+                    target,
+                )
+            return resolved, target
         raise ValueError(f"unsupported table function {name}()")
     if name in ("system.numbers", "system.numbers_mt"):
         return "(SELECT id AS number FROM range(1000000)) AS __numbers", None
@@ -1189,6 +1215,40 @@ def _take_until(
         out.append(t)
         i += 1
     return out, i
+
+
+def _addr_count(addrs: str) -> int:
+    """Number of addresses a remote() pattern expands to
+    (TableFunctionRemote.h: top-level commas separate addresses,
+    ``{a,b,c}`` alternatives and ``{N..M}`` numeric ranges multiply
+    within one address)."""
+    import re as _re
+
+    parts: list[str] = []
+    depth, cur = 0, ""
+    for ch in addrs:
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    parts.append(cur)
+    total = 0
+    for part in parts:
+        c = 1
+        for m in _re.finditer(r"\{([^}]*)\}", part):
+            body = m.group(1)
+            rng = _re.fullmatch(r"(\d+)\.\.(\d+)", body)
+            if rng:
+                c *= int(rng.group(2)) - int(rng.group(1)) + 1
+            else:
+                c *= body.count(",") + 1
+        total += c
+    return max(total, 1)
 
 
 def _split_top(tokens: list[Token], sep: str) -> list[list[Token]]:

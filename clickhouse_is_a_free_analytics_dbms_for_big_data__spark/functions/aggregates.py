@@ -93,10 +93,22 @@ def argMax(arg, val) -> Column:
     return F.max_by(col_of(arg), col_of(val))
 
 
-def uniq(x, rsd: float = 0.05) -> Column:
+# The reference's HLL error profile, mapped onto Spark's HLL++ rsd
+# knob: uniq/uniqHLL12 use 2^12 registers (HyperLogLogCounter<12>,
+# AggregateFunctionUniq.h) — standard error 1.04/sqrt(2^12) ~= 0.0163;
+# uniqCombined's HLL stage uses 2^17 registers
+# (CombinedCardinalityEstimator.h) ~= 1.04/sqrt(2^17) ~= 0.0029.
+# Matching the register budget matches both accuracy AND per-group
+# sketch memory at 100 TB scale.
+UNIQ_HLL12_RSD = 1.04 / (2 ** 12) ** 0.5
+UNIQ_COMBINED_RSD = 1.04 / (2 ** 17) ** 0.5
+
+
+def uniq(x, rsd: float = UNIQ_HLL12_RSD) -> Column:
     """uniq() — HLL-family approximate distinct
     (AggregateFunctionUniq.h:52-69 HyperLogLogWithSmallSetOptimization);
-    Spark approx_count_distinct is HLL++ with the same contract."""
+    Spark approx_count_distinct is HLL++ with the same contract, pinned
+    to the reference's 2^12-register error profile."""
     return F.approx_count_distinct(col_of(x), rsd)
 
 
@@ -105,11 +117,11 @@ def uniqExact(x) -> Column:
 
 
 def uniqHLL12(x) -> Column:
-    return F.approx_count_distinct(col_of(x), 0.02)
+    return F.approx_count_distinct(col_of(x), UNIQ_HLL12_RSD)
 
 
 def uniqCombined(x) -> Column:
-    return F.approx_count_distinct(col_of(x), 0.01)
+    return F.approx_count_distinct(col_of(x), UNIQ_COMBINED_RSD)
 
 
 def uniqUpTo(n: int):

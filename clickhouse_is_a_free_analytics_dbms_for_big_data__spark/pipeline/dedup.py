@@ -515,34 +515,59 @@ def embedding_neardup_pairs(
     n_planes: int = 8,
     seed: int = 42,
     max_bucket: int = 256,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via random-hyperplane LSH buckets.
 
     High-cosine pairs land in the same sign-bucket with probability
-    (1 - theta/pi)^n_planes; candidates come from the same skew-bounded
-    bucket machinery as minhash/simhash (_banded_candidates: all-pairs
-    self-join only inside buckets <= ``max_bucket``, linear star path
-    above — a mass-duplicated embedding cluster can no longer go
-    quadratic).  The vector rides through the banding shuffle as a
-    carry column; exact cosine verifies each candidate.
+    p = (1 - theta/pi)^n_planes; candidates come from the same
+    skew-bounded bucket machinery as minhash/simhash
+    (_banded_candidates: all-pairs self-join only inside buckets <=
+    ``max_bucket``, linear star path above — a mass-duplicated
+    embedding cluster can no longer go quadratic).  The vector rides
+    through the banding shuffle as a carry column; exact cosine
+    verifies each candidate, so precision is 1.0 and ``n_bands`` only
+    tunes recall.
+
+    ``n_bands`` > 1 ORs over independent plane sets (seed+i): a pair is
+    a candidate if ANY set buckets it together, lifting recall to
+    1 - (1 - p)^n_bands at the cost of one posexplode fan-out (still
+    ONE banding shuffle — band id joins the bucket key, and
+    cross-band duplicate candidates collapse in _banded_candidates'
+    final dropDuplicates).
 
     Sizing at corpus scale: raise ``n_planes`` so the bucket space
     (2^n_planes) keeps expected bucket size under ``max_bucket``
-    (e.g. 20 planes = 1M buckets for a 100M-doc corpus), and OR over
-    multiple plane sets (seed+i) for recall — same plan shape per set.
+    (e.g. 20 planes = 1M buckets for a 100M-doc corpus), then raise
+    ``n_bands`` until 1-(1-p)^b clears the recall target at the
+    threshold's theta — shuffle volume grows linearly in n_bands,
+    never quadratically.
     """
     from .similarity import cosine
 
     release_dedup_caches()  # evict the previous call's cached blocks
-    planes = _hyperplanes(dim, n_planes, seed)
-    banded = _spread(df.select(id_col, vec_col), id_col).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.expr(_rhp_bucket_sql(f"`{vec_col}`", planes)).alias("bucket"),
-    )
-    cand = _banded_candidates(
-        banded, ("bucket",), carry=("v",), max_bucket=max_bucket
-    )
+    spread = _spread(df.select(id_col, vec_col), id_col)
+    if n_bands <= 1:
+        banded = spread.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.expr(
+                _rhp_bucket_sql(f"`{vec_col}`", _hyperplanes(dim, n_planes, seed))
+            ).alias("bucket"),
+        )
+        keys: tuple[str, ...] = ("bucket",)
+    else:
+        arr = "array(" + ", ".join(
+            _rhp_bucket_sql(f"`{vec_col}`", _hyperplanes(dim, n_planes, seed + i))
+            for i in range(n_bands)
+        ) + ")"
+        banded = spread.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.posexplode(F.expr(arr)).alias("band", "bucket"),
+        )
+        keys = ("band", "bucket")
+    cand = _banded_candidates(banded, keys, carry=("v",), max_bucket=max_bucket)
     return (
         cand.select(
             "id_a",

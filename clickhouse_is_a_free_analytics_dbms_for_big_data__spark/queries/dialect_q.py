@@ -445,3 +445,70 @@ def dialect_sequence_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "dialect_show_create",
+    # the oracle is the exact formatAST one-line rendering the engine
+    # must reproduce (InterpreterShowCreateQuery.cpp:30-44): stored
+    # column list with CH types + DEFAULT clauses, ENGINE text verbatim
+    """
+    SELECT 'CREATE TABLE sc_demo ( d Date,  u UInt32 DEFAULT 7,  s String)"""
+    """ ENGINE = MergeTree(d, u, 8192)' AS statement
+    """,
+    doc="SHOW CREATE TABLE re-renders the stored create query from the "
+    "TableDef's per-column ch_type / DEFAULT clause / engine_full text "
+    "(InterpreterShowCreateQuery.cpp:30-44, formatAST one-line form).",
+    tags=("dialect", "statements"),
+)
+def dialect_show_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    eng.execute(
+        "CREATE TABLE sc_demo (d Date, u UInt32 DEFAULT 7, s String) "
+        "ENGINE = MergeTree(d, u, 8192)"
+    )
+    return eng.execute("SHOW CREATE TABLE sc_demo")
+
+
+@query(
+    "system_parts_stats",
+    # after two parity-split INSERTs every month partition holds two
+    # level-0 parts; OPTIMIZE merges each partition to ONE level-1 part
+    # (MergeTreeDataMerger full-partition merge), so the expected
+    # system.parts content is derivable relationally from orders:
+    # per-month row counts and date ranges, level=1, active=1
+    """
+    SELECT strftime(o_orderdate, '%Y%m') AS partition,
+           CAST(COUNT(*) AS VARCHAR) AS "rows",
+           strftime(MIN(o_orderdate), '%Y%m%d') AS min_date,
+           strftime(MAX(o_orderdate), '%Y%m%d') AS max_date,
+           '1' AS level, '1' AS active
+    FROM orders WHERE o_orderdate < DATE '1992-07-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="system.parts over per-INSERT part bookkeeping "
+    "(Storages/System/StorageSystemParts.cpp:20-41): two parity-split "
+    "INSERT blocks create two level-0 parts per month partition "
+    "(MergeTreeDataWriter per-block parts), OPTIMIZE merges each "
+    "partition to one level-1 part; the oracle recomputes the merged "
+    "part stats (rows, min/max date per month) straight from orders.",
+    tags=("dialect", "system", "statements"),
+)
+def system_parts_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    eng.execute(
+        "CREATE TABLE pstats (d Date, k UInt32) ENGINE = MergeTree(d, k, 8192)"
+    )
+    eng.execute(
+        "INSERT INTO pstats SELECT o_orderdate, o_orderkey FROM orders "
+        "WHERE o_orderdate < toDate('1992-07-01') AND o_orderkey % 2 = 0"
+    )
+    eng.execute(
+        "INSERT INTO pstats SELECT o_orderdate, o_orderkey FROM orders "
+        "WHERE o_orderdate < toDate('1992-07-01') AND o_orderkey % 2 = 1"
+    )
+    eng.execute("OPTIMIZE TABLE pstats")
+    return eng.sql(
+        "SELECT partition, rows, min_date, max_date, level, active "
+        "FROM system.parts WHERE `table` = 'pstats' ORDER BY partition"
+    )

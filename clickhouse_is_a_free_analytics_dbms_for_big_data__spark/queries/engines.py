@@ -388,14 +388,16 @@ def running_accumulate_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "uniq_state_merge_hll",
     # the mergeable-state contract is checked as an invariant: merging
-    # per-day HLL states must land within 5% of the exact global
-    # distinct (itself engine-agnostic); sketch values are not compared
+    # per-day HLL states must land within 3% of the exact global
+    # distinct (itself engine-agnostic; the lgConfigK=14 sketch's
+    # standard error is ~0.8%, so 3% is a wide margin); sketch values
+    # are not compared
     """
     SELECT count(DISTINCT user_id) AS exact_u,
            CASE WHEN abs(approx_count_distinct(user_id)
                          - count(DISTINCT user_id)) * 1.0
-                     / count(DISTINCT user_id) <= 0.05
-                THEN 1 ELSE 0 END AS merged_within_5pct
+                     / count(DISTINCT user_id) <= 0.03
+                THEN 1 ELSE 0 END AS merged_within_3pct
     FROM events
     """,
     doc="uniqState/uniqMerge via Spark HLL sketches — mergeable distinct "
@@ -413,7 +415,7 @@ def uniq_state_merge_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.agg(F.countDistinct("user_id").alias("e")).select("e")
     return merged.crossJoin(exact).select(
         F.col("e").alias("exact_u"),
-        F.when(F.abs(F.col("m") - F.col("e")) / F.col("e") <= 0.05, F.lit(1))
+        F.when(F.abs(F.col("m") - F.col("e")) / F.col("e") <= 0.03, F.lit(1))
         .otherwise(F.lit(0))
-        .alias("merged_within_5pct"),
+        .alias("merged_within_3pct"),
     )

@@ -355,6 +355,67 @@ def pl_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pl_embedding_neardup_recall",
+    # exact brute-force pairs over the SAME augmented corpus: 20
+    # deterministic multiplicative-noise near-dups are planted (cosine
+    # ~0.9996 > threshold 0.98; everything else is < 0.52), so the
+    # oracle asserts FULL RECALL — the 4-band OR path must surface
+    # every planted pair, and the exact-cosine verify already
+    # guarantees precision 1.0.  The perturbation is pure integer/
+    # double arithmetic ((i*7 + id*13) % 11), bit-identical in both
+    # engines (no libm).
+    """
+    WITH pert AS (
+        SELECT e.vec_id + 10000 AS vec_id,
+               LIST(e.embedding[i.i]::DOUBLE
+                    * (1.0 + 0.03 * ((((i.i - 1) * 7 + e.vec_id * 13) % 11)::DOUBLE - 5.0) / 5.0)
+                    ORDER BY i.i) AS embedding
+        FROM embeddings e, (SELECT UNNEST(GENERATE_SERIES(1, 64)) AS i) AS i
+        WHERE e.vec_id < 20 GROUP BY e.vec_id
+    ), aug AS (
+        SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        UNION ALL SELECT vec_id, embedding FROM pert
+    ), scored AS (
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+               LIST_SUM(LIST_TRANSFORM(LIST_ZIP(l.embedding, r.embedding),
+                        p -> p[1] * p[2]))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(l.embedding, x -> x*x)))
+                  * SQRT(LIST_SUM(LIST_TRANSFORM(r.embedding, x -> x*x)))) AS raw
+        FROM aug l JOIN aug r ON l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b, ROUND(raw, 6) AS cos FROM scored
+    WHERE raw >= 0.98 ORDER BY id_a, id_b
+    """,
+    doc="Embedding near-dup RECALL path: OR over 4 independent "
+    "hyperplane sets (seed+i) lifts per-pair bucket-collision "
+    "probability from ~0.93 to ~1-2e-5 miss at cosine 0.9996 "
+    "(1-(1-p)^4).  20 deterministic near-dups are planted on the "
+    "embeddings table; the oracle is exact brute force over the same "
+    "augmented corpus, so the driver checks full recall AND zero "
+    "false positives end-to-end through the banded-LSH machinery.",
+    tags=("pipeline", "dedup", "similarity"),
+)
+@_plan_cache
+def pl_embedding_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    pert = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> cast(x as double) * "
+            "(1.0 + 0.03 * (cast((i * 7 + vec_id * 13) % 11 as double) - 5.0) / 5.0))"
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(pert)
+    return D.embedding_neardup_pairs(
+        aug, "vec_id", "embedding", dim=64, threshold=0.98, n_planes=8, n_bands=4
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "pl_ivf_ann",
     None,  # oracle attached below (shares the brute-force top-k SQL):
     # with n_probe = n_clusters the IVF path must reproduce the exact

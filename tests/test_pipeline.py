@@ -116,6 +116,59 @@ def test_embedding_neardup_recall(spark):
     assert {(0, 30), (1, 31)} <= got
 
 
+def test_embedding_neardup_multiband_recall(spark):
+    # 60 base vectors + a perturbed copy of each (cosine ~0.995).  With
+    # only 4 planes a single band misses a noticeable fraction of the
+    # planted pairs; OR over 4 plane sets (n_bands=4) must lift recall
+    # to >= 0.95 and never below the single-band recall (the candidate
+    # set is a superset by construction).
+    rng = random.Random(19)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x + rng.gauss(0, 0.05)) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planted = {(i, 1000 + i) for i in range(60)}
+
+    def recall(n_bands):
+        pairs = D.embedding_neardup_pairs(
+            df, "vec_id", "embedding", dim=16, threshold=0.98,
+            n_planes=4, n_bands=n_bands,
+        )
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert got <= planted  # exact-cosine verify: precision 1.0
+        return len(got & planted) / len(planted)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= 0.95
+    assert r4 >= r1
+
+
+def test_embedding_neardup_massdup_bounded(spark):
+    # the mass-duplicated cluster case: 400 identical vectors all land
+    # in one bucket in EVERY band.  The star path must keep the
+    # candidate count linear (every member pairs with the min-id
+    # representative, deduped across bands) instead of 400*399/2.
+    rng = random.Random(23)
+    base = [float(rng.gauss(0, 1)) for _ in range(16)]
+    rows = [(i, base) for i in range(400)]
+    rows += [
+        (1000 + i, [float(rng.gauss(0, 1)) for _ in range(16)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = D.embedding_neardup_pairs(
+        df, "vec_id", "embedding", dim=16, threshold=0.99,
+        n_planes=4, n_bands=3, max_bucket=64,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # full star on the duplicated cluster: rep 0 paired with all 399
+    assert {(0, i) for i in range(1, 400)} <= got
+    # linear, not quadratic: nowhere near the 79,800 all-pairs count
+    assert len(got) < 1000
+
+
 def test_ivf_recall_vs_brute(spark):
     rng = random.Random(5)
     rows = [
