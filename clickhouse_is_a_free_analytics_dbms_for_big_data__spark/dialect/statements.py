@@ -66,11 +66,27 @@ class ColumnDef:
     default_kind: str = ""
     default_expr: str = ""
 
+    @property
+    def is_virtual(self) -> bool:
+        """MATERIALIZED/ALIAS columns are hidden from ``SELECT *`` and
+        from positional INSERT (ColumnDefault.h: only ordinary and
+        DEFAULT columns are part of the insert block)."""
+        return self.default_kind in ("MATERIALIZED", "ALIAS")
+
+    @property
+    def is_alias(self) -> bool:
+        """ALIAS columns are never stored — the reference rewrites
+        references to the expression at query time."""
+        return self.default_kind == "ALIAS"
+
     def default_sql(self) -> str:
-        # an explicit DEFAULT clause wins even for Nullable columns;
-        # the type-specific default (Enum first value) must NOT override
-        # Nullable's NULL
-        if self.default_kind == "DEFAULT" and self.default is not None:
+        # an explicit DEFAULT/MATERIALIZED clause wins even for Nullable
+        # columns; the type-specific default (Enum first value) must NOT
+        # override Nullable's NULL
+        if (
+            self.default_kind in ("DEFAULT", "MATERIALIZED")
+            and self.default is not None
+        ):
             return self.default
         if self.nullable:
             return "NULL"
@@ -226,6 +242,237 @@ def _ch_type_inner(toks: list[Token]) -> ColumnDef | None:
     return None
 
 
+# --- CH expression type inference for typeless defaulted columns -----------
+#
+# ``create table t (col1 default 0)`` declares col1 with the TYPE OF THE
+# DEFAULT EXPRESSION under the reference's rules (InterpreterCreateQuery
+# columns-from-defaults; literal typing per DataTypes/FieldToDataType.cpp,
+# binary-op result types per Functions/NumberTraits.h).  This is a small
+# structural evaluator over the token stream — enough for the expression
+# forms the stateless corpus uses, never a general compiler.
+
+_CH_NUM_BITS = {
+    "UInt8": (8, False), "UInt16": (16, False), "UInt32": (32, False),
+    "UInt64": (64, False), "Int8": (8, True), "Int16": (16, True),
+    "Int32": (32, True), "Int64": (64, True),
+    "Float32": (32, True), "Float64": (64, True),
+}
+
+
+def _ch_num(bits: int, signed: bool) -> str:
+    return f"{'Int' if signed else 'UInt'}{min(bits, 64)}"
+
+
+def _ch_is_float(t: str) -> bool:
+    return t in ("Float32", "Float64")
+
+
+def _infer_literal(tok: Token) -> str | None:
+    """FieldToDataType.cpp: smallest unsigned type holding a
+    non-negative integer literal, Float64 for floats, String for
+    strings."""
+    if tok.kind == "string":
+        return "String"
+    if tok.kind != "number":
+        return None
+    text = tok.text
+    if "." in text or "e" in text.lower():
+        return "Float64"
+    v = int(text)
+    for bits in (8, 16, 32, 64):
+        if v < (1 << bits):
+            return _ch_num(bits, False)
+    return "UInt64"
+
+
+# return types of the corpus's common typeless-default functions
+_CH_FN_TYPES = {
+    "today": "Date", "yesterday": "Date", "now": "DateTime",
+    "rand": "UInt32", "rand64": "UInt64", "length": "UInt64",
+    "inthash32": "UInt32", "inthash64": "UInt64",
+    "cityhash64": "UInt64", "siphash64": "UInt64", "farmhash64": "UInt64",
+    "halfmd5": "UInt64", "tostring": "String", "concat": "String",
+    "todate": "Date", "todatetime": "DateTime",
+    "touint8": "UInt8", "touint16": "UInt16", "touint32": "UInt32",
+    "touint64": "UInt64", "toint8": "Int8", "toint16": "Int16",
+    "toint32": "Int32", "toint64": "Int64",
+    "tofloat32": "Float32", "tofloat64": "Float64",
+    "toyear": "UInt16", "tomonth": "UInt8", "todayofmonth": "UInt8",
+    "todayofweek": "UInt8", "tohour": "UInt8", "tominute": "UInt8",
+    "tosecond": "UInt8",
+}
+
+
+def _binop_type(op: str, lt: str | None, rt: str | None) -> str | None:
+    """NumberTraits.h result-type algebra (the reference's promotion
+    rules, not Spark's): +/- and * widen to 2x the wider operand
+    (subtraction always signed), / is always Float64, % takes the
+    DIVISOR's type, intDiv the dividend's; comparisons are UInt8."""
+    if lt is None or rt is None:
+        return None
+    if op in ("=", "==", "!=", "<>", "<", ">", "<=", ">=", "AND", "OR"):
+        return "UInt8"
+    if lt == rt and lt in ("Date", "DateTime") and op == "-":
+        return "Int32"
+    if lt in ("Date", "DateTime") and rt in _CH_NUM_BITS and op in ("+", "-"):
+        return lt  # date arithmetic keeps the date type
+    if lt not in _CH_NUM_BITS or rt not in _CH_NUM_BITS:
+        return None
+    if op == "/":
+        return "Float64"
+    if _ch_is_float(lt) or _ch_is_float(rt):
+        return "Float64"
+    (lb, ls), (rb, rs) = _CH_NUM_BITS[lt], _CH_NUM_BITS[rt]
+    if op in ("+", "*"):
+        return _ch_num(max(lb, rb) * 2, ls or rs)
+    if op == "-":
+        return _ch_num(max(lb, rb) * 2, True)
+    if op == "%":
+        return _ch_num(rb, ls or rs)
+    if op == "INTDIV":
+        return _ch_num(lb, ls or rs)
+    return None
+
+
+def _infer_ch_type(
+    toks: list[Token], cols: dict[str, str]
+) -> str | None:
+    """CH type of a default-clause expression; ``cols`` maps previously
+    declared column names to their CH types.  None = not inferable
+    (the caller then reports the honest unsupported-type error)."""
+    toks = list(toks)
+    while (
+        len(toks) >= 2
+        and toks[0].text == "("
+        and _find_close(toks, 0) == len(toks) - 1
+    ):
+        toks = toks[1:-1]
+    if not toks:
+        return None
+    # lowest-precedence top-level operator splits last
+    for ops in (("AND", "OR"), ("=", "==", "!=", "<>", "<", ">", "<=", ">="),
+                ("+", "-"), ("*", "/", "%")):
+        depth = 0
+        for j in range(len(toks) - 1, 0, -1):
+            t = toks[j]
+            if t.text == ")":
+                depth += 1
+            elif t.text == "(":
+                depth -= 1
+            elif depth == 0 and (
+                t.text in ops or (t.kind == "ident" and t.text.upper() in ops)
+            ):
+                lt = _infer_ch_type(toks[:j], cols)
+                rt = _infer_ch_type(toks[j + 1 :], cols)
+                return _binop_type(t.text.upper(), lt, rt)
+    t0 = toks[0]
+    if t0.text == "[":
+        # array literal: Array(least supertype of the elements)
+        elems = _split_top(toks[1:-1], ",") if len(toks) > 2 else []
+        sup = _ch_supertype([_infer_ch_type(e, cols) for e in elems])
+        return f"Array({sup})" if sup else None
+    if len(toks) == 1:
+        lit = _infer_literal(t0)
+        if lit is not None:
+            return lit
+        return cols.get(t0.text.strip("`"))
+    # dotted column reference (Nested member)
+    if (
+        len(toks) == 3
+        and toks[1].text == "."
+        and toks[0].kind in ("ident", "qident")
+    ):
+        return cols.get(f"{toks[0].text.strip('`')}.{toks[2].text.strip('`')}")
+    if len(toks) >= 2 and toks[1].text == "(" and t0.kind == "ident":
+        fname = t0.text.lower()
+        if fname == "intdiv":
+            args = _split_top(toks[2:-1], ",")
+            if len(args) == 2:
+                return _binop_type(
+                    "INTDIV",
+                    _infer_ch_type(args[0], cols),
+                    _infer_ch_type(args[1], cols),
+                )
+        if fname == "cast":
+            args = _split_top(toks[2:-1], ",")
+            inner = args[0]
+            for j, t in enumerate(inner):
+                if t.is_kw("AS"):
+                    return _render_type(inner[j + 1 :])
+            if len(args) == 2 and args[1][0].kind == "string":
+                return args[1][0].text.strip("'")
+        if fname == "arraymap":
+            body = _split_top(toks[2:-1], ",")[0]
+            for j, t in enumerate(body):
+                if t.text == "->":
+                    inner = _infer_ch_type(body[j + 1 :], cols)
+                    return f"Array({inner})" if inner else None
+        if fname == "range":
+            return "Array(UInt64)"
+        if fname in ("negate",):
+            inner = _infer_ch_type(
+                _split_top(toks[2:-1], ",")[0], cols
+            )
+            if inner in _CH_NUM_BITS:
+                b, _ = _CH_NUM_BITS[inner]
+                return _ch_num(b * 2, True)
+        return _CH_FN_TYPES.get(fname)
+    return None
+
+
+def _ch_supertype(types: list[str | None]) -> str | None:
+    """Least common CH numeric supertype (DataTypes/getLeastCommonType
+    semantics for the numeric subset): widest bits win, mixing signs
+    needs the next wider signed type (UInt8+Int8 → Int16)."""
+    ts = [t for t in types]
+    if not ts or any(t is None for t in ts):
+        return None
+    uniq = set(ts)
+    if len(uniq) == 1:
+        return ts[0]
+    if not all(t in _CH_NUM_BITS for t in uniq):
+        return None
+    if any(_ch_is_float(t) for t in uniq):
+        return "Float64"
+    signed = any(_CH_NUM_BITS[t][1] for t in uniq)
+    bits = 0
+    for t in uniq:
+        b, s = _CH_NUM_BITS[t]
+        bits = max(bits, b if s == signed else b * 2)
+    return _ch_num(bits, signed)
+
+
+def _find_close(toks: list[Token], i: int) -> int:
+    depth = 0
+    for j in range(i, len(toks)):
+        if toks[j].text == "(":
+            depth += 1
+        elif toks[j].text == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    return -1
+
+
+def _coldef_of_ch_name(ch_name: str) -> ColumnDef | None:
+    """ColumnDef for an inferred CH type name (incl. Array(T))."""
+    up = ch_name.upper()
+    if up in _NUM_TYPES:
+        return ColumnDef("", _NUM_TYPES[up], ch_type=ch_name)
+    if up == "STRING":
+        return ColumnDef("", "STRING", ch_type="String")
+    if up == "DATE":
+        return ColumnDef("", "DATE", ch_type="Date")
+    if up == "DATETIME":
+        return ColumnDef("", "TIMESTAMP", ch_type="DateTime")
+    if up.startswith("ARRAY("):
+        cd = _ch_type(tokenize(ch_name))
+        if cd is not None:
+            cd.ch_type = ch_name
+        return cd
+    return None
+
+
 def _col_name(item: list[Token]) -> tuple[str, int]:
     """Column name, possibly dotted (Nested member: ``N.A``);
     backquotes are stripped — `n.d` names the dotted column itself."""
@@ -239,7 +486,9 @@ def _col_name(item: list[Token]) -> tuple[str, int]:
     return name, k
 
 
-def _parse_one_column(item: list[Token]) -> list[ColumnDef] | None:
+def _parse_one_column(
+    item: list[Token], prior: dict[str, str] | None = None
+) -> list[ColumnDef] | None:
     """One column declaration → one ColumnDef, or several for
     Nested(...) (DataTypeNested = parallel arrays: ``N Nested(A T)``
     declares column ``N.A Array(T)`` — SURVEY §1.2)."""
@@ -272,28 +521,56 @@ def _parse_one_column(item: list[Token]) -> list[ColumnDef] | None:
                 )
             )
         return out
-    cd = _ch_type(type_toks)
+    if not type_toks and default_expr_toks:
+        # typeless defaulted column: the declared type IS the type of
+        # the default expression (InterpreterCreateQuery
+        # columns-from-defaults)
+        inferred = _infer_ch_type(default_expr_toks, prior or {})
+        cd = _coldef_of_ch_name(inferred) if inferred else None
+    else:
+        cd = _ch_type(type_toks)
     if cd is None:
         return None
     cd.name = name
     cd.default_kind = default_kind
     cd.default_expr = default_expr
-    if default_kind == "DEFAULT" and default_expr_toks:
-        # the CH expression (today(), literals, ...) rewritten to Spark
-        # SQL becomes the fill value for rows/parts predating the column
-        from .translate import Ctx, _rewrite
+    if default_kind and default_expr_toks:
+        # the CH expression (today(), literals, col refs ...) rewritten
+        # to Spark SQL: the insert/read-time fill for DEFAULT and
+        # MATERIALIZED, the query-rewrite body for ALIAS.  Dotted
+        # references to sibling Nested members fold to single
+        # backquoted identifiers first (same rule as SELECT).
+        from .translate import Ctx, _fold_dotted, _rewrite
 
-        cd.default = _rewrite(default_expr_toks, Ctx())
+        dotted_prior = {n for n in (prior or {}) if "." in n}
+        toks_f = (
+            _fold_dotted(default_expr_toks, dotted_prior)
+            if dotted_prior
+            else default_expr_toks
+        )
+        cd.default = _rewrite(toks_f, Ctx())
+        if type_toks:
+            # explicit type + default expression of a DIFFERENT type:
+            # the stored AST wraps the expression in a CAST
+            # (InterpreterCreateQuery default-type reconciliation,
+            # visible in DESCRIBE as ``CAST(expr AS T)``)
+            inferred = _infer_ch_type(default_expr_toks, prior or {})
+            if inferred is not None and inferred != cd.ch_type:
+                cd.default_expr = f"CAST({cd.default_expr} AS {cd.ch_type})"
+                cd.default = f"CAST({cd.default} AS {cd.spark_type})"
     return [cd]
 
 
 def _parse_columns(toks: list[Token]) -> list[ColumnDef] | None:
     cols: list[ColumnDef] = []
+    prior: dict[str, str] = {}
     for item in _split_top(toks, ","):
-        parsed = _parse_one_column(item)
+        parsed = _parse_one_column(item, prior)
         if parsed is None:
             return None
         cols.extend(parsed)
+        for c in parsed:
+            prior[c.name] = c.ch_type
     return cols
 
 
@@ -526,7 +803,9 @@ def _create(engine, tokens: list[Token]) -> None:
                 for f in df.schema.fields
             ]
     elif cols is not None:
-        ddl = ", ".join(f"`{c.name}` {c.spark_type}" for c in cols)
+        ddl = ", ".join(
+            f"`{c.name}` {c.spark_type}" for c in cols if not c.is_alias
+        )
         df = engine.spark.createDataFrame([], ddl)
     else:
         raise ValueError("CREATE TABLE needs a column list or AS SELECT")
@@ -541,12 +820,21 @@ def _publish(engine, tdef: TableDef) -> None:
     """Register the public view: the raw rows projected through the
     current column list, with NULL part-absence sentinels replaced by
     the CURRENT declared type's default (non-Nullable columns only —
-    matches reading an old part that predates an ALTER ADD)."""
+    matches reading an old part that predates an ALTER ADD).
+
+    Defaults are computed in DEPENDENCY LAYERS over the already
+    published values of the columns they reference (``d1 default
+    array`` reads the published [0,1,2], not the raw NULL sentinel —
+    evaluateMissingDefaults recursion); raw columns are renamed
+    ``__raw_*`` so a fill expression's bare column reference always
+    resolves to the published value."""
+    from pyspark.sql import functions as F
+
     view = engine.table_views.get(tdef.name, _view_of(tdef.name))
     raw = tdef.raw
     have = set(raw.columns)
-    tmp = f"__pub_{view}"
-    raw.createOrReplaceTempView(tmp)
+    phys = [c for c in tdef.columns if not c.is_alias]
+    names = {c.name for c in tdef.columns}
 
     def nested_fill(c: ColumnDef) -> str | None:
         """An absent Nested member fills to its SIBLING's length with
@@ -572,30 +860,48 @@ def _publish(engine, tdef: TableDef) -> None:
         elem_d = _TYPE_DEFAULTS.get(elem_t, "NULL")
         return (
             f"array_repeat(CAST({elem_d} AS {elem_t}), "
-            f"size(COALESCE(`{sib}`, array())))"
+            f"size(COALESCE(`__raw_{sib}`, array())))"
         )
 
-    sel = []
-    for c in tdef.columns:
-        fill = nested_fill(c) or c.default_sql()
+    def fill_of(c: ColumnDef) -> str:
+        # an explicit DEFAULT/MATERIALIZED expression beats the Nested
+        # sibling-length fill (the declared default is authoritative)
+        if c.default_kind and c.default is not None:
+            return c.default_sql()
+        return nested_fill(c) or c.default_sql()
+
+    def pub_expr(c: ColumnDef, fill: str) -> str:
         if c.name not in have:
-            sel.append(f"CAST({fill} AS {c.spark_type}) AS `{c.name}`")
-        elif c.nullable:
-            sel.append(f"CAST(`{c.name}` AS {c.spark_type}) AS `{c.name}`")
-        else:
-            sel.append(
-                f"CAST(COALESCE(`{c.name}`, {fill}) "
-                f"AS {c.spark_type}) AS `{c.name}`"
-            )
-    sql = f"SELECT {', '.join(sel)} FROM {tmp}"
+            return f"CAST({fill} AS {c.spark_type}) AS `{c.name}`"
+        if c.nullable:
+            return f"CAST(`__raw_{c.name}` AS {c.spark_type}) AS `{c.name}`"
+        return (
+            f"CAST(COALESCE(`__raw_{c.name}`, {fill}) "
+            f"AS {c.spark_type}) AS `{c.name}`"
+        )
+
+    df = raw.select(
+        *(F.col(f"`{c}`").alias(f"__raw_{c}") for c in raw.columns)
+    )
+    pending = list(phys)
+    while pending:
+        done = {c.name for c in phys if c.name in df.columns}
+        layer, rest = [], []
+        for c in pending:
+            deps = _expr_deps(fill_of(c), names) - done - {c.name}
+            (layer if not deps else rest).append(c)
+        if not layer:
+            layer, rest = pending, []  # circular: let analysis surface it
+        df = df.selectExpr("*", *(pub_expr(c, fill_of(c)) for c in layer))
+        pending = rest
+    df = df.selectExpr(*(f"`{c.name}`" for c in phys))
     # MergeTree-family reads are PK-ordered (sorted parts,
     # MergeTreeData.h) — emulate by sorting the published view; outer
     # ORDER BY / aggregation overrides it, plain SELECTs see PK order
-    pk = [k for k in tdef.meta.primary_key if any(c.name == k for c in tdef.columns)]
+    pk = [k for k in tdef.meta.primary_key if any(c.name == k for c in phys)]
     if pk and tdef.engine.endswith("MergeTree"):
-        sql += " ORDER BY " + ", ".join(f"`{k}`" for k in pk)
-    public = engine.spark.sql(sql)
-    engine.register_table(view, public, tdef.meta)
+        df = df.sort(*(F.col(f"`{k}`") for k in pk))
+    engine.register_table(view, df, tdef.meta)
 
 
 def _drop(engine, tokens: list[Token]) -> None:
@@ -634,7 +940,10 @@ def _insert(engine, tokens: list[Token]) -> None:
     tdef = engine.tables.get(name)
     if tdef is None:
         raise ValueError(f"INSERT into unknown table {name!r}")
-    subset = [c.name for c in tdef.columns]
+    # positional INSERT covers only ordinary + DEFAULT columns;
+    # MATERIALIZED/ALIAS are never part of the insert block
+    # (ColumnDefault.h)
+    subset = [c.name for c in tdef.columns if not c.is_virtual]
     if tokens[i].text == "(":
         close = _match_paren(tokens, i)
         subset = [t[0].text for t in _split_top(tokens[i + 1 : close], ",")]
@@ -664,8 +973,11 @@ def _insert(engine, tokens: list[Token]) -> None:
     else:
         raise ValueError("INSERT expects VALUES or SELECT")
 
-    # project into the full schema: subset columns (wrapped/cast), the
-    # rest type defaults (ColumnDefault.h: missing = default, not NULL)
+    # project into the full physical schema: subset columns
+    # (wrapped/cast) first, then the remaining DEFAULT/MATERIALIZED
+    # columns computed in dependency layers — their expressions may
+    # reference other inserted or defaulted columns (ColumnDefault.h:
+    # missing = evaluated default, never NULL; ALIAS is never stored)
     view = engine.table_views.get(name, _view_of(name))
     new_df.createOrReplaceTempView(f"__ins_{view}")
     sel = []
@@ -675,11 +987,10 @@ def _insert(engine, tokens: list[Token]) -> None:
             src = f"`{src_cols[subset.index(c.name)]}`"
             v = c.wrapper.format(v=src) if c.wrapper else src
             sel.append(f"CAST({v} AS {c.spark_type}) AS `{c.name}`")
-        else:
-            sel.append(f"CAST({c.default_sql()} AS {c.spark_type}) AS `{c.name}`")
     shaped = engine.spark.sql(
         f"SELECT {', '.join(sel)} FROM __ins_{view}"
     )
+    shaped = _fill_defaults(tdef, shaped)
     # append to the raw backing rows (the reference appends a part);
     # localCheckpoint breaks lineage so repeated INSERTs stay flat
     existing = tdef.raw if tdef.raw is not None else engine.spark.table(view)
@@ -690,6 +1001,63 @@ def _insert(engine, tokens: list[Token]) -> None:
     if tdef.engine.endswith("MergeTree"):
         _track_insert_parts(engine, tdef, shaped)
     _publish(engine, tdef)
+
+
+def _expr_deps(fill: str, names: set[str]) -> set[str]:
+    """Table-column names a fill expression references (backquoted or
+    bare identifiers; a name directly followed by ``(`` is a function
+    call, not a column)."""
+    import re as _re
+
+    found = set()
+    for n in names:
+        if f"`{n}`" in fill or _re.search(
+            rf"(?<![\w`.]){_re.escape(n)}(?![\w`])(?!\s*\()", fill
+        ):
+            found.add(n)
+    return found
+
+
+def _fill_defaults(tdef: TableDef, df: DataFrame) -> DataFrame:
+    """Add every missing non-ALIAS column to the block, evaluating
+    DEFAULT/MATERIALIZED expressions in dependency layers (an
+    expression may reference other inserted OR other defaulted
+    columns — the reference computes required defaults recursively,
+    evaluateMissingDefaults).  Columns whose dependencies never
+    resolve fall back to the type default."""
+    names = {c.name for c in tdef.columns}
+    pending = [
+        c for c in tdef.columns
+        if not c.is_alias and c.name not in df.columns
+    ]
+
+    while pending:
+        have = set(df.columns)
+        layer = [
+            c for c in pending
+            if not (_expr_deps(c.default_sql(), names) - have - {c.name})
+        ]
+        if not layer:
+            # circular / unresolvable: honest type defaults
+            df = df.selectExpr(
+                "*",
+                *(
+                    f"CAST({_TYPE_DEFAULTS.get(c.spark_type, 'NULL')} "
+                    f"AS {c.spark_type}) AS `{c.name}`"
+                    for c in pending
+                ),
+            )
+            break
+        df = df.selectExpr(
+            "*",
+            *(
+                f"CAST({c.default_sql()} AS {c.spark_type}) AS `{c.name}`"
+                for c in layer
+            ),
+        )
+        pending = [c for c in pending if c not in layer]
+    order = [f"`{c.name}`" for c in tdef.columns if not c.is_alias]
+    return df.selectExpr(*order)
 
 
 # per-type on-disk width estimate for system.parts bytes
@@ -848,11 +1216,13 @@ def _sync_raw(engine, tdef) -> None:
     raw = tdef.raw if tdef.raw is not None else engine.spark.table(
         engine.table_views.get(tdef.name, _view_of(tdef.name))
     )
-    want = [c.name for c in tdef.columns]
+    want = [c.name for c in tdef.columns if not c.is_alias]
     for col in raw.columns:
         if col not in want:
             raw = raw.drop(col)
     for c in tdef.columns:
+        if c.is_alias:
+            continue
         if c.name not in raw.columns:
             raw = raw.withColumn(
                 c.name, F.expr(f"CAST(NULL AS {c.spark_type})")
@@ -895,7 +1265,9 @@ def _alter(engine, tokens: list[Token]) -> None:
                     after, _ = _col_name(rest[j + 1 :])
                     rest = rest[:j]
                     break
-            parsed = _parse_one_column(rest)
+            parsed = _parse_one_column(
+                rest, {c.name: c.ch_type for c in tdef.columns}
+            )
             if parsed is None:
                 raise ValueError(
                     f"unsupported column type in ALTER: "
@@ -905,7 +1277,25 @@ def _alter(engine, tokens: list[Token]) -> None:
                 for newc in parsed:
                     for k, c in enumerate(tdef.columns):
                         if c.name == newc.name:
-                            tdef.columns[k] = newc
+                            if c.is_virtual == newc.is_virtual:
+                                tdef.columns[k] = newc
+                            else:
+                                # default-kind change across the
+                                # physical/virtual divide repositions
+                                # the column: ordinary+DEFAULT columns
+                                # precede MATERIALIZED/ALIAS in the
+                                # stored list (columns.txt order,
+                                # visible in 00079's DESCRIBE)
+                                tdef.columns.pop(k)
+                                if newc.is_virtual:
+                                    tdef.columns.append(newc)
+                                else:
+                                    pos = 0
+                                    for j2, c2 in enumerate(tdef.columns):
+                                        if not c2.is_virtual:
+                                            pos = j2 + 1
+                                    tdef.columns.insert(pos, newc)
+                            break
             else:
                 names = [c.name for c in tdef.columns]
                 if any(p.name in names for p in parsed):

@@ -443,6 +443,94 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     if table_name and ctx.columns_of is not None:
         cols_ = ctx.columns_of(table_name)
         dotted = {c for c in (cols_ or []) if "." in c}
+    # MATERIALIZED/ALIAS columns (ColumnDefault.h): hidden from *,
+    # ALIAS references rewritten to their stored expression
+    vis_cols: list[str] | None = None
+    alias_subs: dict[str, str] = {}
+    if table_name and ctx.tabledef_of is not None:
+        _vt = ctx.tabledef_of(table_name)
+        if _vt is not None and any(
+            getattr(c, "is_virtual", False) for c in _vt.columns
+        ):
+            vis_cols = [c.name for c in _vt.columns if not c.is_virtual]
+            alias_subs = {
+                c.name: f"({c.default})"
+                for c in _vt.columns
+                if c.is_alias and c.default
+            }
+            alias_subs = _resolve_alias_chain(alias_subs)
+            dotted |= {c.name for c in _vt.columns if "." in c.name}
+    if vis_cols is not None and not joins:
+        for idx, item in enumerate(select_items):
+            if len(item) == 1 and item[0].text == "*":
+                select_items[idx] = [
+                    Token("raw", ", ".join(f"`{c}`" for c in vis_cols))
+                ]
+    # ARRAY JOIN of a Nested BLOCK name expands to its member columns
+    # in lockstep (NestedUtils: `ARRAY JOIN n [AS m]` joins every `n.x`
+    # and outputs them as `m.x`) — expand before folding so the new
+    # dotted output names fold too
+    aj_out_names: set[str] = set()
+    aj_renames: dict[str, str] = {}  # visible dotted out-name → safe alias
+    if array_join_items and (dotted or alias_subs):
+        if dotted:
+            array_join_items = [
+                (left_, _fold_dotted(it, dotted))
+                for left_, it in array_join_items
+            ]
+        expanded: list[tuple[bool, list[Token]]] = []
+        for is_left, item in array_join_items:
+            item_toks, aj_alias = _strip_alias(item)
+            base = (
+                item_toks[0].text.strip("`")
+                if len(item_toks) == 1
+                and item_toks[0].kind in ("ident", "qident")
+                else None
+            )
+            members = (
+                [c for c in sorted(dotted) if c.startswith(base + ".")]
+                if base
+                else []
+            )
+            if members:
+                out_base = aj_alias.strip("`") if aj_alias else base
+                for m in members:
+                    out_name = f"{out_base}.{m.split('.', 1)[1]}"
+                    safe = ctx.gensym("ajm")
+                    aj_out_names.add(out_name)
+                    aj_renames[out_name] = safe
+                    expanded.append(
+                        (
+                            is_left,
+                            [
+                                Token("qident", f"`{m}`"),
+                                Token("ident", "AS"),
+                                Token("ident", safe),
+                            ],
+                        )
+                    )
+            elif base is not None and base in alias_subs:
+                # ARRAY JOIN over an ALIAS column: explode the stored
+                # expression; the visible name (or AS alias) refers to
+                # the exploded element, never the whole array
+                out_name = aj_alias.strip("`") if aj_alias else base
+                safe = ctx.gensym("ajm")
+                aj_out_names.add(out_name)
+                aj_renames[out_name] = safe
+                expanded.append(
+                    (
+                        is_left,
+                        [
+                            Token("raw", alias_subs[base]),
+                            Token("ident", "AS"),
+                            Token("ident", safe),
+                        ],
+                    )
+                )
+            else:
+                expanded.append((is_left, item))
+        array_join_items = expanded
+        dotted |= aj_out_names
     if dotted:
         select_items = [_fold_dotted(s, dotted) for s in select_items]
         where_toks = _fold_dotted(where_toks, dotted)
@@ -453,6 +541,25 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
         array_join_items = [
             (left_, _fold_dotted(it, dotted)) for left_, it in array_join_items
         ]
+    if alias_subs:
+        # inside ARRAY JOIN items the whole-array ALIAS expression is
+        # wanted; in the main clauses a name that is an ARRAY JOIN
+        # output refers to the exploded element instead — never
+        # substitute those
+        array_join_items = [
+            (left_, _substitute(it, alias_subs))
+            for left_, it in array_join_items
+        ]
+        clause_subs = {
+            k: v for k, v in alias_subs.items() if k not in aj_out_names
+        }
+        if clause_subs:
+            select_items = [_substitute(s, clause_subs) for s in select_items]
+            where_toks = _substitute(where_toks, clause_subs)
+            prewhere_toks = _substitute(prewhere_toks, clause_subs)
+            group_toks = _substitute(group_toks, clause_subs)
+            having_toks = _substitute(having_toks, clause_subs)
+            order_toks = _substitute(order_toks, clause_subs)
 
     # ---- ARRAY JOIN → LATERAL VIEW (+ substitutions for lockstep items)
     lateral = ""
@@ -463,6 +570,16 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
         for is_left, item in array_join_items:
             item_toks, alias = _strip_alias(item)
             expr_sql = _rewrite(item_toks, ctx)
+            if (
+                alias is not None
+                and len(item_toks) == 1
+                and item_toks[0].kind in ("ident", "qident")
+                and alias.strip("`") == item_toks[0].text.strip("`")
+            ):
+                # `ARRAY JOIN x AS x` self-alias: identical to the bare
+                # shadowing form — a real output column would collide
+                # with the source column
+                alias = None
             explicit = alias is not None
             if alias is None:
                 if len(item_toks) == 1 and item_toks[0].kind in ("ident", "qident"):
@@ -485,6 +602,10 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
         lateral = f" LATERAL VIEW {fn}({exprs[0][1]}) {ctx.gensym('ajv')} AS {pos_alias}, {val_alias}"
         for alias, expr_sql, _explicit in exprs[1:]:
             aj_subs[alias] = f"element_at({expr_sql}, {pos_alias} + 1)"
+        # Nested-block expansion: the user-visible dotted names resolve
+        # to the lockstep members' safe lateral aliases
+        for out_name, safe in aj_renames.items():
+            aj_subs[out_name] = aj_subs.get(safe, safe)
 
     # ---- joins (rendered before the select list: LEFT/FULL joins
     # substitute type defaults for missing right-side values)
@@ -1375,6 +1496,32 @@ def _collect_inline_aliases(
     return out
 
 
+def _resolve_alias_chain(subs: dict[str, str]) -> dict[str, str]:
+    """ALIAS-of-ALIAS chains (``a2 ALIAS a1``) resolve transitively:
+    substitute alias bodies into each other until fixpoint (bounded by
+    the chain length; self-recursive aliases stop changing and surface
+    as an analysis error downstream)."""
+    import re as _re
+
+    for _ in range(len(subs)):
+        changed = False
+        for k, v in list(subs.items()):
+            nv = v
+            for k2, v2 in subs.items():
+                if k2 == k:
+                    continue
+                nv = nv.replace(f"`{k2}`", v2)
+                nv = _re.sub(
+                    rf"(?<![\w`.]){_re.escape(k2)}(?![\w`])(?!\s*\()", v2, nv
+                )
+            if nv != v:
+                subs[k] = nv
+                changed = True
+        if not changed:
+            break
+    return subs
+
+
 def _fold_dotted(toks: list[Token], dotted: set[str]) -> list[Token]:
     """Fold ``a . b`` ident chains that name a literal dotted column
     (Nested member) into one backquoted identifier."""
@@ -1422,13 +1569,17 @@ def _substitute(tokens: list[Token], subs: dict[str, str]) -> list[Token]:
         return tokens
     out: list[Token] = []
     for k, t in enumerate(tokens):
+        key = None
+        if t.kind == "ident" and t.text in subs:
+            key = t.text
+        elif t.kind == "qident" and t.text.strip("`") in subs:
+            key = t.text.strip("`")
         if (
-            t.kind == "ident"
-            and t.text in subs
+            key is not None
             and (k == 0 or (tokens[k - 1].text != "." and not tokens[k - 1].is_kw("AS")))
             and (k + 1 >= len(tokens) or tokens[k + 1].text != "(")
         ):
-            out.append(Token("raw", subs[t.text]))
+            out.append(Token("raw", subs[key]))
         else:
             out.append(t)
     return out
