@@ -505,6 +505,14 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "uniqMerge": lambda a: f"hll_sketch_estimate(hll_union_agg({a[0]}))",
     "groupArrayState": lambda a: f"collect_list({a[0]})",
     "groupArrayMerge": lambda a: f"flatten(collect_list({a[0]}))",
+    "anyState": lambda a: f"first({a[0]})",
+    "anyMerge": lambda a: f"first({a[0]})",
+    "anyLastState": lambda a: f"last({a[0]})",
+    "anyLastMerge": lambda a: f"last({a[0]})",
+    # anyIf: first value where cond held; a no-match group's state is
+    # NULL and merges away under ignoreNulls
+    "anyIfState": lambda a: f"first(IF({a[1]}, {a[0]}, NULL), true)",
+    "anyIfMerge": lambda a: f"first({a[0]}, true)",
     "median": lambda a: f"percentile_approx({a[0]}, 0.5)",
     "quantile": lambda a: f"percentile_approx({a[0]}, 0.5)",
     "quantileExact": lambda a: f"percentile({a[0]}, 0.5)",
@@ -918,6 +926,26 @@ def _p_quantiles(exact: bool) -> Callable[[Args, Args], str]:
     return tpl
 
 
+def _interp_quantile_of(arr_sql: str, p: str) -> str:
+    """ReservoirSampler::quantileInterpolated (the reference's plain
+    quantile/quantiles finalizer): g = level*(n-1), linear interpolation
+    between the two straddling sorted samples — exact whenever the
+    sample fits the reservoir (8192), which covers every golden."""
+    a = f"array_sort({arr_sql})"
+    # the level is a Float64 in the reference; Spark would parse the
+    # bare literal as DECIMAL and compute an exact frac, diverging in
+    # the last ulp from the reference's double arithmetic
+    pos = f"(CAST({p} AS DOUBLE) * (size({a}) - 1))"
+    lo = f"CAST(floor({pos}) AS INT)"
+    frac = f"({pos} - floor({pos}))"
+    lov = f"CAST(element_at({a}, {lo} + 1) AS DOUBLE)"
+    hiv = f"CAST(element_at({a}, least({lo} + 2, size({a}))) AS DOUBLE)"
+    # bit-exact to the reference: left*(1-frac) + right*frac, NOT
+    # left + frac*(right-left) — the two round differently in the last
+    # ulp and the golden corpus prints shortest-roundtrip doubles
+    return f"({lov} * (1 - {frac}) + {hiv} * {frac})"
+
+
 def _seq_encoded(args: Args) -> str:
     """Time-ordered condition-digit string — SQL twin of
     operators/sequence_match.py:_encode_events (same sort_array over
@@ -1015,6 +1043,17 @@ PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     # (finalizeAggregation is then the identity — functions/state.py)
     "quantileTimingState": lambda p, a: _timing_quantile(a[0], p or ["0.5"]),
     "quantilesTimingState": lambda p, a: _timing_quantile(a[0], p),
+    # plain quantile(s): ReservoirSampler state = the value list (exact
+    # below the 8192 reservoir bound); Merge concatenates lists and
+    # applies the interpolated finalizer
+    "quantileState": lambda p, a: f"collect_list({a[0]})",
+    "quantilesState": lambda p, a: f"collect_list({a[0]})",
+    "quantileMerge": lambda p, a: _interp_quantile_of(
+        f"flatten(collect_list({a[0]}))", (p or ["0.5"])[0]
+    ),
+    "quantilesMerge": lambda p, a: "array(" + ", ".join(
+        _interp_quantile_of(f"flatten(collect_list({a[0]}))", pp) for pp in p
+    ) + ")",
     "uniqUpTo": lambda p, a: f"least(count(DISTINCT {a[0]}), {p[0]} + 1)",
     "groupArray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
     "topK": lambda p, a: (

@@ -185,16 +185,25 @@ def _ch_type_inner(toks: list[Token]) -> ColumnDef | None:
         n = args[0][0].text
         return ColumnDef("", "STRING", wrapper=f"rpad(CAST({{v}} AS STRING), {n}, chr(0))")
     if up in ("ENUM8", "ENUM16"):
-        whens, names = [], []
+        whens, names, pairs = [], [], []
         for pair in args:
             name_tok = pair[0].text
             val = pair[-1].text
             if len(pair) >= 2 and pair[-2].text == "-":
                 val = "-" + val
             names.append(name_tok)
+            pairs.append((name_tok, int(val)))
             whens.append(f"WHEN ({{v}}) = {val} THEN {name_tok}")
         ladder = " ".join(whens)
         in_names = ", ".join(names)
+        by_value = sorted(pairs, key=lambda p: p[1])
+        # canonical type text sorts members by VALUE (DataTypeEnum
+        # keeps a value-sorted member list; DESCRIBE prints it so)
+        canon = (
+            ("Enum8(" if up == "ENUM8" else "Enum16(")
+            + ", ".join(f"{n} = {v}" for n, v in by_value)
+            + ")"
+        )
         return ColumnDef(
             "",
             "STRING",
@@ -202,12 +211,23 @@ def _ch_type_inner(toks: list[Token]) -> ColumnDef | None:
                 f"(CASE WHEN CAST({{v}} AS STRING) IN ({in_names}) "
                 f"THEN CAST({{v}} AS STRING) {ladder} END)"
             ),
-            default=names[0],  # DataTypeEnum default = first member
+            # DataTypeEnum default = smallest-valued member
+            default=by_value[0][0],
+            ch_type=canon,
         )
     if up == "ARRAY":
         elem = _ch_type(args[0])
-        if elem is None or elem.wrapper is not None:
+        if elem is None:
             return None
+        if elem.wrapper is not None:
+            # Array(Enum8/...): lift the element transform over the
+            # array (DataTypeArray of a value-mapped element type)
+            inner = elem.wrapper.format(v="__e")
+            return ColumnDef(
+                "",
+                f"ARRAY<{elem.spark_type}>",
+                wrapper=f"transform({{v}}, __e -> {inner})",
+            )
         return ColumnDef("", f"ARRAY<{elem.spark_type}>")
     if up == "AGGREGATEFUNCTION":
         # AggregateFunction(f, T...) columns store our typed states
@@ -230,9 +250,14 @@ def _ch_type_inner(toks: list[Token]) -> ColumnDef | None:
             st = "BIGINT" if t0 in ints else "DOUBLE"
         elif fn == "avg":
             st = "STRUCT<sum: DOUBLE, cnt: BIGINT>"
-        elif fn in ("min", "max", "any", "anylast"):
+        elif fn in ("min", "max", "any", "anylast", "anyif"):
             st = t0
-        elif fn in ("grouparray", "groupuniqarray", "quantileexact"):
+        elif fn in (
+            "grouparray", "groupuniqarray", "quantileexact",
+            "quantile", "quantiles",
+        ):
+            # quantile(s): ReservoirSampler state — exact value list at
+            # golden scale (sample_count 8192 > any test group)
             st = f"ARRAY<{t0}>"
         elif fn in ("argmin", "argmax") and len(arg_defs) >= 2 and arg_defs[1]:
             st = f"STRUCT<k: {arg_defs[1].spark_type}, v: {t0}>"
@@ -511,13 +536,18 @@ def _parse_one_column(
         out = []
         for m in members:
             elem = _ch_type(m[1:])
-            if elem is None or elem.wrapper is not None:
+            if elem is None:
                 return None
+            wrap = None
+            if elem.wrapper is not None:
+                inner = elem.wrapper.format(v="__e")
+                wrap = f"transform({{v}}, __e -> {inner})"
             out.append(
                 ColumnDef(
                     f"{name}.{m[0].text}",
                     f"ARRAY<{elem.spark_type}>",
                     ch_type=f"Array({elem.ch_type})",
+                    wrapper=wrap,
                 )
             )
         return out
@@ -894,7 +924,13 @@ def _publish(engine, tdef: TableDef) -> None:
             layer, rest = pending, []  # circular: let analysis surface it
         df = df.selectExpr("*", *(pub_expr(c, fill_of(c)) for c in layer))
         pending = rest
-    df = df.selectExpr(*(f"`{c.name}`" for c in phys))
+    final_cols = [f"`{c.name}`" for c in phys]
+    if "__part" in raw.columns:
+        # MergeTree virtual column: part name per row, hidden from *
+        # (MergeTreeBlockInputStream _part)
+        df = df.withColumn("_part", F.col("__raw___part"))
+        final_cols.append("`_part`")
+    df = df.selectExpr(*final_cols)
     # MergeTree-family reads are PK-ordered (sorted parts,
     # MergeTreeData.h) — emulate by sorting the published view; outer
     # ORDER BY / aggregation overrides it, plain SELECTs see PK order
@@ -946,7 +982,9 @@ def _insert(engine, tokens: list[Token]) -> None:
     subset = [c.name for c in tdef.columns if not c.is_virtual]
     if tokens[i].text == "(":
         close = _match_paren(tokens, i)
-        subset = [t[0].text for t in _split_top(tokens[i + 1 : close], ",")]
+        subset = [
+            _col_name(t)[0] for t in _split_top(tokens[i + 1 : close], ",")
+        ]
         i = close + 1
     ctx = Ctx(table_meta=engine.table_meta, columns_of=engine._columns_of,
               dictionaries=engine.dictionaries, table_views=engine.table_views)
@@ -993,13 +1031,14 @@ def _insert(engine, tokens: list[Token]) -> None:
     shaped = _fill_defaults(tdef, shaped)
     # append to the raw backing rows (the reference appends a part);
     # localCheckpoint breaks lineage so repeated INSERTs stay flat
+    if tdef.engine.endswith("MergeTree"):
+        pmap = _track_insert_parts(engine, tdef, shaped)
+        shaped = _tag_part(tdef, shaped, pmap)
     existing = tdef.raw if tdef.raw is not None else engine.spark.table(view)
     merged = existing.unionByName(
         shaped, allowMissingColumns=True
     ).localCheckpoint(eager=True)
     tdef.raw = merged
-    if tdef.engine.endswith("MergeTree"):
-        _track_insert_parts(engine, tdef, shaped)
     _publish(engine, tdef)
 
 
@@ -1031,11 +1070,32 @@ def _fill_defaults(tdef: TableDef, df: DataFrame) -> DataFrame:
         if not c.is_alias and c.name not in df.columns
     ]
 
+    def fill_of(c: ColumnDef, have: set[str]) -> str:
+        # a Nested member absent from the insert block fills to its
+        # present SIBLING's length with element defaults (NestedUtils
+        # lockstep arrays), unless an explicit default says otherwise
+        if not c.default_kind and "." in c.name and c.spark_type.startswith(
+            "ARRAY<"
+        ):
+            prefix = c.name.split(".", 1)[0] + "."
+            sib = next(
+                (s for s in have if s != c.name and s.startswith(prefix)),
+                None,
+            )
+            if sib is not None:
+                elem_t = c.spark_type[6:-1]
+                elem_d = _TYPE_DEFAULTS.get(elem_t, "NULL")
+                return (
+                    f"array_repeat(CAST({elem_d} AS {elem_t}), "
+                    f"size(`{sib}`))"
+                )
+        return c.default_sql()
+
     while pending:
         have = set(df.columns)
         layer = [
             c for c in pending
-            if not (_expr_deps(c.default_sql(), names) - have - {c.name})
+            if not (_expr_deps(fill_of(c, have), names) - have - {c.name})
         ]
         if not layer:
             # circular / unresolvable: honest type defaults
@@ -1051,7 +1111,7 @@ def _fill_defaults(tdef: TableDef, df: DataFrame) -> DataFrame:
         df = df.selectExpr(
             "*",
             *(
-                f"CAST({c.default_sql()} AS {c.spark_type}) AS `{c.name}`"
+                f"CAST({fill_of(c, have)} AS {c.spark_type}) AS `{c.name}`"
                 for c in layer
             ),
         )
@@ -1069,9 +1129,53 @@ _TYPE_BYTES = {
 }
 
 
-def _track_insert_parts(engine, tdef: TableDef, block: DataFrame) -> None:
+def _part_month_expr(tdef: TableDef) -> str:
+    """Partition id of a row (yyyyMM of the month-partition column, or
+    'all' for unpartitioned MergeTree declarations)."""
+    dcol = tdef.meta.date_col
+    if dcol is not None and any(
+        c.name == dcol and c.spark_type in ("DATE", "TIMESTAMP", "TIMESTAMP_NTZ")
+        for c in tdef.columns
+    ):
+        return f"date_format(`{dcol}`, 'yyyyMM')"
+    return "'all'"
+
+
+def _tag_part(
+    tdef: TableDef, df: DataFrame, pmap: dict[str, str]
+) -> DataFrame:
+    """Attach the hidden ``__part`` column: the name of the data part
+    each row belongs to — surfaced as the ``_part`` virtual column
+    (MergeTreeBlockInputStream virtual columns)."""
+    from pyspark.sql import functions as F
+
+    if not pmap:
+        return df.withColumn("__part", F.lit(None).cast("string"))
+    whens = " ".join(f"WHEN '{p}' THEN '{n}'" for p, n in pmap.items())
+    return df.withColumn(
+        "__part", F.expr(f"CASE {_part_month_expr(tdef)} {whens} END")
+    )
+
+
+def _retag_parts(tdef: TableDef) -> None:
+    """After a merge renamed parts, recompute every row's ``__part``
+    from the current per-partition part list."""
+    if tdef.raw is None:
+        return
+    raw = tdef.raw
+    for hidden in ("__part", "_part"):
+        if hidden in raw.columns:
+            raw = raw.drop(hidden)
+    pmap = {p["partition"]: p["name"] for p in tdef.parts if p["active"]}
+    tdef.raw = _tag_part(tdef, raw, pmap)
+
+
+def _track_insert_parts(
+    engine, tdef: TableDef, block: DataFrame
+) -> dict[str, str]:
     """Record one data part per (INSERT block × month partition), like
     the reference's per-block part creation (MergeTreeDataWriter).
+    Returns {partition: part_name} for the inserted block.
     Runs one tiny aggregation job over the just-inserted block — this
     is the DDL path, never a query hot path."""
     from pyspark.sql import functions as F
@@ -1107,12 +1211,14 @@ def _track_insert_parts(engine, tdef: TableDef, block: DataFrame) -> None:
         )
     else:
         grouped = block.groupBy(F.lit("all").alias("__partition")).agg(*aggs)
+    pmap: dict[str, str] = {}
     for r in grouped.collect():
         tdef.next_block += 1
         b = tdef.next_block
         mind = r["__mind"] if dcol is not None else "19700101"
         maxd = r["__maxd"] if dcol is not None else "19700101"
         rows = int(r["__rows"])
+        pmap[r["__partition"] or "all"] = f"{mind}_{maxd}_{b}_{b}_0"
         tdef.parts.append(
             {
                 "partition": r["__partition"] or "all",
@@ -1128,6 +1234,7 @@ def _track_insert_parts(engine, tdef: TableDef, block: DataFrame) -> None:
                 "active": 1,
             }
         )
+    return pmap
 
 
 def merge_parts(tdef: TableDef) -> None:
@@ -1218,7 +1325,7 @@ def _sync_raw(engine, tdef) -> None:
     )
     want = [c.name for c in tdef.columns if not c.is_alias]
     for col in raw.columns:
-        if col not in want:
+        if col not in want and col != "__part":
             raw = raw.drop(col)
     for c in tdef.columns:
         if c.is_alias:
@@ -1277,6 +1384,7 @@ def _alter(engine, tokens: list[Token]) -> None:
                 for newc in parsed:
                     for k, c in enumerate(tdef.columns):
                         if c.name == newc.name:
+                            _convert_enum_modify(engine, tdef, c, newc)
                             if c.is_virtual == newc.is_virtual:
                                 tdef.columns[k] = newc
                             else:
@@ -1313,6 +1421,81 @@ def _alter(engine, tokens: list[Token]) -> None:
         else:
             raise ValueError(f"unsupported ALTER action {verb!r}")
     _sync_raw(engine, tdef)
+
+
+def _enum_pairs(ch_type: str) -> list[tuple[str, str]]:
+    import re as _re
+
+    return _re.findall(r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)", ch_type or "")
+
+
+def _convert_enum_modify(
+    engine, tdef: TableDef, old: ColumnDef, new: ColumnDef
+) -> None:
+    """MODIFY COLUMN across the Enum/numeric divide converts the STORED
+    values through the enum's name<->value mapping
+    (InterpreterAlterQuery + DataTypeEnum conversion: Enum8→UInt16
+    yields the numeric values, UInt16→Enum8 the names).  Enum↔Enum and
+    Enum↔String keep the names untouched."""
+    from pyspark.sql import functions as F
+
+    pairs_old = _enum_pairs(old.ch_type)
+    pairs_new = _enum_pairs(new.ch_type)
+    is_arr = new.spark_type.startswith("ARRAY<")
+    base = new.spark_type[6:-1] if is_arr else new.spark_type
+    numeric_new = base in ("TINYINT", "SMALLINT", "INT", "BIGINT")
+    if pairs_old and not pairs_new and numeric_new:
+        whens = " ".join(f"WHEN '{n}' THEN {v}" for n, v in pairs_old)
+    elif pairs_new and not pairs_old:
+        old_base = (
+            old.spark_type[6:-1]
+            if old.spark_type.startswith("ARRAY<")
+            else old.spark_type
+        )
+        if old_base == "STRING":
+            return  # String→Enum: names already stored
+        whens = " ".join(f"WHEN {v} THEN '{n}'" for n, v in pairs_new)
+    elif pairs_old and pairs_new:
+        # Enum→Enum: values are the identity; members renamed between
+        # the two mappings convert stored names through the value
+        # (DataTypeEnum cast by value)
+        new_by_val = {v: n for n, v in pairs_new}
+        renames = [
+            (n, new_by_val[v])
+            for n, v in pairs_old
+            if v in new_by_val and new_by_val[v] != n
+        ]
+        if not renames:
+            return
+        whens = " ".join(f"WHEN '{o}' THEN '{n}'" for o, n in renames)
+        is_arr = old.spark_type.startswith("ARRAY<")
+        raw = tdef.raw
+        if raw is None:
+            raw = engine.spark.table(
+                engine.table_views.get(tdef.name, _view_of(tdef.name))
+            )
+        col = f"`{old.name}`"
+        if is_arr:
+            conv = f"transform({col}, __e -> CASE __e {whens} ELSE __e END)"
+        else:
+            conv = f"CASE {col} {whens} ELSE {col} END"
+        tdef.raw = raw.withColumn(old.name, F.expr(conv))
+        return
+    else:
+        return
+    raw = tdef.raw
+    if raw is None:
+        raw = engine.spark.table(
+            engine.table_views.get(tdef.name, _view_of(tdef.name))
+        )
+    col = f"`{old.name}`"
+    if is_arr:
+        conv = f"transform({col}, __e -> CASE __e {whens} END)"
+    else:
+        conv = f"CASE {col} {whens} END"
+    tdef.raw = raw.withColumn(
+        old.name, F.expr(f"CAST({conv} AS {new.spark_type})")
+    )
 
 
 def _rename(engine, tokens: list[Token]) -> None:
@@ -1494,6 +1677,8 @@ def _optimize(engine, tokens: list[Token]) -> None:
         raise ValueError(f"OPTIMIZE on unknown table {name!r}")
     view = engine.table_views.get(name, _view_of(name))
     df = engine.spark.table(view)
+    if "_part" in df.columns:
+        df = df.drop("_part")  # virtual column, not merge input
     meta = tdef.meta
     pk = [c for c in meta.primary_key if c in df.columns]
     if not pk:
@@ -1507,7 +1692,30 @@ def _optimize(engine, tokens: list[Token]) -> None:
             if c.name not in pk
             and c.spark_type in ("TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE")
         ]
-        df = compact_summing(df, pk, metrics)
+        # Nested groups named *Map merge as key→summed-values maps
+        # (SummingSortedBlockInputStream maps_to_sum: first member is
+        # the key, the rest must all be summable)
+        num_arr = {
+            "ARRAY<TINYINT>", "ARRAY<SMALLINT>", "ARRAY<INT>",
+            "ARRAY<BIGINT>", "ARRAY<FLOAT>", "ARRAY<DOUBLE>",
+        }
+        groups: dict[str, list[str]] = {}
+        for c in tdef.columns:
+            if "." in c.name:
+                groups.setdefault(c.name.split(".", 1)[0], []).append(c.name)
+        maps = [
+            g
+            for prefix, g in groups.items()
+            if prefix.endswith("Map")
+            and len(g) >= 2
+            and all(
+                next(
+                    cc.spark_type for cc in tdef.columns if cc.name == m
+                ) in num_arr
+                for m in g[1:]
+            )
+        ]
+        df = compact_summing(df, pk, metrics, maps=maps)
     elif tdef.engine == "CollapsingMergeTree" and meta.sign_col:
         df = compact_collapsing(df, pk, meta.sign_col)
     elif tdef.engine == "AggregatingMergeTree":
@@ -1532,6 +1740,8 @@ def _optimize(engine, tokens: list[Token]) -> None:
         ).select(*[f"`{c.name}`" for c in tdef.columns])
     else:
         merge_parts(tdef)  # plain MergeTree: merge changes layout, not rows
+        _retag_parts(tdef)
+        _publish(engine, tdef)
         return None
     # a merge materializes current defaults into the merged part
     tdef.raw = df.localCheckpoint(eager=True)
@@ -1568,4 +1778,5 @@ def _optimize(engine, tokens: list[Token]) -> None:
                 p["marks"] = (rows + 8191) // 8192
                 kept.append(p)
         tdef.parts = kept
+    _retag_parts(tdef)
     _publish(engine, tdef)

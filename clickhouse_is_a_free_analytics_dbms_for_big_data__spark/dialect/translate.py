@@ -440,17 +440,21 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     # column into one backquoted identifier so Spark doesn't read them
     # as table-qualified references.
     dotted: set[str] = set()
+    has_part = False
     if table_name and ctx.columns_of is not None:
         cols_ = ctx.columns_of(table_name)
         dotted = {c for c in (cols_ or []) if "." in c}
-    # MATERIALIZED/ALIAS columns (ColumnDefault.h): hidden from *,
-    # ALIAS references rewritten to their stored expression
+        has_part = "_part" in (cols_ or [])
+    # MATERIALIZED/ALIAS columns (ColumnDefault.h) and the _part
+    # virtual column: hidden from *, ALIAS references rewritten to
+    # their stored expression
     vis_cols: list[str] | None = None
     alias_subs: dict[str, str] = {}
     if table_name and ctx.tabledef_of is not None:
         _vt = ctx.tabledef_of(table_name)
-        if _vt is not None and any(
-            getattr(c, "is_virtual", False) for c in _vt.columns
+        if _vt is not None and (
+            has_part
+            or any(getattr(c, "is_virtual", False) for c in _vt.columns)
         ):
             vis_cols = [c.name for c in _vt.columns if not c.is_virtual]
             alias_subs = {

@@ -96,16 +96,67 @@ def compact_replacing(
 
 
 def compact_summing(
-    df: DataFrame, pk: Sequence[str], metrics: Sequence[str]
+    df: DataFrame,
+    pk: Sequence[str],
+    metrics: Sequence[str],
+    maps: Sequence[Sequence[str]] = (),
 ) -> DataFrame:
     """SummingMergeTree: sum numeric non-key columns per PK
     (DataStreams/SummingSortedBlockInputStream.h:22).  Non-metric,
-    non-key columns take an arbitrary (first) value like the reference.
-    """
-    other = [c for c in df.columns if c not in pk and c not in metrics]
-    aggs = [F.sum(c).alias(c) for c in metrics]
-    aggs += [F.min(c).alias(c) for c in other]
-    return df.groupBy(*pk).agg(*aggs).select(*df.columns)
+    non-key columns take the first row's value like the reference.
+
+    ``maps``: Nested groups named ``*Map`` merge as key→values maps
+    (first member is the key, the rest are summed per key; entries
+    whose summed values are ALL zero are eliminated; keys sorted) —
+    the reference's maps_to_sum path."""
+    map_cols = {c for m in maps for c in m}
+    other = [
+        c for c in df.columns
+        if c not in pk and c not in metrics and c not in map_cols
+    ]
+    qc = lambda c: F.col(f"`{c}`")  # noqa: E731 - dotted Nested names
+    aggs = [F.sum(qc(c)).alias(c) for c in metrics]
+    # first row's value (the merge keeps the first-seen row,
+    # SummingSortedBlockInputStream::insertCurrentRow)
+    aggs += [F.first(qc(c)).alias(c) for c in other]
+    elem_t = {
+        f.name: f.dataType.elementType.simpleString()
+        for f in df.schema.fields
+        if f.dataType.typeName() == "array"
+    }
+    post: list[tuple[Sequence[str], str]] = []
+    for gi, group in enumerate(maps):
+        key, vals = group[0], list(group[1:])
+        fields = ", ".join(
+            f"element_at(`{c}`, __i) AS v{j}"
+            for j, c in enumerate([key, *vals])
+        )
+        entries = (
+            f"flatten(collect_list(transform(sequence(1, size(`{key}`)), "
+            f"__i -> struct({fields}))))"
+        )
+        aggs.append(F.expr(entries).alias(f"__map{gi}"))
+        zero = " AND ".join(f"s.v{j + 1} = 0" for j in range(len(vals)))
+        sums = ", ".join(
+            f"aggregate(filter(`__map{gi}`, e -> e.v0 = __k), "
+            f"CAST(0 AS {elem_t[c].upper()}), (acc, e) -> acc + e.v{j + 1}) "
+            f"AS v{j + 1}"
+            for j, c in enumerate(vals)
+        )
+        merged = (
+            f"filter(transform(array_sort(array_distinct("
+            f"transform(`__map{gi}`, e -> e.v0))), "
+            f"__k -> struct(__k AS v0, {sums})), s -> NOT ({zero}))"
+        )
+        post.append((group, merged))
+    out = df.groupBy(*[qc(k) for k in pk]).agg(*aggs)
+    for gi, (group, merged) in enumerate(post):
+        out = out.withColumn(f"__m{gi}", F.expr(merged))
+        for j, c in enumerate(group):
+            out = out.withColumn(
+                c, F.expr(f"transform(`__m{gi}`, s -> s.v{j})")
+            )
+    return out.select(*[qc(c) for c in df.columns])
 
 
 def compact_collapsing(
