@@ -35,6 +35,9 @@ class ChEngine:
         self.current_db: str | None = None
         # DETACH'd tables awaiting ATTACH
         self.detached: dict[str, object] = {}
+        # last executed SELECT had a top-level WITH TOTALS (formatters
+        # render the totals row as a separate block)
+        self.last_totals = False
         # SQL-UDF-backed dialect functions (IPv6 codecs) — the
         # translator passes their calls through by name
         register_sql_udfs(spark)
@@ -66,6 +69,10 @@ class ChEngine:
 
     def translate(self, ch_sql: str) -> str:
         self._refresh_views(ch_sql)
+        # output formats render the totals row as a separate block; a
+        # top-level (not subquery) WITH TOTALS sets the flag the
+        # formatter reads (TabSeparatedBlockOutputStream writeTotals)
+        self.last_totals = self._toplevel_totals(ch_sql)
         return translate_sql(
             ch_sql,
             table_meta=self.table_meta,
@@ -78,6 +85,26 @@ class ChEngine:
             agg_fn_of=self._agg_fn_of,
             schema_of_sql=self._schema_of_sql,
         )
+
+    @staticmethod
+    def _toplevel_totals(ch_sql: str) -> bool:
+        """True when WITH TOTALS appears at paren depth 0 (a subquery's
+        totals are swallowed by the surrounding query, never output)."""
+        depth = 0
+        up = ch_sql.upper()
+        i = 0
+        while i < len(up):
+            ch = up[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and up.startswith("WITH", i):
+                rest = up[i + 4 :].lstrip()
+                if rest.startswith("TOTALS"):
+                    return True
+            i += 1
+        return False
 
     def _refresh_views(self, ch_sql: str) -> None:
         """Re-register every plain View referenced by ``ch_sql`` from
@@ -162,6 +189,7 @@ class ChEngine:
         (Interpreters/InterpreterFactory.cpp dispatch)."""
         from .statements import execute_statement
 
+        self.last_totals = False  # set again by translate() for SELECTs
         self._running_query = ch_sql  # surfaced by system.processes
         try:
             return execute_statement(self, ch_sql)

@@ -703,6 +703,34 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
             raise ValueError(f"SAMPLE needs a registered sample_key for table {table_name!r}")
         where_parts.append(_sample_predicate(sample_toks, meta.sample_key, ctx))
 
+    if group_toks:
+        # the reference has NO positional GROUP BY: a bare integer
+        # literal groups by the CONSTANT (one group, any value —
+        # 00257_shard_no_aggregates_and_constant_keys); `n + 0` defeats
+        # Spark's ordinal-resolution rule while staying constant.  A
+        # group item naming a select alias whose body is a literal is
+        # the same case — substituting the body also keeps the SELECT
+        # output a plain literal, which Spark then does NOT null in the
+        # totals grouping-set row (the reference keeps constants there).
+        lit_aliases: dict[str, Token] = {}
+        for s in select_items:
+            body, al = _strip_alias(s)
+            if al and len(body) == 1 and body[0].kind in ("number", "string"):
+                lit_aliases[al] = body[0]
+        fixed: list[Token] = []
+        for gi, it in enumerate(_split_top(group_toks, ",")):
+            if gi:
+                fixed.append(Token("punct", ","))
+            if (
+                len(it) == 1
+                and it[0].kind == "ident"
+                and it[0].text in lit_aliases
+            ):
+                it = [lit_aliases[it[0].text]]
+            fixed.extend(it)
+            if len(it) == 1 and it[0].kind == "number":
+                fixed.extend([Token("punct", "+"), Token("number", "0")])
+        group_toks = fixed
     group_sql = _rewrite_list(aj_subst(group_toks), ctx) if group_toks else ""
     having_sql = (
         _boolify(aj_subst(having_toks), _rewrite(aj_subst(having_toks), ctx))
@@ -725,12 +753,11 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     # sorting totals last.  Order expressions are materialized as hidden
     # aliased columns so aggregate expressions in ORDER BY stay valid in
     # the outer scope.
-    totals_wrap = (
-        with_totals
-        and bool(group_sql)
-        and limit_by is None
-        and (bool(order_items) or limit_txt is not None)
-    )
+    # The wrap also fires with no ORDER BY/LIMIT: output formats place
+    # the totals row in its own block AFTER the group rows (TabSeparated
+    # writes an empty separator line — TabSeparatedBlockOutputStream
+    # writeTotals), so totals-last ordering is part of the contract.
+    totals_wrap = with_totals and bool(group_sql) and limit_by is None
     gsym = ctx.gensym("gid") if totals_wrap else None
     wrap_order: list[tuple[str, str]] = []  # (outer column ref, dir)
     if totals_wrap:
@@ -1319,6 +1346,8 @@ def _take_from(tokens: list[Token], i: int) -> tuple[list[Token], int]:
                 break
             if not after_dot and up in ("LEFT", "RIGHT") and _kw_at(tokens, i + 1, "ARRAY"):
                 break
+            if not after_dot and up == "WITH" and _kw_at(tokens, i + 1, "TOTALS"):
+                break  # keyless `FROM t WITH TOTALS` (no GROUP BY)
         out.append(t)
         i += 1
     return out, i

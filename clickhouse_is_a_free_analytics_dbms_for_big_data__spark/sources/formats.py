@@ -152,16 +152,39 @@ def write_format(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") ->
 # --------------------------------------------------------------- display
 
 
-def format_result(df: DataFrame, fmt: str, max_rows: int = 10000) -> str:
+def format_result(
+    df: DataFrame, fmt: str, max_rows: int = 10000, totals: bool = False
+) -> str:
     """Render a (small) result the way the reference's output formats do.
 
     Collects up to ``max_rows`` — display formats are a client concern,
     same as Pretty*/Vertical/JSON in the reference (output-only,
     FormatFactory.cpp).
-    """
+
+    ``totals``: the LAST collected row is a WITH TOTALS row (the
+    translator orders totals last); TabSeparated writes it as its own
+    block after an empty separator line, with NULLed grouping keys
+    rendered as their type defaults (TotalsHaving fills key columns
+    with default values)."""
     rows = df.limit(max_rows).collect()
     names = df.columns
     types = [f.dataType.simpleString() for f in df.schema.fields]
+
+    if totals and rows and fmt in ("TabSeparated", "TSV"):
+        body, trow = rows[:-1], rows[-1]
+        tcells = [
+            _tsv_cell(_totals_default(trow[n], t))
+            for n, t in zip(names, types)
+        ]
+        return (
+            "".join(
+                "\t".join(_tsv_cell(r[n]) for n in names) + "\n"
+                for r in body
+            )
+            + "\n"
+            + "\t".join(tcells)
+            + "\n"
+        )
 
     if fmt in ("Pretty", "PrettyCompact"):
         return _pretty(names, rows, compact=fmt == "PrettyCompact")
@@ -208,6 +231,32 @@ def format_result(df: DataFrame, fmt: str, max_rows: int = 10000) -> str:
         out.append("</result>")
         return "\n".join(out)
     raise ValueError(f"unsupported display format {fmt!r}")
+
+
+def _totals_default(v, spark_type: str):
+    """NULLed grouping key in the totals row → the column type's
+    default value (TotalsHavingBlockInputStream fills key columns with
+    defaults; non-key NULLs cannot occur in non-Nullable output)."""
+    if v is not None:
+        return v
+    t = spark_type.lower()
+    if t in ("tinyint", "smallint", "int", "bigint") or t.startswith("decimal"):
+        return 0
+    if t in ("float", "double"):
+        return 0.0
+    if t == "string":
+        return ""
+    if t == "date":
+        import datetime as _dt
+
+        return _dt.date(1970, 1, 1)
+    if t.startswith("timestamp"):
+        import datetime as _dt
+
+        return _dt.datetime(1970, 1, 1, 0, 0, 0)
+    if t.startswith("array"):
+        return []
+    return v
 
 
 def _pretty(names: list[str], rows, compact: bool) -> str:

@@ -69,7 +69,13 @@ def run_sql_file(engine: ChEngine, path: str) -> str:
     for stmt in split_statements(text):
         df = engine.execute(stmt)
         if df is not None:  # DDL/DML/SET produce no output
-            outputs.append(format_result(df, "TabSeparated"))
+            outputs.append(
+                format_result(
+                    df,
+                    "TabSeparated",
+                    totals=getattr(engine, "last_totals", False),
+                )
+            )
     return "".join(outputs)
 
 
