@@ -1,0 +1,128 @@
+"""Plan-shape assertions: the physical plans the 100×-scale story
+depends on, locked in via explain-string checks (the analog of the
+reference's stream unit tests — DataStreams/tests/filter_stream.cpp
+asserts the filter lands in the stream pipeline; here we assert the
+filter lands in the parquet scan).
+
+These catch silent plan regressions: a PREWHERE that stops pushing
+down, a dimension join that stops broadcasting, a dedup that grows a
+second shuffle — all invisible to correctness tests but fatal at
+100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.dialect import (
+    ChEngine,
+)
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.pipeline import (
+    dedup as D,
+)
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.queries.core import (
+    _t,
+)
+
+from .conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _n_exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_prewhere_reaches_parquet_scan(spark):
+    """PREWHERE → WHERE → parquet PushedFilters (the reference reads
+    the PREWHERE column set first and skips granules —
+    MergeTreeBlockInputStream; Spark's analog is scan-level filter
+    pushdown, which must survive the dialect translation)."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark import (
+        register_tables,
+    )
+
+    register_tables(spark, SF_ORACLE)
+    eng = ChEngine(spark)
+    df = spark.sql(
+        eng.translate(
+            "SELECT event_id, value FROM events PREWHERE user_id = 42"
+        )
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "user_id" in plan.split("PushedFilters")[1].splitlines()[0]
+    # column pruning: the scan must not read the full events schema
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "event_type" not in read_schema
+
+
+def test_final_replacing_is_single_window(spark):
+    """FINAL on ReplacingMergeTree = ONE window pass (merge-on-read
+    dedup, ReplacingSortedBlockInputStream.h:15) — not a groupBy +
+    join-back (two shuffles of the full rows)."""
+    (ev,) = _t(spark, SF_ORACLE, "events")
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.clauses import (
+        final_replacing,
+    )
+
+    df = final_replacing(ev, pk=["user_id"], version=F.col("ts"))
+    plan = _plan(df)
+    assert plan.count("Window") >= 1
+    # one shuffle total: the window's hash partitioning
+    assert _n_exchanges(plan) == 1
+
+
+def test_dim_join_broadcasts(spark):
+    """A small dimension side must become a BroadcastHashJoin — no
+    shuffle of the fact table (the reference builds the right-side
+    hash table in RAM on every node: Interpreters/Join.h)."""
+    nation = spark.read.parquet(os.path.join(SF_ORACLE, "nation.parquet"))
+    customer = spark.read.parquet(
+        os.path.join(SF_ORACLE, "customer.parquet")
+    )
+    df = customer.join(
+        F.broadcast(nation),
+        customer.c_nationkey == nation.n_nationkey,
+    ).groupBy("n_name").agg(F.count(F.lit(1)).alias("c"))
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    """exact_dedup = one full-row shuffle (window over the fingerprint)
+    — the groupBy+join-back shape it replaced shuffled twice."""
+    docs = spark.read.parquet(os.path.join(SF_ORACLE, "documents.parquet"))
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.pipeline.text import (
+        fingerprint_md5,
+    )
+
+    deduped = D.exact_dedup(docs, fingerprint_md5(F.col("text")), "doc_id")
+    plan = _plan(deduped)
+    assert _n_exchanges(plan) == 1
+
+
+def test_minhash_banding_single_shuffle_before_join(spark):
+    """MinHash-LSH candidate generation: the banding (explode →
+    bucket-keyed self-join) must not introduce shuffles beyond the
+    bucket hash exchange feeding the join and the join's own
+    requirements — no stray repartition of the raw text."""
+    docs = spark.read.parquet(
+        os.path.join(SF_ORACLE, "documents.parquet")
+    ).limit(200)
+    pairs = D.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.8, n_hashes=16, bands=4
+    )
+    plan = _plan(pairs)
+    # the banded self-join reads ONE cached annotated frame; beyond
+    # its window exchange there must be no full-data reshuffles
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
