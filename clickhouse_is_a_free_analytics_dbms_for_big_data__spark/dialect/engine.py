@@ -35,6 +35,9 @@ class ChEngine:
         self.current_db: str | None = None
         # DETACH'd tables awaiting ATTACH
         self.detached: dict[str, object] = {}
+        # Buffer tables → destination table name (StorageBuffer,
+        # modeled as immediate flush: inserts redirect, reads alias)
+        self.buffers: dict[str, str] = {}
         # last executed SELECT had a top-level WITH TOTALS (formatters
         # render the totals row as a separate block)
         self.last_totals = False

@@ -819,6 +819,96 @@ def _create(engine, tokens: list[Token]) -> None:
             i = ec + 1
     meta = _engine_meta(eng_name, eng_args)
     view = _view_of(name)
+    if (
+        i + 1 < len(tokens)
+        and tokens[i].is_kw("AS")
+        and tokens[i + 1].kind in ("ident", "qident")
+        and not tokens[i + 1].is_kw("SELECT", "WITH")
+    ):
+        # CREATE TABLE t AS other [ENGINE = X] — clone the source
+        # table's column list (InterpreterCreateQuery as-table form);
+        # the ENGINE clause follows the source name here
+        import copy as _copy
+
+        j = i + 1
+        src_name, j = _table_name(tokens, j, engine)
+        if j >= len(tokens) or tokens[j].is_kw("ENGINE"):
+            if j < len(tokens):
+                j += 2  # ENGINE =
+                eng_name = tokens[j].text
+                engine_full = eng_name
+                j += 1
+                if j < len(tokens) and tokens[j].text == "(":
+                    ec = _match_paren(tokens, j)
+                    eng_args = _split_top(tokens[j + 1 : ec], ",")
+                    engine_full += (
+                        "(" + ", ".join(_render_type(a) for a in eng_args)
+                        + ")"
+                    )
+                    j = ec + 1
+            if src_name in ("system.numbers", "numbers", "system.numbers_mt"):
+                cols = [ColumnDef("number", "BIGINT", ch_type="UInt64")]
+            else:
+                src = engine.tables.get(src_name)
+                if src is None and engine.current_db:
+                    src = engine.tables.get(f"{engine.current_db}.{src_name}")
+                if src is None:
+                    raise ValueError(
+                        f"CREATE TABLE AS unknown table {src_name!r}"
+                    )
+                cols = _copy.deepcopy(src.columns)
+            meta = _engine_meta(eng_name, eng_args)
+            ddl = ", ".join(
+                f"`{c.name}` {c.spark_type}" for c in cols if not c.is_alias
+            )
+            df = engine.spark.createDataFrame([], ddl)
+            tdef = TableDef(
+                name, cols, eng_name, meta, raw=df, engine_full=engine_full
+            )
+            engine.tables[name] = tdef
+            engine.table_views[name] = view
+            engine.table_meta[view] = meta
+            if eng_name == "Merge" and len(eng_args) >= 2:
+                # Merge(db, 'regex'): reads union every table of db
+                # whose name matches (StorageMerge) — stored as a
+                # re-executed view so reads see member mutations
+                import re as _re2
+
+                mdb = eng_args[0][0].text
+                # the SQL literal keeps source escapes: '\\d' is \d
+                pat = eng_args[1][0].text.strip("'").replace("\\\\", "\\")
+                members = sorted(
+                    t for t in engine.tables
+                    if t.startswith(mdb + ".")
+                    and _re2.search(pat, t.split(".", 1)[1])
+                )
+                if not members:
+                    raise ValueError(
+                        f"Merge({mdb}, '{pat}') matches no tables"
+                    )
+                tdef.view_sql = " UNION ALL ".join(
+                    f"SELECT * FROM {m}" for m in members
+                )
+                df2 = engine.spark.sql(engine.translate(tdef.view_sql))
+                tdef.raw = df2
+                df2.createOrReplaceTempView(view)
+                return None
+            if eng_name == "Buffer" and len(eng_args) >= 2:
+                # Buffer(db, table, ...): writes flush to the
+                # destination, reads see destination + buffer
+                # (StorageBuffer) — modeled as an immediate-flush
+                # alias of the destination table
+                tgt = ".".join(
+                    a[0].text for a in eng_args[:2]
+                )
+                engine.buffers[name] = tgt
+                tgt_view = engine.table_views.get(tgt, _view_of(tgt))
+                engine.register_table(
+                    view, engine.spark.table(tgt_view), meta
+                )
+            else:
+                _publish(engine, tdef)
+            return None
     if i < len(tokens) and tokens[i].is_kw("AS"):
         # CREATE TABLE t [ENGINE = X] AS SELECT ... — schema and initial
         # rows from the query (InterpreterCreateQuery as-select)
@@ -938,6 +1028,12 @@ def _publish(engine, tdef: TableDef) -> None:
     if pk and tdef.engine.endswith("MergeTree"):
         df = df.sort(*(F.col(f"`{k}`") for k in pk))
     engine.register_table(view, df, tdef.meta)
+    # Buffer tables aliasing this destination see the new contents
+    for bname, tgt in getattr(engine, "buffers", {}).items():
+        if tgt == tdef.name:
+            engine.register_table(
+                engine.table_views.get(bname, _view_of(bname)), df, tdef.meta
+            )
 
 
 def _drop(engine, tokens: list[Token]) -> None:
@@ -973,6 +1069,9 @@ def _insert(engine, tokens: list[Token]) -> None:
     assert tokens[i].is_kw("INTO")
     i += 1
     name, i = _table_name(tokens, i, engine)
+    # INSERT into a Buffer flushes straight to the destination
+    # (StorageBuffer write-through under the immediate-flush model)
+    name = engine.buffers.get(name, name)
     tdef = engine.tables.get(name)
     if tdef is None:
         raise ValueError(f"INSERT into unknown table {name!r}")

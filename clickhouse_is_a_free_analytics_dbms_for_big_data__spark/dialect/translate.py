@@ -613,6 +613,54 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
 
     # ---- joins (rendered before the select list: LEFT/FULL joins
     # substitute type defaults for missing right-side values)
+    # A USING column may name a SELECT alias of the left query
+    # (ExpressionAnalyzer resolves USING against the select scope:
+    # `SELECT x/2 AS n FROM t JOIN (...) USING n`) — materialize such
+    # aliases onto the left side so Spark's USING finds the column.
+    if joins and from_sql and ctx.schema_of_sql is not None:
+        join_using = {
+            t.text
+            for j in joins
+            if j["using"]
+            for t in j["using"]
+            if t.text != ","
+        }
+        if join_using:
+            sel_alias_bodies: dict[str, list[Token]] = {}
+            for s in select_items:
+                body, al = _strip_alias(s)
+                if al:
+                    sel_alias_bodies[al] = body
+            cand = join_using & set(sel_alias_bodies)
+            if cand:
+                left_schema = ctx.schema_of_sql(from_sql) or []
+                left_names = {c for c, _t in left_schema}
+                missing = sorted(cand - left_names)
+                if missing:
+                    # the alias body may itself reference sibling
+                    # select aliases (normalizeTree substitution) —
+                    # expand one level before materializing
+                    sib = {
+                        k: f"({_rewrite(b, ctx)})"
+                        for k, b in sel_alias_bodies.items()
+                    }
+                    adds = ", ".join(
+                        "{} AS {}".format(
+                            _rewrite(
+                                _substitute(
+                                    sel_alias_bodies[c],
+                                    {k: v for k, v in sib.items() if k != c},
+                                ),
+                                ctx,
+                            ),
+                            c,
+                        )
+                        for c in missing
+                    )
+                    from_sql = (
+                        f"(SELECT *, {adds} FROM {from_sql}) "
+                        f"AS {ctx.gensym('lj')}"
+                    )
     join_sql = ""
     hint = ""
     jdef_subs: dict[str, str] = {}
@@ -963,6 +1011,12 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
                 and f"{ctx.default_db}.{target}" in ctx.table_views
             ):
                 target = f"{ctx.default_db}.{target}"
+            if (
+                target.startswith("default.")
+                and target not in ctx.table_views
+                and target[len("default."):] in ctx.table_views
+            ):
+                target = target[len("default."):]
             resolved = ctx.table_views.get(target, target)
             if shards > 1:
                 return (
@@ -982,7 +1036,8 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
             return f"({sys_sql}) AS __{name.replace('.', '_')}", None
 
     # created tables registered under a dot-free view name; undotted
-    # names resolve against the USE'd database first
+    # names resolve against the USE'd database first, and an explicit
+    # `default.` prefix resolves the bare name (Context.h default db)
     if (
         "." not in name
         and name not in ctx.table_views
@@ -990,6 +1045,12 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
         and f"{ctx.default_db}.{name}" in ctx.table_views
     ):
         name = f"{ctx.default_db}.{name}"
+    if (
+        name.startswith("default.")
+        and name not in ctx.table_views
+        and name[len("default."):] in ctx.table_views
+    ):
+        name = name[len("default."):]
     name = ctx.table_views.get(name, name)
 
     final = False
