@@ -84,7 +84,6 @@ SIMPLE: dict[str, str] = {
     "MD5": "md5",
     "SHA1": "sha1",
     # misc
-    "toTypeName": "typeof",
     "isNaN": "isnan",
 }
 
@@ -301,6 +300,24 @@ def _timing_quantile(x: str, levels: list[str]) -> str:
     return f"array({', '.join(one(p) for p in levels)})"
 
 
+def _ch_type_name(typeof_sql: str) -> str:
+    """Map Spark's typeof() text to the reference's type names
+    (toTypeName, DataTypeFactory registrations).  Longest-first
+    replacements so 'bigint' rewrites before 'int'; decimal(20,0) is
+    this engine's UInt64 carrier (§1.2 type table)."""
+    t = typeof_sql
+    for frm, to in (
+        ("array<", "Array("), (">", ")"),
+        ("decimal(20,0)", "UInt64"),
+        ("bigint", "Int64"), ("smallint", "Int16"), ("tinyint", "Int8"),
+        ("int", "Int32"), ("double", "Float64"), ("float", "Float32"),
+        ("string", "String"), ("timestamp_ntz", "DateTime"),
+        ("timestamp", "DateTime"), ("date", "Date"), ("boolean", "UInt8"),
+    ):
+        t = f"replace({t}, '{frm}', '{to}')"
+    return t
+
+
 def _t_uniq(a: Args) -> str:
     # rsd pinned to the reference's 2^12-register HLL error profile
     # (1.04/sqrt(2^12) ~= 0.016, AggregateFunctionUniq.h) — see
@@ -478,6 +495,7 @@ def _t_sum_map(a: Args) -> str:
 
 
 TEMPLATES: dict[str, Callable[[Args], str]] = {
+    "toTypeName": lambda a: _ch_type_name(f"typeof({a[0]})"),
     # aggregates
     "count": lambda a: f"count({', '.join(a) or '*'})",
     "uniqExact": lambda a: f"count(DISTINCT {', '.join(a)})",
@@ -522,8 +540,18 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "minus": lambda a: f"({a[0]} - {a[1]})",
     "multiply": lambda a: f"({a[0]} * {a[1]})",
     "divide": lambda a: f"({a[0]} / {a[1]})",
-    "intDiv": lambda a: f"(({a[0]}) DIV ({a[1]}))",
-    "intDivOrZero": lambda a: f"(CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]}) DIV ({a[1]}) END)",
+    # DIV via DECIMAL operands: accepts the reference's float operands
+    # (intDiv(10.0, 4) = 2, C++ integral division semantics) — Spark's
+    # DIV rejects DOUBLE but divides DECIMALs to a truncated BIGINT
+    "intDiv": lambda a: (
+        f"(CAST(({a[0]}) AS DECIMAL(38, 10)) DIV "
+        f"CAST(({a[1]}) AS DECIMAL(38, 10)))"
+    ),
+    "intDivOrZero": lambda a: (
+        f"(CASE WHEN ({a[1]}) = 0 THEN 0 ELSE "
+        f"CAST(({a[0]}) AS DECIMAL(38, 10)) DIV "
+        f"CAST(({a[1]}) AS DECIMAL(38, 10)) END)"
+    ),
     "modulo": lambda a: f"(({a[0]}) % ({a[1]}))",
     "negate": lambda a: f"(- {a[0]})",
     "bitAnd": lambda a: f"({a[0]} & {a[1]})",

@@ -2104,6 +2104,16 @@ def _rw_item(
     if t.kind == "raw":
         return _postfix(t.text, tokens, i + 1, ctx)
 
+    if t.kind == "number" and ("." in t.text or "e" in t.text.lower()):
+        # the reference types float literals as Float64
+        # (ParserNumber/FieldToDataType); Spark would parse them as
+        # exact DECIMALs and diverge in arithmetic and formatting
+        # (0.1 + 0.2, count()/0.1, quantile levels)
+        if not (t.text.startswith(".") and t.text[1:].isdigit()):
+            return _postfix(
+                f"CAST({t.text} AS DOUBLE)", tokens, i + 1, ctx
+            )
+
     return _postfix(t.text, tokens, i + 1, ctx)
 
 

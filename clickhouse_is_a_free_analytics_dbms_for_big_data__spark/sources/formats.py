@@ -219,7 +219,11 @@ def format_result(
         # each row) — zero rows is the empty string, one empty-string
         # cell is a single blank line; they must stay distinguishable
         return "".join(
-            "\t".join(_tsv_cell(r[n]) for n in names) + "\n" for r in rows
+            "\t".join(
+                _tsv_cell(_f32(r[n], t)) for n, t in zip(names, types)
+            )
+            + "\n"
+            for r in rows
         )
     if fmt == "XML":
         out = ["<result>"]
@@ -363,6 +367,34 @@ def _ch_nested(x) -> str:
     if x is None:
         return "NULL"
     return _cell(x)
+
+
+def _f32(v, spark_type: str):
+    """Float32 columns print with FLOAT precision (the reference's
+    shortest-roundtrip Float32 text, WriteHelpers writeFloatText):
+    21.99f must render 21.99, not the double-widened
+    21.989999771118164."""
+    if spark_type == "float" and isinstance(v, float):
+        try:
+            import numpy as _np
+
+            return float(repr(_np.float32(v)))
+        except Exception:
+            return v
+    if (
+        spark_type == "array<float>"
+        and isinstance(v, list)
+    ):
+        try:
+            import numpy as _np
+
+            return [
+                float(repr(_np.float32(x))) if isinstance(x, float) else x
+                for x in v
+            ]
+        except Exception:
+            return v
+    return v
 
 
 def _tsv_cell(v) -> str:

@@ -80,7 +80,7 @@ def test_prewhere_merges_into_where():
 
 def test_parametric_quantile():
     out = translate_sql("SELECT quantile(0.9)(x) FROM t")
-    assert "percentile_approx(x, 0.9)" in out
+    assert "percentile_approx(x, CAST(0.9 AS DOUBLE))" in out
 
 
 def test_if_combinator():
