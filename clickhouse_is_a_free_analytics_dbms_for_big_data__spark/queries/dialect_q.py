@@ -453,7 +453,7 @@ def dialect_sequence_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must reproduce (InterpreterShowCreateQuery.cpp:30-44): stored
     # column list with CH types + DEFAULT clauses, ENGINE text verbatim
     """
-    SELECT 'CREATE TABLE sc_demo ( d Date,  u UInt32 DEFAULT 7,  s String)"""
+    SELECT 'CREATE TABLE sc_demo ( d Date,  u UInt32 DEFAULT CAST(7 AS UInt32),  s String)"""
     """ ENGINE = MergeTree(d, u, 8192)' AS statement
     """,
     doc="SHOW CREATE TABLE re-renders the stored create query from the "
