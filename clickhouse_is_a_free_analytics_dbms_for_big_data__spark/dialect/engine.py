@@ -41,6 +41,20 @@ class ChEngine:
         # last executed SELECT had a top-level WITH TOTALS (formatters
         # render the totals row as a separate block)
         self.last_totals = False
+        # last executed SELECT wants the extremes block (SETTINGS
+        # extremes = 1, per-query or via session SET)
+        self.last_extremes = False
+        # session-level SET name = value pairs (Settings.h); most are
+        # advisory, but extremes/totals_mode change output semantics
+        self.session_settings: dict[str, str] = {}
+        # trailing FORMAT clause of the last statement + its effective
+        # settings (session SET merged with per-query SETTINGS) — the
+        # client-side writer (sources/formats.py) reads both
+        self.last_format: str | None = None
+        self.last_settings: dict[str, str] = {}
+        # inferred CH type per output column of the last translated
+        # SELECT (positional; None = not inferable / star expansion)
+        self.last_out_ch_types: list | None = None
         # SQL-UDF-backed dialect functions (IPv6 codecs) — the
         # translator passes their calls through by name
         register_sql_udfs(spark)
@@ -76,7 +90,9 @@ class ChEngine:
         # top-level (not subquery) WITH TOTALS sets the flag the
         # formatter reads (TabSeparatedBlockOutputStream writeTotals)
         self.last_totals = self._toplevel_totals(ch_sql)
-        return translate_sql(
+        self.last_extremes = self._wants_extremes(ch_sql)
+        capture: dict = {}
+        out = translate_sql(
             ch_sql,
             table_meta=self.table_meta,
             columns_of=self._columns_of,
@@ -87,7 +103,23 @@ class ChEngine:
             tabledef_of=self._tabledef_by_view,
             agg_fn_of=self._agg_fn_of,
             schema_of_sql=self._schema_of_sql,
+            capture=capture,
+            session_settings=self.session_settings,
         )
+        self.last_out_ch_types = capture.get("out_ch_types")
+        return out
+
+    def _wants_extremes(self, ch_sql: str) -> bool:
+        """True when this SELECT should emit the extremes block: a
+        per-query ``SETTINGS ... extremes = 1`` overrides the session
+        ``SET extremes`` value (Settings.h)."""
+        import re as _re
+
+        m = _re.search(r"\bSETTINGS\b.*?\bextremes\s*=\s*(\d+)", ch_sql,
+                       _re.I | _re.S)
+        if m:
+            return m.group(1) != "0"
+        return self.session_settings.get("extremes", "0") not in ("0", "")
 
     @staticmethod
     def _toplevel_totals(ch_sql: str) -> bool:
@@ -190,14 +222,40 @@ class ChEngine:
         """Full statement surface: SELECT returns a DataFrame;
         CREATE TABLE / INSERT / DROP / SET return None
         (Interpreters/InterpreterFactory.cpp dispatch)."""
+        import re as _re
+
         from .statements import execute_statement
 
         self.last_totals = False  # set again by translate() for SELECTs
+        # requested output format (trailing FORMAT clause — the writer
+        # is a client concern, FormatFactory.cpp) and the effective
+        # settings for it (session SET overridden by per-query SETTINGS)
+        m = _re.search(r"\bFORMAT\s+([A-Za-z0-9]+)\s*;?\s*$", ch_sql)
+        self.last_format = m.group(1) if m else None
+        self.last_settings = dict(self.session_settings)
+        self.last_settings.update(self._query_settings(ch_sql))
         self._running_query = ch_sql  # surfaced by system.processes
         try:
             return execute_statement(self, ch_sql)
         finally:
             self._running_query = ""
+
+    @staticmethod
+    def _query_settings(ch_sql: str) -> dict[str, str]:
+        """name=value pairs of the statement's SETTINGS clause."""
+        import re as _re
+
+        m = _re.search(r"\bSETTINGS\b(.*?)(?:\bFORMAT\b|$)", ch_sql,
+                       _re.I | _re.S)
+        if not m:
+            return {}
+        return {
+            k: v.strip("'")
+            for k, v in _re.findall(
+                r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*('[^']*'|[\w.]+)",
+                m.group(1),
+            )
+        }
 
     def _columns_of(self, table: str) -> list[str] | None:
         try:

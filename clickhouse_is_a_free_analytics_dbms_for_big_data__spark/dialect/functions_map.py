@@ -615,8 +615,15 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     ),
     # conditional / null (FunctionsConditional.cpp, FunctionsNull.cpp)
     "multiIf": _t_multi_if,
+    # NULL condition yields NULL (FunctionsConditional.cpp Nullable
+    # branch), and UInt8 truthiness needs the boolean cast
+    "if": lambda a: (
+        f"if(({a[0]}) IS NULL, NULL, "
+        f"if({_bool(a[0])}, {a[1]}, {a[2]}))"
+    ),
     "transform": _t_transform,
     "ifNull": lambda a: f"coalesce({a[0]}, {a[1]})",
+    "nullIf": lambda a: f"nullif({a[0]}, {a[1]})",
     "isNull": lambda a: f"({a[0]} IS NULL)",
     "isNotNull": lambda a: f"({a[0]} IS NOT NULL)",
     "assumeNotNull": lambda a: a[0],

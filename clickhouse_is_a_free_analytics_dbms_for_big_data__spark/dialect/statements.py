@@ -292,12 +292,28 @@ def _ch_is_float(t: str) -> bool:
     return t in ("Float32", "Float64")
 
 
+def _strip_nullable(t: str | None) -> str | None:
+    if t is not None and t.startswith("Nullable(") and t.endswith(")"):
+        return t[len("Nullable(") : -1]
+    return t
+
+
+def _wrap_nullable(t: str | None) -> str | None:
+    if t is None or t == "Null" or t.startswith("Nullable("):
+        return t
+    return f"Nullable({t})"
+
+
 def _infer_literal(tok: Token) -> str | None:
     """FieldToDataType.cpp: smallest unsigned type holding a
     non-negative integer literal, Float64 for floats, String for
-    strings."""
+    strings; NULL is the Null type (DataTypeNull)."""
     if tok.kind == "string":
         return "String"
+    if tok.kind == "ident" and tok.text.upper() == "NULL":
+        return "Null"
+    if tok.kind == "ident" and tok.text.lower() in ("nan", "inf", "infinity"):
+        return "Float64"
     if tok.kind != "number":
         return None
     text = tok.text
@@ -374,6 +390,23 @@ def _infer_ch_type(
         toks = toks[1:-1]
     if not toks:
         return None
+    # ternary `c ? a : b` binds loosest: result is the arms' supertype
+    # (FunctionsConditional.cpp getReturnType), Null arm → Nullable
+    depth = 0
+    q_pos = c_pos = None
+    for j, t in enumerate(toks):
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.text == "?" and q_pos is None:
+            q_pos = j
+        elif depth == 0 and t.text == ":" and q_pos is not None:
+            c_pos = j
+    if q_pos is not None and c_pos is not None:
+        at = _infer_ch_type(toks[q_pos + 1 : c_pos], cols)
+        bt = _infer_ch_type(toks[c_pos + 1 :], cols)
+        return _ch_supertype([at, bt])
     # lowest-precedence top-level operator splits last
     for ops in (("AND", "OR"), ("=", "==", "!=", "<>", "<", ">", "<=", ">="),
                 ("+", "-"), ("*", "/", "%")):
@@ -389,7 +422,19 @@ def _infer_ch_type(
             ):
                 lt = _infer_ch_type(toks[:j], cols)
                 rt = _infer_ch_type(toks[j + 1 :], cols)
-                return _binop_type(t.text.upper(), lt, rt)
+                # Nullable propagation (FunctionsArithmetic.h wraps
+                # the result when any argument is Nullable; Null
+                # absorbs — DataTypeNull)
+                if "Null" in (lt, rt):
+                    return "Null"
+                base = _binop_type(
+                    t.text.upper(), _strip_nullable(lt), _strip_nullable(rt)
+                )
+                if (lt or "").startswith("Nullable(") or (
+                    rt or ""
+                ).startswith("Nullable("):
+                    return _wrap_nullable(base)
+                return base
     t0 = toks[0]
     if t0.text == "[":
         # array literal: Array(least supertype of the elements)
@@ -441,6 +486,88 @@ def _infer_ch_type(
             if inner in _CH_NUM_BITS:
                 b, _ = _CH_NUM_BITS[inner]
                 return _ch_num(b * 2, True)
+        if fname == "arrayjoin":
+            inner = _infer_ch_type(_split_top(toks[2:-1], ",")[0], cols)
+            if inner is not None and inner.startswith("Array(") and inner.endswith(")"):
+                return inner[len("Array(") : -1]
+            return None
+        # aggregate return types (AggregateFunctionFactory.cpp):
+        # sum widens to the 64-bit type of the argument's sign,
+        # count/uniq* are UInt64, avg is Float64, min/max/any keep the
+        # argument type; Nullable arguments wrap the result
+        if fname in ("count", "uniq", "uniqexact", "uniqhll12",
+                     "uniqcombined"):
+            return "UInt64"
+        if fname in ("sum", "sumwithoverflow", "avg", "min", "max",
+                     "any", "anylast"):
+            args = _split_top(toks[2:-1], ",")
+            at = _infer_ch_type(args[0], cols) if args else None
+            if at is None:
+                return None
+            base = _strip_nullable(at)
+            if fname == "avg":
+                res = "Float64"
+            elif fname in ("sum", "sumwithoverflow"):
+                if base not in _CH_NUM_BITS:
+                    return None
+                _b, signed = _CH_NUM_BITS[base]
+                res = "Float64" if _ch_is_float(base) else _ch_num(64, signed)
+            else:
+                res = base
+            return _wrap_nullable(res) if at.startswith("Nullable(") else res
+        # Nullable family (FunctionsNull.cpp / DataTypeNullable):
+        if fname in ("materialize", "identity"):
+            return _infer_ch_type(_split_top(toks[2:-1], ",")[0], cols)
+        if fname == "tonullable":
+            return _wrap_nullable(
+                _infer_ch_type(_split_top(toks[2:-1], ",")[0], cols)
+            )
+        if fname == "assumenotnull":
+            return _strip_nullable(
+                _infer_ch_type(_split_top(toks[2:-1], ",")[0], cols)
+            )
+        if fname == "nullif":
+            return _wrap_nullable(
+                _infer_ch_type(_split_top(toks[2:-1], ",")[0], cols)
+            )
+        if fname in ("isnull", "isnotnull"):
+            return "UInt8"
+        if fname in ("ifnull", "coalesce"):
+            # result folds left: Null arg vanishes, a non-Nullable arg
+            # terminates the chain non-Nullable, otherwise Nullable
+            # survives only if the LAST contributing arg is Nullable
+            args = _split_top(toks[2:-1], ",")
+            out: str | None = None
+            for a in reversed(args):
+                at = _infer_ch_type(a, cols)
+                if at is None:
+                    return None
+                if at == "Null":
+                    continue
+                if out is None:
+                    out = at
+                elif not at.startswith("Nullable("):
+                    out = at
+                else:
+                    base_a = _strip_nullable(at)
+                    base_o = _strip_nullable(out)
+                    sup = (
+                        base_a
+                        if base_a == base_o
+                        else _ch_supertype([base_a, base_o])
+                    )
+                    if sup is None:
+                        return None
+                    out = (
+                        _wrap_nullable(sup)
+                        if out.startswith("Nullable(")
+                        else sup
+                    )
+            return out if out is not None else "Null"
+        if fname == "tofixedstring":
+            args = _split_top(toks[2:-1], ",")
+            if len(args) == 2 and len(args[1]) == 1:
+                return f"FixedString({args[1][0].text})"
         return _CH_FN_TYPES.get(fname)
     return None
 
@@ -452,6 +579,15 @@ def _ch_supertype(types: list[str | None]) -> str | None:
     ts = [t for t in types]
     if not ts or any(t is None for t in ts):
         return None
+    # Null / Nullable(T) lift (getLeastCommonType over DataTypeNull):
+    # supertype(T, Null) = Nullable(T); all-Null = Null
+    if any(t == "Null" or t.startswith("Nullable(") for t in ts):
+        bare = [
+            _strip_nullable(t) for t in ts if t != "Null"
+        ]
+        if not bare:
+            return "Null"
+        return _wrap_nullable(_ch_supertype(bare))
     uniq = set(ts)
     if len(uniq) == 1:
         return ts[0]
@@ -651,7 +787,19 @@ def execute_statement(engine, ch_sql: str) -> DataFrame | None:
     if head == "SELECT" or tokens[0].is_kw("WITH"):
         return engine.spark.sql(engine.translate(ch_sql))
     if head == "SET":
-        return None  # settings are advisory (Settings.h) — no-op
+        # most settings are advisory (Settings.h), but a few change
+        # output semantics (extremes, totals_mode) — record name=value
+        # pairs on the engine session
+        for j in range(1, len(tokens) - 2):
+            if (
+                tokens[j].kind in ("ident", "qident")
+                and tokens[j + 1].text == "="
+                and tokens[j + 2].kind in ("number", "string", "ident")
+            ):
+                engine.session_settings[tokens[j].text] = tokens[
+                    j + 2
+                ].text.strip("'\"")
+        return None
     if head == "CREATE":
         return _create(engine, tokens)
     if head == "INSERT":

@@ -98,9 +98,21 @@ class Ctx:
     # (set by _select after _render_from; save/restored per subquery
     # by _translate_union)
     current_table: str | None = None
+    # engine session SET values (Settings.h) — seed every SELECT's
+    # per-query SETTINGS (join_use_nulls changes join fill semantics)
+    session_settings: dict[str, str] = field(default_factory=dict)
     # Callable[[str], list[(col, simple_type)] | None]: analyzed output
     # schema of a FROM-able SQL fragment (join-defaults substitution)
     schema_of_sql: object | None = None
+    # alias name → ORIGINAL CH token list (pre-substitution), so
+    # translate-time type inference (toTypeName) can see the CH
+    # expression instead of the rendered Spark SQL
+    alias_ch_toks: dict[str, list] = field(default_factory=dict)
+    # inferred CH type per output column of the outermost SELECT
+    # (positional, None entries not inferable); None when the select
+    # list has a star expansion.  Read back via translate_sql(capture=)
+    # for WithNamesAndTypes headers and format metadata.
+    out_ch_types: list | None = None
     counter: int = 0
 
     def gensym(self, prefix: str) -> str:
@@ -125,6 +137,8 @@ def translate_sql(
     tabledef_of=None,
     agg_fn_of=None,
     schema_of_sql=None,
+    capture: dict | None = None,
+    session_settings: dict | None = None,
 ) -> str:
     ctx = Ctx(
         table_meta=table_meta or {},
@@ -136,11 +150,15 @@ def translate_sql(
         tabledef_of=tabledef_of,
         agg_fn_of=agg_fn_of,
         schema_of_sql=schema_of_sql,
+        session_settings=session_settings or {},
     )
     tokens = tokenize(sql)
     while tokens and tokens[-1].text == ";":
         tokens = tokens[:-1]
-    return _translate_union(tokens, ctx)
+    out = _translate_union(tokens, ctx)
+    if capture is not None:
+        capture["out_ch_types"] = ctx.out_ch_types
+    return out
 
 
 # ------------------------------------------------------------ union split
@@ -238,7 +256,8 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     limit_by: tuple[str, str, list[Token]] | None = None  # (n, offset, cols)
     limit_txt: str | None = None
     offset_txt: str | None = None
-    settings: dict[str, str] = {}
+    # session-level SET values seed the per-query SETTINGS
+    settings: dict[str, str] = dict(ctx.session_settings)
 
     # Clause order is fixed (ParserSelectQuery.cpp parses the clauses in
     # sequence, so e.g. `LIMIT 5 GROUP BY k` is a syntax error there).
@@ -419,6 +438,10 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
                 array_join_items.append(
                     (False, arg_toks + [Token("ident", "AS"), Token("ident", user_alias)])
                 )
+                # original CH tokens for type inference (the exploded
+                # column's CH type is the arrayJoin expression's)
+                if user_alias not in ctx.alias_ch_toks:
+                    ctx.alias_ch_toks[user_alias] = list(body[s:e])
                 select_items[idx] = [
                     Token("ident", user_alias),
                     Token("ident", "AS"),
@@ -429,6 +452,7 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
                 array_join_items.append(
                     (False, arg_toks + [Token("ident", "AS"), Token("ident", alias)])
                 )
+                ctx.alias_ch_toks[alias] = list(item[s:e])
                 select_items[idx] = item[:s] + [Token("ident", alias)] + item[e:]
 
     # ---- FROM
@@ -665,7 +689,9 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     hint = ""
     jdef_subs: dict[str, str] = {}
     for j in joins:
-        js, jhint = _render_join(j, ctx, jdef_subs)
+        js, jhint = _render_join(
+            j, ctx, jdef_subs, left_sql=from_sql, settings=settings
+        )
         join_sql += js
         hint = hint or jhint
 
@@ -735,6 +761,17 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
                 ]
 
     select_sql_items = [_rewrite_select_item(aj_subst(s), ctx) for s in select_items]
+    # record inferred CH output types for this SELECT — scalar
+    # subqueries inside the items above already ran (and overwrote),
+    # so the assignment here leaves the OUTERMOST select's types in
+    # place when translation finishes
+    if any(len(s) == 1 and s[0].text == "*" for s in select_items):
+        ctx.out_ch_types = None
+    else:
+        ctx.out_ch_types = [
+            _infer_expr_ch_type(_strip_alias(s)[0], ctx)
+            for s in select_items
+        ]
     where_parts: list[str] = []
     if prewhere_toks:
         # PREWHERE runs at scan time, before the join — no jdef subs
@@ -827,10 +864,7 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
         }
         hidden: list[str] = []
         for item in _split_top(order_toks, ","):
-            direction = ""
-            if item and item[-1].is_kw("ASC", "DESC"):
-                direction = " " + item[-1].text.upper()
-                item = item[:-1]
+            item, direction = _order_direction(item)
             if len(item) == 1 and item[0].kind in ("ident", "qident") and item[0].text in sel_aliases:
                 wrap_order.append((item[0].text, direction))
                 continue
@@ -850,13 +884,21 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     # (SETTINGS totals_mode='before_having') keeps the single-pass shape
     # with HAVING applied to group rows only.
     totals_mode = settings.get("totals_mode", "after_having_exclusive")
+    if with_totals and totals_mode in (
+        "after_having_inclusive",
+        "after_having_auto",
+    ):
+        # the three after_having_* modes differ ONLY in whether
+        # overflow aggregates (groups dropped by max_rows_to_group_by)
+        # are added back to totals (TotalsHavingBlockInputStream.cpp:
+        # 57-67, 129-132) — this engine never produces overflow rows
+        # (group limits are advisory under Spark), so all three reduce
+        # to the exclusive path
+        totals_mode = "after_having_exclusive"
     if with_totals and totals_mode not in (
         "after_having_exclusive",
         "before_having",
     ):
-        # after_having_inclusive / after_having_auto are valid reference
-        # modes (TotalsHavingBlockInputStream.h) we do not implement —
-        # raise instead of silently degrading to before_having
         raise ValueError(f"unsupported totals_mode {totals_mode!r}")
     if (
         with_totals
@@ -1235,7 +1277,11 @@ def _join_default_of(simple: str) -> str | None:
 
 
 def _render_join(
-    j: dict, ctx: Ctx, jdef_subs: dict[str, str] | None = None
+    j: dict,
+    ctx: Ctx,
+    jdef_subs: dict[str, str] | None = None,
+    left_sql: str | None = None,
+    settings: dict | None = None,
 ) -> tuple[str, str]:
     mods = j["mods"]
     kind = "INNER"
@@ -1273,24 +1319,43 @@ def _render_join(
             f"FROM {right_sql} ) WHERE {rn} = 1)"
         )
 
-    # non-matched LEFT/FULL rows read right-side columns as TYPE
+    # non-matched outer-join rows read the other side's columns as TYPE
     # DEFAULTS, not NULL (Interpreters/Join.cpp inserts default values;
     # join_use_nulls=0 is the reference default, Settings.h) — record
-    # coalesce substitutions for the outer clauses, driven by the right
-    # side's analyzed schema
+    # coalesce substitutions for the outer clauses, driven by the
+    # analyzed schema of the side that can be missing: the right side
+    # under LEFT/FULL, the left side under RIGHT/FULL.  SET
+    # join_use_nulls = 1 switches to NULL fill (Spark's native join
+    # semantics), so no substitution then.
+    # Nullable join keys never enter the hash table (Join.cpp null_map
+    # skip at insertFromBlock), so RIGHT/FULL joins never emit
+    # right-side rows whose key is NULL — Spark would; filter them out
+    # (the IS NOT NULL prunes away on non-nullable keys)
+    if kind in ("RIGHT", "FULL") and using_cols:
+        null_guard = " AND ".join(f"`{c}` IS NOT NULL" for c in using_cols)
+        right_sql = f"(SELECT * FROM {right_sql} WHERE {null_guard})"
+
+    use_nulls = (settings or {}).get("join_use_nulls", "0") not in ("0", "")
     if (
         jdef_subs is not None
-        and kind in ("LEFT", "FULL")
+        and not use_nulls
+        and kind in ("LEFT", "RIGHT", "FULL")
         and using_cols
         and ctx.schema_of_sql is not None
     ):
-        schema = ctx.schema_of_sql(right_sql)
-        for col, simple in schema or []:
-            if col in using_cols:
-                continue
-            d = _join_default_of(simple)
-            if d is not None:
-                jdef_subs[col] = f"coalesce(`{col}`, {d})"
+        sides = []
+        if kind in ("LEFT", "FULL"):
+            sides.append(right_sql)
+        if kind in ("RIGHT", "FULL") and left_sql is not None:
+            sides.append(left_sql)
+        for side_sql in sides:
+            schema = ctx.schema_of_sql(side_sql)
+            for col, simple in schema or []:
+                if col in using_cols:
+                    continue
+                d = _join_default_of(simple)
+                if d is not None:
+                    jdef_subs[col] = f"coalesce(`{col}`, {d})"
 
     hint = f"BROADCAST({alias})" if global_ else ""
     sql = f"\n{kind} JOIN {right_sql} AS {alias}"
@@ -1581,6 +1646,8 @@ def _collect_inline_aliases(
                 # the ARRAY JOIN machinery below, not by substitution
                 rendered = _rewrite(_substitute(list(expr_toks), subs), ctx)
                 target[name] = f"({rendered})"
+                if name not in ctx.alias_ch_toks:
+                    ctx.alias_ch_toks[name] = list(expr_toks)
             if is_output:
                 out.extend(tokens[k : k + 2])  # keep output alias
             k += 2
@@ -1673,7 +1740,12 @@ def _substitute(tokens: list[Token], subs: dict[str, str]) -> list[Token]:
             and (k == 0 or (tokens[k - 1].text != "." and not tokens[k - 1].is_kw("AS")))
             and (k + 1 >= len(tokens) or tokens[k + 1].text != "(")
         ):
-            out.append(Token("raw", subs[key]))
+            sub_tok = Token("raw", subs[key])
+            # remember which alias this raw fragment came from so
+            # translate-time type inference (toTypeName) can recover
+            # the original CH expression tokens
+            sub_tok.ch_name = key  # type: ignore[attr-defined]
+            out.append(sub_tok)
         else:
             out.append(t)
     return out
@@ -1691,15 +1763,87 @@ def _find_call(tokens: list[Token], name: str) -> tuple[int, int, list[Token]] |
 
 
 def _order_items(tokens: list[Token], ctx: Ctx) -> list[tuple[str, str]]:
-    """ORDER BY items as (expr_sql, ' ASC'|' DESC'|'') pairs."""
+    """ORDER BY items as (expr_sql, ' ASC'|' DESC'|'' + nulls) pairs."""
     items: list[tuple[str, str]] = []
     for item in _split_top(tokens, ","):
-        direction = ""
-        if item and item[-1].is_kw("ASC", "DESC"):
-            direction = " " + item[-1].text.upper()
-            item = item[:-1]
-        items.append((_rewrite(item, ctx), direction))
+        item, direction = _order_direction(item)
+        expr = _rewrite(item, ctx)
+        # Float sort: the reference places NaN BETWEEN the numbers and
+        # the NULL block, on the NULL side (ColumnsNumber.h
+        # PermutationSortNan + null_direction_hint; golden 00437) —
+        # Spark always sorts NaN greatest.  A leading group key
+        # (values < NaN < NULL, reversed under NULLS FIRST) restores
+        # the reference order; emitted only for inferably-float items.
+        ch_t = _infer_expr_ch_type(item, ctx)
+        base_t = (
+            ch_t[len("Nullable(") : -1]
+            if ch_t is not None and ch_t.startswith("Nullable(")
+            else ch_t
+        )
+        if base_t in ("Float32", "Float64"):
+            grp = (
+                f"(CASE WHEN ({expr}) IS NULL THEN 2 "
+                f"WHEN isnan({expr}) THEN 1 ELSE 0 END)"
+            )
+            gdir = " DESC" if direction.endswith("NULLS FIRST") else " ASC"
+            items.append((grp, gdir))
+        items.append((expr, direction))
     return items
+
+
+def _infer_expr_ch_type(toks: list[Token], ctx: Ctx) -> str | None:
+    """CH type of an expression token list, resolving select aliases
+    back to their original CH tokens and column refs against the
+    current table's declared CH types.  None = not statically
+    inferable (callers fall back to runtime behavior)."""
+    from .statements import _infer_ch_type
+
+    cols: dict[str, str] = {"number": "UInt64", "dummy": "UInt8"}
+    if ctx.tabledef_of is not None and ctx.current_table:
+        td = ctx.tabledef_of(ctx.current_table)
+        if td is not None:
+            for c in td.columns:
+                if c.ch_type:
+                    cols[c.name] = c.ch_type
+    toks = list(toks)
+    for _ in range(8):  # expand alias refs back to CH tokens
+        expanded: list[Token] = []
+        changed = False
+        for tk in toks:
+            alias = (
+                tk.text if tk.kind == "ident" else getattr(tk, "ch_name", None)
+            )
+            if alias in ctx.alias_ch_toks and alias not in cols:
+                expanded.extend(ctx.alias_ch_toks[alias])
+                changed = True
+            else:
+                expanded.append(tk)
+        toks = expanded
+        if not changed:
+            break
+    return _infer_ch_type(toks, cols)
+
+
+def _order_direction(item: list[Token]) -> tuple[list[Token], str]:
+    """Strip ``[ASC|DESC] [NULLS FIRST|LAST]`` from an ORDER BY item.
+
+    The reference sorts NULL greatest-LAST in BOTH directions by
+    default (ColumnNullable::getPermutation null_direction_hint;
+    golden 00426) while Spark's ASC defaults to NULLS FIRST — so the
+    suffix is always explicit."""
+    nulls = ""
+    if (
+        len(item) >= 2
+        and item[-2].is_kw("NULLS")
+        and item[-1].is_kw("FIRST", "LAST")
+    ):
+        nulls = " NULLS " + item[-1].text.upper()
+        item = item[:-2]
+    direction = ""
+    if item and item[-1].is_kw("ASC", "DESC"):
+        direction = " " + item[-1].text.upper()
+        item = item[:-1]
+    return item, direction + (nulls or " NULLS LAST")
 
 
 def _rewrite_list(tokens: list[Token], ctx: Ctx, keep_dir: bool = False) -> str:
@@ -1882,8 +2026,16 @@ def _rw_seq(
         cond = " ".join(pieces[:q_pos])
         then = " ".join(pieces[q_pos + 1 : c_pos])
         other = " ".join(pieces[c_pos + 1 :])
-        # UInt8 truthiness (FunctionsConditional.cpp): `x % 2 ? a : b`
-        return f"if(CAST(({cond}) AS BOOLEAN), {then}, {other})", i
+        # UInt8 truthiness (FunctionsConditional.cpp): `x % 2 ? a : b`.
+        # A NULL condition yields NULL (Nullable branch of
+        # FunctionsConditional.cpp), NOT the else arm as Spark's
+        # false-on-NULL `if` would; the IS NULL guard constant-folds
+        # away for non-nullable conditions.
+        return (
+            f"if(({cond}) IS NULL, NULL, "
+            f"if(CAST(({cond}) AS BOOLEAN), {then}, {other}))",
+            i,
+        )
     _fold_date_arith(pieces, kinds)
     # NOT binds looser than comparisons but tighter than AND/OR: wrap
     # the operand run (everything up to AND/OR or end) with a boolean
@@ -2160,6 +2312,16 @@ def _apply_fn(
         if fn in ("argMin", "argMax"):
             return f"{args[0]}.v"
         return args[0]
+    # toTypeName resolved at translate time when the CH type is
+    # statically inferable (the reference computes it at analysis:
+    # FunctionsMiscellaneous.cpp toTypeName returns a const column of
+    # the argument's DataType name) — this is the only way to render
+    # Nullable(T)/literal UInt8/Null faithfully, since Spark's runtime
+    # typeof() carries neither nullability nor CH literal typing
+    if name == "toTypeName" and arg_items:
+        inferred = _infer_expr_ch_type(arg_items[0], ctx)
+        if inferred is not None:
+            return "'{}'".format(inferred.replace("'", "\\'"))
     if name == "hasColumnInTable" and len(args) >= 2:
         table = args[-2].strip("'")
         col = args[-1].strip("'")

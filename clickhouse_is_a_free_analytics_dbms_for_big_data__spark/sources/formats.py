@@ -152,8 +152,39 @@ def write_format(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") ->
 # --------------------------------------------------------------- display
 
 
+#: client-format synonyms (FormatFactory.cpp registers both spellings)
+_FMT_SYNONYMS = {
+    "TSV": "TabSeparated",
+    "TSVRaw": "TabSeparatedRaw",
+    "TSVWithNames": "TabSeparatedWithNames",
+    "TSVWithNamesAndTypes": "TabSeparatedWithNamesAndTypes",
+}
+
+#: Spark simpleString → CH type name (fallback when the translator
+#: could not infer the CH type of an output column; §1.2 type table)
+_SPARK_TO_CH = {
+    "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+    "bigint": "Int64", "float": "Float32", "double": "Float64",
+    "string": "String", "date": "Date", "timestamp": "DateTime",
+    "timestamp_ntz": "DateTime", "boolean": "UInt8",
+    "decimal(20,0)": "UInt64",
+}
+
+
+def _ch_type_text(simple: str) -> str:
+    if simple.startswith("array<") and simple.endswith(">"):
+        return f"Array({_ch_type_text(simple[6:-1])})"
+    return _SPARK_TO_CH.get(simple, simple)
+
+
 def format_result(
-    df: DataFrame, fmt: str, max_rows: int = 10000, totals: bool = False
+    df: DataFrame,
+    fmt: str,
+    max_rows: int = 10000,
+    totals: bool = False,
+    extremes: bool = False,
+    settings: dict | None = None,
+    ch_types: list | None = None,
 ) -> str:
     """Render a (small) result the way the reference's output formats do.
 
@@ -166,9 +197,39 @@ def format_result(
     block after an empty separator line, with NULLed grouping keys
     rendered as their type defaults (TotalsHaving fills key columns
     with default values)."""
+    fmt = _FMT_SYNONYMS.get(fmt, fmt)
+    settings = settings or {}
     rows = df.limit(max_rows).collect()
     names = df.columns
     types = [f.dataType.simpleString() for f in df.schema.fields]
+    # CH type text per output column: translator-inferred when
+    # available, else mapped from the Spark type
+    if ch_types is None or len(ch_types) != len(names):
+        ch_types = [None] * len(names)
+    ch_names = [
+        c if c is not None else _ch_type_text(t)
+        for c, t in zip(ch_types, types)
+    ]
+
+    # SETTINGS extremes = 1: a trailing two-row min/max block after a
+    # blank separator (IProfilingBlockInputStream::updateExtremes +
+    # TabSeparated writeExtremes); computed over the result rows,
+    # totals row excluded
+    ext_block = ""
+    if extremes and rows and fmt in ("TabSeparated", "TSV"):
+        data_rows = rows[:-1] if totals else rows
+        if data_rows:
+            pairs = [
+                _extremes_pair([r[i] for r in data_rows], f.dataType)
+                for i, f in enumerate(df.schema.fields)
+            ]
+            ext_block = "\n" + "".join(
+                "\t".join(
+                    _tsv_cell(_f32(p[k], t)) for p, t in zip(pairs, types)
+                )
+                + "\n"
+                for k in (0, 1)
+            )
 
     if totals and rows and fmt in ("TabSeparated", "TSV"):
         body, trow = rows[:-1], rows[-1]
@@ -178,25 +239,23 @@ def format_result(
         ]
         return (
             "".join(
-                "\t".join(_tsv_cell(r[n]) for n in names) + "\n"
+                "\t".join(_tsv_cell(r[i]) for i in range(len(names))) + "\n"
                 for r in body
             )
             + "\n"
             + "\t".join(tcells)
             + "\n"
+            + ext_block
         )
 
-    if fmt in ("Pretty", "PrettyCompact"):
-        return _pretty(names, rows, compact=fmt == "PrettyCompact")
-    if fmt == "Vertical":
-        out = []
-        for i, r in enumerate(rows):
-            out.append(f"Row {i + 1}:")
-            width = max((len(n) for n in names), default=0)
-            for n in names:
-                out.append(f"{n.rjust(width)}: {_cell(r[n])}")
-            out.append("")
-        return "\n".join(out).rstrip() + "\n"
+    if fmt in (
+        "Pretty", "PrettyCompact", "PrettySpace", "PrettyNoEscapes",
+        "PrettyCompactNoEscapes", "PrettySpaceNoEscapes",
+        "PrettyCompactMonoBlock",
+    ):
+        return _render_pretty(names, rows, df.schema.fields, types, fmt, settings)
+    if fmt in ("Vertical", "VerticalRaw"):
+        return _vertical(names, rows, types, raw=fmt == "VerticalRaw")
     if fmt in ("JSON", "JSONCompact"):
         meta = [{"name": n, "type": t} for n, t in zip(names, types)]
         if fmt == "JSON":
@@ -214,13 +273,45 @@ def format_result(
         return ", ".join(
             "(" + ", ".join(_sql_literal(r[n]) for n in names) + ")" for r in rows
         )
-    if fmt in ("TabSeparated", "TSV"):
+    if fmt in (
+        "TabSeparated", "TabSeparatedWithNames",
+        "TabSeparatedWithNamesAndTypes",
+    ):
         # every row newline-terminated (IO/WriteHelpers.h writeChar after
         # each row) — zero rows is the empty string, one empty-string
         # cell is a single blank line; they must stay distinguishable
+        head = ""
+        if fmt != "TabSeparated":
+            head = "\t".join(_tsv_cell(n) for n in names) + "\n"
+            if fmt.endswith("AndTypes"):
+                head += "\t".join(ch_names) + "\n"
+        return (
+            head
+            + "".join(
+                "\t".join(
+                    _tsv_cell(_f32(r[i], t)) for i, t in enumerate(types)
+                )
+                + "\n"
+                for r in rows
+            )
+            + ext_block
+        )
+    if fmt == "TabSeparatedRaw":
+        # serializeText, no escaping (TabSeparatedRawRowOutputStream)
         return "".join(
-            "\t".join(
-                _tsv_cell(_f32(r[n], t)) for n, t in zip(names, types)
+            "\t".join(_cell(_f32(r[i], t)) for i, t in enumerate(types))
+            + "\n"
+            for r in rows
+        )
+    if fmt in ("CSV", "CSVWithNames"):
+        head = ""
+        if fmt == "CSVWithNames":
+            head = ",".join(_csv_quote(n) for n in names) + "\n"
+        return head + "".join(
+            ",".join(
+                part
+                for i, t in enumerate(types)
+                for part in _csv_fields(r[i], t)
             )
             + "\n"
             for r in rows
@@ -235,6 +326,66 @@ def format_result(
         out.append("</result>")
         return "\n".join(out)
     raise ValueError(f"unsupported display format {fmt!r}")
+
+
+def _extremes_pair(vals: list, dt) -> tuple:
+    """(min, max) of a result column the way IColumn::getExtremes does:
+    numeric skips NULLs and NaNs (all-NaN → NaN, empty column → 0,
+    all-NULL → NULL: ColumnVector.cpp:259, ColumnNullable.cpp:384),
+    String is always ''/'' (ColumnString.cpp:253), Tuple is
+    component-wise (ColumnTuple.cpp:266), Array defaults to []."""
+    import datetime as _dt
+    import math
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        present = [v for v in vals if v is not None]
+        mins, maxs = [], []
+        for idx, f in enumerate(dt.fields):
+            mn, mx = _extremes_pair([v[idx] for v in present], f.dataType)
+            mins.append(mn)
+            maxs.append(mx)
+        return Row(*mins), Row(*maxs)
+    if isinstance(dt, T.ArrayType):
+        return [], []
+    if isinstance(dt, T.StringType):
+        return "", ""
+    if isinstance(dt, T.DateType):
+        nums = [v for v in vals if v is not None]
+        if nums:
+            return min(nums), max(nums)
+        zero = _dt.date(1970, 1, 1)
+        return (None, None) if vals else (zero, zero)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        nums = [v for v in vals if v is not None]
+        if nums:
+            return min(nums), max(nums)
+        zero = _dt.datetime(1970, 1, 1)
+        return (None, None) if vals else (zero, zero)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        if not vals:
+            return 0.0, 0.0
+        nonnull = [v for v in vals if v is not None]
+        if not nonnull:
+            return None, None
+        nums = [v for v in nonnull if not math.isnan(v)]
+        if nums:
+            return min(nums), max(nums)
+        return float("nan"), float("nan")
+    if isinstance(
+        dt,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.DecimalType, T.BooleanType),
+    ):
+        if not vals:
+            return 0, 0
+        nums = [v for v in vals if v is not None]
+        if nums:
+            return min(nums), max(nums)
+        return None, None
+    return None, None
 
 
 def _totals_default(v, spark_type: str):
@@ -263,26 +414,203 @@ def _totals_default(v, spark_type: str):
     return v
 
 
-def _pretty(names: list[str], rows, compact: bool) -> str:
-    cells = [[_cell(r[n]) for n in names] for r in rows]
-    widths = [
-        max([len(n)] + [len(c[i]) for c in cells]) for i, n in enumerate(names)
-    ]
-    def line(l, m, r):
-        return l + m.join("─" * (w + 2) for w in widths) + r
-    header = "│" + "│".join(f" {n.ljust(w)} " for n, w in zip(names, widths)) + "│"
-    body = [
-        "│" + "│".join(f" {c.ljust(w)} " for c, w in zip(row, widths)) + "│"
-        for row in cells
-    ]
-    if compact:
-        return "\n".join([line("┌", "┬", "┐"), header, line("├", "┼", "┤"), *body, line("└", "┴", "┘")])
-    sep = line("├", "┼", "┤")
-    parts = [line("┌", "┬", "┐"), header, sep]
-    for b in body:
-        parts.append(b)
-    parts.append(line("└", "┴", "┘"))
-    return "\n".join(parts)
+def _dt_is_numeric(dt) -> bool:
+    """IDataType::isNumeric — numbers, dates and enums-as-numbers are
+    right-aligned in Pretty formats; Nullable looks through to the
+    nested type (DataTypeNullable)."""
+    from pyspark.sql import types as T
+
+    return isinstance(
+        dt,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType,
+         T.DateType, T.TimestampType, T.TimestampNTZType,
+         T.NullType),  # DataTypeNull behaves as a number column
+    )
+
+
+def _render_pretty(
+    names: list[str], rows, fields, types, fmt: str, settings: dict
+) -> str:
+    """Pretty* writers, byte-faithful to the reference
+    (PrettyBlockOutputStream.cpp, PrettyCompactBlockOutputStream.cpp,
+    PrettySpaceBlockOutputStream.cpp,
+    PrettyCompactMonoBlockOutputStream.cpp): rows arrive in
+    max_block_size chunks each rendered as its own table, widths are
+    visibleWidth of the escaped cell text per block, numeric columns
+    right-align, names are ANSI-bold unless NoEscapes, and
+    output_format_pretty_max_rows truncates with a 'Showed first N.'
+    trailer."""
+    no_escapes = fmt.endswith("NoEscapes")
+    base = fmt[: -len("NoEscapes")] if no_escapes else fmt
+    mono = base == "PrettyCompactMonoBlock"
+    if mono:
+        base = "PrettyCompact"
+    style = {
+        "Pretty": "full", "PrettyCompact": "compact",
+        "PrettySpace": "space",
+    }[base]
+    block_size = int(settings.get("max_block_size", 65536))
+    pmax = int(settings.get("output_format_pretty_max_rows", 10000))
+    numeric = [_dt_is_numeric(f.dataType) for f in fields]
+    name_cells = [_tsv_cell(n) for n in names]
+
+    def bold(s: str) -> str:
+        return s if no_escapes else f"\033[1m{s}\033[0m"
+
+    def cells_of(r) -> list[str]:
+        return [_tsv_cell(_f32(r[i], t)) for i, t in enumerate(types)]
+
+    blocks = [rows[k : k + block_size] for k in range(0, len(rows), block_size)]
+
+    def widths_of(cell_rows) -> list[int]:
+        return [
+            max([len(nc)] + [len(cr[i]) for cr in cell_rows])
+            for i, nc in enumerate(name_cells)
+        ]
+
+    def header_lines(widths) -> list[str]:
+        if style == "full":
+            top = "┏" + "┳".join("━" * (w + 2) for w in widths) + "┓"
+            hs = []
+            for nc, w, num in zip(name_cells, widths, numeric):
+                pad = " " * (w - len(nc))
+                hs.append(bold(pad + nc if num else nc + pad))
+            hdr = "┃ " + " ┃ ".join(hs) + " ┃"
+            nsep = "┡" + "╇".join("━" * (w + 2) for w in widths) + "┩"
+            return [top, hdr, nsep]
+        if style == "compact":
+            hs = []
+            for nc, w, num in zip(name_cells, widths, numeric):
+                pad = "─" * (w - len(nc))
+                hs.append(pad + bold(nc) if num else bold(nc) + pad)
+            return ["┌─" + "─┬─".join(hs) + "─┐"]
+        hs = []
+        for nc, w, num in zip(name_cells, widths, numeric):
+            pad = " " * (w - len(nc))
+            hs.append(pad + bold(nc) if num else bold(nc) + pad)
+        return ["   ".join(hs), ""]
+
+    def row_line(cr, widths) -> str:
+        ds = []
+        for c, w, num in zip(cr, widths, numeric):
+            pad = " " * (w - len(c))
+            ds.append(pad + c if num else c + pad)
+        if style == "space":
+            return "   ".join(ds)
+        return "│ " + " │ ".join(ds) + " │"
+
+    def bottom_line(widths) -> str | None:
+        if style == "space":
+            return None
+        return "└" + "┴".join("─" * (w + 2) for w in widths) + "┘"
+
+    out: list[str] = []
+    total = 0
+    if mono:
+        kept: list[list[list[str]]] = []
+        for b in blocks:
+            if total < pmax:
+                kept.append([cells_of(r) for r in b])
+            total += len(b)
+        if kept:
+            widths = widths_of([cr for blk in kept for cr in blk])
+            out.extend(header_lines(widths))
+            count = 0
+            for blk in kept:
+                for cr in blk:
+                    if count >= pmax:
+                        break
+                    out.append(row_line(cr, widths))
+                    count += 1
+            bl = bottom_line(widths)
+            if bl:
+                out.append(bl)
+    else:
+        for b in blocks:
+            if total >= pmax:
+                total += len(b)
+                continue
+            cell_rows = [cells_of(r) for r in b]
+            widths = widths_of(cell_rows)
+            out.extend(header_lines(widths))
+            for i, cr in enumerate(cell_rows):
+                if total + i >= pmax:
+                    break
+                if style == "full" and i != 0:
+                    out.append(
+                        "├" + "┼".join("─" * (w + 2) for w in widths) + "┤"
+                    )
+                out.append(row_line(cr, widths))
+            bl = bottom_line(widths)
+            if bl:
+                out.append(bl)
+            total += len(b)
+    if total >= pmax and total > 0:
+        if style == "space":
+            out.append(f"\nShowed first {pmax}.")
+        else:
+            out.append(f"  Showed first {pmax}.")
+    if not out:
+        return ""
+    return "\n".join(out) + "\n"
+
+
+def _vertical(names: list[str], rows, types, raw: bool) -> str:
+    """Vertical / VerticalRaw (VerticalRowOutputStream.cpp): per-row
+    'Row N:' + dash rule sized log10(N+1)+1+5, 'name: ' labels padded
+    to the widest name, escaped (or raw) values, blank line between
+    rows."""
+    import math
+
+    name_cells = [_tsv_cell(n) for n in names]
+    maxw = max((len(nc) for nc in name_cells), default=0)
+    pads = [(nc + ": ").ljust(maxw + 2) for nc in name_cells]
+    out: list[str] = []
+    for idx, r in enumerate(rows, 1):
+        if idx > 1:
+            out.append("")
+        out.append(f"Row {idx}:")
+        out.append("─" * (int(math.log10(idx + 1)) + 1 + 5))
+        for i, (pad, t) in enumerate(zip(pads, types)):
+            v = _f32(r[i], t)
+            out.append(pad + (_cell(v) if raw else _tsv_cell(v)))
+    if not out:
+        return ""
+    return "\n".join(out) + "\n"
+
+
+def _csv_quote(s: str) -> str:
+    return '"' + s.replace('"', '""') + '"'
+
+
+def _csv_fields(v, spark_type: str) -> list[str]:
+    """serializeTextCSV per type (IO/WriteHelpers.h writeCSVString +
+    DataType*::serializeTextCSV): strings/dates/arrays double-quoted
+    with quote doubling (real newlines kept), numbers bare, and a
+    Tuple flattens into one CSV field per element
+    (DataTypeTuple::serializeTextCSV)."""
+    import datetime as _dt
+
+    from pyspark.sql import Row
+
+    if v is None:
+        return ["\\N"]
+    if isinstance(v, Row):
+        return [p for x in v for p in _csv_fields(x, "")]
+    if isinstance(v, bool):
+        return ["1" if v else "0"]
+    if isinstance(v, float):
+        return [_ch_float(_f32(v, spark_type))]
+    import decimal as _dec
+
+    if isinstance(v, (int, _dec.Decimal)):
+        return [str(v)]
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return [_csv_quote(_ch_date_text(v))]
+    if isinstance(v, (list, tuple)):
+        return [_csv_quote(_ch_composite(v))]
+    return [_csv_quote(str(v))]
 
 
 def _ch_date_text(v) -> str:

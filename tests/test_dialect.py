@@ -619,11 +619,25 @@ def test_agg_fn_of_scoped_to_from_table(eng):
         eng.execute("DROP TABLE aggdup_b")
 
 
-def test_unsupported_totals_mode_raises():
+def test_totals_mode_inclusive_auto_reduce_to_exclusive():
+    """after_having_inclusive/auto differ from exclusive ONLY for
+    overflow aggregates (max_rows_to_group_by groups,
+    TotalsHavingBlockInputStream.cpp:57-67) which this engine never
+    produces — all three translate to the exclusive semi-join shape;
+    a bogus mode still raises."""
+    inc = translate_sql(
+        "SELECT a, count() FROM t GROUP BY a WITH TOTALS "
+        "SETTINGS totals_mode = 'after_having_inclusive'"
+    )
+    exc = translate_sql(
+        "SELECT a, count() FROM t GROUP BY a WITH TOTALS "
+        "SETTINGS totals_mode = 'after_having_exclusive'"
+    )
+    assert inc == exc
     with pytest.raises(ValueError, match="totals_mode"):
         translate_sql(
             "SELECT a, count() FROM t GROUP BY a WITH TOTALS "
-            "SETTINGS totals_mode = 'after_having_inclusive'"
+            "SETTINGS totals_mode = 'bogus_mode'"
         )
 
 

@@ -63,7 +63,9 @@ def test_pretty(sample):
 
 def test_vertical(sample):
     out = format_result(sample.orderBy("id").limit(1), "Vertical")
-    assert "Row 1:" in out and "name: alpha" in out
+    # reference VerticalRowOutputStream pads 'name: ' labels to the
+    # widest name (left-aligned) under a dash rule
+    assert "Row 1:" in out and "name:  alpha" in out and "──────" in out
 
 
 def test_json_document(sample):

@@ -66,16 +66,28 @@ def run_sql_file(engine: ChEngine, path: str) -> str:
     with open(path) as f:
         text = f.read()
     outputs = []
-    for stmt in split_statements(text):
-        df = engine.execute(stmt)
-        if df is not None:  # DDL/DML/SET produce no output
-            outputs.append(
-                format_result(
-                    df,
-                    "TabSeparated",
-                    totals=getattr(engine, "last_totals", False),
+    # settings are session-scoped: each golden file runs in its own
+    # client session in the reference (clickhouse-test), so SET made
+    # inside one file must not leak into the next
+    saved_settings = dict(getattr(engine, "session_settings", {}))
+    try:
+        for stmt in split_statements(text):
+            df = engine.execute(stmt)
+            if df is not None:  # DDL/DML/SET produce no output
+                outputs.append(
+                    format_result(
+                        df,
+                        getattr(engine, "last_format", None) or "TabSeparated",
+                        totals=getattr(engine, "last_totals", False),
+                        extremes=getattr(engine, "last_extremes", False),
+                        settings=getattr(engine, "last_settings", None),
+                        ch_types=getattr(engine, "last_out_ch_types", None),
+                    )
                 )
-            )
+    finally:
+        if hasattr(engine, "session_settings"):
+            engine.session_settings.clear()
+            engine.session_settings.update(saved_settings)
     return "".join(outputs)
 
 
