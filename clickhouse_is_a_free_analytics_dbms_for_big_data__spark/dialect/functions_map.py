@@ -127,14 +127,51 @@ def _sort_by_key(lam: str, arr: str, reverse: bool) -> str:
 
 
 def _array_reduce(a: Args) -> str:
-    """arrayReduce('agg', arr) — SQL twin of functions/arrays.py:139."""
+    """arrayReduce('agg', arr...) — SQL twin of functions/arrays.py:139.
+
+    Multi-array forms aggregate over the element tuples (zip), matching
+    the reference's multi-argument aggregates (FunctionsArray.h:1387).
+    """
     name = a[0].strip("'").lower()
-    arr = a[1]
+    # multiple data arrays → distinct over zipped tuples
+    arr = a[1] if len(a) == 2 else f"arrays_zip({', '.join(a[1:])})"
     # parametric form 'uniqUpTo(5)' (AggregateFunctionFactory parses
     # params embedded in the name string for arrayReduce)
     m = re.match(r"uniqupto\((\d+)\)$", name)
     if m:
         return f"least(size(array_distinct({arr})), {int(m.group(1)) + 1})"
+    # 'quantiles(0.5, 0.9)' — params in the name; ReservoirSampler
+    # interpolated finalizer, NaN on empty input
+    m = re.match(r"(quantiles?|median)\(([^)]*)\)$", name)
+    if m or name in ("median",):
+        levels = (
+            [s.strip() for s in m.group(2).split(",") if s.strip()]
+            if m
+            else ["0.5"]
+        )
+        plural = bool(m) and m.group(1) == "quantiles"
+        nan = "CAST('NaN' AS DOUBLE)"
+        parts = [
+            f"if(size({arr}) = 0, {nan}, {_interp_quantile_of(arr, p)})"
+            for p in levels
+        ]
+        if plural:
+            return "array(" + ", ".join(parts) + ")"
+        return parts[0]
+    # -If combinator: last array is the condition
+    if name in ("uniqexactif", "uniqif", "countif", "sumif") and len(a) >= 3:
+        vals = a[1] if len(a) == 3 else f"arrays_zip({', '.join(a[1:-1])})"
+        conds = a[-1]
+        kept = (
+            f"transform(filter(zip_with({vals}, {conds}, "
+            f"(__v, __k) -> named_struct('v', __v, 'k', __k)), "
+            f"__p -> CAST(__p.k AS BOOLEAN)), __p -> __p.v)"
+        )
+        if name in ("uniqexactif", "uniqif"):
+            return f"size(array_distinct({kept}))"
+        if name == "countif":
+            return f"size({kept})"
+        return f"aggregate({kept}, CAST(0 AS DOUBLE), (__s, __x) -> __s + __x)"
     total = f"aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
     forms = {
         "sum": total,
@@ -224,6 +261,234 @@ def _t_split_by_char(a: Args) -> str:
 def _sql_let(value: str, var: str, body: str) -> str:
     """Bind a scalar once (same trick as sql_udfs._let)."""
     return f"element_at(transform(array({value}), {var} -> {body}), 1)"
+
+
+def _sql_u64_bigint(v: str) -> str:
+    """UInt64-typed value (BIGINT or DECIMAL(20,0) literal) → the
+    two's-complement BIGINT holding the same 64 bits (bit ops in Spark
+    work on BIGINT only)."""
+    d = f"CAST({v} AS DECIMAL(21, 0))"
+    return (
+        f"CAST({d} - (CASE WHEN {d} > 9223372036854775807 "
+        f"THEN CAST(18446744073709551616 AS DECIMAL(21, 0)) ELSE 0 END) AS BIGINT)"
+    )
+
+
+def _sql_bit_rotate(a: Args, left: bool) -> str:
+    """bitRotateLeft/Right on the 64-bit pattern
+    (FunctionsArithmetic.h BitRotate*Impl rotates at register width)."""
+    n = f"(({a[1]}) % 64)"
+    if left:
+        body = f"(shiftleft(__x, {n}) | shiftrightunsigned(__x, (64 - {n}) % 64))"
+    else:
+        body = f"(shiftrightunsigned(__x, {n}) | shiftleft(__x, (64 - {n}) % 64))"
+    return _sql_let(_sql_u64_bigint(a[0]), "__x", body)
+
+
+def _sql_hex(x: str) -> str:
+    """CH hex() prints whole bytes: pad Spark's minimal-digit integer
+    hex to even length (FunctionsCoding.cpp hex of integers skips
+    leading zero BYTES but keeps two digits per byte)."""
+    return _sql_let(
+        f"hex({x})",
+        "__h",
+        "if(length(__h) % 2 = 1, concat('0', __h), __h)",
+    )
+
+
+def _sql_fss_host(u: str) -> str:
+    """Host for firstSignificantSubdomain: ExtractDomain<true> (strips
+    one leading 'www.'), then one trailing dot cut
+    (FunctionsURL.h ExtractFirstSignificantSubdomain)."""
+    # exact getURLHost (FunctionsURL.h:87-117): scheme '://' then host
+    # up to [:/?#], '@' resets the start — parse_url is stricter and
+    # rejects empty labels / non-ASCII hosts the reference accepts
+    raw = (
+        f"regexp_extract({u}, "
+        "'^[A-Za-z][A-Za-z0-9+.\\\\-]*://(?:[^:/?#]*@)?([^:/?#]*)', 1)"
+    )
+    host = f"regexp_replace({raw}, '^www\\\\.', '')"
+    return _sql_let(
+        host,
+        "__h0",
+        "if(endswith(__h0, '.'), left(__h0, length(__h0) - 1), __h0)",
+    )
+
+
+_FSS_CASE = (
+    "(CASE WHEN __h = '' THEN '' "
+    "WHEN __n <= 1 THEN __h "
+    "WHEN __n = 2 THEN element_at(__p, 1) "
+    "WHEN element_at(__p, __n - 1) IN ('com', 'net', 'org', 'co') "
+    "THEN element_at(__p, __n - 2) "
+    "ELSE element_at(__p, __n - 1) END)"
+)
+
+_CUT_FSS_CASE = (
+    "(CASE WHEN __h = '' THEN '' "
+    "WHEN __n <= 2 THEN __h "
+    "WHEN element_at(__p, __n - 1) IN ('com', 'net', 'org', 'co') "
+    "THEN array_join(slice(__p, __n - 2, 3), '.') "
+    "ELSE array_join(slice(__p, __n - 1, 2), '.') END)"
+)
+
+
+def _sql_fss(u: str, case: str) -> str:
+    """Label-precise firstSignificantSubdomain / cutToFirstSignificant-
+    Subdomain (FunctionsURL.h:153-240: last-3-dots scan; the label
+    before the TLD wins unless it is com/net/org/co, then the one
+    before that)."""
+    return _sql_let(
+        _sql_fss_host(u),
+        "__h",
+        _sql_let(
+            "split(__h, '\\\\.')",
+            "__p",
+            _sql_let("size(__p)", "__n", case),
+        ),
+    )
+
+
+def _sql_url_params_tail(u: str) -> str:
+    """Substring after the first '?' or '#' (NULL when neither exists)
+    — the scan start of the URL-parameter family (FunctionsURL.h:554)."""
+    q = f"locate('?', {u})"
+    h = f"locate('#', {u})"
+    first = (
+        f"(CASE WHEN {q} = 0 THEN {h} WHEN {h} = 0 THEN {q} "
+        f"ELSE least({q}, {h}) END)"
+    )
+    return f"(CASE WHEN {q} = 0 AND {h} = 0 THEN NULL ELSE substr({u}, {first} + 1) END)"
+
+
+def _sql_extract_url_params(u: str, names: bool) -> str:
+    """extractURLParameters / extractURLParameterNames — exact port of
+    FunctionsURL.h:554-712: pieces split on [&#]; a '?' before the
+    first '=' restarts the token; the trailing piece is emitted only
+    when it still contains '='."""
+    strip = "regexp_replace(__e, '^([^=?]*[?])+', '')"
+    if names:
+        tok = f"regexp_extract({strip}, '^([^=]*)', 1)"
+    else:
+        tok = strip
+    pieces = f"split(coalesce({_sql_url_params_tail(u)}, ''), '[&#]')"
+    return _sql_let(
+        pieces,
+        "__ps",
+        _sql_let(
+            "size(__ps)",
+            "__n",
+            "transform(concat(slice(__ps, 1, __n - 1), "
+            "filter(slice(__ps, __n, 1), __t -> instr(__t, '=') > 0)), "
+            f"__e -> {tok})",
+        ),
+    )
+
+
+def _sql_extract_url_param(a: Args) -> str:
+    """extractURLParameter(URL, name): first occurrence of 'name='
+    preceded by [?#&] after the first [?#]; value runs to the next
+    [&#] (FunctionsURL.h ExtractURLParameterImpl — non-boundary
+    occurrences are skipped, not fatal)."""
+    u, name = a[0], a[1]
+    q = f"locate('?', {u})"
+    h = f"locate('#', {u})"
+    first = (
+        f"(CASE WHEN {q} = 0 THEN {h} WHEN {h} = 0 THEN {q} "
+        f"ELSE least({q}, {h}) END)"
+    )
+    tail = f"(CASE WHEN {q} = 0 AND {h} = 0 THEN '' ELSE substr({u}, {first}) END)"
+    return (
+        f"regexp_extract({tail}, "
+        f"concat('[?#&]', {name}, '=([^&#]*)'), 1)"
+    )
+
+
+def _sql_cut_url_param(a: Args) -> str:
+    """cutURLParameter — exact port of FunctionsURL.h:484-540: cut
+    [name= .. value] plus the trailing '&' if present, else the
+    leading '&'; no cut when the single strstr hit is not at a [?#&]
+    boundary."""
+    u, name = a[0], a[1]
+    q = f"locate('?', __u)"
+    h = f"locate('#', __u)"
+    first = (
+        f"(CASE WHEN {q} = 0 THEN {h} WHEN {h} = 0 THEN {q} "
+        f"ELSE least({q}, {h}) END)"
+    )
+    body = _sql_let(
+        first,
+        "__b",
+        _sql_let(
+            "(CASE WHEN __b = 0 THEN 0 ELSE locate(concat(__nm, '='), __u, __b + 1) END)",
+            "__p",
+            _sql_let(
+                # value start (just past 'name=')
+                "(__p + length(__nm) + 1)",
+                "__v",
+                _sql_let(
+                    # 1-based position AFTER the value
+                    "(CASE WHEN locate('&', __u, __v) > 0 AND "
+                    "(locate('#', __u, __v) = 0 OR locate('&', __u, __v) < locate('#', __u, __v)) "
+                    "THEN locate('&', __u, __v) "
+                    "WHEN locate('#', __u, __v) > 0 THEN locate('#', __u, __v) "
+                    "ELSE length(__u) + 1 END)",
+                    "__e",
+                    "(CASE WHEN __p = 0 OR substr(__u, __p - 1, 1) NOT IN ('?', '#', '&') THEN __u "
+                    "WHEN substr(__u, __e, 1) = '&' THEN concat(left(__u, __p - 1), substr(__u, __e + 1)) "
+                    "WHEN substr(__u, __p - 1, 1) = '&' THEN concat(left(__u, __p - 2), substr(__u, __e)) "
+                    "ELSE concat(left(__u, __p - 1), substr(__u, __e)) END)",
+                ),
+            ),
+        ),
+    )
+    return _sql_let(u, "__u", _sql_let(name, "__nm", body))
+
+
+def _sql_rev_hex_pairs(h: str) -> str:
+    """Byte-reverse a hex string (pairs of digits) — little-endian
+    reinterpretation helper."""
+    return (
+        f"array_join(reverse(transform(sequence(1, length({h}) DIV 2), "
+        f"__i -> substr({h}, __i * 2 - 1, 2))), '')"
+    )
+
+
+def _sql_reinterpret_uint(x: str, nbytes: int) -> str:
+    """reinterpretAsUInt8/16/32/64(str): little-endian bytes → integer
+    (FunctionsReinterpret.cpp reinterpretAsSomething over String)."""
+    le = _sql_rev_hex_pairs("__rh")
+    return _sql_let(
+        f"hex(left({x}, {nbytes}))",
+        "__rh",
+        f"coalesce(CAST(conv({le}, 16, 10) AS DECIMAL(20, 0)), 0)"
+        if nbytes == 8
+        else f"coalesce(CAST(conv({le}, 16, 10) AS BIGINT), 0)",
+    )
+
+
+def _sql_reinterpret_f64(x: str) -> str:
+    """reinterpretAsFloat64(str): IEEE-754 decode of the 8 little-endian
+    bytes, built from exact power-of-two arithmetic (each step is
+    exactly representable, so the result is bit-exact)."""
+    le = _sql_rev_hex_pairs("__rh")
+    unsigned = f"CAST(conv({le}, 16, 10) AS DECIMAL(20, 0))"
+    bits = (
+        f"CAST({unsigned} - (CASE WHEN {unsigned} > 9223372036854775807 "
+        f"THEN CAST(18446744073709551616 AS DECIMAL(21, 0)) ELSE 0 END) AS BIGINT)"
+    )
+    decode = (
+        "((CASE WHEN __bt < 0 THEN -1.0 ELSE 1.0 END) * "
+        "(CASE WHEN ((shiftright(__bt, 52) & 2047)) = 2047 THEN "
+        "  (CASE WHEN (__bt & 4503599627370495) = 0 THEN CAST('Infinity' AS DOUBLE) ELSE CAST('NaN' AS DOUBLE) END) "
+        "WHEN ((shiftright(__bt, 52) & 2047)) = 0 THEN "
+        "  (__bt & 4503599627370495) * power(2, -1074) "
+        "ELSE (1.0 + (__bt & 4503599627370495) / 4503599627370496.0) * "
+        "  power(2, ((shiftright(__bt, 52) & 2047)) - 1023) END))"
+    )
+    return _sql_let(
+        f"hex(left({x}, 8))", "__rh", _sql_let(bits, "__bt", decode)
+    )
 
 
 def _sql_url_hierarchy(u: str) -> str:
@@ -521,6 +786,15 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     # HyperLogLogWithSmallSetOptimization (AggregateFunctionUniq.h)
     "uniqState": lambda a: f"hll_sketch_agg({a[0]}, 14)",
     "uniqMerge": lambda a: f"hll_sketch_estimate(hll_union_agg({a[0]}))",
+    # -MergeState (AggregateFunctionMerge + State chain,
+    # AggregateFunctionFactory.cpp:51-55): merge the states, keep the
+    # result AS a state (finalizeAggregation then estimates)
+    "uniqMergeState": lambda a: f"hll_union_agg({a[0]})",
+    "sumMergeState": lambda a: f"sum({a[0]})",
+    "countMergeState": lambda a: f"sum({a[0]})",
+    "minMergeState": lambda a: f"min({a[0]})",
+    "maxMergeState": lambda a: f"max({a[0]})",
+    "groupArrayMergeState": lambda a: f"flatten(collect_list({a[0]}))",
     "groupArrayState": lambda a: f"collect_list({a[0]})",
     "groupArrayMerge": lambda a: f"flatten(collect_list({a[0]}))",
     "anyState": lambda a: f"first({a[0]})",
@@ -532,6 +806,16 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "anyIfState": lambda a: f"first(IF({a[1]}, {a[0]}, NULL), true)",
     "anyIfMerge": lambda a: f"first({a[0]}, true)",
     "median": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    # median* aliases = quantile*(0.5) (AggregateFunctionFactory
+    # registers median as an alias per quantile family)
+    "medianTiming": lambda a: _timing_quantile(a[0], ["0.5"]),
+    "medianTimingWeighted": lambda a: (
+        f"(CASE WHEN sum(CAST({a[1]} AS BIGINT)) > 0 "
+        f"THEN percentile({a[0]}, 0.5, greatest(CAST({a[1]} AS BIGINT), 0)) END)"
+    ),
+    "medianExact": lambda a: f"percentile({a[0]}, 0.5)",
+    "medianExactWeighted": lambda a: f"percentile({a[0]}, 0.5, CAST({a[1]} AS BIGINT))",
+    "medianDeterministic": lambda a: f"percentile_approx({a[0]}, 0.5)",
     "quantile": lambda a: f"percentile_approx({a[0]}, 0.5)",
     "quantileExact": lambda a: f"percentile({a[0]}, 0.5)",
     "sumMap": _t_sum_map,
@@ -561,6 +845,32 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "bitShiftLeft": lambda a: f"shiftleft({a[0]}, {a[1]})",
     "bitShiftRight": lambda a: f"shiftright({a[0]}, {a[1]})",
     "bitTest": lambda a: f"((shiftright({a[0]}, {a[1]}) & 1))",
+    "bitRotateLeft": lambda a: _sql_bit_rotate(a, left=True),
+    "bitRotateRight": lambda a: _sql_bit_rotate(a, left=False),
+    "hex": lambda a: _sql_hex(a[0]),
+    # zero args → NULL (FunctionsNull.cpp Coalesce accepts arity 0)
+    "coalesce": lambda a: f"coalesce({', '.join(a)})" if a else "NULL",
+    # geo (FunctionsGeo.cpp pointInEllipses: OR over ((x-x0)/a)^2 +
+    # ((y-y0)/b)^2 <= 1)
+    "pointInEllipses": lambda a: (
+        "("
+        + " OR ".join(
+            f"(power(({a[0]}) - ({a[2 + 4 * i]}), 2) / power({a[4 + 4 * i]}, 2) + "
+            f"power(({a[1]}) - ({a[3 + 4 * i]}), 2) / power({a[5 + 4 * i]}, 2) <= 1)"
+            for i in range((len(a) - 2) // 4)
+        )
+        + ")"
+    ),
+    # reinterpret (FunctionsReinterpret.cpp): little-endian byte views
+    "reinterpretAsUInt8": lambda a: _sql_reinterpret_uint(a[0], 1),
+    "reinterpretAsUInt16": lambda a: _sql_reinterpret_uint(a[0], 2),
+    "reinterpretAsUInt32": lambda a: _sql_reinterpret_uint(a[0], 4),
+    "reinterpretAsUInt64": lambda a: _sql_reinterpret_uint(a[0], 8),
+    "reinterpretAsInt8": lambda a: _sql_reinterpret_uint(a[0], 1),
+    "reinterpretAsInt16": lambda a: _sql_reinterpret_uint(a[0], 2),
+    "reinterpretAsInt32": lambda a: _sql_reinterpret_uint(a[0], 4),
+    "reinterpretAsInt64": lambda a: _sql_reinterpret_uint(a[0], 8),
+    "reinterpretAsFloat64": lambda a: _sql_reinterpret_f64(a[0]),
     # comparison / logic
     "equals": lambda a: f"({a[0]} = {a[1]})",
     "notEquals": lambda a: f"({a[0]} <> {a[1]})",
@@ -610,9 +920,13 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "splitByChar": _t_split_by_char,
     "splitByString": _t_split_by_char,
     "alphaTokens": lambda a: f"regexp_extract_all({a[0]}, '[A-Za-z]+', 0)",
+    # empty input stays empty (FunctionsString.cpp
+    # AppendTrailingCharIfAbsent: only non-empty strings are appended)
     "appendTrailingCharIfAbsent": lambda a: (
-        f"(CASE WHEN endswith({a[0]}, {a[1]}) THEN {a[0]} ELSE concat({a[0]}, {a[1]}) END)"
+        f"(CASE WHEN ({a[0]}) = '' OR endswith({a[0]}, {a[1]}) THEN {a[0]} "
+        f"ELSE concat({a[0]}, {a[1]}) END)"
     ),
+    "toStringCutToZero": lambda a: f"element_at(split({a[0]}, chr(0)), 1)",
     # conditional / null (FunctionsConditional.cpp, FunctionsNull.cpp)
     "multiIf": _t_multi_if,
     # NULL condition yields NULL (FunctionsConditional.cpp Nullable
@@ -804,11 +1118,18 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "arrayPushBack": lambda a: f"concat({a[0]}, array({a[1]}))",
     "arrayPushFront": lambda a: f"concat(array({a[1]}), {a[0]})",
     "emptyArrayUInt8": lambda a: "CAST(array() AS ARRAY<SMALLINT>)",
+    "emptyArrayUInt16": lambda a: "CAST(array() AS ARRAY<INT>)",
     "emptyArrayUInt32": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
+    "emptyArrayUInt64": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
+    "emptyArrayInt8": lambda a: "CAST(array() AS ARRAY<TINYINT>)",
+    "emptyArrayInt16": lambda a: "CAST(array() AS ARRAY<SMALLINT>)",
     "emptyArrayInt32": lambda a: "CAST(array() AS ARRAY<INT>)",
     "emptyArrayInt64": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
+    "emptyArrayFloat32": lambda a: "CAST(array() AS ARRAY<FLOAT>)",
     "emptyArrayFloat64": lambda a: "CAST(array() AS ARRAY<DOUBLE>)",
     "emptyArrayString": lambda a: "CAST(array() AS ARRAY<STRING>)",
+    "emptyArrayDate": lambda a: "CAST(array() AS ARRAY<DATE>)",
+    "emptyArrayDateTime": lambda a: "CAST(array() AS ARRAY<TIMESTAMP_NTZ>)",
     # range(0) must be [] — a bare sequence(0, -1) DESCENDS in Spark
     "range": lambda a: (
         f"(CASE WHEN ({a[0]}) <= 0 THEN CAST(array() AS ARRAY<BIGINT>) "
@@ -856,17 +1177,12 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "path": lambda a: f"parse_url({a[0]}, 'PATH')",
     "queryString": lambda a: f"parse_url({a[0]}, 'QUERY')",
     "fragment": lambda a: f"parse_url({a[0]}, 'REF')",
-    "extractURLParameter": lambda a: f"coalesce(parse_url({a[0]}, 'QUERY', {a[1]}), '')",
-    # k=v pieces / names of the query string (+ fragment params, which
-    # parse_url('QUERY') excludes — FunctionsURL.h treats ?,# alike)
-    "extractURLParameters": lambda a: (
-        f"filter(split(coalesce(parse_url({a[0]}, 'QUERY'), ''), '&'), "
-        f"__p -> __p <> '')"
-    ),
-    "extractURLParameterNames": lambda a: (
-        f"transform(filter(split(coalesce(parse_url({a[0]}, 'QUERY'), ''), '&'), "
-        f"__p -> __p <> ''), __p -> regexp_extract(__p, '^([^=]*)', 1))"
-    ),
+    "extractURLParameter": _sql_extract_url_param,
+    "extractURLParameters": lambda a: _sql_extract_url_params(a[0], names=False),
+    "extractURLParameterNames": lambda a: _sql_extract_url_params(a[0], names=True),
+    "cutURLParameter": _sql_cut_url_param,
+    "firstSignificantSubdomain": lambda a: _sql_fss(a[0], _FSS_CASE),
+    "cutToFirstSignificantSubdomain": lambda a: _sql_fss(a[0], _CUT_FSS_CASE),
     "cutWWW": lambda a: f"regexp_replace({a[0]}, '//www\\\\.', '//')",
     # URLHierarchy: cumulative prefixes proto://host, /seg1, /seg1/seg2…
     # (SQL twin of functions/url.py:URLHierarchy)
@@ -952,10 +1268,20 @@ def _p_quantile(exact: bool) -> Callable[[Args, Args], str]:
     return tpl
 
 
+def _empty_quantiles(x: str) -> str:
+    """quantiles…() with zero levels → empty Array(Float64), still an
+    aggregate expression (the count() ride-along keeps the query
+    grouped — AggregateFunctionQuantiles with empty params returns an
+    empty array per group, 00382_quantiles_empty_levels_segfaults)."""
+    return f"slice(array(CAST(count({x}) AS DOUBLE)), 1, 0)"
+
+
 def _p_quantiles(exact: bool) -> Callable[[Args, Args], str]:
     fn = "percentile" if exact else "percentile_approx"
 
     def tpl(params: Args, args: Args) -> str:
+        if not params:
+            return _empty_quantiles(args[0])
         return f"{fn}({args[0]}, array({', '.join(params)}))"
 
     return tpl
@@ -1062,17 +1388,31 @@ PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     ),
     "quantiles": _p_quantiles(exact=False),
     "quantilesExact": _p_quantiles(exact=True),
-    "quantilesTiming": lambda p, a: _timing_quantile(a[0], p),
+    "quantilesTiming": lambda p, a: (
+        _timing_quantile(a[0], p) if p else _empty_quantiles(a[0])
+    ),
     "quantilesDeterministic": _p_quantiles(exact=False),
     "quantilesTDigest": _p_quantiles(exact=False),
+    "quantileTDigestWeighted": lambda p, a: (
+        f"percentile({a[0]}, {p[0] if p else '0.5'}, CAST({a[1]} AS BIGINT))"
+    ),
+    "quantilesTDigestWeighted": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}), CAST({a[1]} AS BIGINT))"
+        if p
+        else _empty_quantiles(a[0])
+    ),
     "quantileTimingWeighted": lambda p, a: (
         f"percentile({a[0]}, {p[0] if p else '0.5'}, CAST({a[1]} AS BIGINT))"
     ),
     "quantilesTimingWeighted": lambda p, a: (
         f"percentile({a[0]}, array({', '.join(p)}), CAST({a[1]} AS BIGINT))"
+        if p
+        else _empty_quantiles(a[0])
     ),
     "quantilesExactWeighted": lambda p, a: (
         f"percentile({a[0]}, array({', '.join(p)}), CAST({a[1]} AS BIGINT))"
+        if p
+        else _empty_quantiles(a[0])
     ),
     # -State on parametric quantiles: our state IS the finished value
     # (finalizeAggregation is then the identity — functions/state.py)
@@ -1112,6 +1452,9 @@ _IF_COMBINATOR_BASES: dict[str, str] = {
     "uniq": "approx_count_distinct",
     "uniqExact": "count_distinct_case",  # special-cased below
     "groupArray": "collect_list",
+    "groupUniqArray": "collect_set",
+    "argMin": "min_by",
+    "argMax": "max_by",
 }
 
 
@@ -1155,6 +1498,49 @@ def foreach_combinator(name: str, args: Args) -> str | None:
             f"CASE WHEN __q IS NULL THEN CAST(array() AS ARRAY<STRING>) ELSE array(__q) END)))"
         )
     return None
+
+
+def array_combinator(
+    name: str, args: Args, elem_ch_type: str | None = None
+) -> str | None:
+    """``<agg>Array(arr)`` — the aggregate applied to all elements of
+    all arrays in the group (AggregateFunctionArray.h, combinator at
+    AggregateFunctionFactory.cpp:51-55).
+
+    Composed as <agg> over flatten(collect_list(arr)): the per-group
+    element list is materialized, so group cardinality bounds memory —
+    same profile as groupArray, which the reference shares.
+    """
+    if not name.endswith("Array") or name in ("groupUniqArray", "emptyToArray"):
+        return None
+    base = name[: -len("Array")]
+    if base in ("argMin", "argMax") and len(args) == 2:
+        xs = f"flatten(collect_list({args[0]}))"
+        ys = f"flatten(collect_list({args[1]}))"
+        pick = "array_min" if base == "argMin" else "array_max"
+        return (
+            f"element_at({xs}, CAST(array_position({ys}, {pick}({ys})) AS INT))"
+        )
+    if len(args) != 1:
+        return None
+    arr = f"flatten(collect_list({args[0]}))"
+    num = "BIGINT"
+    if elem_ch_type in ("Float32", "Float64"):
+        num = "DOUBLE"
+    forms = {
+        "sum": f"aggregate({arr}, CAST(0 AS {num}), (__a, __x) -> __a + __x)",
+        "min": f"array_min({arr})",
+        "max": f"array_max({arr})",
+        "count": f"size({arr})",
+        "avg": f"(aggregate({arr}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x) / size({arr}))",
+        "uniq": f"size(array_distinct({arr}))",
+        "uniqExact": f"size(array_distinct({arr}))",
+        "any": f"element_at({arr}, 1)",
+        "anyLast": f"element_at({arr}, -1)",
+        "groupUniqArray": f"array_distinct({arr})",
+        "groupArray": arr,
+    }
+    return forms.get(base)
 
 
 def if_combinator(name: str, args: Args) -> str | None:

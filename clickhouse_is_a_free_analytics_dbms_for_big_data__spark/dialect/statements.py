@@ -341,6 +341,38 @@ _CH_FN_TYPES = {
     "toyear": "UInt16", "tomonth": "UInt8", "todayofmonth": "UInt8",
     "todayofweek": "UInt8", "tohour": "UInt8", "tominute": "UInt8",
     "tosecond": "UInt8",
+    "lower": "String", "upper": "String", "lowerutf8": "String",
+    "upperutf8": "String", "reverse": "String", "substring": "String",
+    "trim": "String", "replaceone": "String", "replaceall": "String",
+    "replaceregexpone": "String", "replaceregexpall": "String",
+    "appendtrailingcharifabsent": "String", "tostringcuttozero": "String",
+    "position": "UInt64", "positionutf8": "UInt64",
+    "lengthutf8": "UInt64", "empty": "UInt8", "notempty": "UInt8",
+    "match": "UInt8", "like": "UInt8", "notlike": "UInt8",
+    "has": "UInt8", "indexof": "UInt64", "countequal": "UInt64",
+    "tounixtimestamp": "UInt32", "tomonday": "Date",
+    "tostartofmonth": "Date", "tostartofquarter": "Date",
+    "tostartofyear": "Date", "tostartofday": "DateTime",
+    "tostartofminute": "DateTime", "tostartoffiveminute": "DateTime",
+    "tostartofhour": "DateTime", "totime": "DateTime",
+    "timeslot": "DateTime",
+    "exp": "Float64", "log": "Float64", "exp2": "Float64",
+    "log2": "Float64", "exp10": "Float64", "log10": "Float64",
+    "sqrt": "Float64", "cbrt": "Float64", "erf": "Float64",
+    "erfc": "Float64", "lgamma": "Float64", "tgamma": "Float64",
+    "sin": "Float64", "cos": "Float64", "tan": "Float64",
+    "asin": "Float64", "acos": "Float64", "atan": "Float64",
+    "pow": "Float64", "power": "Float64", "e": "Float64", "pi": "Float64",
+    "emptyarraystring": "Array(String)", "emptyarraydate": "Array(Date)",
+    "emptyarraydatetime": "Array(DateTime)",
+    "emptyarrayuint8": "Array(UInt8)", "emptyarrayuint16": "Array(UInt16)",
+    "emptyarrayuint32": "Array(UInt32)", "emptyarrayuint64": "Array(UInt64)",
+    "emptyarrayint8": "Array(Int8)", "emptyarrayint16": "Array(Int16)",
+    "emptyarrayint32": "Array(Int32)", "emptyarrayint64": "Array(Int64)",
+    "emptyarrayfloat32": "Array(Float32)", "emptyarrayfloat64": "Array(Float64)",
+    "splitbychar": "Array(String)", "splitbystring": "Array(String)",
+    "alphatokens": "Array(String)", "extractall": "Array(String)",
+    "isnan": "UInt8", "isfinite": "UInt8", "isinfinite": "UInt8",
 }
 
 
@@ -351,7 +383,8 @@ def _binop_type(op: str, lt: str | None, rt: str | None) -> str | None:
     DIVISOR's type, intDiv the dividend's; comparisons are UInt8."""
     if lt is None or rt is None:
         return None
-    if op in ("=", "==", "!=", "<>", "<", ">", "<=", ">=", "AND", "OR"):
+    if op in ("=", "==", "!=", "<>", "<", ">", "<=", ">=", "AND", "OR",
+              "IN", "LIKE", "BETWEEN"):
         return "UInt8"
     if lt == rt and lt in ("Date", "DateTime") and op == "-":
         return "Int32"
@@ -407,6 +440,34 @@ def _infer_ch_type(
         at = _infer_ch_type(toks[q_pos + 1 : c_pos], cols)
         bt = _infer_ch_type(toks[c_pos + 1 :], cols)
         return _ch_supertype([at, bt])
+    # comparisons/logicals/memberships are UInt8 regardless of the
+    # operand types (FunctionsComparison/Logical return UInt8; a Null
+    # operand absorbs) — so these resolve even when a side is opaque
+    depth = 0
+    for j, t in enumerate(toks):
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and (
+            t.text in ("=", "==", "!=", "<>", "<", ">", "<=", ">=")
+            or (
+                t.kind == "ident"
+                and t.text.upper() in ("AND", "OR", "IN", "LIKE", "BETWEEN", "IS")
+                and not (j == 0 and t.text.upper() in ("IN", "LIKE", "BETWEEN"))
+            )
+        ):
+            if t.text.upper() == "IS":
+                return "UInt8"
+            lt = _infer_ch_type(toks[:j], cols)
+            rt = _infer_ch_type(toks[j + 1 :], cols)
+            if "Null" in (lt, rt):
+                return "Null"
+            if (lt or "").startswith("Nullable(") or (rt or "").startswith(
+                "Nullable("
+            ):
+                return "Nullable(UInt8)"
+            return "UInt8"
     # lowest-precedence top-level operator splits last
     for ops in (("AND", "OR"), ("=", "==", "!=", "<>", "<", ">", "<=", ">="),
                 ("+", "-"), ("*", "/", "%")):
@@ -436,6 +497,20 @@ def _infer_ch_type(
                     return _wrap_nullable(base)
                 return base
     t0 = toks[0]
+    # negative integer literal: smallest signed type holding the value
+    # (FieldToDataType.cpp Int64 branch)
+    if (
+        t0.text == "-"
+        and len(toks) == 2
+        and toks[1].kind == "number"
+        and "." not in toks[1].text
+        and "e" not in toks[1].text.lower()
+    ):
+        v = -int(toks[1].text)
+        for bits in (8, 16, 32, 64):
+            if v >= -(1 << (bits - 1)):
+                return _ch_num(bits, True)
+        return "Int64"
     if t0.text == "[":
         # array literal: Array(least supertype of the elements)
         elems = _split_top(toks[1:-1], ",") if len(toks) > 2 else []
@@ -568,6 +643,11 @@ def _infer_ch_type(
             args = _split_top(toks[2:-1], ",")
             if len(args) == 2 and len(args[1]) == 1:
                 return f"FixedString({args[1][0].text})"
+        if fname in ("least", "greatest"):
+            # NumberTraits::ResultOfLeast/Greatest — the common
+            # supertype of the arguments
+            args = _split_top(toks[2:-1], ",")
+            return _ch_supertype([_infer_ch_type(a, cols) for a in args])
         return _CH_FN_TYPES.get(fname)
     return None
 

@@ -40,12 +40,15 @@ Clause rewrites:
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 
 from .functions_map import (
     PARAMETRIC,
     SIMPLE,
     TEMPLATES,
+    array_combinator,
     foreach_combinator,
     if_combinator,
 )
@@ -1966,6 +1969,80 @@ def _fold_date_arith(pieces: list[str], kinds: list[str | None]) -> None:
         j += 1
 
 
+def _fold_div(pieces: list[str], kinds: list[str | None]) -> None:
+    """CH ``/`` is always Float64 division with IEEE semantics — x/0 is
+    ±Infinity and 0/0 is NaN (FunctionsArithmetic.h DivideFloatingImpl
+    + NumberTraits ResultOfFloatingPointDivision); Spark returns NULL.
+    Fold each multiplicative run containing '/' left-associatively."""
+    j = 0
+    while j < len(pieces):
+        if pieces[j] != "/" or j == 0 or j == len(pieces) - 1:
+            j += 1
+            continue
+        s = j - 1
+        while s - 2 >= 0 and pieces[s - 1] in ("*", "/", "%"):
+            s -= 2
+        e = j + 1
+        while e + 2 < len(pieces) and pieces[e + 1] in ("*", "/", "%"):
+            e += 2
+        run = pieces[s : e + 1]
+        if any(p in _ARITH_OPS or p.upper() in ("AND", "OR", "NOT") for p in run[::2]):
+            j += 1
+            continue
+        acc = run[0]
+        k = 1
+        while k < len(run):
+            op, r = run[k], run[k + 1]
+            if op == "/":
+                acc = (
+                    f"(CASE WHEN ({r}) = 0 THEN "
+                    f"(CASE WHEN ({acc}) > 0 THEN CAST('Infinity' AS DOUBLE) "
+                    f"WHEN ({acc}) < 0 THEN CAST('-Infinity' AS DOUBLE) "
+                    f"ELSE CAST('NaN' AS DOUBLE) END) "
+                    f"ELSE CAST(({acc}) AS DOUBLE) / ({r}) END)"
+                )
+            else:
+                acc = f"(({acc}) {op} ({r}))"
+            k += 2
+        pieces[s : e + 1] = [acc]
+        kinds[s : e + 1] = [None]
+        j = s + 1
+
+
+def _fold_case(pieces: list[str], kinds: list[str | None]) -> None:
+    """Searched ``CASE WHEN <UInt8> THEN`` conditions get a BOOLEAN cast
+    (the reference accepts numeric conditions —
+    FunctionsConditional.cpp caseWithoutExpr; Spark demands BOOLEAN).
+    The simple ``CASE expr WHEN v`` form compares values and is left
+    untouched."""
+    i = 0
+    stack: list[bool] = []
+    while i < len(pieces):
+        p = pieces[i].upper()
+        if p == "CASE":
+            stack.append(i + 1 < len(pieces) and pieces[i + 1].upper() == "WHEN")
+        elif p == "END":
+            if stack:
+                stack.pop()
+        elif p == "WHEN" and stack and stack[-1]:
+            d = 0
+            k = i + 1
+            while k < len(pieces):
+                q = pieces[k].upper()
+                if q == "CASE":
+                    d += 1
+                elif q == "END":
+                    d -= 1
+                elif q == "THEN" and d == 0:
+                    break
+                k += 1
+            if k < len(pieces) and k > i + 1:
+                cond = " ".join(pieces[i + 1 : k])
+                pieces[i + 1 : k] = [f"CAST(({cond}) AS BOOLEAN)"]
+                kinds[i + 1 : k] = [None]
+        i += 1
+
+
 def _rw_seq(
     tokens: list[Token], i: int, ctx: Ctx, stop: set[str]
 ) -> tuple[str, int]:
@@ -2026,6 +2103,15 @@ def _rw_seq(
         cond = " ".join(pieces[:q_pos])
         then = " ".join(pieces[q_pos + 1 : c_pos])
         other = " ".join(pieces[c_pos + 1 :])
+        # constant condition folds at translate time (the reference
+        # folds if(const, a, b) during analysis —
+        # ExpressionAnalyzer.cpp:224 — so the dead arm may reference
+        # columns that do not exist; it must never reach the resolver)
+        lit = cond.strip()
+        while lit.startswith("(") and lit.endswith(")"):
+            lit = lit[1:-1].strip()
+        if re.fullmatch(r"\d+", lit):
+            return (then if int(lit) != 0 else other), i
         # UInt8 truthiness (FunctionsConditional.cpp): `x % 2 ? a : b`.
         # A NULL condition yields NULL (Nullable branch of
         # FunctionsConditional.cpp), NOT the else arm as Spark's
@@ -2037,6 +2123,8 @@ def _rw_seq(
             i,
         )
     _fold_date_arith(pieces, kinds)
+    _fold_div(pieces, kinds)
+    _fold_case(pieces, kinds)
     # NOT binds looser than comparisons but tighter than AND/OR: wrap
     # the operand run (everything up to AND/OR or end) with a boolean
     # cast so `NOT 0` / `NOT x = y` both work; innermost (rightmost)
@@ -2256,6 +2344,12 @@ def _rw_item(
     if t.kind == "raw":
         return _postfix(t.text, tokens, i + 1, ctx)
 
+    # float special literals (ParserNumber: inf/nan parse via strtod)
+    if t.kind == "ident" and t.text.lower() in ("inf", "infinity"):
+        return _postfix("CAST('Infinity' AS DOUBLE)", tokens, i + 1, ctx)
+    if t.kind == "ident" and t.text.lower() == "nan":
+        return _postfix("CAST('NaN' AS DOUBLE)", tokens, i + 1, ctx)
+
     if t.kind == "number" and ("." in t.text or "e" in t.text.lower()):
         # the reference types float literals as Float64
         # (ParserNumber/FieldToDataType); Spark would parse them as
@@ -2290,19 +2384,77 @@ def _apply_fn(
     if (
         name in ("length", "empty", "notEmpty")
         and arg_items
-        and _syntactic_kind(arg_items[0]) == "array"
+        and (
+            _syntactic_kind(arg_items[0]) == "array"
+            or (_infer_expr_ch_type(arg_items[0], ctx) or "").startswith("Array")
+        )
     ):
         if name == "length":
             return f"size({args[0]})"
         if name == "empty":
             return f"(size({args[0]}) = 0)"
         return f"(size({args[0]}) > 0)"
+    # FixedString(N) → String conversion cuts the zero padding
+    # (FunctionsConversion.cpp ConvertImpl<DataTypeFixedString,
+    # DataTypeString>: data_to is sized to the last non-zero byte)
+    if name == "toString" and arg_items and len(args) == 1:
+        _t = _infer_expr_ch_type(arg_items[0], ctx) or ""
+        if _t.startswith("FixedString"):
+            return f"regexp_replace({args[0]}, concat(chr(0), '+$'), '')"
+    # UInt8-typed aggregate arguments: comparisons/logicals land as
+    # Spark BOOLEAN, which sum/avg/min/max reject — the reference sums
+    # UInt8 (AggregateFunctionSum over comparison results is pervasive
+    # in the corpus).  CAST to INT is a no-op for real UInt8 columns.
+    if (
+        name in ("sum", "sumWithOverflow", "avg", "min", "max", "any", "anyLast")
+        and arg_items
+        and len(args) == 1
+    ):
+        _t = _infer_expr_ch_type(arg_items[0], ctx)
+        if _t in ("UInt8", "Nullable(UInt8)"):
+            args = [f"CAST(({args[0]}) AS INT)"]
+    # intDivOrZero(a, b): the reference also yields 0 on the one
+    # overflowing signed division min/-1 (FunctionsArithmetic.h
+    # DivideIntegralOrZeroImpl)
+    if name == "intDivOrZero" and arg_items and len(args) == 2:
+        at = _infer_expr_ch_type(arg_items[0], ctx)
+        mins = {"Int8": -128, "Int16": -32768, "Int32": -2147483648,
+                "Int64": -9223372036854775808}
+        if at in mins:
+            args = [
+                f"(CASE WHEN ({args[1]}) = -1 AND ({args[0]}) = {mins[at]} "
+                f"THEN 0 ELSE ({args[0]}) END)",
+                args[1],
+            ]
+    # emptyArrayToSingle over Date/DateTime arrays: the type default is
+    # the zero date, unrepresentable in Spark's DATE — render through
+    # formatted strings (prints identically in TSV/Pretty arrays)
+    if name == "emptyArrayToSingle" and arg_items:
+        _t = _infer_expr_ch_type(arg_items[0], ctx) or ""
+        if _t in ("Array(Date)", "Array(DateTime)"):
+            if _t == "Array(Date)":
+                fmt, zero = "yyyy-MM-dd", "0000-00-00"
+            else:
+                fmt, zero = "yyyy-MM-dd HH:mm:ss", "0000-00-00 00:00:00"
+            return (
+                f"if(size({args[0]}) = 0, array('{zero}'), "
+                f"transform({args[0]}, __d -> date_format(__d, '{fmt}')))"
+            )
     # catalog introspection resolved at translate time
     # (FunctionsMiscellaneous.cpp hasColumnInTable is constant-folded
     # at analysis in the reference too)
     # finalizeAggregation over a stored AggregateFunction column:
     # dispatch on the CREATE TABLE type (DataTypeAggregateFunction;
     # identity for plain-value states, estimate for sketches)
+    # finalizeAggregation over an inline sketch state (e.g.
+    # uniqMergeState(...)): the sketch needs its estimator
+    if (
+        name == "finalizeAggregation"
+        and args
+        and ("hll_union_agg" in args[0] or "hll_sketch_agg" in args[0])
+        and not args[0].startswith("hll_sketch_estimate")
+    ):
+        return f"hll_sketch_estimate({args[0]})"
     if name == "finalizeAggregation" and args and ctx.agg_fn_of is not None:
         fn = ctx.agg_fn_of(args[0].strip("`"), ctx.current_table)
         if fn in ("uniq", "uniqHLL12", "uniqCombined"):
@@ -2339,6 +2491,12 @@ def _apply_fn(
         return f"{SIMPLE[name]}({', '.join(args)})"
     if name in PARAMETRIC:  # parametric used without params, e.g. quantile(x)
         return PARAMETRIC[name]([], args)
+    if name.endswith("Array") and arg_items:
+        _at = _infer_expr_ch_type(arg_items[0], ctx) or ""
+        elem = _at[len("Array(") : -1] if _at.startswith("Array(") else None
+        combo = array_combinator(name, args, elem)
+        if combo is not None:
+            return combo
     return f"{name}({', '.join(args)})"
 
 
