@@ -55,6 +55,15 @@ class ChEngine:
         # inferred CH type per output column of the last translated
         # SELECT (positional; None = not inferable / star expansion)
         self.last_out_ch_types: list | None = None
+        # CH-rendered output column names (alias / canonical call text)
+        self.last_out_ch_names: list | None = None
+        # SQL counting the pre-LIMIT rows of the last SELECT (JSON's
+        # rows_before_limit_at_least); None = no top-level LIMIT
+        self.last_pre_limit_sql: str | None = None
+        # keyless WITH TOTALS: output positions rendered as defaults
+        self.last_totals_default_cols: list | None = None
+        # constant output columns (extremes render the value itself)
+        self.last_out_const_cols: list | None = None
         # SQL-UDF-backed dialect functions (IPv6 codecs) — the
         # translator passes their calls through by name
         register_sql_udfs(spark)
@@ -107,7 +116,22 @@ class ChEngine:
             session_settings=self.session_settings,
         )
         self.last_out_ch_types = capture.get("out_ch_types")
+        self.last_out_ch_names = capture.get("out_ch_names")
+        self.last_pre_limit_sql = capture.get("pre_limit_sql")
+        self.last_totals_default_cols = capture.get("totals_default_cols")
+        self.last_out_const_cols = capture.get("out_const_cols")
         return out
+
+    def rows_before_limit(self) -> int | None:
+        """Pre-LIMIT row count of the last SELECT (JSON/XML formats'
+        rows_before_limit_at_least) — runs the captured unlimited query;
+        display-format-only, same client-side cost profile as Pretty."""
+        if self.last_pre_limit_sql is None:
+            return None
+        try:
+            return self.spark.sql(self.last_pre_limit_sql).count()
+        except Exception:
+            return None
 
     def _wants_extremes(self, ch_sql: str) -> bool:
         """True when this SELECT should emit the extremes block: a

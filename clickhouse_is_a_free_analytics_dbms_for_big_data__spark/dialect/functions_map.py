@@ -968,7 +968,13 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "toUInt8": _int_cast_tpl("SMALLINT"),
     "toUInt16": _int_cast_tpl("INT"),
     "toUInt32": _int_cast_tpl("BIGINT"),
-    "toUInt64": _int_cast_tpl("BIGINT"),
+    # UInt64 literals beyond Int64 range keep full precision as
+    # DECIMAL(20,0) (same convention as the UserID64 benchmark column)
+    "toUInt64": lambda a: (
+        f"CAST({a[0]} AS DECIMAL(20, 0))"
+        if a[0].strip().isdigit() and int(a[0].strip()) > 2**63 - 1
+        else _int_cast_tpl("BIGINT")(a)
+    ),
     "toInt8": _int_cast_tpl("TINYINT"),
     "toInt16": _int_cast_tpl("SMALLINT"),
     "toInt32": _int_cast_tpl("INT"),

@@ -420,6 +420,13 @@ def _infer_ch_type(
         and toks[0].text == "("
         and _find_close(toks, 0) == len(toks) - 1
     ):
+        inner_parts = _split_top(toks[1:-1], ",")
+        if len(inner_parts) > 1:
+            # tuple literal (a, b, ...) — DataTypeTuple
+            ts = [_infer_ch_type(p, cols) for p in inner_parts]
+            if all(t is not None for t in ts):
+                return f"Tuple({', '.join(ts)})"
+            return None
         toks = toks[1:-1]
     if not toks:
         return None

@@ -116,6 +116,22 @@ class Ctx:
     # list has a star expansion.  Read back via translate_sql(capture=)
     # for WithNamesAndTypes headers and format metadata.
     out_ch_types: list | None = None
+    # CH-rendered column names (AST getColumnName analog: alias, bare
+    # identifier, or canonical f(arg, ...) text); None entries fall
+    # back to the Spark column name in the formatters
+    out_ch_names: list | None = None
+    # SQL whose row count is the reference's rows_before_limit_at_least
+    # (the outermost SELECT without its final LIMIT; totals rows
+    # filtered out) — None when the query has no top-level LIMIT
+    pre_limit_sql: str | None = None
+    # keyless WITH TOTALS: output positions the totals row must render
+    # as type defaults (non-aggregate items)
+    totals_default_cols: list | None = None
+    # constant output columns (ColumnConst) — extremes use the value
+    out_const_cols: list | None = None
+    # most recent subquery SQL including its LIMIT (rows_before_limit
+    # fallback when the outer query has no LIMIT of its own)
+    sub_limited_sql: str | None = None
     counter: int = 0
 
     def gensym(self, prefix: str) -> str:
@@ -161,6 +177,10 @@ def translate_sql(
     out = _translate_union(tokens, ctx)
     if capture is not None:
         capture["out_ch_types"] = ctx.out_ch_types
+        capture["out_ch_names"] = ctx.out_ch_names
+        capture["pre_limit_sql"] = ctx.pre_limit_sql
+        capture["totals_default_cols"] = ctx.totals_default_cols
+        capture["out_const_cols"] = ctx.out_const_cols
     return out
 
 
@@ -770,11 +790,13 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     # place when translation finishes
     if any(len(s) == 1 and s[0].text == "*" for s in select_items):
         ctx.out_ch_types = None
+        ctx.out_ch_names = None
     else:
         ctx.out_ch_types = [
             _infer_expr_ch_type(_strip_alias(s)[0], ctx)
             for s in select_items
         ]
+        ctx.out_ch_names = [_ch_item_name(s) for s in select_items]
     where_parts: list[str] = []
     if prewhere_toks:
         # PREWHERE runs at scan time, before the join — no jdef subs
@@ -846,6 +868,29 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     # writes an empty separator line — TabSeparatedBlockOutputStream
     # writeTotals), so totals-last ordering is part of the contract.
     totals_wrap = with_totals and bool(group_sql) and limit_by is None
+    # keyless WITH TOTALS: the reference's totals row carries only
+    # aggregate values — every non-aggregate output column is written
+    # as its type default (TotalsHavingBlockInputStream addToTotals
+    # touches aggregate states only; constants evaluate under Spark's
+    # GROUPING SETS, so the formatter must force the defaults)
+    if with_totals and not group_toks:
+        ctx.totals_default_cols = [
+            idx
+            for idx, s in enumerate(select_items)
+            if not _item_has_agg(_strip_alias(s)[0])
+        ]
+    else:
+        ctx.totals_default_cols = None
+    # constant output columns (extremes render the value itself)
+    const_positions: list[int] = []
+    known_const: set[str] = set()
+    for idx, s in enumerate(select_items):
+        body, al = _strip_alias(s)
+        if _item_is_const(body, known_const):
+            const_positions.append(idx)
+            if al:
+                known_const.add(al)
+    ctx.out_const_cols = const_positions
     gsym = ctx.gensym("gid") if totals_wrap else None
     wrap_order: list[tuple[str, str]] = []  # (outer column ref, dir)
     if totals_wrap:
@@ -969,6 +1014,11 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     if totals_wrap:
         helpers = [gsym] + [r for r, _ in wrap_order if r.startswith(f"{gsym}_o")]
         o_refs = ", ".join(f"{r}{d}" for r, d in wrap_order)
+        ctx.pre_limit_sql = (
+            f"SELECT 1 FROM (\n{sql}\n) WHERE {gsym} = 0"
+            if limit_txt is not None
+            else None
+        )
         if limit_txt is not None:
             rn = f"{gsym}_rn"
             win = o_refs if order_items else gsym
@@ -987,9 +1037,16 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     if order_sql:
         sql += f"\nORDER BY {order_sql}"
     if limit_txt is not None:
+        ctx.pre_limit_sql = sql
         sql += f"\nLIMIT {limit_txt}"
         if offset_txt is not None:
             sql += f" OFFSET {offset_txt}"
+        # a later outer SELECT without LIMIT reports rows through this
+        # limit (RowsBeforeLimitCounter attaches to any limit in the
+        # pipeline — "at_least" semantics)
+        ctx.sub_limited_sql = sql
+    else:
+        ctx.pre_limit_sql = ctx.sub_limited_sql
     return sql
 
 
@@ -1792,6 +1849,107 @@ def _order_items(tokens: list[Token], ctx: Ctx) -> list[tuple[str, str]]:
             items.append((grp, gdir))
         items.append((expr, direction))
     return items
+
+
+_AGG_NAME_RE = re.compile(
+    r"(?i)^(count|sum|sumWithOverflow|avg|min|max|any|anyLast|anyHeavy|"
+    r"argMin|argMax|uniq\w*|groupArray\w*|groupUniqArray|quantiles?\w*|"
+    r"median\w*|sequenceMatch|sequenceCount|varSamp|varPop|stddevSamp|"
+    r"stddevPop|covarSamp|covarPop|corr|topK)"
+    r"(If|Array|ForEach|State|Merge|MergeState)*$"
+)
+
+
+def _item_has_agg(toks: list[Token]) -> bool:
+    """True when the expression contains an aggregate-function call
+    (used to split aggregate vs. plain columns for the totals row)."""
+    for j, t in enumerate(toks):
+        if (
+            t.kind == "ident"
+            and j + 1 < len(toks)
+            and toks[j + 1].text == "("
+            and _AGG_NAME_RE.match(t.text)
+        ):
+            return True
+    return False
+
+
+_NONCONST_FNS = {
+    "materialize", "arrayjoin", "arraymap", "arrayfilter", "arraysort",
+    "arrayreversesort", "arrayexists", "arrayall", "arraycount",
+    "arrayfirst", "arrayfirstindex", "arraysum", "rand", "rand64",
+    "rownumberinallblocks", "rownumberinblock", "blocknumber", "blocksize",
+}
+
+_CONST_KWS = {
+    "AS", "AND", "OR", "NOT", "IN", "LIKE", "NULL", "CASE", "WHEN",
+    "THEN", "ELSE", "END", "INTERVAL", "IS", "BETWEEN", "DISTINCT",
+}
+
+
+def _item_is_const(toks: list[Token], const_aliases: set[str]) -> bool:
+    """True when the expression is a constant column in the reference
+    (literals and functions over literals — ColumnConst propagation;
+    materialize()/higher-order/rand break constness).  Used for
+    extremes: ColumnConst::getExtremes returns the value itself
+    (Columns/ColumnConst.h:245)."""
+    if _item_has_agg(toks):
+        return False
+    for j, t in enumerate(toks):
+        if t.kind != "ident":
+            continue
+        if j + 1 < len(toks) and toks[j + 1].text == "(":
+            if t.text.lower() in _NONCONST_FNS:
+                return False
+            continue
+        if t.text.upper() in _CONST_KWS:
+            continue
+        if t.text in const_aliases:
+            continue
+        if t.text.lower() in ("inf", "infinity", "nan"):
+            continue
+        return False
+    return True
+
+
+def _ch_item_name(item: list[Token]) -> str | None:
+    """CH output-column name of a select item (IAST::getColumnName
+    analog): the alias when present, else the canonical expression
+    text for the simple shapes (identifier, literal, nested calls,
+    array literals).  None = not renderable → the formatter falls back
+    to Spark's column name."""
+    toks, alias = _strip_alias(item)
+    if alias:
+        return alias.strip("`")
+    return _ch_expr_name(toks)
+
+
+def _ch_expr_name(toks: list[Token]) -> str | None:
+    if not toks:
+        return None
+    if len(toks) == 1:
+        t = toks[0]
+        if t.kind in ("ident", "number", "string"):
+            return t.text
+        return None
+    t0 = toks[0]
+    if (
+        t0.kind == "ident"
+        and toks[1].text == "("
+        and _match_paren(toks, 1) == len(toks) - 1
+    ):
+        args = _split_top(toks[2:-1], ",")
+        if not any(args):
+            return f"{t0.text}()"
+        parts = [_ch_expr_name(a) for a in args]
+        if all(p is not None for p in parts):
+            return f"{t0.text}({', '.join(parts)})"
+        return None
+    if t0.text == "[" and _match_paren(toks, 0) == len(toks) - 1:
+        parts = [_ch_expr_name(a) for a in _split_top(toks[1:-1], ",")]
+        if all(p is not None for p in parts):
+            return f"[{', '.join(parts)}]"
+    return None
 
 
 def _infer_expr_ch_type(toks: list[Token], ctx: Ctx) -> str | None:

@@ -185,6 +185,10 @@ def format_result(
     extremes: bool = False,
     settings: dict | None = None,
     ch_types: list | None = None,
+    ch_names: list | None = None,
+    rows_before_limit: int | None = None,
+    totals_default_cols: list | None = None,
+    const_cols: list | None = None,
 ) -> str:
     """Render a (small) result the way the reference's output formats do.
 
@@ -206,7 +210,7 @@ def format_result(
     # available, else mapped from the Spark type
     if ch_types is None or len(ch_types) != len(names):
         ch_types = [None] * len(names)
-    ch_names = [
+    ch_type_texts = [
         c if c is not None else _ch_type_text(t)
         for c, t in zip(ch_types, types)
     ]
@@ -216,26 +220,41 @@ def format_result(
     # TabSeparated writeExtremes); computed over the result rows,
     # totals row excluded
     ext_block = ""
-    if extremes and rows and fmt in ("TabSeparated", "TSV"):
+    ext_pairs = None
+    if extremes and rows:
         data_rows = rows[:-1] if totals else rows
         if data_rows:
-            pairs = [
-                _extremes_pair([r[i] for r in data_rows], f.dataType)
+            # ColumnConst::getExtremes = the value itself — EXCEPT the
+            # Array specialization, which keeps the default []
+            # (Columns/ColumnConst.h:245,280)
+            const_set = {
+                i for i in (const_cols or ())
+                if not isinstance(data_rows[0][i], list)
+            }
+            ext_pairs = [
+                (data_rows[0][i], data_rows[0][i])
+                if i in const_set
+                else _extremes_pair([r[i] for r in data_rows], f.dataType)
                 for i, f in enumerate(df.schema.fields)
             ]
-            ext_block = "\n" + "".join(
-                "\t".join(
-                    _tsv_cell(_f32(p[k], t)) for p, t in zip(pairs, types)
-                )
-                + "\n"
-                for k in (0, 1)
+    if ext_pairs is not None and fmt in ("TabSeparated", "TSV"):
+        ext_block = "\n" + "".join(
+            "\t".join(
+                _tsv_cell(_f32(p[k], t)) for p, t in zip(ext_pairs, types)
             )
+            + "\n"
+            for k in (0, 1)
+        )
 
+    forced = set(totals_default_cols or ())
     if totals and rows and fmt in ("TabSeparated", "TSV"):
         body, trow = rows[:-1], rows[-1]
         tcells = [
-            _tsv_cell(_totals_default(trow[n], t))
-            for n, t in zip(names, types)
+            _tsv_cell(_totals_default(
+                None if i in forced and not t.startswith("struct") else trow[n],
+                t,
+            ))
+            for i, (n, t) in enumerate(zip(names, types))
         ]
         return (
             "".join(
@@ -257,17 +276,36 @@ def format_result(
     if fmt in ("Vertical", "VerticalRaw"):
         return _vertical(names, rows, types, raw=fmt == "VerticalRaw")
     if fmt in ("JSON", "JSONCompact"):
-        meta = [{"name": n, "type": t} for n, t in zip(names, types)]
-        if fmt == "JSON":
-            data = [{n: _jsonable(r[n]) for n in names} for r in rows]
-        else:
-            data = [[_jsonable(r[n]) for n in names] for r in rows]
-        return json.dumps(
-            {"meta": meta, "data": data, "rows": len(rows)}, indent=1, default=str
+        return _render_json(
+            names=_resolve_ch_names(ch_names, names),
+            rows=rows,
+            fields=df.schema.fields,
+            ch_types=ch_type_texts,
+            compact=fmt == "JSONCompact",
+            totals=totals,
+            forced_default_cols=set(totals_default_cols or ()),
+            ext_pairs=ext_pairs,
+            quote64=str(settings.get(
+                "output_format_json_quote_64bit_integers", "1"
+            )) not in ("0", ""),
+            rows_before_limit=rows_before_limit,
         )
     if fmt == "JSONEachRow":
-        return "\n".join(
-            json.dumps({n: _jsonable(r[n]) for n in names}, default=str) for r in rows
+        # {"name":value} per line (JSONEachRowRowOutputStream.cpp:27-47);
+        # a totals row is not part of this format's output
+        jnames = [_json_escape(n) for n in _resolve_ch_names(ch_names, names)]
+        body = rows[:-1] if totals and rows else rows
+        q64 = str(settings.get(
+            "output_format_json_quote_64bit_integers", "1"
+        )) not in ("0", "")
+        return "".join(
+            "{"
+            + ",".join(
+                f"{jnames[i]}:{_json_value(r[i], ch_type_texts[i], q64)}"
+                for i in range(len(names))
+            )
+            + "}\n"
+            for r in body
         )
     if fmt == "Values":
         return ", ".join(
@@ -284,7 +322,7 @@ def format_result(
         if fmt != "TabSeparated":
             head = "\t".join(_tsv_cell(n) for n in names) + "\n"
             if fmt.endswith("AndTypes"):
-                head += "\t".join(ch_names) + "\n"
+                head += "\t".join(ch_type_texts) + "\n"
         return (
             head
             + "".join(
@@ -317,14 +355,16 @@ def format_result(
             for r in rows
         )
     if fmt == "XML":
-        out = ["<result>"]
-        for r in rows:
-            out.append(" <row>")
-            for n in names:
-                out.append(f"  <{n}>{_cell(r[n])}</{n}>")
-            out.append(" </row>")
-        out.append("</result>")
-        return "\n".join(out)
+        return _render_xml(
+            names=_resolve_ch_names(ch_names, names),
+            rows=rows,
+            ch_types=ch_type_texts,
+            totals=totals,
+            forced_default_cols=set(totals_default_cols or ()),
+            ext_pairs=ext_pairs,
+            rows_before_limit=rows_before_limit,
+            fields=df.schema.fields,
+        )
     raise ValueError(f"unsupported display format {fmt!r}")
 
 
@@ -744,6 +784,311 @@ def _tsv_cell(v) -> str:
             .replace("\f", "\\f")
         )
     return s
+
+
+def _resolve_ch_names(ch_names: list | None, names: list[str]) -> list[str]:
+    """Per-column CH display name with Spark-name fallback."""
+    if ch_names is None or len(ch_names) != len(names):
+        return list(names)
+    return [c if c is not None else n for c, n in zip(ch_names, names)]
+
+
+def _json_escape(s: str) -> str:
+    """writeJSONString (IO/WriteHelpers.h:156): escapes the JSON set
+    plus '/' and renders control chars as \\uXXXX."""
+    out = []
+    for ch in s:
+        if ch == "\b":
+            out.append("\\b")
+        elif ch == "\f":
+            out.append("\\f")
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\r":
+            out.append("\\r")
+        elif ch == "\t":
+            out.append("\\t")
+        elif ch == "\\":
+            out.append("\\\\")
+        elif ch == "/":
+            out.append("\\/")
+        elif ch == '"':
+            out.append('\\"')
+        elif ord(ch) <= 0x1F:
+            out.append(f"\\u{ord(ch):04X}")
+        else:
+            out.append(ch)
+    return '"' + "".join(out) + '"'
+
+
+def _ch_inner_types(ch_t: str | None, outer: str) -> list[str] | None:
+    """Element type(s) of Array(...)/Tuple(...)/Nullable(...) CH text."""
+    if ch_t is None or not ch_t.startswith(outer + "(") or not ch_t.endswith(")"):
+        return None
+    inner = ch_t[len(outer) + 1 : -1]
+    parts, depth, cur = [], 0, []
+    for c in inner:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+    parts.append("".join(cur).strip())
+    return parts
+
+
+def _json_value(v, ch_t: str | None, quote64: bool) -> str:
+    """serializeTextJSON analog, driven by the CH type text."""
+    import datetime
+    from decimal import Decimal
+
+    base = ch_t
+    nul = _ch_inner_types(ch_t, "Nullable")
+    if nul:
+        base = nul[0]
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, datetime.datetime):
+        return '"' + v.strftime("%Y-%m-%d %H:%M:%S") + '"'
+    if isinstance(v, datetime.date):
+        return '"' + v.strftime("%Y-%m-%d") + '"'
+    if isinstance(v, Decimal):
+        s = str(int(v))
+        return f'"{s}"' if quote64 else s
+    if isinstance(v, int):
+        if base in ("UInt64", "Int64") and quote64:
+            return f'"{v}"'
+        return str(v)
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return "null"
+        return _ch_float(v)
+    if isinstance(v, str):
+        return _json_escape(v)
+    if isinstance(v, (list, tuple)):
+        tup = _ch_inner_types(base, "Tuple")
+        if tup or hasattr(v, "__fields__"):
+            vals = list(v)
+            ets = tup if tup and len(tup) == len(vals) else [None] * len(vals)
+            return "[" + ",".join(
+                _json_value(x, t, quote64) for x, t in zip(vals, ets)
+            ) + "]"
+        elems = _ch_inner_types(base, "Array")
+        et = elems[0] if elems else None
+        return "[" + ",".join(_json_value(x, et, quote64) for x in v) + "]"
+    return _json_escape(str(v))
+
+
+def _render_json(
+    names: list[str],
+    rows: list,
+    fields,
+    ch_types: list,
+    compact: bool,
+    totals: bool,
+    quote64: bool,
+    rows_before_limit: int | None,
+    forced_default_cols: set | None = None,
+    ext_pairs: list | None = None,
+) -> str:
+    """Byte-exact JSON / JSONCompact writer
+    (DataStreams/JSONRowOutputStream.cpp:40-166 /
+    JSONCompactRowOutputStream.cpp; statistics omitted — goldens run
+    with output_format_write_statistics = 0)."""
+    qnames = [_json_escape(n) for n in names]
+    ncol = len(names)
+    trow = None
+    body = rows
+    if totals and rows:
+        body, trow = rows[:-1], rows[-1]
+
+    out = ["{\n", '\t"meta":\n', "\t[\n"]
+    for i in range(ncol):
+        out.append("\t\t{\n")
+        out.append(f'\t\t\t"name": {qnames[i]},\n')
+        out.append(f'\t\t\t"type": {_json_escape(ch_types[i])}\n')
+        out.append("\t\t}")
+        if i + 1 < ncol:
+            out.append(",")
+        out.append("\n")
+    out.append("\t],\n\n")
+    out.append('\t"data":\n\t[\n')
+    for rn, r in enumerate(body):
+        if rn > 0:
+            out.append(",\n")
+        if compact:
+            out.append("\t\t[")
+            out.append(", ".join(
+                _json_value(r[i], ch_types[i], quote64) for i in range(ncol)
+            ))
+            out.append("]")
+        else:
+            out.append("\t\t{\n")
+            out.append(",\n".join(
+                f"\t\t\t{qnames[i]}: {_json_value(r[i], ch_types[i], quote64)}"
+                for i in range(ncol)
+            ))
+            out.append("\n\t\t}")
+    out.append("\n\t]")
+    if trow is not None:
+        forced = forced_default_cols or set()
+        tvals = [
+            _totals_default(
+                None
+                if i in forced
+                and not fields[i].dataType.simpleString().startswith("struct")
+                else trow[i],
+                fields[i].dataType.simpleString(),
+            )
+            for i in range(ncol)
+        ]
+        if compact:
+            out.append(',\n\n\t"totals": [')
+            out.append(",".join(
+                _json_value(tvals[i], ch_types[i], quote64) for i in range(ncol)
+            ))
+            out.append("]")
+        else:
+            out.append(',\n\n\t"totals":\n\t{\n')
+            out.append(",\n".join(
+                f"\t\t{qnames[i]}: {_json_value(tvals[i], ch_types[i], quote64)}"
+                for i in range(ncol)
+            ))
+            out.append("\n\t}")
+    if ext_pairs is not None:
+        out.append(',\n\n\t"extremes":\n\t{\n')
+        for which, k in (("min", 0), ("max", 1)):
+            if compact:
+                out.append(f'\t\t"{which}": [')
+                out.append(",".join(
+                    _json_value(ext_pairs[i][k], ch_types[i], quote64)
+                    for i in range(ncol)
+                ))
+                out.append("]")
+            else:
+                out.append(f'\t\t"{which}":\n\t\t{{\n')
+                out.append(",\n".join(
+                    f"\t\t\t{qnames[i]}: "
+                    f"{_json_value(ext_pairs[i][k], ch_types[i], quote64)}"
+                    for i in range(ncol)
+                ))
+                out.append("\n\t\t}")
+            if which == "min":
+                out.append(",\n")
+        out.append("\n\t}")
+    out.append(f',\n\n\t"rows": {len(body)}')
+    if rows_before_limit is not None:
+        out.append(f',\n\n\t"rows_before_limit_at_least": {rows_before_limit}')
+    out.append("\n}\n")
+    return "".join(out)
+
+
+def _xml_escape(s: str) -> str:
+    """writeXMLString (IO/WriteHelpers.h:435): only '<' and '&'."""
+    return s.replace("&", "&amp;").replace("<", "&lt;")
+
+
+def _xml_value(v) -> str:
+    """serializeTextXML analog: arrays/tuples nest <array>/<tuple> with
+    <elem> children (DataTypeArray.cpp:334, DataTypeTuple)."""
+    import datetime
+
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d")
+    if isinstance(v, float):
+        return _ch_float(v)
+    if isinstance(v, str):
+        return _xml_escape(v)
+    if isinstance(v, (list, tuple)):
+        tag = "tuple" if hasattr(v, "__fields__") else "array"
+        inner = "".join(f"<elem>{_xml_value(x)}</elem>" for x in v)
+        return f"<{tag}>{inner}</{tag}>"
+    return _xml_escape(str(v))
+
+
+def _xml_tag(name: str) -> str:
+    """Column tag: the name when alnum/_-. and not digit-led, else
+    'field' (XMLRowOutputStream.cpp:22-43)."""
+    ok = bool(name) and all(
+        c.isascii() and (c.isalpha() or (i > 0 and c.isdigit()) or c in "_-.")
+        for i, c in enumerate(name)
+    )
+    return name if ok else "field"
+
+
+def _render_xml(
+    names: list[str],
+    rows: list,
+    ch_types: list,
+    totals: bool,
+    forced_default_cols: set,
+    ext_pairs: list | None,
+    rows_before_limit: int | None,
+    fields,
+) -> str:
+    """Byte-exact XML writer (DataStreams/XMLRowOutputStream.cpp;
+    statistics omitted — goldens set output_format_write_statistics=0)."""
+    ncol = len(names)
+    tags = [_xml_tag(n) for n in names]
+    trow = None
+    body = rows
+    if totals and rows:
+        body, trow = rows[:-1], rows[-1]
+    out = ["<?xml version='1.0' encoding='UTF-8' ?>\n"]
+    out.append("<result>\n\t<meta>\n\t\t<columns>\n")
+    for i in range(ncol):
+        out.append("\t\t\t<column>\n")
+        out.append(f"\t\t\t\t<name>{_xml_escape(names[i])}</name>\n")
+        out.append(f"\t\t\t\t<type>{_xml_escape(ch_types[i])}</type>\n")
+        out.append("\t\t\t</column>\n")
+    out.append("\t\t</columns>\n\t</meta>\n\t<data>\n")
+    for r in body:
+        out.append("\t\t<row>\n")
+        for i in range(ncol):
+            out.append(f"\t\t\t<{tags[i]}>{_xml_value(r[i])}</{tags[i]}>\n")
+        out.append("\t\t</row>\n")
+    out.append("\t</data>\n")
+    if trow is not None:
+        out.append("\t<totals>\n")
+        for i in range(ncol):
+            st = fields[i].dataType.simpleString()
+            v = _totals_default(
+                None if i in forced_default_cols and not st.startswith("struct")
+                else trow[i],
+                st,
+            )
+            out.append(f"\t\t<{tags[i]}>{_xml_value(v)}</{tags[i]}>\n")
+        out.append("\t</totals>\n")
+    if ext_pairs is not None:
+        out.append("\t<extremes>\n")
+        for which, k in (("min", 0), ("max", 1)):
+            out.append(f"\t\t<{which}>\n")
+            for i in range(ncol):
+                out.append(
+                    f"\t\t\t<{tags[i]}>{_xml_value(ext_pairs[i][k])}</{tags[i]}>\n"
+                )
+            out.append(f"\t\t</{which}>\n")
+        out.append("\t</extremes>\n")
+    out.append(f"\t<rows>{len(body)}</rows>\n")
+    if rows_before_limit is not None:
+        out.append(
+            f"\t<rows_before_limit_at_least>{rows_before_limit}"
+            "</rows_before_limit_at_least>\n"
+        )
+    out.append("</result>\n")
+    return "".join(out)
 
 
 def _jsonable(v):

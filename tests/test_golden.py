@@ -82,6 +82,18 @@ def run_sql_file(engine: ChEngine, path: str) -> str:
                         extremes=getattr(engine, "last_extremes", False),
                         settings=getattr(engine, "last_settings", None),
                         ch_types=getattr(engine, "last_out_ch_types", None),
+                        ch_names=getattr(engine, "last_out_ch_names", None),
+                        totals_default_cols=getattr(
+                            engine, "last_totals_default_cols", None
+                        ),
+                        const_cols=getattr(engine, "last_out_const_cols", None),
+                        rows_before_limit=(
+                            engine.rows_before_limit()
+                            if hasattr(engine, "rows_before_limit")
+                            and (getattr(engine, "last_format", None) or "")
+                            .startswith(("JSON", "XML"))
+                            else None
+                        ),
                     )
                 )
     finally:
