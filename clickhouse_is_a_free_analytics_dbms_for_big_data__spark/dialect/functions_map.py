@@ -112,15 +112,31 @@ def _lam_bool(lam: str) -> str:
     return lam
 
 
-def _sort_by_key(lam: str, arr: str, reverse: bool) -> str:
+def _sort_by_key(lam: str, arrs: list[str], reverse: bool) -> str:
+    """arraySort(lambda, arr...) — sort the FIRST array by the lambda's
+    key over the zipped parameters (FunctionsHigherOrder.h ArraySortImpl;
+    multi-array form passes one parameter per array)."""
     if "->" not in lam:
         raise ValueError("arraySort lambda form expects x -> key")
     params, body = lam.split("->", 1)
-    p = params.strip().lstrip("(").rstrip(")").strip()
-    decorated = (
-        f"array_sort(transform({arr}, {p} -> "
-        f"named_struct('col1', {body.strip()}, 'col2', {p})))"
-    )
+    plist = [
+        p.strip()
+        for p in params.strip().lstrip("(").rstrip(")").split(",")
+        if p.strip()
+    ]
+    body = body.strip()
+    if len(arrs) == 1 or len(plist) == 1:
+        p = plist[0]
+        decorated = (
+            f"array_sort(transform({arrs[0]}, {p} -> "
+            f"named_struct('col1', {body}, 'col2', {p})))"
+        )
+    else:
+        zipped = f"zip_with({arrs[0]}, {arrs[1]}, ({plist[0]}, {plist[1]}) -> "
+        decorated = (
+            f"array_sort({zipped}"
+            f"named_struct('col1', {body}, 'col2', {plist[0]})))"
+        )
     if reverse:
         decorated = f"reverse({decorated})"
     return f"transform({decorated}, __s -> __s.col2)"
@@ -445,6 +461,29 @@ def _sql_cut_url_param(a: Args) -> str:
     return _sql_let(u, "__u", _sql_let(name, "__nm", body))
 
 
+def _sql_byte_position(h: str, n: str) -> str:
+    """Byte offset of the first match: char position via locate, then
+    the byte length of the preceding prefix (PositionImpl works on raw
+    bytes — 'абв' finds 'бв' at 3, not 2)."""
+    return _sql_let(
+        h,
+        "__h",
+        _sql_let(
+            f"locate({n}, __h)",
+            "__p",
+            "(CASE WHEN __p <= 1 THEN __p "
+            "ELSE octet_length(left(__h, __p - 1)) + 1 END)",
+        ),
+    )
+
+
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _sql_ascii_lower(x: str) -> str:
+    return f"translate({x}, '{_ASCII_UPPER}', '{_ASCII_UPPER.lower()}')"
+
+
 def _sql_rev_hex_pairs(h: str) -> str:
     """Byte-reverse a hex string (pairs of digits) — little-endian
     reinterpretation helper."""
@@ -713,8 +752,11 @@ def _t_round_scale(fn: str) -> Callable[[Args], str]:
         s = a[1].strip()
         if re.fullmatch(r"-?\d+", s):
             return f"{fn}({a[0]}, {s})"
+        # the reference truncates a fractional scale to its integer part
+        # (FunctionsRound.cpp reads the scale as Int64)
         return (
-            f"({fn}(({a[0]}) * power(10, {s})) / power(10, {s}))"
+            f"({fn}(({a[0]}) * power(10, CAST({s} AS INT))) "
+            f"/ power(10, CAST({s} AS INT)))"
         )
 
     return tpl
@@ -885,10 +927,21 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     # strings
     "empty": lambda a: f"(coalesce(length({a[0]}), 0) = 0)",
     "notEmpty": lambda a: f"(coalesce(length({a[0]}), 0) > 0)",
-    "position": lambda a: f"locate({a[1]}, {a[0]})",
+    # position() counts BYTES (FunctionsStringSearch.cpp PositionImpl
+    # over the raw byte haystack); positionUTF8 counts code points.
+    # The CaseInsensitive (non-UTF8) variant folds ASCII letters only.
+    "position": lambda a: _sql_byte_position(a[0], a[1]),
     "positionUTF8": lambda a: f"locate({a[1]}, {a[0]})",
-    "positionCaseInsensitive": lambda a: f"locate(lower({a[1]}), lower({a[0]}))",
+    "positionCaseInsensitive": lambda a: _sql_byte_position(
+        _sql_ascii_lower(a[0]), _sql_ascii_lower(a[1])
+    ),
     "positionCaseInsensitiveUTF8": lambda a: f"locate(lower({a[1]}), lower({a[0]}))",
+    # lower/upper fold ASCII bytes only (FunctionsString.cpp LowerUpperImpl);
+    # the UTF8 variants (mapped to Spark's lower/upper in SIMPLE) fold Unicode
+    "lower": lambda a: _sql_ascii_lower(a[0]),
+    "upper": lambda a: (
+        f"translate({a[0]}, '{_ASCII_UPPER.lower()}', '{_ASCII_UPPER}')"
+    ),
     "replaceRegexpOne": _t_replace_regexp_one,
     # FixedString(N): zero-padded byte string (DataTypeFixedString.h);
     # divergence: rpad truncates instead of erroring when len > N
@@ -1006,8 +1059,14 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
         if len(a) == 1
         else f"CAST(to_utc_timestamp(CAST({a[0]} AS TIMESTAMP), {a[1]}) AS BIGINT)"
     ),
+    # a digits-only String parses as a unix timestamp
+    # (ReadHelpers.h readDateTimeText falls back to readIntText —
+    # 00142_parse_timestamp_as_datetime)
     "toDateTime": lambda a: (
-        f"CAST({a[0]} AS TIMESTAMP)"
+        # the STRING bounce makes the epoch probe analyzable for any
+        # input type (try_cast DATE→BIGINT is an analysis error)
+        f"coalesce(CAST(try_cast(CAST({a[0]} AS STRING) AS BIGINT) AS TIMESTAMP), "
+        f"try_cast({a[0]} AS TIMESTAMP))"
         if len(a) == 1
         else f"convert_timezone({a[1]}, 'UTC', CAST({a[0]} AS TIMESTAMP))"
     ),
@@ -1107,12 +1166,12 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "arraySort": lambda a: (
         f"sort_array({a[0]})"
         if len(a) == 1
-        else _sort_by_key(a[0], a[1], reverse=False)
+        else _sort_by_key(a[0], a[1:], reverse=False)
     ),
     "arrayReverseSort": lambda a: (
         f"reverse(sort_array({a[0]}))"
         if len(a) == 1
-        else _sort_by_key(a[0], a[1], reverse=True)
+        else _sort_by_key(a[0], a[1:], reverse=True)
     ),
     # separator defaults to '' (FunctionsString.cpp arrayStringConcat)
     "arrayStringConcat": lambda a: (

@@ -554,10 +554,22 @@ def _infer_ch_type(
             if len(args) == 2 and args[1][0].kind == "string":
                 return args[1][0].text.strip("'")
         if fname == "arraymap":
-            body = _split_top(toks[2:-1], ",")[0]
+            args = _split_top(toks[2:-1], ",")
+            body = args[0]
             for j, t in enumerate(body):
                 if t.text == "->":
-                    inner = _infer_ch_type(body[j + 1 :], cols)
+                    # bind lambda params to the element types of the
+                    # array arguments (FunctionArrayMapped typing)
+                    params = [
+                        p.text for p in body[:j]
+                        if p.kind in ("ident", "qident")
+                    ]
+                    bound = dict(cols)
+                    for p, arr in zip(params, args[1:]):
+                        at = _infer_ch_type(arr, cols)
+                        if at and at.startswith("Array(") and at.endswith(")"):
+                            bound[p] = at[len("Array(") : -1]
+                    inner = _infer_ch_type(body[j + 1 :], bound)
                     return f"Array({inner})" if inner else None
         if fname == "range":
             return "Array(UInt64)"
@@ -650,6 +662,11 @@ def _infer_ch_type(
             args = _split_top(toks[2:-1], ",")
             if len(args) == 2 and len(args[1]) == 1:
                 return f"FixedString({args[1][0].text})"
+        if fname in ("round", "ceil", "ceiling", "floor", "truncate",
+                     "roundtoexp2", "abs"):
+            # rounding keeps the argument's type (FunctionsRound.cpp)
+            args = _split_top(toks[2:-1], ",")
+            return _infer_ch_type(args[0], cols) if args else None
         if fname in ("least", "greatest"):
             # NumberTraits::ResultOfLeast/Greatest — the common
             # supertype of the arguments

@@ -101,6 +101,9 @@ class Ctx:
     # (set by _select after _render_from; save/restored per subquery
     # by _translate_union)
     current_table: str | None = None
+    # rendered FROM SQL of the current SELECT — lazy schema probes
+    # (array-typed bare columns for length/empty dispatch)
+    current_from_sql: str | None = None
     # engine session SET values (Settings.h) — seed every SELECT's
     # per-query SETTINGS (join_use_nulls changes join fill semantics)
     session_settings: dict[str, str] = field(default_factory=dict)
@@ -138,6 +141,9 @@ class Ctx:
     max_read_rows: int | None = None
     # IN-subquery context: select-list name dedup must not fire
     no_select_dedup: bool = False
+    # lambda formal parameter → element CH type, bound while rewriting
+    # a higher-order call's arguments
+    lambda_types: dict = field(default_factory=dict)
     counter: int = 0
 
     def gensym(self, prefix: str) -> str:
@@ -197,10 +203,12 @@ def _translate_union(tokens: list[Token], ctx: Ctx) -> str:
     # scope current_table to this (sub)query: an inner FROM-subquery or
     # scalar subquery must not leak its table into the enclosing SELECT
     prev_table = ctx.current_table
+    prev_from = ctx.current_from_sql
     try:
         return _translate_union_inner(tokens, ctx)
     finally:
         ctx.current_table = prev_table
+        ctx.current_from_sql = prev_from
 
 
 def _translate_union_inner(tokens: list[Token], ctx: Ctx) -> str:
@@ -455,8 +463,8 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
 
     select_items = [subst(s) for s in _split_top(select_toks, ",")]
     where_subs = {**with_subs, **out_subs}
-    where_toks = _substitute(where_toks, where_subs)
-    prewhere_toks = _substitute(prewhere_toks, where_subs)
+    where_toks = _substitute(where_toks, where_subs, reexpand=True)
+    prewhere_toks = _substitute(prewhere_toks, where_subs, reexpand=True)
     group_toks, having_toks, order_toks = (
         subst(group_toks), subst(having_toks), subst(order_toks),
     )
@@ -502,6 +510,7 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
     # ---- FROM
     from_sql, table_name = _render_from(from_toks, ctx)
     ctx.current_table = table_name
+    ctx.current_from_sql = from_sql or None
 
     # Nested columns are literal dotted names (`nest.x` — DataTypeNested
     # parallel arrays): fold ident.ident chains matching an actual
@@ -1921,7 +1930,9 @@ def _lambda_params(tokens: list[Token]) -> set[str]:
     return names
 
 
-def _substitute(tokens: list[Token], subs: dict[str, str]) -> list[Token]:
+def _substitute(
+    tokens: list[Token], subs: dict[str, str], reexpand: bool = False
+) -> list[Token]:
     if not subs:
         return tokens
     out: list[Token] = []
@@ -1941,6 +1952,10 @@ def _substitute(tokens: list[Token], subs: dict[str, str]) -> list[Token]:
             # translate-time type inference (toTypeName) can recover
             # the original CH expression tokens
             sub_tok.ch_name = key  # type: ignore[attr-defined]
+            # select-alias substitutions may be re-rendered in the
+            # clause's context (type-dispatched forms); join-default /
+            # array-join substitutions must stay as rendered
+            sub_tok.reexpand = reexpand  # type: ignore[attr-defined]
             out.append(sub_tok)
         else:
             out.append(t)
@@ -2111,15 +2126,28 @@ def _infer_expr_ch_type(toks: list[Token], ctx: Ctx) -> str | None:
             for c in td.columns:
                 if c.ch_type:
                     cols[c.name] = c.ch_type
+    # lambda formals shadow columns inside higher-order bodies
+    cols.update(ctx.lambda_types)
+    toks = _expand_alias_toks(toks, ctx, skip=set(cols))
+    return _infer_ch_type(toks, cols)
+
+
+def _expand_alias_toks(
+    toks: list[Token], ctx: Ctx, skip: set | None = None
+) -> list[Token]:
+    """Expand select-alias references back to their ORIGINAL CH tokens
+    (fixpoint, 8 rounds — normalizeTree substitution depth is shallow
+    in the corpus)."""
+    skip = skip or set()
     toks = list(toks)
-    for _ in range(8):  # expand alias refs back to CH tokens
+    for _ in range(8):
         expanded: list[Token] = []
         changed = False
         for tk in toks:
             alias = (
                 tk.text if tk.kind == "ident" else getattr(tk, "ch_name", None)
             )
-            if alias in ctx.alias_ch_toks and alias not in cols:
+            if alias in ctx.alias_ch_toks and alias not in skip:
                 expanded.extend(ctx.alias_ch_toks[alias])
                 changed = True
             else:
@@ -2127,7 +2155,7 @@ def _infer_expr_ch_type(toks: list[Token], ctx: Ctx) -> str | None:
         toks = expanded
         if not changed:
             break
-    return _infer_ch_type(toks, cols)
+    return toks
 
 
 def _order_direction(item: list[Token]) -> tuple[list[Token], str]:
@@ -2604,6 +2632,20 @@ def _rw_item(
                 sub = _translate_union(inner, ctx)
             finally:
                 ctx.no_select_dedup = saved_dedup
+            # multi-column scalar subquery = a Tuple in the reference
+            # (ExpressionAnalyzer executeScalarSubqueries wraps rows of
+            # width > 1); Spark only allows single-column scalars —
+            # wrap the projection into a positional struct
+            if not in_list and ctx.schema_of_sql is not None:
+                schema = ctx.schema_of_sql(f"(\n{sub}\n)")
+                if schema and len(schema) > 1:
+                    ns = ", ".join(
+                        f"'col{k + 1}', `{c}`" for k, (c, _t) in enumerate(schema)
+                    )
+                    sub = (
+                        f"SELECT named_struct({ns}) FROM (\n{sub}\n) "
+                        f"AS {ctx.gensym('scl')}"
+                    )
             return _postfix(f"({sub})", tokens, close + 1, ctx)
         parts_toks = _split_top(inner, ",")
         if len(parts_toks) > 1:
@@ -2613,6 +2655,13 @@ def _rw_item(
             # list (or as its LHS) keep Spark's row-constructor form.
             nxt = tokens[close + 1] if close + 1 < len(tokens) else None
             nxt2 = tokens[close + 2] if close + 2 < len(tokens) else None
+            # `(a, b) -> body` is a lambda parameter list, not a tuple
+            # (ExpressionElementParsers.cpp ParserLambdaExpression)
+            if nxt is not None and nxt.text == "->":
+                plist = ", ".join(
+                    tk.text for tk in inner if tk.kind in ("ident", "qident")
+                )
+                return _postfix(f"({plist})", tokens, close + 1, ctx)
             lhs_of_in = nxt is not None and (
                 nxt.is_kw("IN", "GLOBAL")
                 or (nxt.is_kw("NOT") and nxt2 is not None and nxt2.is_kw("IN"))
@@ -2643,7 +2692,31 @@ def _rw_item(
         name = t.text
         close = _match_paren(tokens, i + 1)
         arg_items = _split_top(tokens[i + 2 : close], ",")
-        args = [_rewrite(p, ctx) for p in arg_items]
+        # Higher-order calls: bind lambda formal parameters to the
+        # element CH types of the array arguments while rewriting, so
+        # translate-time type dispatch (toString of floats, length on
+        # arrays) works inside lambda bodies too
+        lam_saved = None
+        if arg_items and any(tk.text == "->" for tk in arg_items[0]):
+            lam_saved = dict(ctx.lambda_types)
+            body = arg_items[0]
+            arrow = next(
+                (j for j, tk in enumerate(body) if tk.text == "->"), None
+            )
+            if arrow is not None:
+                params = [
+                    p.text for p in body[:arrow]
+                    if p.kind in ("ident", "qident")
+                ]
+                for p, arr in zip(params, arg_items[1:]):
+                    at = _infer_expr_ch_type(arr, ctx) or ""
+                    if at.startswith("Array(") and at.endswith(")"):
+                        ctx.lambda_types[p] = at[len("Array(") : -1]
+        try:
+            args = [_rewrite(p, ctx) for p in arg_items]
+        finally:
+            if lam_saved is not None:
+                ctx.lambda_types = lam_saved
         nxt = close + 1
         # parametric: f(params)(args)
         if nxt < len(tokens) and tokens[nxt].text == "(" and name in PARAMETRIC:
@@ -2654,6 +2727,19 @@ def _rw_item(
         return _postfix(out, tokens, nxt, ctx)
 
     if t.kind == "raw":
+        # alias-substituted fragment: re-render the ORIGINAL CH tokens
+        # in the current context — the pre-rendered string was built
+        # before FROM resolution, so type-dispatched forms (length on
+        # arrays, float toString) would otherwise miss their types
+        nm = getattr(t, "ch_name", None)
+        if nm and getattr(t, "reexpand", False) and nm in ctx.alias_ch_toks:
+            expanded = _expand_alias_toks(ctx.alias_ch_toks[nm], ctx)
+            try:
+                return _postfix(
+                    f"({_rewrite(expanded, ctx)})", tokens, i + 1, ctx
+                )
+            except Exception:
+                pass  # fall back to the pre-rendered form
         return _postfix(t.text, tokens, i + 1, ctx)
 
     # float special literals (ParserNumber: inf/nan parse via strtod)
@@ -2673,6 +2759,25 @@ def _rw_item(
             )
 
     return _postfix(t.text, tokens, i + 1, ctx)
+
+
+def _bare_col_is_array(item: list[Token], ctx: Ctx) -> bool:
+    """Bare column reference whose analyzed FROM-schema type is an
+    array — the CH-type inference can't see subquery output columns,
+    but Spark's analyzer can (lazy probe, analysis only)."""
+    if (
+        len(item) != 1
+        or item[0].kind not in ("ident", "qident")
+        or ctx.schema_of_sql is None
+        or ctx.current_from_sql is None
+    ):
+        return False
+    col = item[0].text.strip("`")
+    try:
+        schema = ctx.schema_of_sql(ctx.current_from_sql) or []
+    except Exception:
+        return False
+    return any(c == col and t.startswith("array") for c, t in schema)
 
 
 def _apply_fn(
@@ -2699,6 +2804,7 @@ def _apply_fn(
         and (
             _syntactic_kind(arg_items[0]) == "array"
             or (_infer_expr_ch_type(arg_items[0], ctx) or "").startswith("Array")
+            or _bare_col_is_array(arg_items[0], ctx)
         )
     ):
         if name == "length":
@@ -2713,6 +2819,15 @@ def _apply_fn(
         _t = _infer_expr_ch_type(arg_items[0], ctx) or ""
         if _t.startswith("FixedString"):
             return f"regexp_replace({args[0]}, concat(chr(0), '+$'), '')"
+        # float → shortest text (IO/WriteHelpers writeFloatText):
+        # integral doubles print without the '.0' Spark appends
+        if _t in ("Float32", "Float64"):
+            x = args[0]
+            return (
+                f"(CASE WHEN ({x}) = floor({x}) AND abs({x}) < 1e16 "
+                f"THEN CAST(CAST({x} AS BIGINT) AS STRING) "
+                f"ELSE CAST({x} AS STRING) END)"
+            )
     # UInt8-typed aggregate arguments: comparisons/logicals land as
     # Spark BOOLEAN, which sum/avg/min/max reject — the reference sums
     # UInt8 (AggregateFunctionSum over comparison results is pervasive
