@@ -67,6 +67,11 @@ class ChEngine:
         # SQL-UDF-backed dialect functions (IPv6 codecs) — the
         # translator passes their calls through by name
         register_sql_udfs(spark)
+        # Arrow-batched exact-hash UDFs (cityHash64/sipHash64 string
+        # paths — dialect/hash_sql.py)
+        from .hash_sql import register_hash_udfs
+
+        register_hash_udfs(spark)
 
     # -------------------------------------------------------- catalog
 

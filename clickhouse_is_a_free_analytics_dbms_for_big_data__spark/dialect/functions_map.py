@@ -1177,7 +1177,19 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "arrayStringConcat": lambda a: (
         f"array_join({a[0]}, {a[1] if len(a) > 1 else chr(39) * 2})"
     ),
-    "arrayUniq": lambda a: f"size(array_distinct({a[0]}))",
+    # multi-array form counts unique TUPLES across the zipped arrays
+    # (FunctionsArray.cpp FunctionArrayUniq: one hash over all columns)
+    "arrayUniq": lambda a: (
+        f"size(array_distinct({a[0]}))"
+        if len(a) == 1
+        else "size(array_distinct(zip_with({}, (__za, __zb) -> struct(__za, __zb))))".format(
+            ", ".join(a)
+        )
+        if len(a) == 2
+        else (_ for _ in ()).throw(
+            ValueError("arrayUniq supports at most 2 arrays")
+        )
+    ),
     "countEqual": lambda a: f"size(filter({a[0]}, __x -> __x = {a[1]}))",
     "arrayEnumerate": lambda a: f"sequence(1, size({a[0]}))",
     "arrayPushBack": lambda a: f"concat({a[0]}, array({a[1]}))",
@@ -1281,6 +1293,19 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     # IP (FunctionsCoding.cpp)
     "IPv4NumToString": _t_ipv4_num_to_string,
     "IPv4StringToNum": _t_ipv4_string_to_num,
+    # class-C mask: last octet rendered as 'xxx'
+    # (FunctionsCoding.cpp IPv4NumToStringClassC: mask_tail_octets=1)
+    "IPv4NumToStringClassC": lambda a: (
+        f"concat_ws('.', CAST(({a[0]} DIV 16777216) % 256 AS STRING), "
+        f"CAST(({a[0]} DIV 65536) % 256 AS STRING), "
+        f"CAST(({a[0]} DIV 256) % 256 AS STRING), 'xxx')"
+    ),
+    # v4-mapped FixedString(16): 10 zero bytes, 0xFFFF, then the addr
+    # (FunctionsCoding.cpp FunctionIPv4ToIPv6 / mapIPv4ToIPv6)
+    "IPv4ToIPv6": lambda a: (
+        f"unhex(concat('00000000000000000000FFFF', "
+        f"lpad(hex(CAST({a[0]} AS BIGINT)), 8, '0')))"
+    ),
     # JSON-ish (FunctionsVisitParam.cpp)
     "visitParamHas": lambda a: f"(get_json_object({a[0]}, concat('$.', {a[1]})) IS NOT NULL)",
     "visitParamExtractUInt": lambda a: (

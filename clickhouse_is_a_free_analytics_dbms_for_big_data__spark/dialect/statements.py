@@ -332,6 +332,7 @@ _CH_FN_TYPES = {
     "rand": "UInt32", "rand64": "UInt64", "length": "UInt64",
     "inthash32": "UInt32", "inthash64": "UInt64",
     "cityhash64": "UInt64", "siphash64": "UInt64", "farmhash64": "UInt64",
+    "metrohash64": "UInt64", "urlhash": "UInt64",
     "halfmd5": "UInt64", "tostring": "String", "concat": "String",
     "todate": "Date", "todatetime": "DateTime",
     "touint8": "UInt8", "touint16": "UInt16", "touint32": "UInt32",
@@ -373,6 +374,8 @@ _CH_FN_TYPES = {
     "splitbychar": "Array(String)", "splitbystring": "Array(String)",
     "alphatokens": "Array(String)", "extractall": "Array(String)",
     "isnan": "UInt8", "isfinite": "UInt8", "isinfinite": "UInt8",
+    "ipv4numtostring": "String", "ipv4numtostringclassc": "String",
+    "ipv4stringtonum": "UInt32", "ipv4toipv6": "FixedString(16)",
 }
 
 

@@ -2428,6 +2428,11 @@ def _rw_seq(
         start = i
         prev_in = bool(pieces) and pieces[-1].upper() == "IN"
         piece, i = _rw_item(tokens, i, ctx, in_list=prev_in)
+        if prev_in and not piece.lstrip().startswith("("):
+            # scalar IN-rhs: `x IN f(y)` is equality membership in a
+            # 1-element set (CreateSetFromSubquery/Set.cpp accepts a
+            # scalar); Spark's parser demands a parenthesized list
+            piece = f"({piece})"
         pieces.append(piece)
         kinds.append(_syntactic_kind(tokens[start:i]))
     if q_pos is not None and c_pos is not None:
@@ -2780,6 +2785,137 @@ def _bare_col_is_array(item: list[Token], ctx: Ctx) -> bool:
     return any(c == col and t.startswith("array") for c, t in schema)
 
 
+_EXACT_HASH_FNS = {
+    "cityHash64", "sipHash64", "intHash64", "intHash32", "halfMD5",
+    "URLHash",
+}
+
+
+def _hash_flatten(item: list[Token], ctx: Ctx) -> list[list[Token]]:
+    """Flatten tuple literals / tuple() calls / materialize() wrappers
+    into scalar hash elements — FunctionNeighbourhoodHash64::
+    executeForArgument recurses into ColumnTuple elements, which is why
+    cityHash64(1, (2, '')) == cityHash64(1, 2, '')."""
+    toks = list(item)
+    while (
+        len(toks) >= 4
+        and toks[0].kind == "ident"
+        and toks[0].text in ("materialize", "tuple")
+        and toks[1].text == "("
+        and _match_paren(toks, 1) == len(toks) - 1
+    ):
+        if toks[0].text == "tuple":
+            parts = _split_top(toks[2:-1], ",")
+            out: list[list[Token]] = []
+            for p in parts:
+                out.extend(_hash_flatten(p, ctx))
+            return out
+        toks = toks[2:-1]
+    if toks and toks[0].text == "(" and _match_paren(toks, 0) == len(toks) - 1:
+        parts = _split_top(toks[1:-1], ",")
+        if len(parts) > 1:
+            out = []
+            for p in parts:
+                out.extend(_hash_flatten(p, ctx))
+            return out
+    return [toks]
+
+
+def _hash_fn(
+    name: str, args: list[str], arg_items: list[list[Token]] | None, ctx: Ctx
+) -> str | None:
+    """Bit-exact dispatch of the fast-hash family (FunctionsHashing.h)
+    — see dialect/hash_sql.py.  None → caller falls back to the
+    documented xxhash64 stand-in."""
+    from . import hash_sql as H
+
+    if name == "halfMD5":
+        # big-endian first 8 md5 bytes as UInt64 (HalfMD5Impl:54) —
+        # pure SQL, exact
+        if len(args) == 1:
+            return (
+                f"CAST(conv(substr(md5(CAST({args[0]} AS BINARY)), 1, 16), 16, 10) "
+                f"AS DECIMAL(20, 0))"
+            )
+        return None
+    if name == "sipHash64":
+        # String-only in the reference (FunctionStringHash64:879)
+        if len(args) == 1:
+            return H.signed_to_u64(f"ch_sip64({args[0]})")
+        return None
+    if name in ("intHash64", "intHash32"):
+        if len(args) != 1 or arg_items is None:
+            return None
+        t = _infer_expr_ch_type(arg_items[0], ctx) or "Int64"
+        x = H.element_to_int_sql(args[0], t)
+        if x is None:
+            return None
+        if name == "intHash32":
+            return H.sql_int_hash32(x)
+        return H.signed_to_u64(H.sql_int_hash64(x))
+    if name == "URLHash":
+        if len(args) == 1:
+            return H.signed_to_u64(f"ch_urlhash({args[0]}, -1)")
+        if len(args) == 2:
+            return H.signed_to_u64(f"ch_urlhash({args[0]}, CAST({args[1]} AS INT))")
+        return None
+    # cityHash64: multi-arg NeighbourhoodHash combine
+    if arg_items is None:
+        return None
+    expanded: list[list[Token]] = []
+    for item in arg_items:
+        if len(item) == 1 and item[0].text == "*":
+            # f(*) expands to the visible FROM columns in order
+            # (ExpressionAnalyzer asterisk normalization)
+            names: list[str] | None = None
+            if ctx.tabledef_of is not None and ctx.current_table:
+                td = ctx.tabledef_of(ctx.current_table)
+                if td is not None:
+                    names = [
+                        c.name
+                        for c in td.columns
+                        if c.default_kind not in ("MATERIALIZED", "ALIAS")
+                    ]
+            if (
+                names is None
+                and ctx.schema_of_sql is not None
+                and ctx.current_from_sql is not None
+            ):
+                try:
+                    sch = ctx.schema_of_sql(ctx.current_from_sql) or []
+                    names = [c for c, _ in sch]
+                except Exception:
+                    names = None
+            if not names:
+                return None
+            expanded.extend([Token("ident", n)] for n in names)
+        else:
+            expanded.append(item)
+    elems: list[list[Token]] = []
+    for item in expanded:
+        elems.extend(_hash_flatten(item, ctx))
+    acc: str | None = None
+    for toks in elems:
+        sql = _rewrite(toks, ctx)
+        t = _infer_expr_ch_type(toks, ctx)
+        if t is None and _syntactic_kind(toks) == "array":
+            t = "Array(Int64)"
+        if t is None:
+            return None
+        base = t[9:-1] if t.startswith("Nullable(") else t
+        if base.startswith("Array("):
+            acc2 = H.array_fold_sql(sql, base[6:-1], acc)
+        else:
+            h = H.scalar_hash_sql(sql, base)
+            acc2 = h if acc is None else (H.sql_h128(acc, h) if h else None)
+        if acc2 is None:
+            return None
+        acc = acc2
+    if acc is None:
+        return None
+    return H.signed_to_u64(acc)
+
+
 def _apply_fn(
     name: str,
     args: list[str],
@@ -2788,6 +2924,10 @@ def _apply_fn(
     ctx: Ctx,
     arg_items: list[list[Token]] | None = None,
 ) -> str:
+    if name in _EXACT_HASH_FNS:
+        out = _hash_fn(name, args, arg_items, ctx)
+        if out is not None:
+            return out
     # dictionary functions (FunctionsExternalDictionaries.cpp) —
     # correlated scalar subquery → Catalyst plans a (broadcast) left join
     if name.startswith("dictGet") or name == "dictHas":
