@@ -862,10 +862,10 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "quantileExact": lambda a: f"percentile({a[0]}, 0.5)",
     "sumMap": _t_sum_map,
     # arithmetic (FunctionsArithmetic.cpp)
-    "plus": lambda a: f"({a[0]} + {a[1]})",
-    "minus": lambda a: f"({a[0]} - {a[1]})",
-    "multiply": lambda a: f"({a[0]} * {a[1]})",
-    "divide": lambda a: f"({a[0]} / {a[1]})",
+    "plus": lambda a: f"(({a[0]}) + ({a[1]}))",
+    "minus": lambda a: f"(({a[0]}) - ({a[1]}))",
+    "multiply": lambda a: f"(({a[0]}) * ({a[1]}))",
+    "divide": lambda a: f"(({a[0]}) / ({a[1]}))",
     # DIV via DECIMAL operands: accepts the reference's float operands
     # (intDiv(10.0, 4) = 2, C++ integral division semantics) — Spark's
     # DIV rejects DOUBLE but divides DECIMALs to a truncated BIGINT
@@ -879,7 +879,7 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
         f"CAST(({a[1]}) AS DECIMAL(38, 10)) END)"
     ),
     "modulo": lambda a: f"(({a[0]}) % ({a[1]}))",
-    "negate": lambda a: f"(- {a[0]})",
+    "negate": lambda a: f"(- ({a[0]}))",
     "bitAnd": lambda a: f"({a[0]} & {a[1]})",
     "bitOr": lambda a: f"({a[0]} | {a[1]})",
     "bitXor": lambda a: f"({a[0]} ^ {a[1]})",
@@ -1334,14 +1334,16 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "hostName": lambda a: "'localhost'",
     "currentDatabase": lambda a: "'default'",
     "bar": lambda a: (
-        f"repeat('█', CAST(bround(({a[0]} - {a[1]}) / ({a[2]} - {a[1]}) * "
+        f"repeat('█', CAST(bround((({a[0]}) - ({a[1]})) / (({a[2]}) - ({a[1]})) * "
         f"{a[3] if len(a) > 3 else '80'}) AS INT))"
     ),
     "greatCircleDistance": lambda a: (
-        # haversine over WGS-84 mean radius (FunctionsGeo.cpp analog)
-        f"(2 * 6372797.560856 * asin(sqrt(power(sin(radians(({a[3]} - {a[1]}) / 2)), 2) + "
-        f"cos(radians({a[1]})) * cos(radians({a[3]})) * "
-        f"power(sin(radians(({a[2]} - {a[0]}) / 2)), 2))))"
+        # haversine over the reference's EARTH_RADIUS_IN_METERS
+        # (FunctionsGeo.h:21,96); args parenthesized — they may be
+        # compound expressions
+        f"(2 * 6372797.560856 * asin(sqrt(power(sin(radians((({a[3]}) - ({a[1]})) / 2)), 2) + "
+        f"cos(radians(({a[1]}))) * cos(radians(({a[3]}))) * "
+        f"power(sin(radians((({a[2]}) - ({a[0]})) / 2)), 2))))"
     ),
 }
 

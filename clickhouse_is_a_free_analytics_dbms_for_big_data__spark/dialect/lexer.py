@@ -81,20 +81,38 @@ def _decode_hex_escapes(text: str) -> str:
 
     _C_ESCAPES = {"a": "\a", "b": "\b", "f": "\f", "v": "\v", "0": "\x00", "e": "\x1b"}
 
-    def _sub(m: re.Match) -> str:
-        esc = m.group(1)
-        if esc[0] in ("x", "X") and len(esc) == 3:
-            ch = chr(int(esc[1:], 16))
-            if ch in ("'", "\\"):
-                return "\\" + ch
-            return ch
-        if esc in _C_ESCAPES:
-            # C escapes the reference accepts (parseEscapeSequence) but
-            # Spark's string parser does not: decode to the raw char
-            return _C_ESCAPES[esc]
-        return m.group(0)
-
-    return re.sub(r"\\(x[0-9A-Fa-f]{2}|.)", _sub, text)
+    # \xHH are BYTE escapes: consecutive ones form one UTF-8 sequence
+    # ('\xD0\xA0' is the two-byte encoding of one Cyrillic letter), so
+    # assemble bytes first and decode once at the end
+    buf = bytearray()
+    i = 0
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c == "\\" and i + 1 < n:
+            e = text[i + 1]
+            if e in ("x", "X") and i + 3 < n and re.fullmatch(
+                r"[0-9A-Fa-f]{2}", text[i + 2 : i + 4]
+            ):
+                b = int(text[i + 2 : i + 4], 16)
+                if chr(b) in ("'", "\\"):
+                    buf += b"\\" + bytes([b])
+                else:
+                    buf.append(b)
+                i += 4
+                continue
+            if e in _C_ESCAPES:
+                # C escapes the reference accepts (parseEscapeSequence)
+                # but Spark's string parser does not: decode to raw char
+                buf += _C_ESCAPES[e].encode("utf-8")
+                i += 2
+                continue
+            buf += text[i : i + 2].encode("utf-8")
+            i += 2
+            continue
+        buf += c.encode("utf-8")
+        i += 1
+    return buf.decode("utf-8", errors="replace")
 
 
 def render(tokens: list[Token]) -> str:

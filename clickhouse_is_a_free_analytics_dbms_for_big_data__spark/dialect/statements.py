@@ -418,6 +418,9 @@ def _infer_ch_type(
     declared column names to their CH types.  None = not inferable
     (the caller then reports the honest unsupported-type error)."""
     toks = list(toks)
+    # trailing `AS alias` is type-transparent
+    if len(toks) >= 2 and toks[-2].is_kw("AS") and toks[-1].kind in ("ident", "qident"):
+        toks = toks[:-2]
     while (
         len(toks) >= 2
         and toks[0].text == "("
@@ -431,8 +434,25 @@ def _infer_ch_type(
                 return f"Tuple({', '.join(ts)})"
             return None
         toks = toks[1:-1]
+        if len(toks) >= 2 and toks[-2].is_kw("AS") and toks[-1].kind in ("ident", "qident"):
+            toks = toks[:-2]
     if not toks:
         return None
+    # postfix indexing arr[i] peels one Array() level (arrayElement)
+    if toks[-1].text == "]" and len(toks) >= 3:
+        depth = 0
+        for j in range(len(toks) - 1, -1, -1):
+            if toks[j].text == "]":
+                depth += 1
+            elif toks[j].text == "[":
+                depth -= 1
+                if depth == 0:
+                    if j > 0:
+                        base_t = _infer_ch_type(toks[:j], cols)
+                        if base_t and base_t.startswith("Array(") and base_t.endswith(")"):
+                            return base_t[len("Array(") : -1]
+                        return None
+                    break
     # ternary `c ? a : b` binds loosest: result is the arms' supertype
     # (FunctionsConditional.cpp getReturnType), Null arm → Nullable
     depth = 0

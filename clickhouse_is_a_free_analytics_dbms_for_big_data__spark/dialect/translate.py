@@ -469,12 +469,53 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         subst(group_toks), subst(having_toks), subst(order_toks),
     )
 
-    # ---- arrayJoin() calls in the select list become ARRAY JOIN items
+    # ---- arrayJoin() calls in the select list become ARRAY JOIN items.
+    # DISTINCT argument expressions multiply independently (each
+    # FunctionArrayJoin call replicates the block on its own —
+    # cartesian), while repeated identical calls collapse to one column
+    # (normalizeTree common-subexpression folding).
+    aj_fn_seen: dict[str, str] = {}  # arg token text -> exploded alias
+    array_join_indep: list[tuple[str, list[Token]]] = []
     for idx, item in enumerate(select_items):
         pos = _find_call(item, "arrayJoin")
         if pos is not None:
             s, e, arg_toks = pos
             body, user_alias = _strip_alias(item)
+            key = " ".join(t.text for t in arg_toks)
+            if key in aj_fn_seen:
+                # same argument: reuse the first explosion's column
+                alias = aj_fn_seen[key]
+                if user_alias is not None and s == 0 and e == len(body):
+                    select_items[idx] = [
+                        Token("ident", alias),
+                        Token("ident", "AS"),
+                        Token("ident", user_alias),
+                    ]
+                else:
+                    select_items[idx] = item[:s] + [Token("ident", alias)] + item[e:]
+                continue
+            if aj_fn_seen:
+                # second DISTINCT arrayJoin: independent lateral view
+                if user_alias is not None and s == 0 and e == len(body):
+                    alias = user_alias
+                    select_items[idx] = [
+                        Token("ident", alias),
+                        Token("ident", "AS"),
+                        Token("ident", alias),
+                    ]
+                else:
+                    alias = ctx.gensym("ajf")
+                    select_items[idx] = item[:s] + [Token("ident", alias)] + item[e:]
+                if alias not in ctx.alias_ch_toks:
+                    ctx.alias_ch_toks[alias] = list(body[s:e]) if body else []
+                aj_fn_seen[key] = alias
+                array_join_indep.append((alias, arg_toks))
+                continue
+            aj_fn_seen[key] = (
+                user_alias
+                if user_alias is not None and s == 0 and e == len(body)
+                else None  # patched below once the gensym is known
+            )
             if user_alias is not None and s == 0 and e == len(body):
                 # whole item is `arrayJoin(expr) AS alias`: reuse the user
                 # alias so WHERE/GROUP BY references resolve to the
@@ -499,6 +540,7 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
                 )
                 ctx.alias_ch_toks[alias] = list(item[s:e])
                 select_items[idx] = item[:s] + [Token("ident", alias)] + item[e:]
+                aj_fn_seen[key] = alias
 
     # max_rows_to_read + read_overflow_mode='break' stops the scan at
     # the cap (Limits.h) — honored for the unbounded system.numbers
@@ -687,6 +729,14 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         # to the lockstep members' safe lateral aliases
         for out_name, safe in aj_renames.items():
             aj_subs[out_name] = aj_subs.get(safe, safe)
+    # independent arrayJoin() calls: one lateral view each (cartesian
+    # replication, matching repeated FunctionArrayJoin execution)
+    for alias, arg_toks in array_join_indep:
+        expr_sql = _rewrite(arg_toks, ctx)
+        lateral += (
+            f" LATERAL VIEW posexplode({expr_sql}) {ctx.gensym('ajv')} "
+            f"AS {ctx.gensym('ajpos')}, {alias}"
+        )
 
     # ---- joins (rendered before the select list: LEFT/FULL joins
     # substitute type defaults for missing right-side values)
@@ -2245,6 +2295,12 @@ def _syntactic_kind(toks: list[Token]) -> str | None:
                 return "date"
             if t0.text in _DATETIME_FNS:
                 return "datetime"
+            if t0.text in ("least", "greatest", "materialize"):
+                # type-transparent: result kind is the first argument's
+                # (FunctionsConditional.cpp least/greatest supertype)
+                inner = _split_top(toks[2:-1], ",")
+                if inner:
+                    return _syntactic_kind(inner[0])
     return None
 
 
@@ -2686,7 +2742,10 @@ def _rw_item(
     if t.text == "[":
         close = _match_paren(tokens, i)
         parts = [_rewrite(p, ctx) for p in _split_top(tokens[i + 1 : close], ",")]
-        return _postfix(f"array({', '.join(parts)})", tokens, close + 1, ctx)
+        return _postfix(
+            f"array({', '.join(parts)})", tokens, close + 1, ctx,
+            base_toks=tokens[i : close + 1],
+        )
 
     # identifier: maybe function call / parametric call
     if t.kind == "ident" and i + 1 < len(tokens) and tokens[i + 1].text == "(":
@@ -2729,7 +2788,7 @@ def _rw_item(
             args2 = [_rewrite(p, ctx) for p in _split_top(tokens[nxt + 1 : close2], ",")]
             return _postfix(PARAMETRIC[name](args, args2), tokens, close2 + 1, ctx)
         out = _apply_fn(name, args, tokens, i, ctx, arg_items)
-        return _postfix(out, tokens, nxt, ctx)
+        return _postfix(out, tokens, nxt, ctx, base_toks=tokens[i:nxt])
 
     if t.kind == "raw":
         # alias-substituted fragment: re-render the ORIGINAL CH tokens
@@ -2763,7 +2822,7 @@ def _rw_item(
                 f"CAST({t.text} AS DOUBLE)", tokens, i + 1, ctx
             )
 
-    return _postfix(t.text, tokens, i + 1, ctx)
+    return _postfix(t.text, tokens, i + 1, ctx, base_toks=[t])
 
 
 def _bare_col_is_array(item: list[Token], ctx: Ctx) -> bool:
@@ -2952,6 +3011,21 @@ def _apply_fn(
         if name == "empty":
             return f"(size({args[0]}) = 0)"
         return f"(size({args[0]}) > 0)"
+    # arrayElement call form: same type-default out-of-bounds fill as
+    # the [] subscript in _postfix (FunctionsArray.cpp arrayElement)
+    if name == "arrayElement" and arg_items and len(args) == 2:
+        arr, idx = args
+        at = _infer_expr_ch_type(arg_items[0], ctx) or ""
+        if at.startswith("Nullable("):
+            at = at[9:-1]
+        default = (
+            _elem_default_sql(at[6:-1], arr) if at.startswith("Array(") else None
+        )
+        got = (
+            f"get({arr}, (CASE WHEN ({idx}) > 0 THEN ({idx}) - 1 "
+            f"ELSE size({arr}) + ({idx}) END))"
+        )
+        return f"coalesce({got}, {default})" if default is not None else got
     # FixedString(N) → String conversion cuts the zero padding
     # (FunctionsConversion.cpp ConvertImpl<DataTypeFixedString,
     # DataTypeString>: data_to is sized to the last non-zero byte)
@@ -3085,7 +3159,28 @@ def _dict_fn(name: str, args: list[str], ctx: Ctx) -> str | None:
     return sub
 
 
-def _postfix(base: str, tokens: list[Token], i: int, ctx: Ctx) -> tuple[str, int]:
+def _elem_default_sql(elem_type: str, base_sql: str) -> str | None:
+    """Out-of-bounds arrayElement default for the element CH type
+    (FunctionsArray.cpp arrayElement fills the type default).  Nested
+    arrays build their empty value from the base via flatten (no
+    literal of unknown inner type needed)."""
+    t = elem_type
+    if t.startswith(("UInt", "Int", "Float")) or t.startswith("Enum"):
+        return "0"
+    if t == "String" or t.startswith("FixedString"):
+        return "''"
+    if t.startswith("Array("):
+        return f"slice(flatten({base_sql}), 1, 0)"
+    return None  # Nullable/unknown: NULL stays faithful or undefined
+
+
+def _postfix(
+    base: str,
+    tokens: list[Token],
+    i: int,
+    ctx: Ctx,
+    base_toks: list[Token] | None = None,
+) -> tuple[str, int]:
     """Apply postfix operators: indexing x[i] → element_at (1-based,
     FunctionsArray.cpp arrayElement), member access passthrough."""
     while i < len(tokens):
@@ -3093,12 +3188,22 @@ def _postfix(base: str, tokens: list[Token], i: int, ctx: Ctx) -> tuple[str, int
             close = _match_paren(tokens, i)
             idx = _rewrite(tokens[i + 1 : close], ctx)
             # null-safe 1-based access, negative-from-end; index 0 and
-            # out-of-range yield NULL (documented divergence from the
-            # reference's type-default — FunctionsArray.cpp arrayElement)
-            base = (
+            # out-of-range fill the element TYPE DEFAULT when the
+            # element type is statically known (arrayElement semantics),
+            # else NULL (documented fallback divergence)
+            default = None
+            if base_toks is not None:
+                at = _infer_expr_ch_type(base_toks, ctx) or ""
+                if at.startswith("Nullable("):
+                    at = at[9:-1]
+                if at.startswith("Array("):
+                    default = _elem_default_sql(at[6:-1], base)
+            got = (
                 f"get({base}, (CASE WHEN ({idx}) > 0 THEN ({idx}) - 1 "
                 f"ELSE size({base}) + ({idx}) END))"
             )
+            base = f"coalesce({got}, {default})" if default is not None else got
+            base_toks = None if base_toks is None else base_toks + tokens[i : close + 1]
             i = close + 1
         elif (
             tokens[i].text == "."

@@ -127,7 +127,8 @@ def greatCircleDistance(lon1, lat1, lon2, lat2) -> Column:
     dla = (col_of(lat2) - col_of(lat1)) * rad
     dlo = (col_of(lon2) - col_of(lon1)) * rad
     a = F.sin(dla / 2) ** 2 + F.cos(la1) * F.cos(la2) * F.sin(dlo / 2) ** 2
-    return F.lit(2 * 6371000.0) * F.asin(F.sqrt(a))
+    # EARTH_RADIUS_IN_METERS from the reference (FunctionsGeo.h:21)
+    return F.lit(2 * 6372797.560856) * F.asin(F.sqrt(a))
 
 
 def pointInEllipses(x, y, *ellipses) -> Column:

@@ -693,17 +693,51 @@ def _cell(v) -> str:
 
 def _ch_float(v: float) -> str:
     """Float text like the reference's writeFloatText
-    (IO/WriteHelpers.h): integral doubles print without '.0',
-    nan/inf by name."""
+    (IO/WriteHelpers.h, double-conversion ToShortest): shortest
+    roundtrip digits, FIXED notation while the decimal point position
+    is in (-6, 21], scientific outside with a bare exponent
+    (1.9e-06 prints 0.0000019…, 1.9e21 prints 1.9e21); nan/inf by
+    name."""
     if v != v:
         return "nan"
     if v == float("inf"):
         return "inf"
     if v == float("-inf"):
         return "-inf"
-    if v == int(v) and abs(v) < 1e16:
-        return str(int(v))
-    return repr(v)
+    neg = v < 0
+    s = repr(abs(v))
+    if "e" in s:
+        mant, _, e = s.partition("e")
+        exp = int(e)
+        ip, _, fp = mant.partition(".")
+        digits = ip + fp
+        dp = exp + len(ip)
+    elif "." in s:
+        ip, fp = s.split(".")
+        if ip == "0":
+            stripped = fp.lstrip("0")
+            digits = stripped
+            dp = -(len(fp) - len(stripped))
+        else:
+            digits = ip + fp
+            dp = len(ip)
+    else:
+        digits = s
+        dp = len(s)
+    digits = digits.rstrip("0") or "0"
+    if digits == "0":
+        return "-0" if neg else "0"
+    if -6 < dp <= 21:
+        if dp <= 0:
+            out = "0." + "0" * (-dp) + digits
+        elif dp >= len(digits):
+            out = digits + "0" * (dp - len(digits))
+        else:
+            out = digits[:dp] + "." + digits[dp:]
+    else:
+        m = digits[0] + ("." + digits[1:] if len(digits) > 1 else "")
+        out = f"{m}e{dp - 1}"
+    return "-" + out if neg else out
 
 
 def _ch_composite(v, parens: bool = False) -> str:
