@@ -950,7 +950,14 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     # constant-per-query random (FunctionsRandom.cpp randConstant):
     # a scalar subquery evaluates once
     "randConstant": lambda a: "(SELECT CAST(rand() * 4294967296 AS BIGINT))",
-    "visibleWidth": lambda a: f"length(CAST({a[0]} AS STRING))",
+    # text width of the value as the Pretty formats print it
+    # (FunctionsMiscellaneous.cpp visibleWidth): composites render
+    # without spaces, tuples parenthesized — Spark's struct cast gives
+    # '{1, 2}' so squeeze ', ' and map braces to parens
+    "visibleWidth": lambda a: (
+        f"length(translate(replace(CAST({a[0]} AS STRING), ', ', ','), "
+        f"'{{}}', '()'))"
+    ),
     # little-endian integer bytes up to the first NUL — SQL twin of
     # functions/reinterpret.py:reinterpretAsString (FunctionsReinterpret.cpp)
     "reinterpretAsString": lambda a: _sql_let(

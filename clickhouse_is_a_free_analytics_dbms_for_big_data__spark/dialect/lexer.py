@@ -83,8 +83,10 @@ def _decode_hex_escapes(text: str) -> str:
 
     # \xHH are BYTE escapes: consecutive ones form one UTF-8 sequence
     # ('\xD0\xA0' is the two-byte encoding of one Cyrillic letter), so
-    # assemble bytes first and decode once at the end
+    # assemble bytes first and decode once at the end.  raw collects
+    # the unescaped content bytes for the invalid-UTF-8 fallback.
     buf = bytearray()
+    raw = bytearray()
     i = 0
     n = len(text)
     while i < n:
@@ -95,6 +97,7 @@ def _decode_hex_escapes(text: str) -> str:
                 r"[0-9A-Fa-f]{2}", text[i + 2 : i + 4]
             ):
                 b = int(text[i + 2 : i + 4], 16)
+                raw.append(b)
                 if chr(b) in ("'", "\\"):
                     buf += b"\\" + bytes([b])
                 else:
@@ -105,14 +108,27 @@ def _decode_hex_escapes(text: str) -> str:
                 # C escapes the reference accepts (parseEscapeSequence)
                 # but Spark's string parser does not: decode to raw char
                 buf += _C_ESCAPES[e].encode("utf-8")
+                raw += _C_ESCAPES[e].encode("utf-8")
                 i += 2
                 continue
             buf += text[i : i + 2].encode("utf-8")
+            raw += {"n": b"\n", "r": b"\r", "t": b"\t"}.get(
+                e, e.encode("utf-8")
+            )
             i += 2
             continue
         buf += c.encode("utf-8")
+        if not (c == "'" and i in (0, n - 1)):
+            raw += c.encode("utf-8")
         i += 1
-    return buf.decode("utf-8", errors="replace")
+    try:
+        return buf.decode("utf-8")
+    except UnicodeDecodeError:
+        # CH strings are byte strings (parseEscapeSequence produces
+        # arbitrary bytes); Spark's UTF8String does not validate
+        # either, so smuggle the exact bytes via unhex — the token
+        # stays kind='string' and splices as an expression
+        return f"CAST(unhex('{raw.hex().upper()}') AS STRING)"
 
 
 def render(tokens: list[Token]) -> str:

@@ -692,9 +692,14 @@ def _infer_ch_type(
             return _infer_ch_type(args[0], cols) if args else None
         if fname in ("least", "greatest"):
             # NumberTraits::ResultOfLeast/Greatest — the common
-            # supertype of the arguments
+            # supertype, EXCEPT same-depth 64-bit ints of different
+            # signs (CLICKHOUSE-29 special case, NumberTraits.h:355):
+            # least → Int64, greatest → UInt64
             args = _split_top(toks[2:-1], ",")
-            return _ch_supertype([_infer_ch_type(a, cols) for a in args])
+            ats = [_infer_ch_type(a, cols) for a in args]
+            if len(ats) == 2 and set(ats) == {"Int64", "UInt64"}:
+                return "Int64" if fname == "least" else "UInt64"
+            return _ch_supertype(ats)
         return _CH_FN_TYPES.get(fname)
     return None
 

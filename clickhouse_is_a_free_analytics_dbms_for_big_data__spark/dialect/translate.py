@@ -2554,7 +2554,27 @@ _CH_TYPE_MAP = {
 }
 
 
-def _render_ch_cast(expr: str, type_toks: list[Token], ctx: Ctx) -> str | None:
+def _num_parse_sql(e: str, ch_t: str) -> str | None:
+    """CAST of a numeric text element to a CH integer type with the
+    reference's wraparound (FunctionsConversion parse + cut to width;
+    unsigned widths need an explicit pmod — Spark's narrower type
+    would otherwise saturate at the signed range)."""
+    up = ch_t.upper()
+    mapped = _CH_TYPE_MAP.get(up)
+    if mapped is None:
+        return None
+    if up.startswith("UINT") and up != "UINT64":
+        width = {"UINT8": 256, "UINT16": 65536, "UINT32": 4294967296}[up]
+        return f"CAST(pmod(CAST({e} AS BIGINT), {width}) AS {mapped})"
+    return f"CAST({e} AS {mapped})"
+
+
+def _render_ch_cast(
+    expr: str,
+    type_toks: list[Token],
+    ctx: Ctx,
+    src_ch: str | None = None,
+) -> str | None:
     """CAST target type translation.  Returns None for types Spark
     already understands (DECIMAL, ARRAY<...>, …) — generic handling
     then renders the CAST verbatim."""
@@ -2567,6 +2587,37 @@ def _render_ch_cast(expr: str, type_toks: list[Token], ctx: Ctx) -> str | None:
         return f"CAST({expr} AS {mapped})" if mapped else None
     if type_toks[1].text == "(":
         args = _split_top(type_toks[2:-1], ",")
+        if (src_ch or "").replace("Nullable(", "").startswith("String") and up in (
+            "ARRAY", "TUPLE"
+        ):
+            # string → composite: parse the CH text form back
+            # (FunctionsConversion.cpp ConvertOrZeroImpl / readQuoted
+            # family; numeric elements only)
+            if up == "ARRAY" and len(args) == 1 and len(args[0]) == 1:
+                pe = _num_parse_sql("trim(_pe)", args[0][0].text)
+                if pe is not None:
+                    body = (
+                        f"regexp_replace(trim({expr}), '^\\\\[|\\\\]$', '')"
+                    )
+                    return (
+                        f"(CASE WHEN length({body}) = 0 THEN "
+                        f"CAST(array() AS ARRAY<{_CH_TYPE_MAP[args[0][0].text.upper()]}>) "
+                        f"ELSE transform(split({body}, ','), _pe -> {pe}) END)"
+                    )
+            if up == "TUPLE" and all(len(a) == 1 for a in args):
+                parts = (
+                    f"split(regexp_replace(trim({expr}), "
+                    f"'^\\\\(|\\\\)$', ''), ',')"
+                )
+                fields = []
+                for k, a in enumerate(args):
+                    pe = _num_parse_sql(
+                        f"trim(element_at({parts}, {k + 1}))", a[0].text
+                    )
+                    if pe is None:
+                        return None
+                    fields.append(f"'col{k + 1}', {pe}")
+                return f"named_struct({', '.join(fields)})"
         if up in ("ENUM8", "ENUM16"):
             # 'Name' = value pairs: render value→name (DataTypeEnum
             # text form); string inputs pass through when they match a
@@ -2596,6 +2647,11 @@ def _render_ch_cast(expr: str, type_toks: list[Token], ctx: Ctx) -> str | None:
             mapped = _CH_TYPE_MAP.get(elem or "")
             if mapped:
                 return f"CAST({expr} AS ARRAY<{mapped}>)"
+            # element type needs its own translation (Enum inside
+            # Array, nested Array): apply it element-wise
+            sub = _render_ch_cast("_ce", args[0], ctx)
+            if sub is not None:
+                return f"transform({expr}, _ce -> {sub})"
     return None
 
 
@@ -2673,7 +2729,28 @@ def _rw_item(
                 as_pos = k
         if as_pos is not None:
             expr_sql = _rewrite(inner[:as_pos], ctx)
-            cast_sql = _render_ch_cast(expr_sql, inner[as_pos + 1 :], ctx)
+            ttoks = inner[as_pos + 1 :]
+            # CAST(composite AS String) == toString (FunctionsConversion)
+            if len(ttoks) == 1 and ttoks[0].text.upper() == "STRING":
+                ex = inner[:as_pos]
+                if (
+                    len(ex) >= 3
+                    and ex[0].kind == "ident"
+                    and ex[0].text == "countState"
+                    and ex[1].text == "("
+                ):
+                    return _postfix(
+                        _count_state_text_sql(expr_sql), tokens, close + 1, ctx
+                    )
+                _ct = _infer_expr_ch_type(inner[:as_pos], ctx) or ""
+                if _ct.startswith(("Tuple(", "Array(")):
+                    out_sql = _ch_text_sql(expr_sql, _ct)
+                    if out_sql is not None:
+                        return _postfix(out_sql, tokens, close + 1, ctx)
+            cast_sql = _render_ch_cast(
+                expr_sql, ttoks, ctx,
+                src_ch=_infer_expr_ch_type(inner[:as_pos], ctx),
+            )
             if cast_sql is not None:
                 return _postfix(cast_sql, tokens, close + 1, ctx)
         # fall through to generic call handling (native Spark types)
@@ -2736,7 +2813,10 @@ def _rw_item(
             )
             return _postfix(f"named_struct({ns})", tokens, close + 1, ctx)
         parts = [_rewrite(p, ctx) for p in parts_toks]
-        return _postfix(f"({', '.join(parts)})", tokens, close + 1, ctx)
+        return _postfix(
+            f"({', '.join(parts)})", tokens, close + 1, ctx,
+            base_toks=tokens[i : close + 1],
+        )
 
     # array literal
     if t.text == "[":
@@ -2800,11 +2880,15 @@ def _rw_item(
             expanded = _expand_alias_toks(ctx.alias_ch_toks[nm], ctx)
             try:
                 return _postfix(
-                    f"({_rewrite(expanded, ctx)})", tokens, i + 1, ctx
+                    f"({_rewrite(expanded, ctx)})", tokens, i + 1, ctx,
+                    base_toks=expanded,
                 )
             except Exception:
                 pass  # fall back to the pre-rendered form
-        return _postfix(t.text, tokens, i + 1, ctx)
+        # the substituted alias's original tokens still type the base
+        # for postfix indexing (arrayElement default fill)
+        src = ctx.alias_ch_toks.get(nm) if nm else None
+        return _postfix(t.text, tokens, i + 1, ctx, base_toks=src)
 
     # float special literals (ParserNumber: inf/nan parse via strtod)
     if t.kind == "ident" and t.text.lower() in ("inf", "infinity"):
@@ -3030,7 +3114,21 @@ def _apply_fn(
     # (FunctionsConversion.cpp ConvertImpl<DataTypeFixedString,
     # DataTypeString>: data_to is sized to the last non-zero byte)
     if name == "toString" and arg_items and len(args) == 1:
+        it = arg_items[0]
+        if (
+            len(it) >= 3
+            and it[0].kind == "ident"
+            and it[0].text == "countState"
+            and it[1].text == "("
+        ):
+            # binary state text: varint of the count (VarInt.h)
+            return _count_state_text_sql(args[0])
         _t = _infer_expr_ch_type(arg_items[0], ctx) or ""
+        if _t.startswith(("Tuple(", "Array(")):
+            # composite → CH text form (serializeTextQuoted)
+            out = _ch_text_sql(args[0], _t)
+            if out is not None:
+                return out
         if _t.startswith("FixedString"):
             return f"regexp_replace({args[0]}, concat(chr(0), '+$'), '')"
         # float → shortest text (IO/WriteHelpers writeFloatText):
@@ -3157,6 +3255,90 @@ def _dict_fn(name: str, args: list[str], ctx: Ctx) -> str | None:
     if name.endswith("OrDefault") and len(args) > 3:
         return f"coalesce({sub}, {args[3]})"
     return sub
+
+
+def _count_state_text_sql(n: str) -> str:
+    """CH binary serialization of a count() aggregate state: varint of
+    the UInt64 count (AggregateFunctionCount serialize → writeVarUInt,
+    IO/VarInt.h).  Emitted as CAST(unhex(hextext) AS STRING) so the
+    raw bytes survive Spark's UTF8String (which does not validate)."""
+    nb = (
+        f"(CASE WHEN ({n}) < 128 THEN 1 WHEN ({n}) < 16384 THEN 2 "
+        f"WHEN ({n}) < 2097152 THEN 3 WHEN ({n}) < 268435456 THEN 4 "
+        f"WHEN ({n}) < 34359738368 THEN 5 WHEN ({n}) < 4398046511104 "
+        f"THEN 6 WHEN ({n}) < 562949953421312 THEN 7 "
+        f"WHEN ({n}) < 72057594037927936 THEN 8 ELSE 9 END)"
+    )
+    byte = (
+        f"(CAST(shiftrightunsigned(CAST({n} AS BIGINT), 7 * _vb) AS BIGINT)"
+        f" % 128) + IF(_vb < {nb} - 1, 128, 0)"
+    )
+    return (
+        f"CAST(unhex(array_join(transform(sequence(0, {nb} - 1), "
+        f"_vb -> lpad(hex({byte}), 2, '0')), '')) AS STRING)"
+    )
+
+
+def _split_ch_type_args(t: str) -> list[str]:
+    """Split 'A, B(C, D), E' at top-level commas."""
+    out, depth, cur = [], 0, []
+    for ch in t:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _ch_text_sql(expr: str, ch_type: str) -> str | None:
+    """SQL producing the CH text form of a composite value
+    (DataTypeTuple/DataTypeArray serializeTextQuoted: no spaces,
+    strings/dates quoted with backslash escaping) — what toString /
+    CAST(x AS String) yields in the reference."""
+    t = ch_type.strip()
+    if t.startswith("Array(") and t.endswith(")"):
+        inner = _ch_text_sql("_cte", t[6:-1])
+        if inner is None:
+            return None
+        return (
+            f"concat('[', array_join(transform({expr}, _cte -> {inner}), "
+            f"','), ']')"
+        )
+    if t.startswith("Tuple(") and t.endswith(")"):
+        parts = _split_ch_type_args(t[6:-1])
+        elems = []
+        for k, pt in enumerate(parts):
+            sub = _ch_text_sql(f"({expr}).col{k + 1}", pt)
+            if sub is None:
+                return None
+            elems.append(sub)
+        joined = ", ".join(["'('"] + [", ',', ".join(elems)] + ["')'"])
+        return f"concat({joined})"
+    if t == "String" or t.startswith("FixedString"):
+        # writeQuotedString: backslash-escape \\ and ' inside quotes
+        return (
+            f"concat('\\'', replace(replace({expr}, '\\\\', '\\\\\\\\'), "
+            f"'\\'', '\\\\\\''), '\\'')"
+        )
+    if t in ("Date", "DateTime"):
+        return f"concat('\\'', CAST({expr} AS STRING), '\\'')"
+    if t.startswith(("UInt", "Int")) or t.startswith("Enum"):
+        return f"CAST({expr} AS STRING)"
+    if t.startswith("Float"):
+        # integral floats drop the '.0' (writeFloatText)
+        return (
+            f"(CASE WHEN ({expr}) = floor({expr}) AND abs({expr}) < 1e16 "
+            f"THEN CAST(CAST({expr} AS BIGINT) AS STRING) "
+            f"ELSE CAST({expr} AS STRING) END)"
+        )
+    return None
 
 
 def _elem_default_sql(elem_type: str, base_sql: str) -> str | None:
