@@ -72,6 +72,11 @@ class ChEngine:
         from .hash_sql import register_hash_udfs
 
         register_hash_udfs(spark)
+        # bit-exact ReservoirSampler quantiles (taus88 replay) —
+        # Arrow-batched over aggregation groups
+        from .reservoir import register as register_reservoir
+
+        register_reservoir(spark)
 
     # -------------------------------------------------------- catalog
 
@@ -125,7 +130,20 @@ class ChEngine:
         self.last_pre_limit_sql = capture.get("pre_limit_sql")
         self.last_totals_default_cols = capture.get("totals_default_cols")
         self.last_out_const_cols = capture.get("out_const_cols")
+        self.last_union_branches = capture.get("union_branch_sqls")
         return out
+
+    def union_block_rows(self) -> list | None:
+        """Per-branch row counts of the last top-level UNION ALL — the
+        output formats' block boundaries (each branch is a block)."""
+        if not getattr(self, "last_union_branches", None):
+            return None
+        try:
+            return [
+                self.spark.sql(b).count() for b in self.last_union_branches
+            ]
+        except Exception:
+            return None
 
     def rows_before_limit(self) -> int | None:
         """Pre-LIMIT row count of the last SELECT (JSON/XML formats'

@@ -210,15 +210,23 @@ def _array_reduce(a: Args) -> str:
 
 
 def _format_readable_size(x: str) -> str:
-    """1.23 KiB / 4.56 MiB ... — SQL twin of functions/misc.py:52."""
+    """Common/formatReadable.cpp formatReadableSizeWithBinarySuffix:
+    divide by 1024 while |value| >= 1024 up to YiB (which may then
+    exceed 1024), fixed 2 decimals WITHOUT thousands grouping
+    (double-conversion ToFixed), sign preserved via fabs tiering."""
     v = f"CAST({x} AS DOUBLE)"
-    tiers = [("PiB", 1024 ** 5), ("TiB", 1024 ** 4), ("GiB", 1024 ** 3),
-             ("MiB", 1024 ** 2), ("KiB", 1024)]
+    units = ["B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB", "ZiB", "YiB"]
     clauses = " ".join(
-        f"WHEN {v} >= {float(bound)} THEN concat(format_number({v} / {float(bound)}, 2), ' {u}')"
-        for u, bound in tiers
+        f"WHEN abs({v}) >= {float(1024.0 ** i)!r} THEN "
+        f"concat(format_string('%.2f', {v} / {float(1024.0 ** i)!r}), "
+        f"' {u}')"
+        for i, u in reversed(list(enumerate(units)))
+        if i > 0
     )
-    return f"(CASE {clauses} ELSE concat(format_number({v}, 2), ' B') END)"
+    return (
+        f"(CASE {clauses} ELSE concat(format_string('%.2f', {v}), ' B') "
+        f"END)"
+    )
 
 
 def _t_multi_if(a: Args) -> str:
@@ -564,6 +572,14 @@ def _sql_erf(x: str) -> str:
     )
 
 
+def _sql_ieee_log(fn: str, x: str) -> str:
+    return (
+        f"(CASE WHEN ({x}) > 0 THEN {fn}({x}) "
+        f"WHEN ({x}) = 0 THEN CAST('-Infinity' AS DOUBLE) "
+        f"ELSE CAST('NaN' AS DOUBLE) END)"
+    )
+
+
 def _sql_lgamma(x: str) -> str:
     """SQL twin of functions/math_fns.py:lgamma (Lanczos g=7, n=9)."""
     coeffs = [
@@ -583,7 +599,9 @@ def _sql_lgamma(x: str) -> str:
     )
 
 
-def _timing_quantile(x: str, levels: list[str]) -> str:
+def _timing_quantile(
+    x: str, levels: list[str], force_array: bool = False
+) -> str:
     """quantileTiming exact emulation (AggregateFunctionQuantileTiming.h):
     values clamp at BIG_THRESHOLD=30000; result = sorted[floor(count *
     level)] (last element when level >= 1) — NO interpolation.  The
@@ -599,9 +617,49 @@ def _timing_quantile(x: str, levels: list[str]) -> str:
             f"THEN floor({cnt} * {p}) ELSE {cnt} - 1 END) AS INT) + 1)"
         )
 
-    if len(levels) == 1:
+    if len(levels) == 1 and not force_array:
         return one(levels[0])
     return f"array({', '.join(one(p) for p in levels)})"
+
+
+def _timing_weighted_q(
+    x: str, w: str, levels: list[str], force_array: bool = False
+) -> str:
+    """quantileTimingWeighted (AggregateFunctionQuantileTiming.h
+    insertWeighted + get): each value counts `weight` times in the
+    sorted multiset; position = floor(count * level) (count - 1 at
+    level 1); values clamp at BIG_THRESHOLD = 30000; empty (all-zero
+    weights) yields NaN (getFloat)."""
+    pairs = (
+        f"array_sort(collect_list(IF(CAST({w} AS BIGINT) > 0, "
+        f"named_struct('v', least(CAST({x} AS BIGINT), 30000), "
+        f"'w', CAST({w} AS BIGINT)), NULL)))"
+    )
+
+    def one(ps: str, p: str) -> str:
+        n = f"aggregate({ps}, CAST(0 AS BIGINT), (__qa, __qe) -> __qa + __qe.w)"
+        th = (
+            f"(CASE WHEN ({p}) < 1 THEN CAST(floor({n} * ({p})) AS BIGINT) + 1 "
+            f"ELSE {n} END)"
+        )
+        sel = (
+            f"aggregate({ps}, "
+            f"named_struct('a', CAST(0 AS BIGINT), "
+            f"'r', element_at({ps}, 1).v, 'f', false), "
+            f"(__ac, __qe) -> IF(__ac.f, __ac, "
+            f"named_struct('a', __ac.a + __qe.w, 'r', __qe.v, "
+            f"'f', __ac.a + __qe.w >= {th})), "
+            f"__ac -> __ac.r)"
+        )
+        return (
+            f"(CASE WHEN size({ps}) = 0 THEN CAST('NaN' AS DOUBLE) "
+            f"ELSE CAST({sel} AS DOUBLE) END)"
+        )
+
+    if len(levels) == 1 and not force_array:
+        return _sql_let(pairs, "__qp", one("__qp", levels[0]))
+    body = "array(" + ", ".join(one("__qp", p) for p in levels) + ")"
+    return _sql_let(pairs, "__qp", body)
 
 
 def _ch_type_name(typeof_sql: str) -> str:
@@ -751,6 +809,11 @@ def _t_round_scale(fn: str) -> Callable[[Args], str]:
             return f"{fn}({a[0]})"
         s = a[1].strip()
         if re.fullmatch(r"-?\d+", s):
+            if fn in ("ceil", "floor"):
+                # Spark's scaled ceil/floor return DECIMAL whose text
+                # keeps trailing zeros; the reference stays Float64
+                # (writeFloatText shortest form)
+                return f"CAST({fn}({a[0]}, {s}) AS DOUBLE)"
             return f"{fn}({a[0]}, {s})"
         # the reference truncates a fractional scale to its integer part
         # (FunctionsRound.cpp reads the scale as Int64)
@@ -760,6 +823,44 @@ def _t_round_scale(fn: str) -> Callable[[Args], str]:
         )
 
     return tpl
+
+
+def _exact_weighted_q(
+    x: str, w: str, levels: list[str], as_array: bool = False
+) -> str:
+    """quantile(s)ExactWeighted
+    (AggregateFunctionQuantileExactWeighted.h insertResultInto): sort
+    pairs by value, threshold = ceil(sum_weight * level), walk
+    accumulating until accumulated >= threshold.  Result keeps the
+    argument type; empty set yields the type default 0."""
+    # NULL in either argument skips the row (AggregateFunctionNull);
+    # no surviving rows -> NULL result
+    pairs = (
+        f"array_sort(collect_list(IF(({x}) IS NOT NULL "
+        f"AND ({w}) IS NOT NULL, named_struct("
+        f"'v', {x}, 'w', CAST({w} AS BIGINT)), NULL)))"
+    )
+
+    def one(ps: str, p: str) -> str:
+        th = (
+            f"CAST(ceil(aggregate({ps}, CAST(0 AS BIGINT), "
+            f"(__qa, __qe) -> __qa + __qe.w) * ({p})) AS BIGINT)"
+        )
+        return (
+            f"aggregate({ps}, "
+            f"named_struct('a', CAST(0 AS BIGINT), "
+            f"'r', element_at({ps}, 1).v, 'f', false), "
+            f"(__ac, __qe) -> IF(__ac.f, __ac, "
+            f"named_struct('a', __ac.a + __qe.w, 'r', __qe.v, "
+            f"'f', __ac.a + __qe.w >= {th})), "
+            f"__ac -> __ac.r)"
+        )
+
+    if as_array:
+        body = "array(" + ", ".join(one("__qp", p) for p in levels) + ")"
+    else:
+        body = one("__qp", levels[0])
+    return _sql_let(pairs, "__qp", body)
 
 
 _DURATION_BUCKETS = [1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800, 3600, 7200, 18000, 36000]
@@ -847,16 +948,18 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     # NULL and merges away under ignoreNulls
     "anyIfState": lambda a: f"first(IF({a[1]}, {a[0]}, NULL), true)",
     "anyIfMerge": lambda a: f"first({a[0]}, true)",
-    "median": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    "median": lambda a: (
+        f"element_at(ch_rsv_quantiles(collect_list(CAST({a[0]} AS DOUBLE)), "
+        f"array(0.5)), 1)"
+    ),
     # median* aliases = quantile*(0.5) (AggregateFunctionFactory
     # registers median as an alias per quantile family)
     "medianTiming": lambda a: _timing_quantile(a[0], ["0.5"]),
-    "medianTimingWeighted": lambda a: (
-        f"(CASE WHEN sum(CAST({a[1]} AS BIGINT)) > 0 "
-        f"THEN percentile({a[0]}, 0.5, greatest(CAST({a[1]} AS BIGINT), 0)) END)"
+    "medianTimingWeighted": lambda a: _timing_weighted_q(
+        a[0], a[1], ["0.5"]
     ),
     "medianExact": lambda a: f"percentile({a[0]}, 0.5)",
-    "medianExactWeighted": lambda a: f"percentile({a[0]}, 0.5, CAST({a[1]} AS BIGINT))",
+    "medianExactWeighted": lambda a: _exact_weighted_q(a[0], a[1], ["0.5"]),
     "medianDeterministic": lambda a: f"percentile_approx({a[0]}, 0.5)",
     "quantile": lambda a: f"percentile_approx({a[0]}, 0.5)",
     "quantileExact": lambda a: f"percentile({a[0]}, 0.5)",
@@ -1120,14 +1223,44 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     # math
     "exp2": lambda a: f"power(2, {a[0]})",
     "exp10": lambda a: f"power(10, {a[0]})",
+    # IEEE log edges (libm log/log2/log10 via vectorized impl in the
+    # reference): 0 → -inf, negative → nan; Spark's ln() yields NULL
+    # for both
+    "log": lambda a: _sql_ieee_log("ln", a[0]),
+    "ln": lambda a: _sql_ieee_log("ln", a[0]),
+    "log2": lambda a: _sql_ieee_log("log2", a[0]),
+    "log10": lambda a: _sql_ieee_log("log10", a[0]),
     "e": lambda a: "exp(1)",
     # SQL twins of functions/math_fns.py erf/erfc/lgamma/tgamma
     # (Abramowitz-Stegun 7.1.26 / Lanczos g=7) — let-bound via a
     # single-element transform so t is evaluated once
-    "erf": lambda a: _sql_erf(a[0]),
-    "erfc": lambda a: f"(1.0d - {_sql_erf(a[0])})",
-    "lgamma": lambda a: _sql_lgamma(a[0]),
-    "tgamma": lambda a: f"exp({_sql_lgamma(a[0])})",
+    # erf(±0) = ±0 exactly (IEEE odd function; the A-S polynomial at
+    # t=1 only approximates it)
+    "erf": lambda a: (
+        f"(CASE WHEN ({a[0]}) = 0 THEN 0.0d ELSE {_sql_erf(a[0])} END)"
+    ),
+    "erfc": lambda a: (
+        f"(CASE WHEN ({a[0]}) = 0 THEN 1.0d "
+        f"ELSE 1.0d - {_sql_erf(a[0])} END)"
+    ),
+    # poles at non-positive integers (libm): lgamma → +inf,
+    # tgamma(0) → +inf, tgamma(neg int) → nan; the Lanczos series
+    # would otherwise hit a NULL-ing /0 in Spark.  Negative
+    # non-integers keep the principal-branch approximation.
+    "lgamma": lambda a: (
+        f"(CASE WHEN ({a[0]}) <= 0 AND floor({a[0]}) = ({a[0]}) "
+        f"THEN CAST('Infinity' AS DOUBLE) ELSE {_sql_lgamma(a[0])} END)"
+    ),
+    "tgamma": lambda a: (
+        f"(CASE WHEN ({a[0]}) = 0 THEN CAST('Infinity' AS DOUBLE) "
+        f"WHEN ({a[0]}) < 0 AND floor({a[0]}) = ({a[0]}) "
+        f"THEN CAST('NaN' AS DOUBLE) "
+        # integer arguments are exact factorials (libm tgamma is
+        # correctly rounded there; the Lanczos+exp round-trip isn't)
+        f"WHEN floor({a[0]}) = ({a[0]}) AND ({a[0]}) <= 21 "
+        f"THEN CAST(factorial(CAST({a[0]} AS INT) - 1) AS DOUBLE) "
+        f"ELSE exp({_sql_lgamma(a[0])}) END)"
+    ),
     "rand": lambda a: "CAST(rand() * 4294967296 AS BIGINT)",
     "rand64": lambda a: "CAST(rand() * 9.223372036854776e18 AS BIGINT)",
     # arrays
@@ -1335,7 +1468,12 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "finalizeAggregation": lambda a: a[0],
     "materialize": lambda a: a[0],
     "identity": lambda a: a[0],
-    "ignore": lambda a: "0",
+    # evaluates its arguments, returns 0 (FunctionIgnore) — keep the
+    # args in the plan via a non-foldable always-0 form so e.g.
+    # ignore(sum(x)) still aggregates the query
+    "ignore": lambda a: (
+        f"pmod(hash({', '.join(a)}), 1)" if a else "0"
+    ),
     "indexHint": lambda a: "true",
     "version": lambda a: "'1.1.54189-spark'",
     "hostName": lambda a: "'localhost'",
@@ -1476,21 +1614,56 @@ def _seq_timed_sql(pattern: str, args: Args, count: bool) -> str:
 PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     "sequenceMatch": _p_sequence(count=False),
     "sequenceCount": _p_sequence(count=True),
-    "quantile": _p_quantile(exact=False),
-    "quantileDeterministic": _p_quantile(exact=False),
+    # plain quantile(s): the reference SAMPLES above 8192 values
+    # (ReservoirSampler.h taus88 seeded 123456) — replayed bit-exact
+    # by dialect/reservoir.py; at or below the reservoir bound the
+    # result equals the interpolated percentile
+    "quantile": lambda p, a: (
+        f"element_at(ch_rsv_quantiles(collect_list(CAST({a[0]} AS DOUBLE)), "
+        f"array({p[0] if p else '0.5'})), 1)"
+    ),
+    # deterministic: ReservoirSamplerDeterministic keeps the values
+    # whose uint32(intHash64(determinator)) passes the skip_degree
+    # zero-low-bits filter — a pure order-independent filter, replayed
+    # exactly in dialect/reservoir.py
+    "quantileDeterministic": lambda p, a: (
+        f"element_at(ch_rsv_det_quantiles("
+        f"collect_list(CAST({a[0]} AS DOUBLE)), "
+        f"collect_list(CAST({a[1]} AS BIGINT)), "
+        f"array({p[0] if p else '0.5'})), 1)"
+        if len(a) > 1
+        else _p_quantile(exact=False)(p, a)
+    ),
     "quantileTiming": lambda p, a: _timing_quantile(a[0], p or ["0.5"]),
     "quantileTDigest": _p_quantile(exact=False),
     "quantileExact": _p_quantile(exact=True),
-    # weighted: percentile(x, p, frequency) — each value counts w times
-    "quantileExactWeighted": lambda p, a: (
-        f"percentile({a[0]}, {p[0] if p else '0.5'}, CAST({a[1]} AS BIGINT))"
+    # weighted exact: sort (value, weight) pairs, threshold =
+    # ceil(sum_weight * level), first value whose accumulated weight
+    # reaches it — NO interpolation, result keeps the argument type
+    # (AggregateFunctionQuantileExactWeighted.h insertResultInto)
+    "quantileExactWeighted": lambda p, a: _exact_weighted_q(
+        a[0], a[1], [p[0] if p else "0.5"]
     ),
-    "quantiles": _p_quantiles(exact=False),
+    "quantiles": lambda p, a: (
+        f"ch_rsv_quantiles(collect_list(CAST({a[0]} AS DOUBLE)), "
+        f"array({', '.join(p)}))"
+        if p
+        else _empty_quantiles(a[0])
+    ),
     "quantilesExact": _p_quantiles(exact=True),
     "quantilesTiming": lambda p, a: (
-        _timing_quantile(a[0], p) if p else _empty_quantiles(a[0])
+        _timing_quantile(a[0], p, force_array=True)
+        if p
+        else _empty_quantiles(a[0])
     ),
-    "quantilesDeterministic": _p_quantiles(exact=False),
+    "quantilesDeterministic": lambda p, a: (
+        f"ch_rsv_det_quantiles("
+        f"collect_list(CAST({a[0]} AS DOUBLE)), "
+        f"collect_list(CAST({a[1]} AS BIGINT)), "
+        f"array({', '.join(p)}))"
+        if p and len(a) > 1
+        else _p_quantiles(exact=False)(p, a)
+    ),
     "quantilesTDigest": _p_quantiles(exact=False),
     "quantileTDigestWeighted": lambda p, a: (
         f"percentile({a[0]}, {p[0] if p else '0.5'}, CAST({a[1]} AS BIGINT))"
@@ -1500,16 +1673,16 @@ PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
         if p
         else _empty_quantiles(a[0])
     ),
-    "quantileTimingWeighted": lambda p, a: (
-        f"percentile({a[0]}, {p[0] if p else '0.5'}, CAST({a[1]} AS BIGINT))"
+    "quantileTimingWeighted": lambda p, a: _timing_weighted_q(
+        a[0], a[1], [p[0] if p else "0.5"]
     ),
     "quantilesTimingWeighted": lambda p, a: (
-        f"percentile({a[0]}, array({', '.join(p)}), CAST({a[1]} AS BIGINT))"
+        _timing_weighted_q(a[0], a[1], p, force_array=True)
         if p
         else _empty_quantiles(a[0])
     ),
     "quantilesExactWeighted": lambda p, a: (
-        f"percentile({a[0]}, array({', '.join(p)}), CAST({a[1]} AS BIGINT))"
+        _exact_weighted_q(a[0], a[1], p, as_array=True)
         if p
         else _empty_quantiles(a[0])
     ),

@@ -438,7 +438,10 @@ def _infer_ch_type(
             toks = toks[:-2]
     if not toks:
         return None
-    # postfix indexing arr[i] peels one Array() level (arrayElement)
+    # postfix indexing arr[i] peels one Array() level (arrayElement);
+    # only when the '[' follows an indexable end (ident/closing paren
+    # or bracket) — otherwise it's an array literal in a larger
+    # expression (e.g. a ternary arm)
     if toks[-1].text == "]" and len(toks) >= 3:
         depth = 0
         for j in range(len(toks) - 1, -1, -1):
@@ -447,7 +450,10 @@ def _infer_ch_type(
             elif toks[j].text == "[":
                 depth -= 1
                 if depth == 0:
-                    if j > 0:
+                    if j > 0 and (
+                        toks[j - 1].kind in ("ident", "qident")
+                        or toks[j - 1].text in (")", "]")
+                    ):
                         base_t = _infer_ch_type(toks[:j], cols)
                         if base_t and base_t.startswith("Array(") and base_t.endswith(")"):
                             return base_t[len("Array(") : -1]
@@ -504,9 +510,9 @@ def _infer_ch_type(
         depth = 0
         for j in range(len(toks) - 1, 0, -1):
             t = toks[j]
-            if t.text == ")":
+            if t.text in (")", "]"):
                 depth += 1
-            elif t.text == "(":
+            elif t.text in ("(", "["):
                 depth -= 1
             elif depth == 0 and (
                 t.text in ops or (t.kind == "ident" and t.text.upper() in ops)
@@ -723,6 +729,11 @@ def _ch_supertype(types: list[str | None]) -> str | None:
     uniq = set(ts)
     if len(uniq) == 1:
         return ts[0]
+    # Array(T) lifts element-wise (getLeastCommonType over
+    # DataTypeArray): supertype(Array(A), Array(B)) = Array(sup(A, B))
+    if all(t.startswith("Array(") and t.endswith(")") for t in uniq):
+        inner = _ch_supertype([t[len("Array(") : -1] for t in ts])
+        return f"Array({inner})" if inner else None
     if not all(t in _CH_NUM_BITS for t in uniq):
         return None
     if any(_ch_is_float(t) for t in uniq):

@@ -132,6 +132,9 @@ class Ctx:
     totals_default_cols: list | None = None
     # constant output columns (ColumnConst) — extremes use the value
     out_const_cols: list | None = None
+    # top-level UNION ALL branch SQLs: each branch is its own BLOCK in
+    # the output stream (Pretty* render one table per block)
+    union_branch_sqls: list | None = None
     # most recent subquery SQL including its LIMIT (rows_before_limit
     # fallback when the outer query has no LIMIT of its own)
     sub_limited_sql: str | None = None
@@ -193,6 +196,7 @@ def translate_sql(
         capture["pre_limit_sql"] = ctx.pre_limit_sql
         capture["totals_default_cols"] = ctx.totals_default_cols
         capture["out_const_cols"] = ctx.out_const_cols
+        capture["union_branch_sqls"] = ctx.union_branch_sqls
     return out
 
 
@@ -240,9 +244,12 @@ def _translate_union_inner(tokens: list[Token], ctx: Ctx) -> str:
     # reference applies them per-select — ASTSelectQuery.h:78 chains
     # complete selects); parenthesize so Spark scopes them per branch
     # instead of attaching a trailing LIMIT to the whole union.
-    return "\nUNION ALL\n".join(
-        f"(\n{_translate_select(p, ctx)}\n)" for p in parts
-    )
+    branch_sqls = [_translate_select(p, ctx) for p in parts]
+    if ctx.select_depth == 0:
+        # each branch streams as its own block (Pretty* formats draw
+        # one table per block — PrettySpaceBlockOutputStream)
+        ctx.union_branch_sqls = list(branch_sqls)
+    return "\nUNION ALL\n".join(f"(\n{b}\n)" for b in branch_sqls)
 
 
 # -------------------------------------------------------- clause splitting
@@ -3095,6 +3102,124 @@ def _apply_fn(
         if name == "empty":
             return f"(size({args[0]}) = 0)"
         return f"(size({args[0]}) > 0)"
+    # integer-typed round/ceil/floor with a scale
+    # (FunctionsRound.h IntegerRoundingComputation): scale >= 0 is
+    # identity; scale < 0 works on the magnitude with divisor 10^|s| —
+    # round adds the divisor at rem*2 >= d, ceil ALWAYS adds it
+    # (even at rem == 0: ceil(0, -2) = 100, faithful to the
+    # reference), floor truncates toward zero
+    if (
+        name in ("round", "ceil", "ceiling", "floor", "truncate", "trunc")
+        and arg_items
+        and len(args) >= 1
+    ):
+        at = _infer_expr_ch_type(arg_items[0], ctx) or ""
+        if at.startswith("Nullable("):
+            at = at[9:-1]
+        if (
+            at.startswith(("UInt", "Int", "Float"))
+            or at.startswith("Enum")
+        ):
+            is_float_in = at.startswith("Float")
+            # constant-fold the scale (ScaleForRightType needs its
+            # VALUE and its TYPE: unsigned scale types are always
+            # ZeroScale; float scales use is_signed and truncate)
+            sc: float | None = None
+            unsigned_scale = False
+            if len(args) == 1:
+                sc = 0.0
+            elif len(arg_items) > 1:
+                st = arg_items[1]
+                if (
+                    len(st) >= 4
+                    and st[0].kind == "ident"
+                    and re.fullmatch(
+                        r"to(U?Int|Float)(8|16|32|64)", st[0].text
+                    )
+                    and st[1].text == "("
+                ):
+                    unsigned_scale = st[0].text.startswith("toUInt")
+                    st = st[2:-1]
+                txt = [t.text for t in st]
+                if len(txt) == 1 and re.fullmatch(r"[\d.]+", txt[0]):
+                    sc = float(txt[0])
+                elif (
+                    len(txt) == 2
+                    and txt[0] == "-"
+                    and re.fullmatch(r"[\d.]+", txt[1])
+                ):
+                    sc = -float(txt[1])
+            if is_float_in and sc is not None and sc > 0:
+                # PositiveScale on floats goes through the DOUBLE
+                # multiply-round-divide pipeline (FunctionsRound.h
+                # FloatRoundingComputation) — Spark's decimal-exact
+                # bround(x, s) differs in the last ulp when the
+                # product is inexact; values already integral at
+                # double precision pass through.  Scale caps at the
+                # type's digits10 (ScaleForRightType).
+                cap = 6 if at.startswith("Float32") else 15
+                d = float(10 ** min(int(sc), cap))
+                x = args[0]
+                fn_sql = {
+                    "round": "bround", "ceil": "ceil", "ceiling": "ceil",
+                    "floor": "floor", "truncate": "floor", "trunc": "floor",
+                }[name]
+                prod = f"(CAST({x} AS DOUBLE) * {d!r}d)"
+                if fn_sql == "bround":
+                    rounded = f"bround({prod})"
+                else:
+                    # Spark's ceil/floor return BIGINT — guard the
+                    # beyond-2^53 range where doubles are integral
+                    rounded = (
+                        f"(CASE WHEN abs({prod}) >= 9.007199254740992e15d "
+                        f"THEN {prod} "
+                        f"ELSE CAST({fn_sql}({prod}) AS DOUBLE) END)"
+                    )
+                return f"({rounded} / {d!r}d)"
+            if sc is not None and (not is_float_in or sc < 0):
+                digits10 = {
+                    "UInt8": 2, "UInt16": 4, "UInt32": 9, "UInt64": 19,
+                    "Int8": 2, "Int16": 4, "Int32": 9, "Int64": 18,
+                    "Enum8": 2, "Enum16": 4,
+                    "Float32": 6, "Float64": 15,
+                }.get(at.split("(")[0], 18)
+                if not is_float_in and (unsigned_scale or sc >= 0):
+                    return args[0]  # ZeroScale/PositiveScale: identity
+                if sc < -digits10:
+                    return "0"  # NullScale
+                d = 10 ** int(-sc)
+                x = args[0]
+                if is_float_in:
+                    # FloatRoundingComputation<NegativeScale>: work on
+                    # the magnitude scaled by 1/d; magnitudes under
+                    # one tenth of the divisor collapse to 0 (the
+                    # cmpge-0.1 mask), then restore sign; +0.0
+                    # normalizes -0
+                    v = f"(abs({x}) / {d}.0d)"
+                    fn_sql = {
+                        "round": "bround", "ceil": "ceil",
+                        "ceiling": "ceil", "floor": "floor",
+                        "truncate": "floor", "trunc": "floor",
+                    }[name]
+                    return (
+                        f"(IF(({x}) < 0, -1.0d, 1.0d) * "
+                        f"IF({v} < 0.1d, 0.0d, {fn_sql}({v}) * {d}.0d) "
+                        f"+ 0.0d)"
+                    )
+                sign = f"IF(({x}) < 0, -1, 1)"
+                a_ = f"abs({x})"
+                rem = f"({a_} % {d})"
+                b = f"({a_} - {rem})"
+                if name == "round":
+                    return (
+                        f"({sign} * IF(2 * {rem} < {d}, {b}, {b} + {d}))"
+                    )
+                if name in ("ceil", "ceiling"):
+                    # in - rem + divisor even at rem == 0
+                    # (ceil(0, -2) = 100, faithful)
+                    return f"({sign} * ({b} + {d}))"
+                return f"({sign} * {b})"
+
     # arrayElement call form: same type-default out-of-bounds fill as
     # the [] subscript in _postfix (FunctionsArray.cpp arrayElement)
     if name == "arrayElement" and arg_items and len(args) == 2:

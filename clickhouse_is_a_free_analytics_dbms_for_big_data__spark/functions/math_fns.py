@@ -106,7 +106,10 @@ def erf(x) -> Column:
         + t * t * t * t * F.lit(-1.453152027)
         + t * t * t * t * t * F.lit(1.061405429)
     )
-    return sign * (F.lit(1.0) - poly * F.exp(-ax * ax))
+    # erf(±0) = ±0 exactly (IEEE odd function)
+    return F.when(x_ == 0, F.lit(0.0)).otherwise(
+        sign * (F.lit(1.0) - poly * F.exp(-ax * ax))
+    )
 
 
 def erfc(x) -> Column:
@@ -127,7 +130,11 @@ def lgamma(x) -> Column:
     for i, c in enumerate(coeffs):
         acc = acc + F.lit(c) / (z + F.lit(float(i + 1)))
     t = z + F.lit(7.5)
-    return (
+    # poles at non-positive integers → +inf (the series would hit a
+    # NULL-ing division by zero in Spark)
+    return F.when(
+        (x_ <= 0) & (F.floor(x_) == x_), F.lit(float("inf"))
+    ).otherwise(
         F.lit(0.5 * math.log(2 * math.pi))
         + (z + F.lit(0.5)) * F.log(t)
         - t
@@ -136,4 +143,15 @@ def lgamma(x) -> Column:
 
 
 def tgamma(x) -> Column:
-    return F.exp(lgamma(x))
+    """Gamma with libm edges: pole at 0 → +inf, negative integers →
+    nan, exact factorials at small integer arguments."""
+    x_ = col_of(x).cast("double")
+    return (
+        F.when(x_ == 0, F.lit(float("inf")))
+        .when((x_ < 0) & (F.floor(x_) == x_), F.lit(float("nan")))
+        .when(
+            (F.floor(x_) == x_) & (x_ <= 21),
+            F.factorial((x_ - 1).cast("int")).cast("double"),
+        )
+        .otherwise(F.exp(lgamma(x)))
+    )

@@ -189,6 +189,7 @@ def format_result(
     rows_before_limit: int | None = None,
     totals_default_cols: list | None = None,
     const_cols: list | None = None,
+    block_rows: list | None = None,
 ) -> str:
     """Render a (small) result the way the reference's output formats do.
 
@@ -272,7 +273,10 @@ def format_result(
         "PrettyCompactNoEscapes", "PrettySpaceNoEscapes",
         "PrettyCompactMonoBlock",
     ):
-        return _render_pretty(names, rows, df.schema.fields, types, fmt, settings)
+        return _render_pretty(
+            names, rows, df.schema.fields, types, fmt, settings,
+            block_rows=block_rows,
+        )
     if fmt in ("Vertical", "VerticalRaw"):
         return _vertical(names, rows, types, raw=fmt == "VerticalRaw")
     if fmt in ("JSON", "JSONCompact"):
@@ -470,7 +474,8 @@ def _dt_is_numeric(dt) -> bool:
 
 
 def _render_pretty(
-    names: list[str], rows, fields, types, fmt: str, settings: dict
+    names: list[str], rows, fields, types, fmt: str, settings: dict,
+    block_rows: list | None = None,
 ) -> str:
     """Pretty* writers, byte-faithful to the reference
     (PrettyBlockOutputStream.cpp, PrettyCompactBlockOutputStream.cpp,
@@ -501,7 +506,18 @@ def _render_pretty(
     def cells_of(r) -> list[str]:
         return [_tsv_cell(_f32(r[i], t)) for i, t in enumerate(types)]
 
-    blocks = [rows[k : k + block_size] for k in range(0, len(rows), block_size)]
+    if block_rows:
+        # explicit block boundaries (one block per UNION ALL branch)
+        blocks, k = [], 0
+        for c in block_rows:
+            blocks.append(rows[k : k + c])
+            k += c
+        if k < len(rows):
+            blocks.append(rows[k:])
+    else:
+        blocks = [
+            rows[k : k + block_size] for k in range(0, len(rows), block_size)
+        ]
 
     def widths_of(cell_rows) -> list[int]:
         return [

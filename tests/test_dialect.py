@@ -79,8 +79,10 @@ def test_prewhere_merges_into_where():
 
 
 def test_parametric_quantile():
+    # plain quantile goes through the bit-exact ReservoirSampler
+    # replay (dialect/reservoir.py)
     out = translate_sql("SELECT quantile(0.9)(x) FROM t")
-    assert "percentile_approx(x, CAST(0.9 AS DOUBLE))" in out
+    assert "ch_rsv_quantiles(collect_list(CAST(x AS DOUBLE))" in out
 
 
 def test_if_combinator():

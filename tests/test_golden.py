@@ -94,6 +94,13 @@ def run_sql_file(engine: ChEngine, path: str) -> str:
                             .startswith(("JSON", "XML"))
                             else None
                         ),
+                        block_rows=(
+                            engine.union_block_rows()
+                            if hasattr(engine, "union_block_rows")
+                            and (getattr(engine, "last_format", None) or "")
+                            .startswith("Pretty")
+                            else None
+                        ),
                     )
                 )
     finally:
