@@ -131,6 +131,10 @@ class ChEngine:
         self.last_totals_default_cols = capture.get("totals_default_cols")
         self.last_out_const_cols = capture.get("out_const_cols")
         self.last_union_branches = capture.get("union_branch_sqls")
+        if capture.get("passthrough_totals"):
+            # a top-level SELECT over a WITH TOTALS subquery forwards
+            # the (inline, last-ordered) totals row as its totals block
+            self.last_totals = True
         return out
 
     def union_block_rows(self) -> list | None:

@@ -737,6 +737,32 @@ def _cast_tpl(sql_type: str) -> Callable[[Args], str]:
     return lambda a: f"CAST({a[0]} AS {sql_type})"
 
 
+def _float_parse(x: str, sql_type: str) -> str:
+    """strtod inf/nan spellings (readFloatText): case-insensitive
+    inf/infinity/nan with optional sign — Spark's string cast only
+    accepts 'Infinity'/'NaN' exactly."""
+    low = f"lower(trim({x}))"
+    return (
+        f"(CASE WHEN {low} IN ('inf', '+inf', 'infinity', '+infinity') "
+        f"THEN CAST('Infinity' AS {sql_type}) "
+        f"WHEN {low} IN ('-inf', '-infinity') "
+        f"THEN CAST('-Infinity' AS {sql_type}) "
+        f"WHEN {low} IN ('nan', '+nan', '-nan') "
+        f"THEN CAST('NaN' AS {sql_type}) "
+        f"ELSE CAST({x} AS {sql_type}) END)"
+    )
+
+
+def _float_cast_tpl(sql_type: str) -> Callable[[Args], str]:
+    return lambda a: _float_parse(a[0], sql_type)
+
+
+def _float_cast_or_zero_tpl(sql_type: str) -> Callable[[Args], str]:
+    return lambda a: (
+        f"coalesce({_float_parse(a[0], sql_type)}, CAST(0 AS {sql_type}))"
+    )
+
+
 def _int_cast_tpl(sql_type: str) -> Callable[[Args], str]:
     """toUInt*/toInt* are Date-polymorphic in the reference
     (FunctionsConversion.cpp): toUInt16(Date) = raw days-since-epoch
@@ -1142,8 +1168,8 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "toInt16": _int_cast_tpl("SMALLINT"),
     "toInt32": _int_cast_tpl("INT"),
     "toInt64": _int_cast_tpl("BIGINT"),
-    "toFloat32": _cast_tpl("FLOAT"),
-    "toFloat64": _cast_tpl("DOUBLE"),
+    "toFloat32": _float_cast_tpl("FLOAT"),
+    "toFloat64": _float_cast_tpl("DOUBLE"),
     "toUInt8OrZero": _cast_or_zero_tpl("SMALLINT"),
     "toUInt16OrZero": _cast_or_zero_tpl("INT"),
     "toUInt32OrZero": _cast_or_zero_tpl("BIGINT"),
@@ -1152,8 +1178,8 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "toInt16OrZero": _cast_or_zero_tpl("SMALLINT"),
     "toInt32OrZero": _cast_or_zero_tpl("INT"),
     "toInt64OrZero": _cast_or_zero_tpl("BIGINT"),
-    "toFloat32OrZero": _cast_or_zero_tpl("FLOAT"),
-    "toFloat64OrZero": _cast_or_zero_tpl("DOUBLE"),
+    "toFloat32OrZero": _float_cast_or_zero_tpl("FLOAT"),
+    "toFloat64OrZero": _float_cast_or_zero_tpl("DOUBLE"),
     "toString": lambda a: (
         f"CAST({a[0]} AS STRING)"
         if len(a) == 1

@@ -601,7 +601,11 @@ def _infer_ch_type(
                     inner = _infer_ch_type(body[j + 1 :], bound)
                     return f"Array({inner})" if inner else None
         if fname == "range":
-            return "Array(UInt64)"
+            # Array of the ARGUMENT's type (FunctionRange::
+            # getReturnTypeImpl clones the arg type, so range(100) is
+            # Array(UInt8) — the literal types as UInt8)
+            at = _infer_ch_type(_split_top(toks[2:-1], ",")[0], cols)
+            return f"Array({at})" if at else "Array(UInt64)"
         if fname in ("negate",):
             inner = _infer_ch_type(
                 _split_top(toks[2:-1], ",")[0], cols

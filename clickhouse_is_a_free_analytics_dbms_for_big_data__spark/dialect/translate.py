@@ -135,6 +135,12 @@ class Ctx:
     # top-level UNION ALL branch SQLs: each branch is its own BLOCK in
     # the output stream (Pretty* render one table per block)
     union_branch_sqls: list | None = None
+    # the select currently resolving its FROM aggregates (or groups) —
+    # a subquery's WITH TOTALS row must not feed it
+    outer_consumes_agg: bool = False
+    # a top-level pass-through SELECT over a WITH TOTALS subquery:
+    # the inline totals row IS the out-of-band totals block
+    passthrough_totals: bool = False
     # most recent subquery SQL including its LIMIT (rows_before_limit
     # fallback when the outer query has no LIMIT of its own)
     sub_limited_sql: str | None = None
@@ -197,6 +203,7 @@ def translate_sql(
         capture["totals_default_cols"] = ctx.totals_default_cols
         capture["out_const_cols"] = ctx.out_const_cols
         capture["union_branch_sqls"] = ctx.union_branch_sqls
+        capture["passthrough_totals"] = ctx.passthrough_totals
     return out
 
 
@@ -557,6 +564,12 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         ctx.max_read_rows = int(cap)
 
     # ---- FROM
+    # a FROM-subquery's WITH TOTALS row is invisible to an aggregating
+    # outer query (totals travel out-of-band in the reference) —
+    # _render_from strips it when this flag is set
+    ctx.outer_consumes_agg = (
+        _item_has_agg(select_toks) or bool(group_toks)
+    )
     from_sql, table_name = _render_from(from_toks, ctx)
     ctx.current_table = table_name
     ctx.current_from_sql = from_sql or None
@@ -917,14 +930,16 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
     # so the assignment here leaves the OUTERMOST select's types in
     # place when translation finishes
     if any(len(s) == 1 and s[0].text == "*" for s in select_items):
-        ctx.out_ch_types = None
-        ctx.out_ch_names = None
+        ctx.out_ch_types = _out_types = None
+        ctx.out_ch_names = _out_names = None
     else:
-        ctx.out_ch_types = [
+        ctx.out_ch_types = _out_types = [
             _infer_expr_ch_type(_strip_alias(s)[0], ctx)
             for s in select_items
         ]
-        ctx.out_ch_names = [_ch_item_name(s) for s in select_items]
+        ctx.out_ch_names = _out_names = [
+            _ch_item_name(s) for s in select_items
+        ]
     where_parts: list[str] = []
     if prewhere_toks:
         # PREWHERE runs at scan time, before the join — no jdef subs
@@ -1142,6 +1157,18 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         sql += "\nGROUP BY GROUPING SETS ((), ())"
         if having_sql:
             sql += f"\nHAVING grouping_id() <> 0 OR ({having_sql})"
+    elif (
+        ctx.select_depth == 1
+        and any(_item_has_agg(s) for s in select_items)
+    ):
+        # keyless aggregation over an EMPTY input yields NO rows in
+        # the reference (the aggregating stream emits nothing without
+        # input blocks) — Spark's global aggregate would emit one;
+        # a constant grouping key reproduces the empty-in/empty-out
+        # while keeping map-side partial aggregation
+        sql += "\nGROUP BY CAST(1 AS BOOLEAN)"
+        if having_sql:
+            sql += f"\nHAVING {having_sql}"
     elif having_sql:
         sql += f"\nHAVING {having_sql}"
 
@@ -1217,10 +1244,47 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         ctx.sub_limited_sql = sql
     else:
         ctx.pre_limit_sql = ctx.sub_limited_sql
+    # re-assert this SELECT's output metadata: subqueries translated
+    # in WHERE/HAVING/ORDER clauses above overwrote ctx.out_ch_* with
+    # THEIR select lists; the enclosing (later-returning) SELECT must
+    # win so the formatter sees the outermost names/types
+    if any(len(s) == 1 and s[0].text == "*" for s in select_items):
+        ctx.out_ch_types = None
+        ctx.out_ch_names = None
+    else:
+        ctx.out_ch_types = _out_types
+        ctx.out_ch_names = _out_names
     return sql
 
 
 # ------------------------------------------------------------- FROM / JOIN
+
+
+def _strip_sub_totals(inner: list[Token]) -> tuple[list[Token], bool]:
+    """Remove a depth-0 ``WITH TOTALS`` pair (never the WITH-alias
+    list, which is not followed by the TOTALS keyword)."""
+    out: list[Token] = []
+    i = 0
+    depth = 0
+    found = False
+    while i < len(inner):
+        t = inner[i]
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        if (
+            depth == 0
+            and t.is_kw("WITH")
+            and i + 1 < len(inner)
+            and inner[i + 1].is_kw("TOTALS")
+        ):
+            found = True
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    return out, found
 
 
 def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
@@ -1229,7 +1293,18 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
     # subquery
     if toks[0].text == "(":
         close = _match_paren(toks, 0)
-        inner = _translate_union(toks[1:close], ctx)
+        sub_toks = toks[1:close]
+        # depth-0 WITH TOTALS inside the subquery: the totals row is
+        # out-of-band — invisible to an aggregating outer query, and a
+        # top-level pass-through SELECT forwards it as its own totals
+        # block (TotalsHavingBlockInputStream propagation)
+        stripped, had_totals = _strip_sub_totals(sub_toks)
+        if had_totals:
+            if ctx.outer_consumes_agg or ctx.select_depth > 1:
+                sub_toks = stripped
+            else:
+                ctx.passthrough_totals = True
+        inner = _translate_union(sub_toks, ctx)
         alias = ""
         rest = toks[close + 1 :]
         if rest and rest[0].is_kw("AS"):
@@ -2148,6 +2223,10 @@ def _ch_expr_name(toks: list[Token]) -> str | None:
         t = toks[0]
         if t.kind in ("ident", "number", "string"):
             return t.text
+        if t.kind == "raw" and getattr(t, "ch_name", None):
+            # alias-substituted fragment keeps its alias as the
+            # output name (normalizeTree preserves the alias)
+            return t.ch_name
         return None
     t0 = toks[0]
     if (
@@ -2496,6 +2575,33 @@ def _rw_seq(
             # 1-element set (CreateSetFromSubquery/Set.cpp accepts a
             # scalar); Spark's parser demands a parenthesized list
             piece = f"({piece})"
+        if (
+            prev_in
+            and len(pieces) >= 2
+            and re.match(r"\(\s*SELECT", piece, re.I)
+        ):
+            # NULL probe into a Set yields NULL in the reference
+            # (Nullable key); Spark's IN-subquery rewrite gives FALSE
+            # — guard the probe.  Only for a single-piece LHS directly
+            # before [NOT] IN.
+            k = len(pieces) - 1
+            neg = k >= 1 and pieces[k - 1].upper() == "NOT"
+            lhs_idx = k - (2 if neg else 1)
+            if lhs_idx >= 0 and (
+                lhs_idx == 0
+                or pieces[lhs_idx - 1].upper()
+                in ("AND", "OR", "XOR", "WHEN", "THEN", "ELSE", "(", ",")
+            ):
+                lhs = pieces[lhs_idx]
+                whole = f"{lhs} {'NOT ' if neg else ''}IN {piece}"
+                del pieces[lhs_idx:]
+                del kinds[lhs_idx:]
+                pieces.append(
+                    f"(CASE WHEN ({lhs}) IS NULL THEN NULL "
+                    f"ELSE ({whole}) END)"
+                )
+                kinds.append(None)
+                continue
         pieces.append(piece)
         kinds.append(_syntactic_kind(tokens[start:i]))
     if q_pos is not None and c_pos is not None:
@@ -2509,6 +2615,11 @@ def _rw_seq(
         lit = cond.strip()
         while lit.startswith("(") and lit.endswith(")"):
             lit = lit[1:-1].strip()
+        # a scalar subquery over a translate-time constant (e.g.
+        # hasColumnInTable folds to 0/1) is itself constant
+        m_sq = re.fullmatch(r"SELECT\s+(\d+)(?:\s+FROM\s+\(SELECT\s+0\s+AS\s+dummy\))?", lit, re.I | re.S)
+        if m_sq:
+            lit = m_sq.group(1)
         if re.fullmatch(r"\d+", lit):
             return (then if int(lit) != 0 else other), i
         # UInt8 truthiness (FunctionsConditional.cpp): `x % 2 ? a : b`.
@@ -2590,6 +2701,9 @@ def _render_ch_cast(
     head = type_toks[0].text
     up = head.upper()
     if len(type_toks) == 1:
+        if up == "NULL":
+            # DataTypeNull: the only value is NULL
+            return "NULL"
         mapped = _CH_TYPE_MAP.get(up)
         return f"CAST({expr} AS {mapped})" if mapped else None
     if type_toks[1].text == "(":
@@ -2777,6 +2891,21 @@ def _rw_item(
                 sub = _translate_union(inner, ctx)
             finally:
                 ctx.no_select_dedup = saved_dedup
+            # IN-subquery: the reference's Set skips NULL rows
+            # (Set.cpp insertFromBlock over non-Nullable key columns),
+            # so a no-match probe yields 0 — Spark's three-valued IN
+            # would yield NULL when the set contains NULLs.  Filter
+            # them out of the set side.
+            if in_list and ctx.schema_of_sql is not None:
+                schema = ctx.schema_of_sql(f"(\n{sub}\n)")
+                if schema:
+                    conds = " AND ".join(
+                        f"`{c}` IS NOT NULL" for c, _t in schema
+                    )
+                    sub = (
+                        f"SELECT * FROM (\n{sub}\n) "
+                        f"{ctx.gensym('innn')} WHERE {conds}"
+                    )
             # multi-column scalar subquery = a Tuple in the reference
             # (ExpressionAnalyzer executeScalarSubqueries wraps rows of
             # width > 1); Spark only allows single-column scalars —
@@ -2811,7 +2940,96 @@ def _rw_item(
                 nxt.is_kw("IN", "GLOBAL")
                 or (nxt.is_kw("NOT") and nxt2 is not None and nxt2.is_kw("IN"))
             )
+            if lhs_of_in and not in_list:
+                # tuple IN a literal tuple list → OR of element-wise
+                # equalities: Spark's struct IN refuses mixed field
+                # types (BIGINT column vs INT literal) that the
+                # reference's Set coerces; per-element `=` coerces
+                # independently.  NULL-containing tuples never match
+                # (Set semantics) and drop out.
+                j = close + 1
+                neg = False
+                if tokens[j].is_kw("NOT"):
+                    neg, j = True, j + 1
+                if j < len(tokens) and tokens[j].is_kw("GLOBAL"):
+                    j += 1
+                if (
+                    j < len(tokens)
+                    and tokens[j].is_kw("IN")
+                    and j + 1 < len(tokens)
+                    and tokens[j + 1].text == "("
+                ):
+                    rclose = _match_paren(tokens, j + 1)
+                    rhs_inner = tokens[j + 2 : rclose]
+                    lhs_parts = _split_top(inner, ",")
+                    relems = _split_top(rhs_inner, ",") if rhs_inner else []
+                    all_tuples = all(
+                        p and p[0].text == "("
+                        and _match_paren(p, 0) == len(p) - 1
+                        for p in relems
+                    )
+                    # a flat scalar list of matching arity is ONE
+                    # tuple: (1, '') IN (-1, '') — ParserTuple
+                    if (
+                        len(lhs_parts) > 1
+                        and rhs_inner
+                        and not rhs_inner[0].is_kw("SELECT")
+                        and not all_tuples
+                        and len(relems) == len(lhs_parts)
+                        and not any(
+                            p and p[0].text == "(" for p in relems
+                        )
+                    ):
+                        wrapped = list(tokens[j + 1 : rclose + 1])
+                        relems = [wrapped]
+                        all_tuples = True
+                    if (
+                        len(lhs_parts) > 1
+                        and rhs_inner
+                        and not rhs_inner[0].is_kw("SELECT")
+                        and all_tuples
+                    ):
+                        lhs_sqls = [_rewrite(p, ctx) for p in lhs_parts]
+                        ors: list[str] | None = []
+                        for p in relems:
+                            es = _split_top(p[1:-1], ",")
+                            if any(
+                                tk.is_kw("NULL") for e in es for tk in e
+                            ):
+                                continue
+                            if len(es) != len(lhs_sqls):
+                                ors = None
+                                break
+                            ands = " AND ".join(
+                                f"(({l}) = ({_rewrite(e, ctx)}))"
+                                for l, e in zip(lhs_sqls, es)
+                            )
+                            ors.append(f"({ands})")
+                        if ors is not None:
+                            # NULL elements in the probe tuple make a
+                            # term NULL — the reference's Set probe
+                            # yields 0 there (only SCALAR NULL probes
+                            # return NULL), so coalesce to false
+                            expr = (
+                                "ifnull("
+                                + (" OR ".join(ors) if ors else "FALSE")
+                                + ", false)"
+                            )
+                            if neg:
+                                expr = f"(NOT {expr})"
+                            return _postfix(expr, tokens, rclose + 1, ctx)
             if in_list or lhs_of_in:
+                if in_list:
+                    # NULL literals (and tuples containing one) never
+                    # match in the reference's Set — drop them so
+                    # Spark's three-valued IN can't turn a no-match
+                    # into NULL
+                    kept = [
+                        p for p in parts_toks
+                        if not any(tk.is_kw("NULL") for tk in p)
+                    ]
+                    if kept:
+                        parts_toks = kept
                 parts = [_rw_row_elem(p, ctx) for p in parts_toks]
                 return _postfix(f"({', '.join(parts)})", tokens, close + 1, ctx)
             parts = [_rewrite(p, ctx) for p in parts_toks]

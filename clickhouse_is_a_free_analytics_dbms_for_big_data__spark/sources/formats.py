@@ -338,6 +338,28 @@ def format_result(
             )
             + ext_block
         )
+    if fmt == "BlockTabSeparated":
+        # transposed: one line per COLUMN, cells tab-joined down the
+        # rows, blank line after each block
+        # (BlockTabSeparatedRowOutputStream)
+        body = "".join(
+            "\t".join(_tsv_cell(_f32(r[i], types[i])) for r in rows) + "\n"
+            for i in range(len(names))
+        )
+        return body + "\n" if body else body
+    if fmt == "TSKV":
+        # name=value pairs, TSV-escaped, one row per line
+        # (TSKVRowOutputStream.cpp; '=' also escaped in names)
+        out_names = _resolve_ch_names(ch_names, names)
+        esc_names = [_tsv_cell(n).replace("=", "\\=") for n in out_names]
+        return "".join(
+            "\t".join(
+                f"{esc_names[i]}={_tsv_cell(_f32(r[i], t))}"
+                for i, t in enumerate(types)
+            )
+            + "\n"
+            for r in rows
+        )
     if fmt == "TabSeparatedRaw":
         # serializeText, no escaping (TabSeparatedRawRowOutputStream)
         return "".join(
