@@ -67,11 +67,8 @@ SIMPLE: dict[str, str] = {
     "argMin": "min_by",
     "argMax": "max_by",
     "varPop": "var_pop",
-    "varSamp": "var_samp",
     "stddevPop": "stddev_pop",
-    "stddevSamp": "stddev_samp",
     "covarPop": "covar_pop",
-    "covarSamp": "covar_samp",
     # hashing (FunctionsHashing.cpp) — stand-ins: values differ from the
     # reference (documented; never golden-test hash outputs)
     "cityHash64": "xxhash64",
@@ -1083,6 +1080,23 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     # (FunctionsMiscellaneous.cpp visibleWidth): composites render
     # without spaces, tuples parenthesized — Spark's struct cast gives
     # '{1, 2}' so squeeze ', ' and map braces to parens
+    # sample variants return INF below 2 values
+    # (AggregateFunctionsStatistics.h VarSampImpl::apply); Spark's
+    # var_samp yields NULL there
+    "varSamp": lambda a: (
+        f"ifnull(var_samp({a[0]}), CAST('Infinity' AS DOUBLE))"
+    ),
+    "stddevSamp": lambda a: (
+        f"ifnull(stddev_samp({a[0]}), CAST('Infinity' AS DOUBLE))"
+    ),
+    "covarSamp": lambda a: (
+        f"ifnull(covar_samp({a[0]}, {a[1]}), CAST('Infinity' AS DOUBLE))"
+    ),
+    # CorrImpl: count < 2 → inf (Spark's corr gives NULL/NaN there)
+    "corr": lambda a: (
+        f"(CASE WHEN count({a[0]}) < 2 THEN CAST('Infinity' AS DOUBLE) "
+        f"ELSE corr({a[0]}, {a[1]}) END)"
+    ),
     "visibleWidth": lambda a: (
         f"length(translate(replace(CAST({a[0]} AS STRING), ', ', ','), "
         f"'{{}}', '()'))"

@@ -694,7 +694,13 @@ def _infer_ch_type(
         if fname == "tofixedstring":
             args = _split_top(toks[2:-1], ",")
             if len(args) == 2 and len(args[1]) == 1:
-                return f"FixedString({args[1][0].text})"
+                fs = f"FixedString({args[1][0].text})"
+                at = _infer_ch_type(args[0], cols)
+                if at is not None and (
+                    at == "Null" or at.startswith("Nullable(")
+                ):
+                    return _wrap_nullable(fs)
+                return fs
         if fname in ("round", "ceil", "ceiling", "floor", "truncate",
                      "roundtoexp2", "abs"):
             # rounding keeps the argument's type (FunctionsRound.cpp)
@@ -710,7 +716,17 @@ def _infer_ch_type(
             if len(ats) == 2 and set(ats) == {"Int64", "UInt64"}:
                 return "Int64" if fname == "least" else "UInt64"
             return _ch_supertype(ats)
-        return _CH_FN_TYPES.get(fname)
+        base = _CH_FN_TYPES.get(fname)
+        if base is not None:
+            # ordinary functions wrap Nullable when any argument is
+            # Nullable (IFunction default null behavior)
+            for a in _split_top(toks[2:-1], ","):
+                at = _infer_ch_type(a, cols)
+                if at is not None and (
+                    at == "Null" or at.startswith("Nullable(")
+                ):
+                    return _wrap_nullable(base)
+        return base
     return None
 
 
@@ -1384,6 +1400,7 @@ def _insert(engine, tokens: list[Token]) -> None:
               dictionaries=engine.dictionaries, table_views=engine.table_views)
     if tokens[i].is_kw("VALUES"):
         rows_sql = []
+        rows_vals: list[list[str]] = []
         k = i + 1
         while k < len(tokens):
             assert tokens[k].text == "(", "VALUES expects tuples"
@@ -1393,12 +1410,25 @@ def _insert(engine, tokens: list[Token]) -> None:
                 for v in _split_top(tokens[k + 1 : close], ",")
             ]
             rows_sql.append(f"({', '.join(vals)})")
+            rows_vals.append(vals)
             k = close + 1
             if k < len(tokens) and tokens[k].text == ",":
                 k += 1
         aliases = ", ".join(f"c{j}" for j in range(len(subset)))
         src = f"SELECT * FROM (VALUES {', '.join(rows_sql)}) AS __v({aliases})"
-        new_df = engine.spark.sql(src)
+        try:
+            new_df = engine.spark.sql(src)
+        except Exception:
+            # VALUES rows may hold full expressions (the reference
+            # evaluates them — ValuesRowInputStream falls back to the
+            # expression parser); Spark's inline table refuses mixed
+            # shapes, a UNION ALL of one-row SELECTs coerces them
+            selects = [
+                "SELECT "
+                + ", ".join(f"{v} AS c{j}" for j, v in enumerate(vals))
+                for vals in rows_vals
+            ]
+            new_df = engine.spark.sql("\nUNION ALL\n".join(selects))
     elif tokens[i].is_kw("SELECT") or tokens[i].text == "(":
         sub = _translate_union(tokens[i:], ctx)
         new_df = engine.spark.sql(sub)

@@ -141,6 +141,9 @@ class Ctx:
     # a top-level pass-through SELECT over a WITH TOTALS subquery:
     # the inline totals row IS the out-of-band totals block
     passthrough_totals: bool = False
+    # max_block_size for block-model functions (blockSize() etc);
+    # None = the current SELECT has no such calls
+    block_fns_b: int | None = None
     # most recent subquery SQL including its LIMIT (rows_before_limit
     # fallback when the outer query has no LIMIT of its own)
     sub_limited_sql: str | None = None
@@ -490,7 +493,74 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
     # (normalizeTree common-subexpression folding).
     aj_fn_seen: dict[str, str] = {}  # arg token text -> exploded alias
     array_join_indep: list[tuple[str, list[Token]]] = []
+    # When the query AGGREGATES, a select-list arrayJoin runs on the
+    # POST-aggregation block (FunctionArrayJoin executes in the final
+    # ExpressionActions): the aggregate computes over the un-exploded
+    # input and the result rows multiply afterwards.  Handled for
+    # whole-item `arrayJoin(expr) AS alias` forms by wrapping the
+    # aggregated SELECT in an outer lateral view (below).
+    aj_post: list[tuple] = []  # (idx, alias, arg_toks, out_name, outer_toks, orig_name, orig_toks)
+    _has_agg_sel = any(_item_has_agg(s) for s in select_items)
+    if _has_agg_sel:
+        whole = []
+        for idx, item in enumerate(select_items):
+            pos = _find_call(item, "arrayJoin")
+            if pos is None:
+                continue
+            s, e, arg_toks = pos
+            body, user_alias = _strip_alias(item)
+            if (
+                _item_has_agg(arg_toks)
+                or _item_has_agg(body[:s])
+                or _item_has_agg(body[e:])
+            ):
+                whole = None  # agg-entangled form: pre-explode path
+                break
+            whole.append((idx, s, e, body, arg_toks, user_alias, item))
+        if whole:
+            # the explode must stay BEFORE aggregation when its output
+            # feeds the aggregation (a GROUP BY key / WHERE / HAVING
+            # reference) — ExpressionAnalyzer keeps arrayJoin in the
+            # before-aggregation chain then
+            _aj_names = {
+                ua for _i, _s, _e, _b, _a, ua, _it in whole if ua
+            }
+            for _clause in (group_toks, where_toks, prewhere_toks,
+                            having_toks):
+                if any(
+                    t.kind == "ident"
+                    and (t.text in _aj_names or t.text == "arrayJoin")
+                    for t in _clause
+                ):
+                    whole = None
+                    break
+        if whole:
+            seen_post: dict[str, str] = {}
+            for idx, s, e, body, arg_toks, user_alias, item in whole:
+                key = " ".join(t.text for t in arg_toks)
+                alias = seen_post.get(key) or ctx.gensym("ajp")
+                seen_post[key] = alias
+                out_name = user_alias or ctx.gensym("ajx")
+                outer_toks = (
+                    body[:s] + [Token("ident", alias)] + body[e:]
+                )
+                orig_name = _ch_item_name(item)
+                aj_post.append(
+                    (idx, alias, arg_toks, out_name, outer_toks,
+                     orig_name, list(body))
+                )
+                # the INNER (aggregated) select carries a hole; the
+                # outer wrap projects the exploded expression there
+                select_items[idx] = [
+                    Token("number", "0"),
+                    Token("ident", "AS"),
+                    Token("ident", f"__ajph{idx}"),
+                ]
+                if user_alias and out_name not in ctx.alias_ch_toks:
+                    ctx.alias_ch_toks[out_name] = list(body)
     for idx, item in enumerate(select_items):
+        if any(p[0] == idx for p in aj_post):
+            continue
         pos = _find_call(item, "arrayJoin")
         if pos is not None:
             s, e, arg_toks = pos
@@ -571,6 +641,37 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         _item_has_agg(select_toks) or bool(group_toks)
     )
     from_sql, table_name = _render_from(from_toks, ctx)
+
+    # ---- block-model introspection (blockSize/rowNumberInAllBlocks/
+    # rowNumberInBlock/blockNumber): the reference streams
+    # max_block_size-row blocks; emulate by annotating the source with
+    # a global row number and per-block count, then substituting the
+    # calls with column arithmetic (_apply_fn) — aggregables, unlike
+    # window expressions
+    _block_fns = {
+        "blockSize", "rowNumberInAllBlocks", "rowNumberInBlock",
+        "blockNumber",
+    }
+    _saved_block_b = ctx.block_fns_b
+    if any(
+        t.kind == "ident"
+        and t.text in _block_fns
+        and k + 1 < len(select_toks)
+        and select_toks[k + 1].text == "("
+        for k, t in enumerate(select_toks)
+    ) and not any(t.text == "*" for t in select_toks):
+        _bb = int(str(settings.get("max_block_size", 65536)))
+        ctx.block_fns_b = _bb
+        rn = (
+            "CAST(row_number() OVER "
+            "(ORDER BY monotonically_increasing_id()) AS BIGINT) - 1"
+        )
+        from_sql = (
+            f"(SELECT *, count(*) OVER (PARTITION BY "
+            f"CAST(floor(__rnall / {_bb}) AS BIGINT)) AS __bsz FROM "
+            f"(SELECT *, {rn} AS __rnall FROM {from_sql}) "
+            f"{ctx.gensym('blk')}) {ctx.gensym('blk')}"
+        )
     ctx.current_table = table_name
     ctx.current_from_sql = from_sql or None
 
@@ -742,6 +843,21 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
             val_alias = ctx.gensym("ajval")
             aj_subs[exprs[0][0]] = val_alias
         fn = "posexplode_outer" if first_left else "posexplode"
+        if first_left:
+            # LEFT ARRAY JOIN fills the element TYPE DEFAULT for empty
+            # arrays (ArrayJoinAction left semantics) — Spark's
+            # posexplode_outer yields NULL; reroute references through
+            # an ifnull when the element type is statically known
+            _ft, _fal = _strip_alias(first_toks)
+            _at = _infer_expr_ch_type(_ft, ctx) or ""
+            if _at.startswith("Nullable("):
+                _at = _at[9:-1]
+            if _at.startswith("Array("):
+                _d = _elem_default_sql(_at[6:-1], exprs[0][1])
+                if _d is not None:
+                    hidden = ctx.gensym("ajval")
+                    aj_subs[exprs[0][0]] = f"ifnull({hidden}, {_d})"
+                    val_alias = hidden
         lateral = f" LATERAL VIEW {fn}({exprs[0][1]}) {ctx.gensym('ajv')} AS {pos_alias}, {val_alias}"
         for alias, expr_sql, _explicit in exprs[1:]:
             aj_subs[alias] = f"element_at({expr_sql}, {pos_alias} + 1)"
@@ -940,6 +1056,10 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         ctx.out_ch_names = _out_names = [
             _ch_item_name(s) for s in select_items
         ]
+        for p in aj_post:
+            _idx, _orig_name, _orig_toks = p[0], p[5], p[6]
+            _out_names[_idx] = _orig_name
+            _out_types[_idx] = _infer_expr_ch_type(_orig_toks, ctx)
     where_parts: list[str] = []
     if prewhere_toks:
         # PREWHERE runs at scan time, before the join — no jdef subs
@@ -1172,6 +1292,44 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
     elif having_sql:
         sql += f"\nHAVING {having_sql}"
 
+    # ---- post-aggregation arrayJoin wrap: explode the aggregated
+    # result block (FunctionArrayJoin in the final ExpressionActions)
+    if aj_post:
+        schema = (
+            ctx.schema_of_sql(f"(\n{sql}\n)")
+            if ctx.schema_of_sql is not None
+            else None
+        )
+        if schema is not None:
+            hole_of = {
+                f"__ajph{p[0]}": p for p in aj_post
+            }
+            done_alias: set[str] = set()
+            lat = ""
+            for p in aj_post:
+                _idx, alias, arg_toks = p[0], p[1], p[2]
+                if alias in done_alias:
+                    continue
+                done_alias.add(alias)
+                lat += (
+                    f" LATERAL VIEW posexplode({_rewrite(arg_toks, ctx)}) "
+                    f"{ctx.gensym('ajv')} AS {ctx.gensym('ajpos')}, "
+                    f"`{alias}`"
+                )
+            cols = []
+            for cname, _t in schema:
+                if cname in hole_of:
+                    p = hole_of[cname]
+                    cols.append(
+                        f"{_rewrite(p[4], ctx)} AS `{p[3]}`"
+                    )
+                else:
+                    cols.append(f"`{cname}`")
+            sql = (
+                f"SELECT {', '.join(cols)} FROM (\n{sql}\n) "
+                f"AS {ctx.gensym('ajag')}{lat}"
+            )
+
     # ---- LIMIT BY wrap (after ORDER BY in the reference pipeline,
     #      InterpreterSelectQuery.cpp:661)
     if limit_by is not None:
@@ -1254,6 +1412,7 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
     else:
         ctx.out_ch_types = _out_types
         ctx.out_ch_names = _out_names
+    ctx.block_fns_b = _saved_block_b
     return sql
 
 
@@ -2605,6 +2764,18 @@ def _rw_seq(
         pieces.append(piece)
         kinds.append(_syntactic_kind(tokens[start:i]))
     if q_pos is not None and c_pos is not None:
+        # a lambda arrow binds first: `x -> cond ? a : b` — the
+        # ternary is the lambda BODY, the formals stay outside
+        _arrow = max(
+            (k for k, p in enumerate(pieces[:q_pos]) if p == "->"),
+            default=None,
+        )
+        _lam_head = ""
+        if _arrow is not None:
+            _lam_head = " ".join(pieces[: _arrow + 1]) + " "
+            pieces = pieces[_arrow + 1 :]
+            q_pos -= _arrow + 1
+            c_pos -= _arrow + 1
         cond = " ".join(pieces[:q_pos])
         then = " ".join(pieces[q_pos + 1 : c_pos])
         other = " ".join(pieces[c_pos + 1 :])
@@ -2621,14 +2792,15 @@ def _rw_seq(
         if m_sq:
             lit = m_sq.group(1)
         if re.fullmatch(r"\d+", lit):
-            return (then if int(lit) != 0 else other), i
+            return _lam_head + (then if int(lit) != 0 else other), i
         # UInt8 truthiness (FunctionsConditional.cpp): `x % 2 ? a : b`.
         # A NULL condition yields NULL (Nullable branch of
         # FunctionsConditional.cpp), NOT the else arm as Spark's
         # false-on-NULL `if` would; the IS NULL guard constant-folds
         # away for non-nullable conditions.
         return (
-            f"if(({cond}) IS NULL, NULL, "
+            _lam_head
+            + f"if(({cond}) IS NULL, NULL, "
             f"if(CAST(({cond}) AS BOOLEAN), {then}, {other}))",
             i,
         )
@@ -3438,6 +3610,43 @@ def _apply_fn(
                     return f"({sign} * ({b} + {d}))"
                 return f"({sign} * {b})"
 
+    # block-model functions over the annotated source (see
+    # _translate_select_inner's wrapper)
+    if ctx.block_fns_b is not None:
+        b = ctx.block_fns_b
+        if name == "blockSize":
+            return "__bsz"
+        if name == "rowNumberInAllBlocks":
+            return "__rnall"
+        if name == "rowNumberInBlock":
+            return f"(__rnall % {b})"
+        if name == "blockNumber":
+            return f"CAST(floor(__rnall / {b}) AS BIGINT)"
+    # emptyArrayToSingle: [] → [default] with the INFERRED element
+    # default (typed tuples/Nullables included) when available
+    if name == "emptyArrayToSingle" and arg_items and len(args) == 1:
+        at = _infer_expr_ch_type(arg_items[0], ctx) or ""
+        if at.startswith("Nullable("):
+            at = at[9:-1]
+        if at.startswith("Array("):
+            d = _elem_default_sql(at[6:-1], args[0])
+            if d is not None:
+                return (
+                    f"if(size({args[0]}) = 0, array({d}), {args[0]})"
+                )
+    # arrayFirst with no match yields the element TYPE DEFAULT
+    # (FunctionsHigherOrder.h ArrayFirstImpl pushes default), not NULL
+    if name == "arrayFirst" and arg_items and len(args) == 2:
+        at = _infer_expr_ch_type(arg_items[1], ctx) or ""
+        if at.startswith("Nullable("):
+            at = at[9:-1]
+        if at.startswith("Array("):
+            arr_sql = args[1]
+            d = _elem_default_sql(at[6:-1], arr_sql)
+            if d is not None:
+                from .functions_map import TEMPLATES as _T
+
+                return f"coalesce({_T['arrayFirst'](args)}, {d})"
     # arrayElement call form: same type-default out-of-bounds fill as
     # the [] subscript in _postfix (FunctionsArray.cpp arrayElement)
     if name == "arrayElement" and arg_items and len(args) == 2:
@@ -3689,14 +3898,56 @@ def _elem_default_sql(elem_type: str, base_sql: str) -> str | None:
     (FunctionsArray.cpp arrayElement fills the type default).  Nested
     arrays build their empty value from the base via flatten (no
     literal of unknown inner type needed)."""
-    t = elem_type
+    t = elem_type.strip()
+    if t.startswith("Nullable("):
+        # default of Nullable is NULL (ColumnNullable default)
+        return "NULL"
     if t.startswith(("UInt", "Int", "Float")) or t.startswith("Enum"):
         return "0"
     if t == "String" or t.startswith("FixedString"):
         return "''"
     if t.startswith("Array("):
-        return f"slice(flatten({base_sql}), 1, 0)"
-    return None  # Nullable/unknown: NULL stays faithful or undefined
+        if base_sql is not None:
+            # empty value of the exact runtime type, no literal needed
+            return f"slice(flatten({base_sql}), 1, 0)"
+        st = _spark_type_text(t)
+        return f"CAST(array() AS {st})" if st else None
+    if t.startswith("Tuple(") and t.endswith(")"):
+        parts = _split_ch_type_args(t[6:-1])
+        # fields can't reuse the enclosing base (it is not an
+        # array-of-arrays of the FIELD type) — build typed literals
+        ds = [_elem_default_sql(p, None) for p in parts]
+        if all(d is not None for d in ds):
+            fields = ", ".join(
+                f"'col{k + 1}', {d}" for k, d in enumerate(ds)
+            )
+            return f"named_struct({fields})"
+    return None  # unknown: NULL stays the documented fallback
+
+
+def _spark_type_text(t: str) -> str | None:
+    """Spark DDL type text for a CH type (the simple subset)."""
+    t = t.strip()
+    if t.startswith("Nullable("):
+        t = t[9:-1]
+    mapped = _CH_TYPE_MAP.get(t.upper())
+    if mapped:
+        return mapped
+    if t.startswith("Enum"):
+        return "STRING"
+    if t.startswith("FixedString"):
+        return "STRING"
+    if t.startswith("Array(") and t.endswith(")"):
+        inner = _spark_type_text(t[6:-1])
+        return f"ARRAY<{inner}>" if inner else None
+    if t.startswith("Tuple(") and t.endswith(")"):
+        parts = [_spark_type_text(p) for p in _split_ch_type_args(t[6:-1])]
+        if all(p is not None for p in parts):
+            fields = ", ".join(
+                f"col{k + 1}: {p}" for k, p in enumerate(parts)
+            )
+            return f"STRUCT<{fields}>"
+    return None
 
 
 def _postfix(

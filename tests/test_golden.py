@@ -14,6 +14,7 @@ Regenerate expectations after an intentional change with:
 from __future__ import annotations
 
 import os
+import re
 
 import pytest
 
@@ -59,7 +60,51 @@ def split_statements(text: str) -> list[str]:
             cur.append(ch)
         i += 1
     stmts.append("".join(cur))
-    return [s.strip() for s in stmts if s.strip()]
+    # the reference client reads INSERT ... VALUES data up to the end
+    # of the line — a following statement may legally omit the ';'
+    # (e.g. 00063: INSERT VALUES (...)\n\nCHECK TABLE t).  Split such
+    # trailing text into its own statement.
+    out: list[str] = []
+    for s in stmts:
+        if re.match(r"\s*INSERT\b.*?\bVALUES\b", s, re.I | re.S):
+            m = re.search(r"\bVALUES\b", s, re.I)
+            depth = 0
+            in_s = False
+            j = m.end()
+            last_close = None
+            while j < len(s):
+                ch = s[j]
+                if in_s:
+                    if ch == "\\":
+                        j += 2
+                        continue
+                    if ch == "'":
+                        in_s = False
+                elif ch == "'":
+                    in_s = True
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        last_close = j
+                elif (
+                    ch == "\n"
+                    and depth == 0
+                    and last_close is not None
+                    and s[j:].strip()
+                    and not s[j:].lstrip().startswith(",")
+                    and not s[last_close + 1 : j].strip(", \t\r")
+                ):
+                    out.append(s[:j])
+                    out.append(s[j:])
+                    break
+                j += 1
+            else:
+                out.append(s)
+            continue
+        out.append(s)
+    return [s.strip() for s in out if s.strip()]
 
 
 def run_sql_file(engine: ChEngine, path: str) -> str:
