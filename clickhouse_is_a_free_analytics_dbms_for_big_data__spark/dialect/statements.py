@@ -657,7 +657,8 @@ def _infer_ch_type(
             return _wrap_nullable(
                 _infer_ch_type(_split_top(toks[2:-1], ",")[0], cols)
             )
-        if fname in ("isnull", "isnotnull"):
+        if fname in ("isnull", "isnotnull", "ignore"):
+            # always plain UInt8, never Nullable (FunctionIgnore)
             return "UInt8"
         if fname in ("ifnull", "coalesce"):
             # result folds left: Null arg vanishes, a non-Nullable arg

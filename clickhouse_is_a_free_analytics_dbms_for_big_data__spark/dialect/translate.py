@@ -1391,6 +1391,29 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         sql += "\nORDER BY " + ", ".join(
             str(k + 1) for k in range(len(select_sql_items))
         )
+    elif (
+        ctx.select_depth == 1
+        and group_toks
+        and not with_totals
+        and len(_split_top(group_toks, ",")) == 1
+    ):
+        # single 8/16-bit (or Enum) grouping key: the reference
+        # aggregates into a FIXED ARRAY (Aggregator.cpp keys8/keys16)
+        # and iterates it in UNSIGNED key order — deterministic where
+        # Spark's hash output is not.  Pin that order.
+        _gk = _split_top(group_toks, ",")[0]
+        _gt = _infer_expr_ch_type(_gk, ctx) or ""
+        _width = {
+            "UInt8": 256, "Int8": 256, "Enum8": 256,
+            "UInt16": 65536, "Int16": 65536, "Enum16": 65536,
+        }.get(_gt.split("(")[0])
+        if _width is not None:
+            if _gt.startswith("Enum"):
+                _kv = _enum_value_sql(group_sql, _gt)
+            else:
+                _kv = f"CAST({group_sql} AS BIGINT)"
+            if _kv is not None:
+                sql += f"\nORDER BY pmod({_kv}, {_width})"
     if limit_txt is not None:
         ctx.pre_limit_sql = sql
         sql += f"\nLIMIT {limit_txt}"
@@ -2298,6 +2321,13 @@ def _order_items(tokens: list[Token], ctx: Ctx) -> list[tuple[str, str]]:
             # ascending, then negatives ascending — a leading sign
             # group restores it (constant-folds away when no wrap).
             items.append((f"(({expr}) < 0)", direction))
+        elif base_t is not None and base_t.startswith("Enum"):
+            # Enum sorts by its VALUE (DataTypeEnum comparison), not
+            # by the stored name string
+            ev = _enum_value_sql(expr, base_t)
+            if ev is not None:
+                items.append((ev, direction))
+                continue
         items.append((expr, direction))
     return items
 
@@ -2684,6 +2714,7 @@ def _rw_seq(
     """
     pieces: list[str] = []
     kinds: list[str | None] = []
+    tok_slices: list[list[Token]] = []
     q_pos: int | None = None
     c_pos: int | None = None
     not_pos: list[int] = []
@@ -2705,6 +2736,7 @@ def _rw_seq(
             not_pos.append(len(pieces))
             pieces.append("NOT")
             kinds.append(None)
+            tok_slices.append([t])
             i += 1
             continue
         if t.is_kw("GLOBAL") and i + 1 < len(tokens) and (
@@ -2718,12 +2750,14 @@ def _rw_seq(
             q_pos = len(pieces)
             pieces.append("?")
             kinds.append(None)
+            tok_slices.append([t])
             i += 1
             continue
         if t.text == ":" and q_pos is not None:
             c_pos = len(pieces)
             pieces.append(":")
             kinds.append(None)
+            tok_slices.append([t])
             i += 1
             continue
         start = i
@@ -2755,14 +2789,57 @@ def _rw_seq(
                 whole = f"{lhs} {'NOT ' if neg else ''}IN {piece}"
                 del pieces[lhs_idx:]
                 del kinds[lhs_idx:]
+                del tok_slices[lhs_idx:]
                 pieces.append(
                     f"(CASE WHEN ({lhs}) IS NULL THEN NULL "
                     f"ELSE ({whole}) END)"
                 )
                 kinds.append(None)
+                tok_slices.append([])
                 continue
         pieces.append(piece)
         kinds.append(_syntactic_kind(tokens[start:i]))
+        tok_slices.append(tokens[start:i])
+    # Enum vs numeric comparison: the reference compares by the enum
+    # VALUE (DataTypeEnum); Spark would coerce the number to STRING
+    _CMPOPS = {"=", "==", "!=", "<>", "<", ">", "<=", ">="}
+    for _k in range(1, len(pieces) - 1):
+        if pieces[_k] not in _CMPOPS:
+            continue
+        _lt = (
+            _infer_expr_ch_type(tok_slices[_k - 1], ctx)
+            if tok_slices[_k - 1] else None
+        )
+        _rt = (
+            _infer_expr_ch_type(tok_slices[_k + 1], ctx)
+            if tok_slices[_k + 1] else None
+        )
+
+        def _is_num(tt, sl):
+            return (tt or "").startswith(("UInt", "Int", "Float")) or (
+                len(sl) == 1 and sl[0].kind == "number"
+            )
+
+        if (_lt or "").startswith("Enum") and _is_num(_rt, tok_slices[_k + 1]):
+            pieces[_k - 1] = (
+                _enum_value_sql(pieces[_k - 1], _lt) or pieces[_k - 1]
+            )
+        elif (_rt or "").startswith("Enum") and _is_num(_lt, tok_slices[_k - 1]):
+            pieces[_k + 1] = (
+                _enum_value_sql(pieces[_k + 1], _rt) or pieces[_k + 1]
+            )
+        # a comparison RESULT is UInt8 in the reference and freely
+        # compares with numbers ((x = y) > 0); Spark's BOOLEAN does
+        # not — cast the boolean-valued side to INT
+        for _side in (_k - 1, _k + 1):
+            _tt = _lt if _side == _k - 1 else _rt
+            _sl = tok_slices[_side]
+            if _tt in ("UInt8", "Nullable(UInt8)") and any(
+                t.text in ("=", "==", "!=", "<>", "<", ">", "<=", ">=")
+                or t.is_kw("IN", "LIKE", "NOT", "AND", "OR")
+                for t in _sl
+            ):
+                pieces[_side] = f"CAST(({pieces[_side]}) AS INT)"
     if q_pos is not None and c_pos is not None:
         # a lambda arrow binds first: `x -> cond ? a : b` — the
         # ternary is the lambda BODY, the formals stay outside
@@ -3622,6 +3699,36 @@ def _apply_fn(
             return f"(__rnall % {b})"
         if name == "blockNumber":
             return f"CAST(floor(__rnall / {b}) AS BIGINT)"
+    # comparison results are UInt8 in the reference; as NUMERIC
+    # function arguments they need an INT cast (Spark BOOLEAN)
+    if name in (
+        "exp", "exp2", "exp10", "log", "ln", "log2", "log10", "sqrt",
+        "cbrt", "abs", "negate", "sin", "cos", "tan", "asin", "acos",
+        "atan", "erf", "erfc", "lgamma", "tgamma", "intExp2",
+        "intExp10", "roundToExp2", "bitNot",
+    ) and arg_items and len(args) == 1:
+        _t0 = _infer_expr_ch_type(arg_items[0], ctx)
+        if _t0 in ("UInt8", "Nullable(UInt8)") and any(
+            t.text in ("=", "==", "!=", "<>", "<", ">", "<=", ">=")
+            or t.is_kw("IN", "LIKE", "NOT", "AND", "OR")
+            for t in arg_items[0]
+        ):
+            args = [f"CAST(({args[0]}) AS INT)"]
+    # numeric conversion of an Enum yields its VALUE
+    # (FunctionsConversion.cpp ConvertImpl<DataTypeEnum, T> — the
+    # engine stores enums by NAME, so map name → declared value)
+    if (
+        arg_items
+        and len(args) == 1
+        and re.fullmatch(r"to(U?Int|Float)(8|16|32|64)", name)
+    ):
+        at = _infer_expr_ch_type(arg_items[0], ctx) or ""
+        if at.startswith("Nullable("):
+            at = at[9:-1]
+        if at.startswith("Enum"):
+            ev = _enum_value_sql(args[0], at)
+            if ev is not None:
+                return ev
     # emptyArrayToSingle: [] → [default] with the INFERRED element
     # default (typed tuples/Nullables included) when available
     if name == "emptyArrayToSingle" and arg_items and len(args) == 1:
@@ -3923,6 +4030,18 @@ def _elem_default_sql(elem_type: str, base_sql: str) -> str | None:
             )
             return f"named_struct({fields})"
     return None  # unknown: NULL stays the documented fallback
+
+
+def _enum_value_sql(expr: str, ch_enum: str) -> str | None:
+    """CASE mapping the stored enum NAME back to its declared VALUE
+    (DataTypeEnum name<->value pairs)."""
+    from .statements import _enum_pairs
+
+    pairs = _enum_pairs(ch_enum)
+    if not pairs:
+        return None
+    whens = " ".join(f"WHEN '{n}' THEN {v}" for n, v in pairs)
+    return f"(CASE {expr} {whens} END)"
 
 
 def _spark_type_text(t: str) -> str | None:

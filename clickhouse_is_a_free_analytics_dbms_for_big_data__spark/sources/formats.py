@@ -254,6 +254,7 @@ def format_result(
             _tsv_cell(_totals_default(
                 None if i in forced and not t.startswith("struct") else trow[n],
                 t,
+                ch_type_texts[i],
             ))
             for i, (n, t) in enumerate(zip(names, types))
         ]
@@ -454,12 +455,19 @@ def _extremes_pair(vals: list, dt) -> tuple:
     return None, None
 
 
-def _totals_default(v, spark_type: str):
+def _totals_default(v, spark_type: str, ch_type: str | None = None):
     """NULLed grouping key in the totals row → the column type's
     default value (TotalsHavingBlockInputStream fills key columns with
     defaults; non-key NULLs cannot occur in non-Nullable output)."""
     if v is not None:
         return v
+    if ch_type and ch_type.startswith("Enum"):
+        # Enum default = the minimum VALUE's name (DataTypeEnum)
+        import re as _re
+
+        pairs = _re.findall(r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)", ch_type)
+        if pairs:
+            return min(pairs, key=lambda nv: int(nv[1]))[0]
     t = spark_type.lower()
     if t in ("tinyint", "smallint", "int", "bigint") or t.startswith("decimal"):
         return 0
