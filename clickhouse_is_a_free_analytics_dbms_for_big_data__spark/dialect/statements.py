@@ -924,14 +924,18 @@ def _engine_meta(engine: str, args: list[list[Token]]) -> TableMeta:
         # — the primary key is the first parenthesized-tuple argument;
         # anything between the date and it is the sampling expression
         pk_idx = next(
-            (j for j, a in enumerate(args) if a and a[0].text == "("), 1
+            (j for j, a in enumerate(args) if a and a[0].text == "("), -1
         )
+        if pk_idx < 0:
+            # no parenthesized PK: MergeTree(date, [sampling,] pk, gran)
+            pk_idx = 2 if engine == "MergeTree" and len(args) >= 4 else 1
         if pk_idx >= 1 and args[0] and len(args[0]) == 1:
             meta.date_col = args[0][0].text  # month-partitioning column
         if len(args) > pk_idx:
             meta.primary_key = key_of(args[pk_idx])
         if pk_idx == 2 and len(args[1]) == 1:
             meta.sample_key = args[1][0].text
+            meta.sample_raw = True
         if engine == "ReplacingMergeTree" and len(args) > pk_idx + 2:
             meta.version_col = args[pk_idx + 2][0].text
         if engine == "CollapsingMergeTree" and len(args) > pk_idx + 2:
@@ -1041,8 +1045,20 @@ def _table_name(tokens: list[Token], i: int, engine=None) -> tuple[str, int]:
     if i + 2 < len(tokens) and tokens[i + 1].text == ".":
         name = f"{name}.{tokens[i + 2].text}"
         i += 2
-    elif engine is not None and getattr(engine, "current_db", None):
-        name = f"{engine.current_db}.{name}"
+        return name, i + 1
+    # undotted: try the USE'd db, then the bare name, then the
+    # implicit `default` database (Context.h resolution order)
+    if engine is not None:
+        known = getattr(engine, "tables", {})
+        cands = []
+        if getattr(engine, "current_db", None):
+            cands.append(f"{engine.current_db}.{name}")
+        cands += [name, f"default.{name}"]
+        for c in cands:
+            if c in known:
+                return c, i + 1
+        if getattr(engine, "current_db", None):
+            name = f"{engine.current_db}.{name}"
     return name, i + 1
 
 
@@ -1081,10 +1097,17 @@ def _create(engine, tokens: list[Token]) -> None:
         if tokens[i].is_kw("IF"):
             i += 3
         name, i = _table_name(tokens, i, engine)
+        populate = False
         while i < len(tokens) and not tokens[i].is_kw("AS"):
+            if tokens[i].is_kw("POPULATE"):
+                populate = True
             i += 1  # skip ENGINE/POPULATE clauses
         sel_sql = _toks_sql(tokens[i + 1 :])
         df = engine.spark.sql(engine.translate(sel_sql))
+        if materialized and not populate:
+            # without POPULATE the MV starts EMPTY and fills from
+            # subsequent inserted blocks (StorageMaterializedView)
+            df = df.limit(0)
         view = _view_of(name)
         cols = [
             ColumnDef(f.name, f.dataType.simpleString(),
@@ -1102,6 +1125,21 @@ def _create(engine, tokens: list[Token]) -> None:
         engine.tables[name] = tdef
         engine.table_views[name] = view
         df.createOrReplaceTempView(view)
+        if materialized:
+            # remember the SELECT and its base tables so INSERTs into
+            # a base run the query over the inserted BLOCK and append
+            # (MV insert-time fan-out)
+            bases = {
+                k for k in engine.tables
+                if k != name and (
+                    k in sel_sql
+                    or k.split(".")[-1] in sel_sql.split()
+                )
+            }
+            if not hasattr(engine, "mv_defs"):
+                engine.mv_defs = {}
+            engine.mv_defs[name] = (sel_sql, bases)
+            tdef.raw = df
         return None
     assert tokens[i].is_kw("TABLE"), "only CREATE TABLE/VIEW/DATABASE is supported"
     i += 1
@@ -1465,6 +1503,35 @@ def _insert(engine, tokens: list[Token]) -> None:
     ).localCheckpoint(eager=True)
     tdef.raw = merged
     _publish(engine, tdef)
+    # materialized-view fan-out: run each dependent MV's SELECT over
+    # the inserted BLOCK only and append the result
+    # (StorageMaterializedView::write)
+    for mv_name, (mv_sql, bases) in getattr(engine, "mv_defs", {}).items():
+        if name not in bases:
+            continue
+        mvdef = engine.tables.get(mv_name)
+        if mvdef is None:
+            continue
+        blk_view = f"__mvblk_{view}"
+        shaped.createOrReplaceTempView(blk_view)
+        saved_view = engine.table_views.get(name)
+        engine.table_views[name] = blk_view
+        try:
+            blk_res = engine.spark.sql(engine.translate(mv_sql))
+        finally:
+            if saved_view is not None:
+                engine.table_views[name] = saved_view
+            else:
+                engine.table_views.pop(name, None)
+        base_df = mvdef.raw
+        mvdef.raw = (
+            base_df.unionByName(blk_res, allowMissingColumns=True)
+            if base_df is not None
+            else blk_res
+        ).localCheckpoint(eager=True)
+        mvdef.raw.createOrReplaceTempView(
+            engine.table_views.get(mv_name, _view_of(mv_name))
+        )
 
 
 def _expr_deps(fill: str, names: set[str]) -> set[str]:

@@ -69,6 +69,10 @@ class TableMeta:
     version_col: str | None = None
     sign_col: str | None = None
     sample_key: str | None = None
+    # sampling key declared in the ENGINE args: SAMPLE cuts the key's
+    # RAW type range proportionally (MergeTreeDataSelectExecutor);
+    # False = the registry's Knuth-hash emulation for external tables
+    sample_raw: bool = False
     engine: str = "MergeTree"
     # classic MergeTree first argument: the partition date column
     # (month partitioning, MergeTreeData.h) — system.parts groups
@@ -1074,7 +1078,25 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         meta = ctx.table_meta.get(table_name or "")
         if meta is None or meta.sample_key is None:
             raise ValueError(f"SAMPLE needs a registered sample_key for table {table_name!r}")
-        where_parts.append(_sample_predicate(sample_toks, meta.sample_key, ctx))
+        width = None
+        if meta.sample_raw and ctx.tabledef_of is not None:
+            td = ctx.tabledef_of(table_name)
+            if td is not None:
+                for c in td.columns:
+                    if c.name == meta.sample_key:
+                        width = {
+                            "UInt8": 256, "UInt16": 65536,
+                            "UInt32": 4294967296,
+                            "UInt64": 18446744073709551616,
+                        }.get((c.ch_type or "").split("(")[0])
+        _prc = int(str(settings.get("parallel_replicas_count", 1) or 1))
+        _pro = int(str(settings.get("parallel_replica_offset", 0) or 0))
+        where_parts.append(
+            _sample_predicate(
+                sample_toks, meta.sample_key, ctx, width,
+                replicas=(_prc, _pro),
+            )
+        )
 
     if group_toks:
         # the reference has NO positional GROUP BY: a bare integer
@@ -1442,6 +1464,25 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
 # ------------------------------------------------------------- FROM / JOIN
 
 
+def _resolve_view_name(name: str, ctx: Ctx) -> str | None:
+    """Registered-table view for a CH table name (USE'd-db and
+    default.-prefix resolution), or None when not a created table."""
+    cand = name
+    if (
+        "." not in cand
+        and ctx.default_db
+        and f"{ctx.default_db}.{cand}" in ctx.table_views
+    ):
+        cand = f"{ctx.default_db}.{cand}"
+    if (
+        cand.startswith("default.")
+        and cand not in ctx.table_views
+        and cand[len("default."):] in ctx.table_views
+    ):
+        cand = cand[len("default."):]
+    return ctx.table_views.get(cand)
+
+
 def _strip_sub_totals(inner: list[Token]) -> tuple[list[Token], bool]:
     """Remove a depth-0 ``WITH TOTALS`` pair (never the WITH-alias
     list, which is not followed by the TOTALS keyword)."""
@@ -1791,6 +1832,11 @@ def _render_join(
         right_name = None
     else:
         right_name = "".join(t.text for t in right_toks)
+        # created tables (incl. keyword-ish names like `join`) resolve
+        # through the registered view map with USE'd-db fallback
+        _rv = _resolve_view_name(right_name, ctx)
+        if _rv is not None:
+            right_name = _rv
         right_sql = right_name
 
     alias = j["alias"] or ctx.gensym("j")
@@ -1888,9 +1934,16 @@ def _render_join(
 # ---------------------------------------------------------------- SAMPLE
 
 
-def _sample_predicate(toks: list[Token], sample_key: str, ctx: Ctx) -> str:
-    """SAMPLE n/d [OFFSET o/d] → Knuth-hash range predicate (mirrors
-    operators.clauses.deterministic_sample exactly)."""
+def _sample_predicate(
+    toks: list[Token], sample_key: str, ctx: Ctx, width: int | None = None,
+    replicas: tuple[int, int] = (1, 0),
+) -> str:
+    """SAMPLE n/d [OFFSET o/d].  With a declared sampling column
+    (``width`` = its type's value count) the reference cuts the RAW
+    key range proportionally (MergeTreeDataSelectExecutor relative
+    sampling: key in [floor(off*W), floor((off+frac)*W))); otherwise
+    the Knuth-hash emulation (operators.clauses.deterministic_sample)
+    applies."""
     txt = [t.text for t in toks]
     off = 0.0
     if "OFFSET" in [t.text.upper() for t in toks]:
@@ -1898,6 +1951,22 @@ def _sample_predicate(toks: list[Token], sample_key: str, ctx: Ctx) -> str:
         off = _frac(txt[k + 1 :])
         txt = txt[:k]
     frac = _frac(txt)
+    if width is not None:
+        lo = int(off * width)
+        hi = min(int((off + frac) * width), width)
+        n, k = replicas
+        if n > 1:
+            # parallel replicas subdivide the sampled range
+            # (parallel_replica_offset picks the k-th slice)
+            span = hi - lo
+            lo, hi = (
+                lo + int(span * k / n),
+                lo + (int(span * (k + 1) / n) if k + 1 < n else span),
+            )
+        return (
+            f"(CAST({sample_key} AS DECIMAL(20, 0)) >= {lo} "
+            f"AND CAST({sample_key} AS DECIMAL(20, 0)) < {hi})"
+        )
     lo = int(off * 4294967296)
     hi = int((off + frac) * 4294967296)
     h = f"pmod(CAST({sample_key} AS BIGINT) * 2654435761, 4294967296)"
@@ -2764,10 +2833,28 @@ def _rw_seq(
         prev_in = bool(pieces) and pieces[-1].upper() == "IN"
         piece, i = _rw_item(tokens, i, ctx, in_list=prev_in)
         if prev_in and not piece.lstrip().startswith("("):
-            # scalar IN-rhs: `x IN f(y)` is equality membership in a
-            # 1-element set (CreateSetFromSubquery/Set.cpp accepts a
-            # scalar); Spark's parser demands a parenthesized list
-            piece = f"({piece})"
+            # `x IN table_name` probes a Set/any TABLE (StorageSet /
+            # CreateSetFromSubquery over the table's rows)
+            _in_sl = tokens[start:i]
+            _tname = None
+            if len(_in_sl) == 1 and _in_sl[0].kind in ("ident", "qident"):
+                _tname = _in_sl[0].text.strip("`")
+            elif (
+                len(_in_sl) == 3
+                and _in_sl[1].text == "."
+                and _in_sl[0].kind in ("ident", "qident")
+            ):
+                _tname = (
+                    f"{_in_sl[0].text.strip('`')}.{_in_sl[2].text.strip('`')}"
+                )
+            _v = _resolve_view_name(_tname, ctx) if _tname else None
+            if _v is not None:
+                piece = f"(SELECT * FROM {_v})"
+            else:
+                # scalar IN-rhs: `x IN f(y)` is equality membership in
+                # a 1-element set (Set.cpp accepts a scalar); Spark's
+                # parser demands a parenthesized list
+                piece = f"({piece})"
         if (
             prev_in
             and len(pieces) >= 2
