@@ -83,12 +83,15 @@ def dict_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dict_hierarchy",
     """
     SELECT n_nationkey,
-           [n_nationkey, 100 + n_regionkey] AS ancestors,
+           ARRAY_TO_STRING([n_nationkey, 100 + n_regionkey], ',') AS ancestors,
            (n_regionkey = 1) AS in_america
     FROM nation ORDER BY n_nationkey
     """,
     doc="dictGetHierarchy + dictIsIn over a hierarchical dictionary "
-    "(regionTo* family; RegionsHierarchy embedded dicts).",
+    "(regionTo* family; RegionsHierarchy embedded dicts).  The ancestors "
+    "chain is serialized to a CSV string on both sides: the driver's "
+    "pandas canonicalizer cannot sort bare array columns "
+    "(unhashable-list TypeError).",
     tags=("dictionary", "hierarchy"),
 )
 def dict_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,6 +108,9 @@ def dict_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = HierarchyDictionary(nodes, "id", "parent")
     return nation.select(
         "n_nationkey",
-        h.hierarchy_expr(F.col("n_nationkey").cast("int")).alias("ancestors"),
+        F.array_join(
+            h.hierarchy_expr(F.col("n_nationkey").cast("int")).cast("array<string>"),
+            ",",
+        ).alias("ancestors"),
         h.is_in_expr(F.col("n_nationkey").cast("int"), F.lit(101)).alias("in_america"),
     ).orderBy("n_nationkey")

@@ -676,11 +676,15 @@ def hits_q23(spark, sf_dir):
 @_hq(
     "hits_q24_star_prewhere",
     """
-    SELECT * FROM hits WHERE URL LIKE '%page/123%'
+    SELECT * REPLACE (CAST(UserID64 AS VARCHAR) AS UserID64)
+    FROM hits WHERE URL LIKE '%page/123%'
     ORDER BY EventTime, WatchID LIMIT 10
     """,
     "benchmark Q24: SELECT * with PREWHERE LIKE + time order (queries.sql:24; "
-    "PREWHERE folds into the scan filter, WatchID breaks time ties)",
+    "PREWHERE folds into the scan filter, WatchID breaks time ties). "
+    "UserID64 is emitted as VARCHAR on both sides: DuckDB's fetch path "
+    "renders DECIMAL(20,0) as float64 while Spark keeps the exact Decimal "
+    "— equal values, unequal serializations (the hits_q20 pattern).",
 )
 def hits_q24(spark, sf_dir):
     return (
@@ -688,6 +692,7 @@ def hits_q24(spark, sf_dir):
         .filter(F.col("URL").like("%page/123%"))
         .orderBy("EventTime", "WatchID")
         .limit(10)
+        .withColumn("UserID64", F.col("UserID64").cast("string"))
     )
 
 

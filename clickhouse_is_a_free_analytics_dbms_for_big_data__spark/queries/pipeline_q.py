@@ -176,18 +176,45 @@ def pl_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pl_fingerprint_rolling",
-    None,  # fingerprint values are xxhash64-derived — engine-specific
-    # by construction (SURVEY §7: exact-hash goldens impossible);
-    # edit-robustness and dup-collapse asserted in tests/test_pipeline.py
+    # raw fingerprint values are xxhash64-derived (engine-specific by
+    # construction, SURVEY §7), so the oracle checks the INVARIANT the
+    # fingerprint is designed around instead: whitespace normalization.
+    # Tokenization is split-on-\s+ with empty-token filter, so any
+    # whitespace perturbation (runs of spaces/tabs, leading/trailing
+    # padding) must leave the fingerprint bit-identical — a claim both
+    # engines can state as plain row counts.
+    """
+    SELECT COUNT(*) AS docs,
+           COUNT(*) AS ws_equal,
+           COUNT(*) AS affix_equal
+    FROM documents
+    """,
     doc="Winnowing-style rolling document fingerprint (min xxhash64 over "
-    "8-token windows); documented no-oracle: raw hash output.",
+    "8-token windows).  Invariant oracle: the fingerprint of every doc "
+    "equals the fingerprint of its whitespace-perturbed twin (interior "
+    "runs, and leading/trailing padding) — ws_equal == affix_equal == "
+    "docs.  Raw-value edit-robustness and dup-collapse asserted in "
+    "tests/test_pipeline.py.",
     tags=("pipeline", "text"),
 )
 def pl_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", TXT.rolling_fingerprint(F.col("text")).alias("fingerprint")
-    ).orderBy("doc_id")
+    fp = docs.select(
+        TXT.rolling_fingerprint(F.col("text")).alias("fp"),
+        TXT.rolling_fingerprint(
+            F.regexp_replace(F.col("text"), " ", " \t ")
+        ).alias("fp_ws"),
+        TXT.rolling_fingerprint(
+            F.concat(F.lit("  \n"), F.col("text"), F.lit("\t  "))
+        ).alias("fp_affix"),
+    )
+    return fp.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.col("fp").eqNullSafe(F.col("fp_ws")).cast("long")).alias("ws_equal"),
+        F.sum(F.col("fp").eqNullSafe(F.col("fp_affix")).cast("long")).alias(
+            "affix_equal"
+        ),
+    )
 
 
 # exact brute-force 5-shingle-Jaccard pairs, computed relationally —
@@ -239,22 +266,83 @@ def pl_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pl_simhash_dedup",
-    None,  # hamming distances over xxhash64 sign-votes are engine-
-    # specific (SURVEY §7: exact-hash goldens impossible, like the
-    # reference's cityHash64); recall/precision asserted on planted
-    # dups and the mass-dup skew corpus in tests/test_pipeline.py
-    doc="SimHash near-dup pairs (63-bit sign hash, 16-bit chunk "
-    "blocking, hamming verify). Documented no-oracle: outputs are "
-    "functions of the engine hash.",
+    # raw hamming distances over xxhash64 sign-votes are engine-specific
+    # (SURVEY §7), so the oracle checks recall AND precision through an
+    # engine-independent invariant instead: 60 whitespace-perturbed
+    # copies are planted (tokenization makes them simhash-identical →
+    # hamming 0 → guaranteed chunk-block candidate → guaranteed recall),
+    # candidates are verified with exact 5-shingle Jaccard (precision
+    # 1.0 by construction), and the oracle is exact brute force over the
+    # same augmented corpus.  Base docs at doc_id < 60 are pairwise
+    # shingle-disjoint (jaccard 0.0, verified at sf0.01/sf0.1), so both
+    # sides must produce exactly the 60 planted pairs.
+    """
+    WITH aug AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 60
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               REGEXP_REPLACE(text, ' ', '   ', 'g') AS text
+        FROM documents WHERE doc_id < 60
+    ), toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(lower(text), '\\s+'),
+                         t -> LEN(t) > 0) AS tk
+      FROM aug
+    ), sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(
+                 RANGE(1, GREATEST(LEN(tk) - 4, 1) + 1),
+                 i -> ARRAY_TO_STRING(tk[i:i+4], ' '))) AS s
+      FROM toks
+    )
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           ROUND(LEN(LIST_INTERSECT(l.s, r.s)) * 1.0 /
+                 GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(l.s, r.s))), 1), 6)
+               AS jaccard
+    FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+    WHERE LEN(LIST_INTERSECT(l.s, r.s)) * 1.0 /
+          GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(l.s, r.s))), 1) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    doc="SimHash near-dup pairs (63-bit sign hash, 8-bit chunk "
+    "blocking, hamming verify) over a corpus with planted whitespace-"
+    "perturbed duplicates, then exact shingle-Jaccard verification. "
+    "Oracle: relational brute-force shingle-Jaccard >= 0.8 over the "
+    "same augmented corpus — the simhash plan must recover the exact "
+    "planted pair set (full recall, zero false positives).",
     tags=("pipeline", "dedup"),
 )
 @_plan_cache
 def pl_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 60).select("doc_id", "text")
+    copies = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), " ", "   ").alias("text"),
+    )
+    aug = base.unionByName(copies)
     # max_hamming=3: the synthetic corpus shares one small vocabulary,
     # so loose thresholds match everything; 3 keeps only true near-dups
-    (docs,) = _t(spark, sf_dir, "documents")
-    return D.simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
-        "id_a", "id_b"
+    cand = D.simhash_dedup_pairs(aug, "doc_id", "text", max_hamming=3)
+    # exact shingle-Jaccard verify (the minhash verify kernel): makes
+    # the emitted pair set engine-independent, hence oracle-checkable
+    sh = aug.select(
+        F.col("doc_id").alias("tid"),
+        F.array_distinct(TXT.shingles(F.col("text"))).alias("s"),
+    )
+    return (
+        cand.join(
+            sh.withColumnRenamed("tid", "id_a").withColumnRenamed("s", "s_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("tid", "id_b").withColumnRenamed("s", "s_b"),
+            "id_b",
+        )
+        .withColumn("jaccard", F.round(D.jaccard(F.col("s_a"), F.col("s_b")), 6))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
     )
 
 

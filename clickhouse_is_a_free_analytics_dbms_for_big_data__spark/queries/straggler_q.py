@@ -140,15 +140,19 @@ def fn_reinterpret_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT l_returnflag,
-           [CAST(SUM(arr[1]) AS DOUBLE), CAST(SUM(arr[2]) AS DOUBLE),
-            CAST(SUM(arr[3]) AS DOUBLE)] AS sums
+           ARRAY_TO_STRING(LIST_TRANSFORM(
+               [CAST(COALESCE(SUM(arr[1]), 0) AS BIGINT),
+                CAST(COALESCE(SUM(arr[2]), 0) AS BIGINT),
+                CAST(COALESCE(SUM(arr[3]), 0) AS BIGINT)],
+               x -> CAST(x AS VARCHAR)), ',') AS sums
     FROM a GROUP BY 1 ORDER BY 1
     """,
     doc="sumForEach — the -ForEach combinator "
     "(AggregateFunctions/AggregateFunctionForEach.h, factory "
     "AggregateFunctionFactory.cpp:51-55): per-index aggregation across "
-    "variable-length arrays; oracle computes per-index sums with "
-    "NULL-skip on short arrays.",
+    "variable-length arrays; missing indexes sum as 0 (the combinator's "
+    "zero-fill semantics).  Output serialized to a CSV string: the "
+    "driver's pandas canonicalizer cannot sort bare array columns.",
     tags=("functions", "aggregate", "combinator"),
 )
 def fn_sum_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,7 +171,14 @@ def fn_sum_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.select("l_returnflag", arr.alias("arr"))
         .groupBy("l_returnflag")
-        .agg(sumForEach(F.col("arr")).alias("sums"))
+        .agg(sumForEach(F.col("arr")).alias("sums_raw"))
+        .select(
+            "l_returnflag",
+            F.array_join(
+                F.expr("transform(sums_raw, x -> cast(cast(x as bigint) as string))"),
+                ",",
+            ).alias("sums"),
+        )
         .orderBy("l_returnflag")
     )
 
