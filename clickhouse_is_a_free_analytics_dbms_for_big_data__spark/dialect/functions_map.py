@@ -570,8 +570,11 @@ def _sql_erf(x: str) -> str:
 
 
 def _sql_ieee_log(fn: str, x: str) -> str:
+    # NULL input must stay NULL (Nullable propagation), not fall
+    # through the CASE arms to the ELSE-NaN negative branch
     return (
-        f"(CASE WHEN ({x}) > 0 THEN {fn}({x}) "
+        f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS DOUBLE) "
+        f"WHEN ({x}) > 0 THEN {fn}({x}) "
         f"WHEN ({x}) = 0 THEN CAST('-Infinity' AS DOUBLE) "
         f"ELSE CAST('NaN' AS DOUBLE) END)"
     )
@@ -1097,9 +1100,15 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
         f"(CASE WHEN count({a[0]}) < 2 THEN CAST('Infinity' AS DOUBLE) "
         f"ELSE corr({a[0]}, {a[1]}) END)"
     ),
-    "visibleWidth": lambda a: (
-        f"length(translate(replace(CAST({a[0]} AS STRING), ', ', ','), "
-        f"'{{}}', '()'))"
+    # the ", " -> "," squeeze normalizes Spark's composite rendering
+    # ([1, 2] -> [1,2]) and must NOT touch plain strings ('a, b' is 4
+    # wide); typeof() gates it to array/struct/map values only
+    "visibleWidth": lambda a: _sql_let(
+        f"CAST({a[0]} AS STRING)",
+        "__vw",
+        f"(CASE WHEN typeof({a[0]}) RLIKE '^(array|struct|map)' "
+        f"THEN length(translate(replace(__vw, ', ', ','), '{{}}', '()')) "
+        f"ELSE length(__vw) END)",
     ),
     # little-endian integer bytes up to the first NUL — SQL twin of
     # functions/reinterpret.py:reinterpretAsString (FunctionsReinterpret.cpp)

@@ -1128,13 +1128,21 @@ def _create(engine, tokens: list[Token]) -> None:
         if materialized:
             # remember the SELECT and its base tables so INSERTs into
             # a base run the query over the inserted BLOCK and append
-            # (MV insert-time fan-out)
+            # (MV insert-time fan-out).  Base tables are the identifiers
+            # referenced after FROM/JOIN — a raw substring test would
+            # make an INSERT into any short-named table re-run every MV
+            # whose SELECT text merely contains that name.
+            import re as _re
+
+            refs = {
+                r.split(".")[-1]
+                for r in _re.findall(
+                    r"\b(?:FROM|JOIN)\s+`?([A-Za-z_][\w.]*)`?", sel_sql, _re.I
+                )
+            }
             bases = {
                 k for k in engine.tables
-                if k != name and (
-                    k in sel_sql
-                    or k.split(".")[-1] in sel_sql.split()
-                )
+                if k != name and k.split(".")[-1] in refs
             }
             if not hasattr(engine, "mv_defs"):
                 engine.mv_defs = {}

@@ -21,6 +21,7 @@ Parquet fill that role on Spark by construction.
 from __future__ import annotations
 
 import json
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -750,7 +751,8 @@ def _ch_float(v: float) -> str:
         return "inf"
     if v == float("-inf"):
         return "-inf"
-    neg = v < 0
+    # copysign catches -0.0, which compares equal to 0 but prints "-0"
+    neg = math.copysign(1.0, v) < 0
     s = repr(abs(v))
     if "e" in s:
         mant, _, e = s.partition("e")

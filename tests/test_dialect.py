@@ -724,3 +724,91 @@ def test_system_parts_tracks_inserts_and_optimize(eng):
         }
     finally:
         eng.execute("DROP TABLE parts_t")
+
+
+# ------------------------------------------------- round-7 advice fixes
+
+
+def test_mv_base_match_word_boundary(eng):
+    """MV base-table detection tokenizes FROM/JOIN references; an INSERT
+    into an unrelated table whose name is a SUBSTRING of the MV's SELECT
+    text must not re-run the MV (old bug: `k in sel_sql` matched table
+    'word' against 'SELECT x FROM wordbase' and appended dup rows)."""
+    eng.execute("DROP TABLE IF EXISTS wordbase")
+    eng.execute("DROP TABLE IF EXISTS word")
+    eng.execute("DROP TABLE IF EXISTS mv_wb")
+    eng.execute("CREATE TABLE wordbase (x UInt32) ENGINE = Memory")
+    eng.execute("CREATE TABLE word (x UInt32) ENGINE = Memory")
+    eng.execute("INSERT INTO wordbase VALUES (1)")
+    eng.execute(
+        "CREATE MATERIALIZED VIEW mv_wb POPULATE AS SELECT x FROM wordbase"
+    )
+    try:
+        assert eng.execute("SELECT count() FROM mv_wb").collect()[0][0] == 1
+        # unrelated insert: substring-matched before, must be a no-op now
+        eng.execute("INSERT INTO word VALUES (7)")
+        assert eng.execute("SELECT count() FROM mv_wb").collect()[0][0] == 1
+        # real base insert still fans out the inserted block
+        eng.execute("INSERT INTO wordbase VALUES (2)")
+        assert eng.execute("SELECT count() FROM mv_wb").collect()[0][0] == 2
+    finally:
+        eng.execute("DROP TABLE mv_wb")
+        eng.execute("DROP TABLE word")
+        eng.execute("DROP TABLE wordbase")
+
+
+def test_ieee_log_null_propagates(eng):
+    """NULL into log/ln/log2/log10 stays NULL (Nullable propagation),
+    not the ELSE-NaN negative-domain branch."""
+    row = eng.execute(
+        "SELECT log(CAST(NULL AS Nullable(Float64))), "
+        "log2(CAST(NULL AS Nullable(Float64))), "
+        "log(-1.0), log(0.0)"
+    ).collect()[0]
+    assert row[0] is None and row[1] is None
+    assert row[2] != row[2]  # NaN
+    assert row[3] == float("-inf")
+
+
+def test_visible_width_plain_string(eng):
+    """visibleWidth of a plain string is its length — the ', ' -> ','
+    composite-rendering squeeze must only apply to arrays/structs."""
+    row = eng.execute(
+        "SELECT visibleWidth('a, b'), visibleWidth([1, 2, 3])"
+    ).collect()[0]
+    assert row[0] == 4  # was 3: the squeeze ate the space
+    assert row[1] == 7  # [1,2,3]
+
+
+def test_float_text_negative_zero():
+    """writeFloatText prints -0.0 as '-0' (sign bit, not comparison —
+    -0.0 == 0 is true so `v < 0` missed it)."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+        _ch_float,
+    )
+
+    assert _ch_float(-0.0) == "-0"
+    assert _ch_float(0.0) == "0"
+    assert _ch_float(-0.5) == "-0.5"
+
+
+def test_reservoir_order_independent_beyond_limit():
+    """ReservoirSamplerDeterministic beyond 8192 values: the retained
+    set is {i : tz(hash_i) >= k} for the smallest adequate k — a pure
+    function of the determinator hashes, independent of arrival order
+    (thinOut re-applies the filter retroactively)."""
+    import numpy as np
+
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.dialect.reservoir import (
+        SAMPLE_COUNT,
+        deterministic_samples,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 10**6, 20000).astype(np.float64)
+    dets = np.arange(20000).astype(np.uint64)
+    s1 = deterministic_samples(vals, dets)
+    perm = rng.permutation(20000)
+    s2 = deterministic_samples(vals[perm], dets[perm])
+    assert len(s1) <= SAMPLE_COUNT
+    assert sorted(s1.tolist()) == sorted(s2.tolist())
