@@ -77,6 +77,10 @@ class ChEngine:
         from .reservoir import register as register_reservoir
 
         register_reservoir(spark)
+        # convertCharset (ICU charsets incl. BOCU-1/SCSU) — Arrow UDF
+        from ..functions.charset import register as register_charset
+
+        register_charset(spark)
 
     # -------------------------------------------------------- catalog
 

@@ -1121,6 +1121,11 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
         "ELSE CAST(array_position(__b, 0) AS INT) - 1 END)), "
         "__c -> char(__c)), '')",
     ),
+    # FunctionsCharset.cpp convertCharset — Arrow UDF over the
+    # pure-Python codec layer (functions/charset.py; ICU-parity incl.
+    # BOCU-1/SCSU encoders); returns BINARY (the bytes may not be
+    # valid UTF-8 — hex()/display handle both)
+    "convertCharset": lambda a: f"ch_convert_charset({a[0]}, {a[1]}, {a[2]})",
     "match": lambda a: f"({a[0]} RLIKE {a[1]})",
     "like": lambda a: f"({a[0]} LIKE {a[1]})",
     "notLike": lambda a: f"({a[0]} NOT LIKE {a[1]})",

@@ -202,16 +202,22 @@ _CHARSETS = {"utf-8", "utf8", "us-ascii", "ascii", "iso-8859-1", "latin1",
 def convertCharset(x, from_charset: str, to_charset: str) -> Column:
     """convertCharset(s, from, to) (Functions/FunctionsCharset.cpp,
     ICU-backed in the reference): reinterpret the byte string from one
-    charset and re-encode into another.  Spark strings are UTF-8, so
-    the byte round trip is decode(from) -> encode(to); only the JVM
-    built-in charsets are supported (the reference supports every ICU
-    charset — out of scope here, raise instead of silently differing)."""
+    charset and re-encode into another.  JVM charsets go through
+    encode/decode (codegen, zero Python); ICU-only charsets (cp1251,
+    koi8-r, utf-7, bocu-1, scsu) route to the Arrow-batched UDF from
+    functions/charset.py — call charset.register(spark) first (the
+    dialect engine does this on construction)."""
     f, t = from_charset.lower(), to_charset.lower()
-    if f not in _CHARSETS or t not in _CHARSETS:
+    if f in _CHARSETS and t in _CHARSETS:
+        norm = {"utf8": "UTF-8", "ascii": "US-ASCII", "latin1": "ISO-8859-1"}
+        f_cs = norm.get(f, f.upper())
+        t_cs = norm.get(t, t.upper())
+        return F.encode(F.decode(col_of(x).cast("binary"), f_cs), t_cs)
+    from .charset import _ENCODE_ONLY, _PY_NAME
+
+    known = set(_PY_NAME) | set(_ENCODE_ONLY)
+    if f not in known or (t not in known):
         raise ValueError(
-            f"convertCharset supports {sorted(_CHARSETS)}; got {from_charset!r} -> {to_charset!r}"
+            f"convertCharset: unsupported {from_charset!r} -> {to_charset!r}"
         )
-    norm = {"utf8": "UTF-8", "ascii": "US-ASCII", "latin1": "ISO-8859-1"}
-    f_cs = norm.get(f, f.upper())
-    t_cs = norm.get(t, t.upper())
-    return F.encode(F.decode(col_of(x).cast("binary"), f_cs), t_cs)
+    return F.call_udf("ch_convert_charset", col_of(x), F.lit(f), F.lit(t))

@@ -735,6 +735,11 @@ def _cell(v) -> str:
         return _ch_composite(tuple(v), parens=True)
     if isinstance(v, (list, tuple)):
         return _ch_composite(v)
+    # BINARY values (e.g. convertCharset output): render the bytes as
+    # text — valid UTF-8 passes through, anything else is lossy anyway
+    # in a text format
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("utf-8", errors="replace")
     return str(v)
 
 
