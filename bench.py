@@ -61,6 +61,20 @@ HEADLINE = [
 ]
 
 
+def _sentinel() -> float:
+    """Fixed CPU busy-loop, timed: a machine-load canary.  Run before
+    and after the suite; if either reading is far off its quiet-machine
+    value (~0.3-0.5 s here), the query timings of that run carry
+    environmental noise and cross-round comparisons should discount
+    them.  (Round 5 vs 6 spent a full round attributing a +33% swing
+    that a sentinel would have flagged immediately.)"""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc = (acc + i * 2654435761) & 0xFFFFFFFF
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -69,17 +83,26 @@ def main() -> None:
     qmap = queries_map()
     names = [n for n in HEADLINE if n in qmap]
 
-    # Baseline methodology (reference benchmark-new.sh): run 1 cold
-    # (JVM/codegen warmup), runs 2-3 warm; report the best warm run.
+    sentinel_before = _sentinel()
+
+    # Methodology: 1 cold run (JVM/codegen warmup, discarded), then
+    # WARM_RUNS warm runs; report the MEDIAN warm run per query —
+    # robust to one-off scheduler hiccups, unlike best-of-2.
+    warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name in names:
         qmap[name](spark, sf_dir).count()  # cold: codegen + class load
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(warm_runs):
             t0 = time.perf_counter()
             qmap[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        mid = len(runs) // 2
+        med = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
+        timings[name] = round(med, 4)
+
+    sentinel_after = _sentinel()
 
     total = round(sum(timings.values()), 4)
     print(
@@ -90,6 +113,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "warm_runs": warm_runs,
+                "aggregation": "median",
+                "sentinel_before_sec": sentinel_before,
+                "sentinel_after_sec": sentinel_after,
             }
         )
     )
