@@ -306,3 +306,518 @@ def url_hash(s: bytes, level: int | None = None) -> int:
     if s and s[-1:] in (b"/", b"?", b"#"):
         s = s[:-1]
     return city_hash_64(s)
+
+
+# ---------------------------------------------------------------- FarmHash
+# farmHash64 = farmhash::Hash64 (contrib/libfarmhash/farmhash.cc, Google,
+# MIT) as built by the reference with -msse4.2 (cmake/test_cpu.cmake):
+# the farmhashte dispatch — farmhashxo for len < 512, the SIMD
+# Hash64Long for len >= 512.  Re-derived in Python from the published
+# algorithm; SSE lanes emulated on 16-byte values.  FarmHash's
+# k0/k1/k2 equal CityHash's K0/K1/K2 above.
+
+
+def _fh_len16(u: int, v: int, mul: int) -> int:
+    """farmhashna::HashLen16(u, v, mul)."""
+    a = ((u ^ v) * mul) & M64
+    a ^= a >> 47
+    b = ((v ^ a) * mul) & M64
+    b ^= b >> 47
+    return (b * mul) & M64
+
+
+def _fh_len_0_to_16(s: bytes) -> int:
+    n = len(s)
+    if n >= 8:
+        mul = (K2 + n * 2) & M64
+        a = (_fetch64(s) + K2) & M64
+        b = _fetch64(s, n - 8)
+        c = (_rot(b, 37) * mul + a) & M64
+        d = ((_rot(a, 25) + b) * mul) & M64
+        return _fh_len16(c, d, mul)
+    if n >= 4:
+        mul = (K2 + n * 2) & M64
+        a = _fetch32(s)
+        return _fh_len16((n + (a << 3)) & M64, _fetch32(s, n - 4), mul)
+    if n > 0:
+        a, b, c = s[0], s[n >> 1], s[n - 1]
+        y = (a + (b << 8)) & 0xFFFFFFFF
+        z = (n + (c << 2)) & 0xFFFFFFFF
+        return (_shift_mix((y * K2 ^ z * K0) & M64) * K2) & M64
+    return K2
+
+
+def _fh_len_17_to_32(s: bytes) -> int:
+    n = len(s)
+    mul = (K2 + n * 2) & M64
+    a = (_fetch64(s) * K1) & M64
+    b = _fetch64(s, 8)
+    c = (_fetch64(s, n - 8) * mul) & M64
+    d = (_fetch64(s, n - 16) * K2) & M64
+    return _fh_len16(
+        (_rot((a + b) & M64, 43) + _rot(c, 30) + d) & M64,
+        (a + _rot((b + K2) & M64, 18) + c) & M64,
+        mul,
+    )
+
+
+def _fh_na_hash64(s: bytes) -> int:
+    """farmhashna::Hash64 (used by xo for 97..256 bytes)."""
+    n = len(s)
+    if n <= 16:
+        return _fh_len_0_to_16(s)
+    if n <= 32:
+        return _fh_len_17_to_32(s)
+    if n <= 64:
+        # farmhashna::HashLen33to64 (not reachable through the xo
+        # dispatch, kept for completeness)
+        mul = (K2 + n * 2) & M64
+        a = (_fetch64(s) * K2) & M64
+        b = _fetch64(s, 8)
+        c = (_fetch64(s, n - 8) * mul) & M64
+        d = (_fetch64(s, n - 16) * K2) & M64
+        y = (_rot((a + b) & M64, 43) + _rot(c, 30) + d) & M64
+        z = _fh_len16(y, (a + _rot((b + K2) & M64, 18) + c) & M64, mul)
+        e = (_fetch64(s, 16) * mul) & M64
+        f = _fetch64(s, 24)
+        g = ((y + _fetch64(s, n - 32)) * mul) & M64
+        h = ((z + _fetch64(s, n - 24)) * mul) & M64
+        return _fh_len16(
+            (_rot((e + f) & M64, 43) + _rot(g, 30) + h) & M64,
+            (e + _rot((f + a) & M64, 18) + g) & M64,
+            mul,
+        )
+    seed = 81
+    x = seed
+    y = (seed * K1 + 113) & M64
+    z = (_shift_mix((y * K2 + 113) & M64) * K2) & M64
+    v = (0, 0)
+    w = (0, 0)
+    x = (x * K2 + _fetch64(s)) & M64
+    end = ((n - 1) // 64) * 64
+    last64 = end + ((n - 1) & 63) - 63
+    i = 0
+    while i != end:
+        x = (_rot((x + y + v[0] + _fetch64(s, i + 8)) & M64, 37) * K1) & M64
+        y = (_rot((y + v[1] + _fetch64(s, i + 48)) & M64, 42) * K1) & M64
+        x ^= w[1]
+        y = (y + v[0] + _fetch64(s, i + 40)) & M64
+        z = (_rot((z + w[0]) & M64, 33) * K1) & M64
+        v = _weak32(s, i, (v[1] * K1) & M64, (x + w[0]) & M64)
+        w = _weak32(s, i + 32, (z + w[1]) & M64, (y + _fetch64(s, i + 16)) & M64)
+        z, x = x, z
+        i += 64
+    mul = (K1 + ((z & 0xFF) << 1)) & M64
+    i = last64
+    w = ((w[0] + ((n - 1) & 63)) & M64, w[1])
+    v = ((v[0] + w[0]) & M64, v[1])
+    w = ((w[0] + v[0]) & M64, w[1])
+    x = (_rot((x + y + v[0] + _fetch64(s, i + 8)) & M64, 37) * mul) & M64
+    y = (_rot((y + v[1] + _fetch64(s, i + 48)) & M64, 42) * mul) & M64
+    x ^= (w[1] * 9) & M64
+    y = (y + v[0] * 9 + _fetch64(s, i + 40)) & M64
+    z = (_rot((z + w[0]) & M64, 33) * mul) & M64
+    v = _weak32(s, i, (v[1] * mul) & M64, (x + w[0]) & M64)
+    w = _weak32(s, i + 32, (z + w[1]) & M64, (y + _fetch64(s, i + 16)) & M64)
+    z, x = x, z
+    return _fh_len16(
+        (_fh_len16(v[0], w[0], mul) + _shift_mix(y) * K0 + z) & M64,
+        (_fh_len16(v[1], w[1], mul) + x) & M64,
+        mul,
+    )
+
+
+def _fh_uo_h(x: int, y: int, mul: int, r: int) -> int:
+    a = ((x ^ y) * mul) & M64
+    a ^= a >> 47
+    b = ((y ^ a) * mul) & M64
+    return (_rot(b, r) * mul) & M64
+
+
+def _fh_uo_hash64_with_seeds(s: bytes, seed0: int, seed1: int) -> int:
+    """farmhashuo::Hash64WithSeeds (xo's path for 257..511 bytes)."""
+    n = len(s)
+    if n <= 64:
+        # farmhashna::Hash64WithSeeds = HashLen16(Hash64(s) - seed0, seed1)
+        return hash128to64((_fh_na_hash64(s) - seed0) & M64, seed1)
+    x = seed0
+    y = (seed1 * K2 + 113) & M64
+    z = (_shift_mix((y * K2) & M64) * K2) & M64
+    v = [seed0, seed1]
+    w = [0, 0]
+    u = (x - z) & M64
+    x = (x * K2) & M64
+    mul = (K2 + (u & 0x82)) & M64
+    end = ((n - 1) // 64) * 64
+    last64 = end + ((n - 1) & 63) - 63
+    i = 0
+    while i != end:
+        a0 = _fetch64(s, i)
+        a1 = _fetch64(s, i + 8)
+        a2 = _fetch64(s, i + 16)
+        a3 = _fetch64(s, i + 24)
+        a4 = _fetch64(s, i + 32)
+        a5 = _fetch64(s, i + 40)
+        a6 = _fetch64(s, i + 48)
+        a7 = _fetch64(s, i + 56)
+        x = (x + a0 + a1) & M64
+        y = (y + a2) & M64
+        z = (z + a3) & M64
+        v[0] = (v[0] + a4) & M64
+        v[1] = (v[1] + a5 + a1) & M64
+        w[0] = (w[0] + a6) & M64
+        w[1] = (w[1] + a7) & M64
+
+        x = _rot(x, 26)
+        x = (x * 9) & M64
+        y = _rot(y, 29)
+        z = (z * mul) & M64
+        v[0] = _rot(v[0], 33)
+        v[1] = _rot(v[1], 30)
+        w[0] ^= x
+        w[0] = (w[0] * 9) & M64
+        z = _rot(z, 32)
+        z = (z + w[1]) & M64
+        w[1] = (w[1] + z) & M64
+        z = (z * 9) & M64
+        u, y = y, u
+
+        z = (z + a0 + a6) & M64
+        v[0] = (v[0] + a2) & M64
+        v[1] = (v[1] + a3) & M64
+        w[0] = (w[0] + a4) & M64
+        w[1] = (w[1] + a5 + a6) & M64
+        x = (x + a1) & M64
+        y = (y + a7) & M64
+
+        y = (y + v[0]) & M64
+        v[0] = (v[0] + x - y) & M64
+        v[1] = (v[1] + w[0]) & M64
+        w[0] = (w[0] + v[1]) & M64
+        w[1] = (w[1] + x - y) & M64
+        x = (x + w[1]) & M64
+        w[1] = _rot(w[1], 34)
+        u, z = z, u
+        i += 64
+    i = last64
+    u = (u * 9) & M64
+    v[1] = _rot(v[1], 28)
+    v[0] = _rot(v[0], 20)
+    w[0] = (w[0] + ((n - 1) & 63)) & M64
+    u = (u + y) & M64
+    y = (y + u) & M64
+    x = (_rot((y - x + v[0] + _fetch64(s, i + 8)) & M64, 37) * mul) & M64
+    y = (_rot((y ^ v[1] ^ _fetch64(s, i + 48)) & M64, 42) * mul) & M64
+    x ^= (w[1] * 9) & M64
+    y = (y + v[0] + _fetch64(s, i + 40)) & M64
+    z = (_rot((z + w[0]) & M64, 33) * mul) & M64
+    vv = _weak32(s, i, (v[1] * mul) & M64, (x + w[0]) & M64)
+    ww = _weak32(s, i + 32, (z + w[1]) & M64, (y + _fetch64(s, i + 16)) & M64)
+    return _fh_uo_h(
+        (_fh_len16((vv[0] + x) & M64, (ww[0] ^ y) & M64, mul) + z - u) & M64,
+        _fh_uo_h((vv[1] + y) & M64, (ww[1] + z) & M64, K2, 30) ^ x,
+        K2,
+        31,
+    )
+
+
+def _fh_xo_h32(s: bytes, i: int, mul: int, seed0: int = 0, seed1: int = 0) -> int:
+    """farmhashxo::H32 over s[i:i+32] (always called with len 32)."""
+    a = (_fetch64(s, i) * K1) & M64
+    b = _fetch64(s, i + 8)
+    c = (_fetch64(s, i + 24) * mul) & M64
+    d = (_fetch64(s, i + 16) * K2) & M64
+    u = (_rot((a + b) & M64, 43) + _rot(c, 30) + d + seed0) & M64
+    v = (a + _rot((b + K2) & M64, 18) + c + seed1) & M64
+    a = _shift_mix(((u ^ v) * mul) & M64)
+    b = _shift_mix(((v ^ a) * mul) & M64)
+    return b
+
+
+def _fh_xo_hash64(s: bytes) -> int:
+    """farmhashxo::Hash64 — the < 512-byte farmhash::Hash64 path."""
+    n = len(s)
+    if n <= 16:
+        return _fh_len_0_to_16(s)
+    if n <= 32:
+        return _fh_len_17_to_32(s)
+    if n <= 64:
+        mul0 = (K2 - 30) & M64
+        mul1 = (K2 - 30 + 2 * n) & M64
+        h0 = _fh_xo_h32(s, 0, mul0)
+        h1 = _fh_xo_h32(s, n - 32, mul1)
+        return ((((h1 * mul1) & M64) + h0) * mul1) & M64
+    if n <= 96:
+        mul0 = (K2 - 114) & M64
+        mul1 = (K2 - 114 + 2 * n) & M64
+        h0 = _fh_xo_h32(s, 0, mul0)
+        h1 = _fh_xo_h32(s, 32, mul1)
+        h2 = _fh_xo_h32(s, n - 32, mul1, h0, h1)
+        return ((h2 * 9 + (h0 >> 17) + (h1 >> 21)) * mul1) & M64
+    if n <= 256:
+        return _fh_na_hash64(s)
+    return _fh_uo_hash64_with_seeds(s, 81, 0)
+
+
+# --- farmhashte::Hash64Long SIMD lane emulation (len >= 512) ---
+
+_TE_KSHUF = bytes([1, 3, 7, 0, 13, 14, 2, 12, 9, 6, 15, 8, 5, 10, 11, 4])
+_TE_KMULT = bytes(
+    [0x51, 0x2D, 0x9E, 0xCC, 0xED, 0x33, 0x3E, 0x34,
+     0x03, 0xFA, 0x54, 0x45, 0x39, 0x33, 0xD6, 0xBD]
+)
+
+
+def _v_add(x: bytes, y: bytes) -> bytes:
+    """_mm_add_epi64."""
+    lo = (int.from_bytes(x[:8], "little") + int.from_bytes(y[:8], "little")) & M64
+    hi = (int.from_bytes(x[8:], "little") + int.from_bytes(y[8:], "little")) & M64
+    return lo.to_bytes(8, "little") + hi.to_bytes(8, "little")
+
+
+def _v_xor(x: bytes, y: bytes) -> bytes:
+    return bytes(a ^ b for a, b in zip(x, y))
+
+
+def _v_mul(m: bytes, x: bytes) -> bytes:
+    """_mm_mullo_epi32 — four 32-bit lanes, low halves kept."""
+    out = bytearray(16)
+    for i in range(0, 16, 4):
+        a = int.from_bytes(m[i : i + 4], "little")
+        b = int.from_bytes(x[i : i + 4], "little")
+        out[i : i + 4] = ((a * b) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
+
+
+def _v_shuf(idx: bytes, src: bytes) -> bytes:
+    """Shuf(idx, src) = _mm_shuffle_epi8(src, idx)."""
+    return bytes(0 if (j & 0x80) else src[j & 0x0F] for j in idx)
+
+
+def _v_from_u64(x: int) -> bytes:
+    """_mm_cvtsi64_si128."""
+    return (x & M64).to_bytes(8, "little") + b"\x00" * 8
+
+
+def _v_set1_32(x: int) -> bytes:
+    return ((x & 0xFFFFFFFF).to_bytes(4, "little")) * 4
+
+
+def _fh_te_hash64_long(s: bytes, n: int, seed0: int, seed1: int) -> int:
+    kshuf, kmult = _TE_KSHUF, _TE_KMULT
+    seed2 = ((seed0 + 113) * (seed1 + 9)) & M64
+    seed3 = ((_rot(seed0, 23) + 27) * (_rot(seed1, 30) + 111)) & M64
+    d0 = _v_from_u64(seed0)
+    d1 = _v_from_u64(seed1)
+    d2 = _v_shuf(kshuf, d0)
+    d3 = _v_shuf(kshuf, d1)
+    d4 = _v_xor(d0, d1)
+    d5 = _v_xor(d1, d2)
+    d6 = _v_xor(d2, d4)
+    d7 = _v_set1_32(seed2 >> 32)
+    d8 = _v_mul(kmult, d2)
+    d9 = _v_set1_32(seed3 >> 32)
+    d10 = _v_set1_32(seed3)
+    d11 = _v_add(d2, _v_set1_32(seed2))
+    end = n & ~255
+    i = 0
+    while True:
+        z = s[i : i + 16]
+        d0 = _v_add(d0, z)
+        d1 = _v_shuf(kshuf, d1)
+        d2 = _v_xor(d2, d0)
+        d4 = _v_xor(_v_xor(d4, z), d1)
+        d0, d6 = d6, d0
+        z = s[i + 16 : i + 32]
+        d5 = _v_add(d5, z)
+        d6 = _v_shuf(kshuf, d6)
+        d8 = _v_shuf(kshuf, d8)
+        d7 = _v_xor(d7, d5)
+        d0 = _v_xor(_v_xor(d0, z), d6)
+        d5, d11 = d11, d5
+        z = s[i + 32 : i + 48]
+        d1 = _v_add(d1, z)
+        d2 = _v_shuf(kshuf, d2)
+        d4 = _v_shuf(kshuf, d4)
+        d5 = _v_xor(_v_xor(d5, z), d2)
+        d10, d4 = d4, d10
+        z = s[i + 48 : i + 64]
+        d6 = _v_add(d6, z)
+        d7 = _v_shuf(kshuf, d7)
+        d0 = _v_shuf(kshuf, d0)
+        d8 = _v_xor(d8, d6)
+        d1 = _v_add(_v_xor(d1, z), d7)
+        z = s[i + 64 : i + 80]
+        d2 = _v_add(d2, z)
+        d5 = _v_shuf(kshuf, d5)
+        d4 = _v_add(d4, d2)
+        d6 = _v_xor(_v_xor(d6, z), d11)
+        d8, d2 = d2, d8
+        z = s[i + 80 : i + 96]
+        d7 = _v_xor(d7, z)
+        d8 = _v_shuf(kshuf, d8)
+        d1 = _v_shuf(kshuf, d1)
+        d0 = _v_add(d0, d7)
+        d2 = _v_add(_v_add(d2, z), d8)
+        d1, d7 = d7, d1
+        z = s[i + 96 : i + 112]
+        d4 = _v_shuf(kshuf, d4)
+        d6 = _v_shuf(kshuf, d6)
+        d8 = _v_mul(kmult, d8)
+        d5 = _v_xor(d5, d11)
+        d7 = _v_add(_v_xor(d7, z), d4)
+        d6, d0 = d0, d6
+        z = s[i + 112 : i + 128]
+        d8 = _v_add(d8, z)
+        d0 = _v_shuf(kshuf, d0)
+        d2 = _v_shuf(kshuf, d2)
+        d1 = _v_xor(d1, d8)
+        d10 = _v_xor(_v_xor(d10, z), d0)
+        d11, d5 = d5, d11
+        z = s[i + 128 : i + 144]
+        d4 = _v_add(d4, z)
+        d5 = _v_shuf(kshuf, d5)
+        d7 = _v_shuf(kshuf, d7)
+        d6 = _v_add(d6, d4)
+        d8 = _v_xor(_v_xor(d8, z), d5)
+        d4, d10 = d10, d4
+        z = s[i + 144 : i + 160]
+        d0 = _v_add(d0, z)
+        d1 = _v_shuf(kshuf, d1)
+        d2 = _v_add(d2, d0)
+        d4 = _v_xor(_v_xor(d4, z), d1)
+        z = s[i + 160 : i + 176]
+        d5 = _v_add(d5, z)
+        d6 = _v_shuf(kshuf, d6)
+        d8 = _v_shuf(kshuf, d8)
+        d7 = _v_xor(d7, d5)
+        d0 = _v_xor(_v_xor(d0, z), d6)
+        d2, d8 = d8, d2
+        z = s[i + 176 : i + 192]
+        d1 = _v_add(d1, z)
+        d2 = _v_shuf(kshuf, d2)
+        d4 = _v_shuf(kshuf, d4)
+        d5 = _v_mul(kmult, d5)
+        d5 = _v_xor(_v_xor(d5, z), d2)
+        d7, d1 = d1, d7
+        z = s[i + 192 : i + 208]
+        d6 = _v_add(d6, z)
+        d7 = _v_shuf(kshuf, d7)
+        d0 = _v_shuf(kshuf, d0)
+        d8 = _v_add(d8, d6)
+        d1 = _v_xor(_v_xor(d1, z), d7)
+        d0, d6 = d6, d0
+        z = s[i + 208 : i + 224]
+        d2 = _v_add(d2, z)
+        d5 = _v_shuf(kshuf, d5)
+        d4 = _v_xor(d4, d2)
+        d6 = _v_xor(_v_xor(d6, z), d9)
+        d5, d11 = d11, d5
+        z = s[i + 224 : i + 240]
+        d7 = _v_add(d7, z)
+        d8 = _v_shuf(kshuf, d8)
+        d1 = _v_shuf(kshuf, d1)
+        d0 = _v_xor(d0, d7)
+        d2 = _v_xor(_v_xor(d2, z), d8)
+        d10, d4 = d4, d10
+        z = s[i + 240 : i + 256]
+        d3 = _v_add(d3, z)
+        d4 = _v_shuf(kshuf, d4)
+        d6 = _v_shuf(kshuf, d6)
+        d7 = _v_mul(kmult, d7)
+        d5 = _v_add(d5, d3)
+        d7 = _v_xor(_v_xor(d7, z), d4)
+        d3, d9 = d9, d3
+        i += 256
+        if i == end:
+            break
+    d6 = _v_add(_v_mul(kmult, d6), _v_from_u64(n))
+    if n % 256 != 0:
+        # _mm_shuffle_epi32(d8, 0b00111001) — lanes [1, 2, 3, 0]
+        shuf32 = d8[4:8] + d8[8:12] + d8[12:16] + d8[0:4]
+        d7 = _v_add(shuf32, d7)
+        d8 = _v_add(_v_mul(kmult, d8), _v_from_u64(_fh_xo_hash64(s[end:])))
+
+    def _mix(d: bytes) -> bytes:
+        return _v_mul(kmult, _v_shuf(kshuf, _v_mul(kmult, d)))
+
+    d0 = _mix(d0)
+    d3 = _mix(d3)
+    d9 = _mix(d9)
+    d1 = _mix(d1)
+    d0 = _v_add(d11, d0)
+    d3 = _v_xor(d7, d3)
+    d9 = _v_add(d8, d9)
+    d1 = _v_add(d10, d1)
+    d4 = _v_add(d3, d4)
+    d5 = _v_add(d9, d5)
+    d6 = _v_xor(d1, d6)
+    d2 = _v_add(d0, d2)
+    t = d0 + d3 + d9 + d1 + d4 + d5 + d6 + d2
+    return _fh_xo_hash64(t)
+
+
+def farm_hash_64(s: bytes) -> int:
+    """farmhash::Hash64 as the reference's SSE4.2 build resolves it
+    (farmhashte): xo below 512 bytes, Hash64Long above."""
+    n = len(s)
+    if n >= 512:
+        return _fh_te_hash64_long(s, n, K2, K1)
+    return _fh_xo_hash64(s)
+
+
+# ---------------------------------------------------------------- MetroHash
+# metroHash64 = metrohash64_1 with seed 0
+# (contrib/libmetrohash/src/metrohash64.cpp, J. Andrew Rogers, MIT) —
+# re-derived in Python from the published algorithm.
+
+_MH_K0 = 0xC83A91E1
+_MH_K1 = 0x8648DBDB
+_MH_K2 = 0x7BDEC03B
+_MH_K3 = 0x2F5870A5
+
+
+def metro_hash_64_1(s: bytes, seed: int = 0) -> int:
+    k0, k1, k2, k3 = _MH_K0, _MH_K1, _MH_K2, _MH_K3
+    n = len(s)
+    h = (((seed + k2) * k0) + n) & M64
+    i = 0
+    if n >= 32:
+        v = [h, h, h, h]
+        while i + 32 <= n:
+            v[0] = (_rot((v[0] + _fetch64(s, i) * k0) & M64, 29) + v[2]) & M64
+            v[1] = (_rot((v[1] + _fetch64(s, i + 8) * k1) & M64, 29) + v[3]) & M64
+            v[2] = (_rot((v[2] + _fetch64(s, i + 16) * k2) & M64, 29) + v[0]) & M64
+            v[3] = (_rot((v[3] + _fetch64(s, i + 24) * k3) & M64, 29) + v[1]) & M64
+            i += 32
+        v[2] ^= (_rot((((v[0] + v[3]) * k0) + v[1]) & M64, 33) * k1) & M64
+        v[3] ^= (_rot((((v[1] + v[2]) * k1) + v[0]) & M64, 33) * k0) & M64
+        v[0] ^= (_rot((((v[0] + v[2]) * k0) + v[3]) & M64, 33) * k1) & M64
+        v[1] ^= (_rot((((v[1] + v[3]) * k1) + v[2]) & M64, 33) * k0) & M64
+        h = (h + (v[0] ^ v[1])) & M64
+    if n - i >= 16:
+        v0 = (_rot((h + _fetch64(s, i) * k0) & M64, 33) * k1) & M64
+        v1 = (_rot((h + _fetch64(s, i + 8) * k1) & M64, 33) * k2) & M64
+        i += 16
+        v0 ^= (_rot((v0 * k0) & M64, 35) + v1) & M64
+        v1 ^= (_rot((v1 * k3) & M64, 35) + v0) & M64
+        h = (h + v1) & M64
+    if n - i >= 8:
+        h = (h + _fetch64(s, i) * k3) & M64
+        i += 8
+        h ^= (_rot(h, 33) * k1) & M64
+    if n - i >= 4:
+        h = (h + _fetch32(s, i) * k3) & M64
+        i += 4
+        h ^= (_rot(h, 15) * k1) & M64
+    if n - i >= 2:
+        h = (h + struct.unpack_from("<H", s, i)[0] * k3) & M64
+        i += 2
+        h ^= (_rot(h, 13) * k1) & M64
+    if n - i >= 1:
+        h = (h + s[i] * k3) & M64
+        h ^= (_rot(h, 25) * k1) & M64
+    h ^= _rot(h, 33)
+    h = (h * k0) & M64
+    h ^= _rot(h, 33)
+    return h

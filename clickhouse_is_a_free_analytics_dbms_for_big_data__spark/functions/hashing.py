@@ -56,8 +56,52 @@ def sipHash64(*cols) -> Column:
 
 
 cityHash64 = sipHash64
-farmHash64 = sipHash64
-metroHash64 = sipHash64
+
+
+def _exact_str_hash64(scalar_fn_name: str, doc_ref: str):
+    """Bit-exact single-string-arg hash as an Arrow-batched pandas UDF
+    over the scalar port in exact_hash.py.  Result is the signed-BIGINT
+    bit pattern of the reference's UInt64 (wraparound documented —
+    same convention as intHash64).  Multi-arg / integer-arg combines
+    run on the dialect path (dialect/hash_sql.py), which keeps
+    integers JVM-side."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    def _make():
+        import pandas as pd
+
+        from . import exact_hash as xh
+
+        fn = getattr(xh, scalar_fn_name)
+
+        def _sign(v: int) -> int:
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        @pandas_udf(LongType())
+        def _hash(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda v: None if v is None else _sign(
+                    fn(v if isinstance(v, bytes) else str(v).encode())
+                ),
+                na_action="ignore",
+            )
+
+        return _hash
+
+    def wrapper(s) -> Column:
+        return _make()(col_of(s))
+
+    wrapper.__doc__ = f"Bit-exact port ({doc_ref}); see functions/exact_hash.py."
+    return wrapper
+
+
+farmHash64 = _exact_str_hash64(
+    "farm_hash_64", "farmhash::Hash64, contrib/libfarmhash/farmhash.cc"
+)
+metroHash64 = _exact_str_hash64(
+    "metro_hash_64_1", "metrohash64_1, contrib/libmetrohash/src/metrohash64.cpp"
+)
 
 
 def intHash64(x) -> Column:

@@ -221,5 +221,12 @@ def test_convert_charset(spark):
         ).alias("s2")
     ).first()["s2"]
     assert back == "héllo"
+    # koi8-r routes to the ICU-parity UDF path (functions/charset.py);
+    # ASCII is identity in koi8-r
+    df2 = spark.createDataFrame([("privet",)], "s STRING")
+    koi = df2.select(
+        convertCharset(F.col("s"), "utf-8", "koi8-r").alias("b")
+    ).first()["b"]
+    assert bytes(koi) == b"privet"
     with pytest.raises(ValueError):
-        convertCharset(F.col("s"), "utf-8", "koi8-r")
+        convertCharset(F.col("s"), "utf-8", "no-such-charset")
