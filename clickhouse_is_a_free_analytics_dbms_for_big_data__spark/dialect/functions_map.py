@@ -49,8 +49,6 @@ SIMPLE: dict[str, str] = {
     # math (FunctionsMath.cpp)
     "pow": "power",
     # arrays (FunctionsArray.cpp)
-    "has": "array_contains",
-    "indexOf": "array_position",
     "arrayDistinct": "array_distinct",
     "arraySlice": "slice",
     "arrayConcat": "concat",
@@ -602,24 +600,19 @@ def _sql_lgamma(x: str) -> str:
 def _timing_quantile(
     x: str, levels: list[str], force_array: bool = False
 ) -> str:
-    """quantileTiming exact emulation (AggregateFunctionQuantileTiming.h):
-    values clamp at BIG_THRESHOLD=30000; result = sorted[floor(count *
-    level)] (last element when level >= 1) — NO interpolation.  The
-    large-state 16ms bucketing + intHash32 de-evening noise (:263-264)
-    is not reproduced; small/medium states (the exact ones) match the
-    reference bit-for-bit."""
-    arr = f"array_sort(collect_list(least(CAST({x} AS BIGINT), 30000)))"
-    cnt = f"count({x})"
-
-    def one(p: str) -> str:
-        return (
-            f"element_at({arr}, CAST((CASE WHEN {p} < 1 "
-            f"THEN floor({cnt} * {p}) ELSE {cnt} - 1 END) AS INT) + 1)"
-        )
-
+    """quantileTiming exact emulation (AggregateFunctionQuantileTiming.h)
+    via the ch_timing_quantiles Arrow UDF (dialect/reservoir.py):
+    tiny/medium states (<= 5672 values) are exact sorted elements at
+    floor(count * level); beyond that the reference switches to the
+    Large histogram — exact below 1024, 16ms buckets with the
+    intHash32<0> de-evening offset up to 30000 (golden 00332)."""
+    arr = (
+        f"ch_timing_quantiles(collect_list(CAST({x} AS BIGINT)), "
+        f"array({', '.join(levels)}))"
+    )
     if len(levels) == 1 and not force_array:
-        return one(levels[0])
-    return f"array({', '.join(one(p) for p in levels)})"
+        return f"element_at({arr}, 1)"
+    return arr
 
 
 def _timing_weighted_q(
@@ -792,6 +785,15 @@ def _tz_part(fn: str) -> Callable[[Args], str]:
     return lambda a: f"{fn}({_tz_ts(a)})"
 
 
+def _tz_local_date(body: Callable[[str], str]) -> Callable[[Args], str]:
+    """Date-valued functions (toMonday/toStartOfMonth/...) operate on
+    the LOCAL calendar date of the optional-tz argument (DateLUT keeps
+    one lut per zone)."""
+    return lambda a: body(f"CAST({_tz_ts(a)} AS DATE)")
+
+
+
+
 def _t_to_date(a: Args) -> str:
     """toDate is polymorphic (FunctionsConversion.cpp): strings/dates/
     datetimes cast; integer literals are unix seconds when > 65535,
@@ -840,6 +842,17 @@ def _t_round_scale(fn: str) -> Callable[[Args], str]:
                 # keeps trailing zeros; the reference stays Float64
                 # (writeFloatText shortest form)
                 return f"CAST({fn}({a[0]}, {s}) AS DOUBLE)"
+            if fn == "bround" and 0 < int(s) <= 22:
+                # FloatRoundingComputation<Float64, PositiveScale>
+                # (FunctionsRound.h:450): val*10^s, _mm_round_pd
+                # nearest-even, /10^s — ALL in double arithmetic.
+                # Spark's bround(x, s) does true decimal rounding via
+                # BigDecimal, which lands on a different neighboring
+                # double once x*10^s exceeds 2^53 (e.g.
+                # round(exp(26), 6), golden 00232).  10^s is exactly
+                # representable as a double for s <= 22.
+                p = f"CAST(1e{int(s)} AS DOUBLE)"
+                return f"(bround(CAST({a[0]} AS DOUBLE) * {p}) / {p})"
             return f"{fn}({a[0]}, {s})"
         # the reference truncates a fractional scale to its integer part
         # (FunctionsRound.cpp reads the scale as Int64)
@@ -984,11 +997,11 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "medianTimingWeighted": lambda a: _timing_weighted_q(
         a[0], a[1], ["0.5"]
     ),
-    "medianExact": lambda a: f"percentile({a[0]}, 0.5)",
+    "medianExact": lambda a: _exact_q_nth(a[0], ["0.5"], False),
     "medianExactWeighted": lambda a: _exact_weighted_q(a[0], a[1], ["0.5"]),
     "medianDeterministic": lambda a: f"percentile_approx({a[0]}, 0.5)",
     "quantile": lambda a: f"percentile_approx({a[0]}, 0.5)",
-    "quantileExact": lambda a: f"percentile({a[0]}, 0.5)",
+    "quantileExact": lambda a: _exact_q_nth(a[0], ["0.5"], False),
     "sumMap": _t_sum_map,
     # arithmetic (FunctionsArithmetic.cpp)
     "plus": lambda a: f"(({a[0]}) + ({a[1]}))",
@@ -1075,7 +1088,9 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     # FixedString(N): zero-padded byte string (DataTypeFixedString.h);
     # divergence: rpad truncates instead of erroring when len > N
     "toFixedString": lambda a: f"rpad({a[0]}, {a[1]}, chr(0))",
-    "decodeURLComponent": lambda a: f"url_decode({a[0]})",
+    # NOT Spark's url_decode: the reference keeps malformed %-sequences
+    # verbatim and does not map '+' to space (FunctionsURL.cpp decodeURL)
+    "decodeURLComponent": lambda a: f"ch_url_decode({a[0]})",
     # constant-per-query random (FunctionsRandom.cpp randConstant):
     # a scalar subquery evaluates once
     "randConstant": lambda a: "(SELECT CAST(rand() * 4294967296 AS BIGINT))",
@@ -1211,9 +1226,13 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "toString": lambda a: (
         f"CAST({a[0]} AS STRING)"
         if len(a) == 1
-        # toString(DateTime, tz) renders in that zone (session TZ = UTC)
-        else f"date_format(convert_timezone('UTC', {a[1]}, "
-        f"CAST({a[0]} AS TIMESTAMP)), 'yyyy-MM-dd HH:mm:ss')"
+        # toString(DateTime, tz): writeDateTimeText renders date+hour
+        # from the zone's DateLUT but minute/second from the RAW UTC
+        # value (toMinuteInaccurate = (t/60)%60) — visible for zones
+        # with half-hour offsets (golden 00189 Pitcairn 1970)
+        else f"concat(date_format(convert_timezone('UTC', {a[1]}, "
+        f"CAST({a[0]} AS TIMESTAMP)), 'yyyy-MM-dd HH'), "
+        f"date_format(CAST({a[0]} AS TIMESTAMP), ':mm:ss'))"
     ),
     "toDate": lambda a: _t_to_date(a),
     # 2nd arg is a TIMEZONE (FunctionsDateTime.cpp), not a format —
@@ -1239,22 +1258,39 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "toMonth": _tz_part("month"),
     "toDayOfMonth": _tz_part("day"),
     "toHour": _tz_part("hour"),
-    "toMinute": _tz_part("minute"),
-    "toSecond": _tz_part("second"),
-    # toTime: keep time-of-day, anchor the date at 1970-01-02
-    # (FunctionsDateTime.cpp ToTimeImpl)
+    # ToMinuteImpl/ToSecondImpl use DateLUT to*Inaccurate — raw UTC
+    # seconds arithmetic, the tz argument is IGNORED (valid only for
+    # whole-hour offsets; faithful to the golden for half-hour zones)
+    "toMinute": lambda a: f"minute(CAST({a[0]} AS TIMESTAMP))",
+    "toSecond": lambda a: f"second(CAST({a[0]} AS TIMESTAMP))",
+    # toTime: keep the LOCAL time-of-day, anchor at 1970-01-02 — the
+    # stored DateTime value is 86400 + local_tod - offset_at_epoch so
+    # that rendering it in the same zone shows 1970-01-02 <local tod>
+    # (ToTimeImpl = DateLUT toTime(t) + 86400, counted from local
+    # 1970-01-01 00:00:00 via offset_at_start_of_epoch)
     "toTime": lambda a: (
         f"CAST(concat('1970-01-02 ', date_format("
-        f"{_tz_ts(a)}, 'HH:mm:ss')) AS TIMESTAMP)"
+        f"CAST({a[0]} AS TIMESTAMP), 'HH:mm:ss')) AS TIMESTAMP)"
+        if len(a) == 1
+        else (
+            # convert_timezone yields TIMESTAMP_NTZ; the NTZ→TIMESTAMP
+            # cast re-reads the wall clock as UTC seconds
+            f"timestamp_seconds(86400 + pmod(CAST(CAST(convert_timezone('UTC', {a[1]}, "
+            f"CAST({a[0]} AS TIMESTAMP)) AS TIMESTAMP) AS BIGINT), 86400) - "
+            f"CAST(CAST(convert_timezone('UTC', {a[1]}, "
+            f"TIMESTAMP '1970-01-01 00:00:00') AS TIMESTAMP) AS BIGINT))"
+        )
     ),
-    "toDayOfWeek": lambda a: f"(weekday({a[0]}) + 1)",  # Monday=1 (reference)
-    "toMonday": lambda a: f"date_sub(CAST({a[0]} AS DATE), weekday({a[0]}))",
+    "toDayOfWeek": lambda a: f"(weekday({_tz_ts(a)}) + 1)",  # Monday=1 (reference)
+    "toMonday": _tz_local_date(lambda d: f"date_sub({d}, weekday({d}))"),
     "toStartOfDay": lambda a: f"CAST(CAST({a[0]} AS DATE) AS TIMESTAMP)",
-    "toStartOfMonth": lambda a: f"trunc(CAST({a[0]} AS DATE), 'MM')",
-    "toStartOfQuarter": lambda a: f"trunc(CAST({a[0]} AS DATE), 'QUARTER')",
-    "toStartOfYear": lambda a: f"trunc(CAST({a[0]} AS DATE), 'YYYY')",
-    "toStartOfHour": lambda a: f"date_trunc('HOUR', {a[0]})",
-    "toStartOfMinute": lambda a: f"date_trunc('MINUTE', {a[0]})",
+    "toStartOfMonth": _tz_local_date(lambda d: f"trunc({d}, 'MM')"),
+    "toStartOfQuarter": _tz_local_date(lambda d: f"trunc({d}, 'QUARTER')"),
+    "toStartOfYear": _tz_local_date(lambda d: f"trunc({d}, 'YYYY')"),
+    # toStartOfHour/Minute/FiveMinute/timeSlot map to the DateLUT
+    # *Inaccurate family: raw t/N*N UTC truncation, tz argument ignored
+    "toStartOfHour": lambda a: f"date_trunc('HOUR', CAST({a[0]} AS TIMESTAMP))",
+    "toStartOfMinute": lambda a: f"date_trunc('MINUTE', CAST({a[0]} AS TIMESTAMP))",
     "toStartOfFiveMinute": lambda a: (
         f"timestamp_seconds(CAST(CAST({a[0]} AS TIMESTAMP) AS BIGINT) - "
         f"(CAST(CAST({a[0]} AS TIMESTAMP) AS BIGINT) % 300))"
@@ -1263,12 +1299,18 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
         f"timestamp_seconds(CAST(CAST({a[0]} AS TIMESTAMP) AS BIGINT) - "
         f"(CAST(CAST({a[0]} AS TIMESTAMP) AS BIGINT) % 1800))"
     ),
-    "toRelativeYearNum": lambda a: f"year({a[0]})",
-    "toRelativeMonthNum": lambda a: f"(year({a[0]}) * 12 + month({a[0]}))",
-    "toRelativeWeekNum": lambda a: (
-        f"CAST((datediff(CAST({a[0]} AS DATE), DATE '1970-01-01') + 3) / 7 AS BIGINT)"
+    "toRelativeYearNum": _tz_part("year"),
+    "toRelativeMonthNum": lambda a: (
+        f"(year({_tz_ts(a)}) * 12 + month({_tz_ts(a)}))"
     ),
-    "toRelativeDayNum": lambda a: f"datediff(CAST({a[0]} AS DATE), DATE '1970-01-01')",
+    # DateLUT toRelativeWeekNum: (local daynum - (dayOfWeek-1)) / 7
+    "toRelativeWeekNum": lambda a: (
+        f"((datediff(CAST({_tz_ts(a)} AS DATE), DATE '1970-01-01') - "
+        f"weekday({_tz_ts(a)})) DIV 7)"
+    ),
+    "toRelativeDayNum": lambda a: (
+        f"datediff(CAST({_tz_ts(a)} AS DATE), DATE '1970-01-01')"
+    ),
     "toRelativeHourNum": lambda a: f"(CAST(CAST({a[0]} AS TIMESTAMP) AS BIGINT) DIV 3600)",
     "toRelativeMinuteNum": lambda a: f"(CAST(CAST({a[0]} AS TIMESTAMP) AS BIGINT) DIV 60)",
     "toRelativeSecondNum": lambda a: f"CAST(CAST({a[0]} AS TIMESTAMP) AS BIGINT)",
@@ -1285,6 +1327,10 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "log2": lambda a: _sql_ieee_log("log2", a[0]),
     "log10": lambda a: _sql_ieee_log("log10", a[0]),
     "e": lambda a: "exp(1)",
+    # glibc-exact exp via Arrow UDF: Java Math.exp differs in the last
+    # ulp (golden 00232); conformance path only — the DataFrame API
+    # keeps F.exp JVM-side
+    "exp": lambda a: f"ch_exp(CAST({a[0]} AS DOUBLE))",
     # SQL twins of functions/math_fns.py erf/erfc/lgamma/tgamma
     # (Abramowitz-Stegun 7.1.26 / Lanczos g=7) — let-bound via a
     # single-element transform so t is evaluated once
@@ -1426,26 +1472,53 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
         + ("''" if "STRING" in a[0].upper() or "VARCHAR" in a[0].upper() else "0")
         + f"), {a[0]})"
     ),
+    # has/indexOf compare with NULL-safe equality: has(arr, NULL) finds
+    # a NULL element (array_contains/array_position reject NULL probes)
+    "has": lambda a: f"exists({a[0]}, __he -> __he <=> ({a[1]}))",
+    "indexOf": lambda a: (
+        f"coalesce(element_at(filter(transform({a[0]}, "
+        f"(__ie, __ii) -> IF(__ie <=> ({a[1]}), __ii + 1, NULL)), "
+        f"__ix -> __ix IS NOT NULL), 1), 0)"
+    ),
     # arrayReduce('agg', a) (FunctionsArray.h:1387) — array-native, no
     # explode; the aggregate name must be a string literal
     "arrayReduce": lambda a: _array_reduce(a),
     # bitTestAll/bitTestAny (FunctionsCoding.cpp): conjunction /
     # disjunction over the tested bit positions
+    # result is UInt8 (usable as a number — golden 00216 shifts it)
     "bitTestAll": lambda a: (
-        "(" + " AND ".join(f"((shiftright({a[0]}, {i}) & 1) = 1)" for i in a[1:]) + ")"
+        "CAST(("
+        + " AND ".join(f"((shiftright({a[0]}, {i}) & 1) = 1)" for i in a[1:])
+        + ") AS INT)"
     ),
     "bitTestAny": lambda a: (
-        "(" + " OR ".join(f"((shiftright({a[0]}, {i}) & 1) = 1)" for i in a[1:]) + ")"
+        "CAST(("
+        + " OR ".join(f"((shiftright({a[0]}, {i}) & 1) = 1)" for i in a[1:])
+        + ") AS INT)"
     ),
     # formatReadableSize (FunctionsFormatting.cpp) — mirror of
     # functions/misc.py:52 (same tier ladder, format_number 2 dp)
     "formatReadableSize": lambda a: _format_readable_size(a[0]),
     # URL (FunctionsURL.cpp)
-    "protocol": lambda a: f"parse_url({a[0]}, 'PROTOCOL')",
-    "domain": lambda a: f"parse_url({a[0]}, 'HOST')",
-    "domainWithoutWWW": lambda a: f"regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', '')",
-    "topLevelDomain": lambda a: f"regexp_extract(parse_url({a[0]}, 'HOST'), '\\\\.([^.]+)$', 1)",
+    # CH String results are never NULL — an unparseable URL yields ''
+    "protocol": lambda a: f"coalesce(parse_url({a[0]}, 'PROTOCOL'), '')",
+    "domain": lambda a: f"coalesce(parse_url({a[0]}, 'HOST'), '')",
+    "domainWithoutWWW": lambda a: (
+        f"coalesce(regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', ''), '')"
+    ),
+    # ExtractTopLevelDomain: strip one trailing dot, take the label
+    # after the last dot, and yield '' when it starts with a char
+    # <= '9' (IPv4 numerics / punctuation)
+    "topLevelDomain": lambda a: _sql_let(
+        f"regexp_extract(regexp_replace(coalesce(parse_url({a[0]}, 'HOST'), ''), "
+        f"'\\\\.$', ''), '\\\\.([^.]+)$', 1)",
+        "__tld",
+        "CASE WHEN __tld = '' OR substr(__tld, 1, 1) <= '9' THEN '' ELSE __tld END",
+    ),
     "path": lambda a: f"parse_url({a[0]}, 'PATH')",
+    # ExtractPathFull: path + query string + fragment — everything
+    # after the authority
+    "pathFull": lambda a: f"regexp_replace({a[0]}, '^[a-zA-Z0-9+.!-]+://[^/?#]*', '')",
     "queryString": lambda a: f"parse_url({a[0]}, 'QUERY')",
     "fragment": lambda a: f"parse_url({a[0]}, 'REF')",
     "extractURLParameter": _sql_extract_url_param,
@@ -1548,6 +1621,29 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
 
 # ------------------------------------------------------- parametric aggs
 
+
+
+def _exact_q_nth(x: str, levels: list[str], as_array: bool) -> str:
+    """quantile(s)Exact (AggregateFunctionQuantileExact.h
+    insertResultInto): nth_element at n = floor(level * size) (level
+    >= 1 -> size-1), the ELEMENT itself — no interpolation, result
+    keeps the argument type."""
+    arr = f"array_sort(collect_list({x}))"
+
+    def one(p: str) -> str:
+        lv = f"CAST({p} AS DOUBLE)"
+        n = (
+            f"IF({lv} < 1, CAST({lv} * size(__qx) AS BIGINT), "
+            f"size(__qx) - 1)"
+        )
+        return f"element_at(__qx, CAST({n} AS INT) + 1)"
+
+    body = (
+        "array(" + ", ".join(one(p) for p in levels) + ")"
+        if as_array
+        else one(levels[0])
+    )
+    return _sql_let(arr, "__qx", body)
 
 def _p_quantile(exact: bool) -> Callable[[Args, Args], str]:
     fn = "percentile" if exact else "percentile_approx"
@@ -1690,7 +1786,7 @@ PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     ),
     "quantileTiming": lambda p, a: _timing_quantile(a[0], p or ["0.5"]),
     "quantileTDigest": _p_quantile(exact=False),
-    "quantileExact": _p_quantile(exact=True),
+    "quantileExact": lambda p, a: _exact_q_nth(a[0], [p[0] if p else "0.5"], False),
     # weighted exact: sort (value, weight) pairs, threshold =
     # ceil(sum_weight * level), first value whose accumulated weight
     # reaches it — NO interpolation, result keeps the argument type
@@ -1704,7 +1800,7 @@ PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
         if p
         else _empty_quantiles(a[0])
     ),
-    "quantilesExact": _p_quantiles(exact=True),
+    "quantilesExact": lambda p, a: (_exact_q_nth(a[0], p, True) if p else _empty_quantiles(a[0])),
     "quantilesTiming": lambda p, a: (
         _timing_quantile(a[0], p, force_array=True)
         if p
@@ -1755,7 +1851,9 @@ PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     "quantilesMerge": lambda p, a: "array(" + ", ".join(
         _interp_quantile_of(f"flatten(collect_list({a[0]}))", pp) for pp in p
     ) + ")",
-    "uniqUpTo": lambda p, a: f"least(count(DISTINCT {a[0]}), {p[0]} + 1)",
+    "uniqUpTo": lambda p, a: (
+        f"least(count(DISTINCT {', '.join(a)}), {p[0]} + 1)"
+    ),
     "groupArray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
     "topK": lambda p, a: (
         f"slice(transform(array_sort(transform(map_entries("

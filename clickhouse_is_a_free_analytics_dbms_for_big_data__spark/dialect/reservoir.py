@@ -114,22 +114,214 @@ def deterministic_samples(
     """ReservoirSamplerDeterministic: keep value i iff the low
     ``skip_degree`` bits of uint32(intHash64(det_i)) are zero, where
     skip_degree is bumped whenever the reservoir would exceed 8191
-    elements (insertImpl/thinOut).  Because thinOut re-applies the
-    same filter retroactively, the final sample set is exactly
-    {i : tz(hash_i) >= k} for the smallest k whose population is
-    <= 8191 — order-independent, hence safe under any partitioning."""
+    elements (insertImpl/thinOut).  thinOut re-applies the filter
+    retroactively, so the bulk of the final set is
+    {i : tz(hash_i) >= k_final} — with ONE order-dependent wrinkle:
+    insertImpl appends the bump-TRIGGERING element unconditionally
+    (samples.emplace_back after the while loop), so the element that
+    forced the last bump survives even when its hash is not good at
+    the final skip degree (golden 00273).  The bump points are found
+    per segment with cumsums, so only ~k_final vectorized passes run,
+    no per-row Python loop."""
     h = (_int_hash64(dets) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    if len(h) <= SAMPLE_COUNT - 1:
+    n = len(h)
+    if n <= SAMPLE_COUNT - 1:
         return values
     # trailing zero bits of the 32-bit hash (h == 0 -> 32)
-    tz = np.full(len(h), 32, dtype=np.int32)
+    tz = np.full(n, 32, dtype=np.int64)
     nz = h != 0
     hz = h[nz].astype(np.uint32)
-    tz[nz] = np.log2(hz & (~hz + np.uint32(1))).astype(np.int32)
-    for k in range(0, 33):
-        if int((tz >= k).sum()) <= SAMPLE_COUNT - 1:
-            return values[tz >= k]
-    return values[tz >= 32]
+    tz[nz] = np.log2(hz & (~hz + np.uint32(1))).astype(np.int64)
+
+    k = 0
+    straggler = -1  # index appended while not good at the current k
+    s = 0  # next unprocessed element
+    base = 0  # |{i < s : tz_i >= k}|
+    while True:
+        seg = tz[s:]
+        good = seg >= k
+        csum = np.cumsum(good)
+        p = 1 if straggler >= 0 else 0
+        # size before inserting relative element r = base + csum[r]-1 + p
+        cond = good & (base + csum - 1 + p >= SAMPLE_COUNT - 1)
+        if not cond.any():
+            mask = tz >= k
+            keep = values[mask]
+            if straggler >= 0 and tz[straggler] < k:
+                keep = np.append(keep, values[straggler])
+            return keep
+        j = s + int(np.argmax(cond))
+        # ++skip_degree / thinOut until size + 1 < sample_count
+        # (the straggler is dropped by the first thinOut)
+        while True:
+            k += 1
+            size_after = int((tz[:j] >= k).sum())
+            if size_after + 1 < SAMPLE_COUNT:
+                break
+        straggler = j if tz[j] < k else -1
+        base = size_after + (1 if tz[j] >= k else 0)
+        s = j + 1
+
+
+# ------------------------------------------------- QuantileTiming Large
+# AggregateFunctionQuantileTiming.h: tiny (<= 31 values) and medium
+# states hold exact elements; once a 5673rd value arrives
+# (mediumIsWorthToConvertToLarge: medium size >= sizeof(Large)/2/2 =
+# 5672) the state becomes a histogram — exact counts per value below
+# 1024, 16-wide buckets up to 30000 whose representative value carries
+# an intHash32<0>(i) % 16 - 8 de-evening offset, values >= 30000 only
+# counted.  get(level): walk to accumulated >= ceil(count * level).
+
+_TIMING_SMALL = 1024
+_TIMING_BIG = 30000
+_TIMING_PREC = 16
+_TIMING_MEDIUM_MAX = 5672  # sizeof(QuantileTimingLarge)/sizeof(UInt16)/2
+
+
+def _int_hash32_salt0(key: int) -> int:
+    """Hash.h:144 intHash32<0> — the rotate-based Thomas Wang 64->32."""
+    m64 = (1 << 64) - 1
+    rot = lambda v, s: ((v >> s) | (v << (64 - s))) & m64
+    key = ((~key & m64) + ((key << 18) & m64)) & m64
+    key ^= rot(key, 31)
+    key = (key * 21) & m64
+    key ^= rot(key, 11)
+    key = (key + (key << 6)) & m64
+    key ^= rot(key, 22)
+    return key & 0xFFFFFFFF
+
+
+_TIMING_BIG_KEYS: np.ndarray | None = None
+
+
+def _timing_big_keys() -> np.ndarray:
+    """Representative value per count_big bucket (indexInBigToValue)."""
+    global _TIMING_BIG_KEYS
+    if _TIMING_BIG_KEYS is None:
+        big_size = (_TIMING_BIG - _TIMING_SMALL) // _TIMING_PREC
+        _TIMING_BIG_KEYS = np.array(
+            [
+                i * _TIMING_PREC + _TIMING_SMALL
+                + (_int_hash32_salt0(i) % _TIMING_PREC - _TIMING_PREC // 2)
+                for i in range(big_size)
+            ],
+            dtype=np.int64,
+        )
+    return _TIMING_BIG_KEYS
+
+
+def timing_quantiles(vals: np.ndarray, levels: list[float]) -> list[float]:
+    """QuantileTiming get()/getMany() over one group's values."""
+    n = len(vals)
+    if n == 0:
+        return [float("nan") for _ in levels]
+    v = np.minimum(vals.astype(np.int64), _TIMING_BIG)
+    v = np.maximum(v, 0)
+    if n <= _TIMING_MEDIUM_MAX:
+        s = np.sort(v)
+        out = []
+        for lv in levels:
+            idx = int(n * lv) if lv != 1 else n - 1
+            out.append(float(s[min(idx, n - 1)]))
+        return out
+    # Large histogram
+    small = np.bincount(v[v < _TIMING_SMALL], minlength=_TIMING_SMALL)
+    inbig = v[(v >= _TIMING_SMALL) & (v < _TIMING_BIG)]
+    big_size = (_TIMING_BIG - _TIMING_SMALL) // _TIMING_PREC
+    big = np.bincount((inbig - _TIMING_SMALL) // _TIMING_PREC, minlength=big_size)
+    keys = np.concatenate(
+        [np.arange(_TIMING_SMALL, dtype=np.int64), _timing_big_keys()]
+    )
+    counts = np.concatenate([small, big])
+    csum = np.cumsum(counts)
+    out = []
+    for lv in levels:
+        pos = int(np.ceil(n * lv))
+        hit = np.searchsorted(csum, max(pos, 1), side="left")
+        if hit >= len(csum) or csum[-1] < pos:
+            out.append(float(_TIMING_BIG))
+        else:
+            out.append(float(keys[hit]))
+    return out
+
+
+# ---------------------------------------------------------- uniqHLL12
+# HyperLogLogWithSmallSetOptimization<Key, 16, 12> (Common/
+# HyperLogLogWithSmallSetOptimization.h + HyperLogLogCounter.h):
+# up to 16 distinct keys counted exactly; beyond that an HLL with 4096
+# buckets over a 32-bit hash — IntHash32<UInt64> (salt 0) of the key
+# for single-argument uniqHLL12, TrivialHash (low-32 truncation of the
+# already-hashed variadic key) for the multi-argument form
+# (AggregateFunctionUniq.h HLL12Data vs HLL12DataForVariadic).
+
+_HLL12_PRECISION = 12
+_HLL12_BUCKETS = 1 << _HLL12_PRECISION
+_HLL12_MAX_RANK = 32 - _HLL12_PRECISION + 1  # 21
+
+
+def _int_hash32_salt0_vec(key: np.ndarray) -> np.ndarray:
+    """Hash.h:144 intHash32<0>, vectorized over uint64."""
+    m = np.uint64
+    key = key.astype(np.uint64).copy()
+    rot = lambda v, s: (v >> m(s)) | (v << m(64 - s))
+    with np.errstate(over="ignore"):
+        key = (~key) + (key << m(18))
+        key ^= rot(key, 31)
+        key *= m(21)
+        key ^= rot(key, 11)
+        key += key << m(6)
+        key ^= rot(key, 22)
+    return (key & m(0xFFFFFFFF)).astype(np.uint32)
+
+
+def hll12_count(keys: np.ndarray, trivial_hash: bool) -> int:
+    """uniqHLL12 over one group's inserted keys (uint64)."""
+    uniq_keys = np.unique(keys)
+    if len(uniq_keys) <= 16:
+        return len(uniq_keys)
+    if trivial_hash:
+        h = (uniq_keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    else:
+        h = _int_hash32_salt0_vec(uniq_keys)
+    bucket = (h & np.uint32(_HLL12_BUCKETS - 1)).astype(np.int64)
+    tail = (h >> np.uint32(_HLL12_PRECISION)).astype(np.uint32)
+    # rank = trailing zeros + 1, capped at max_rank; tail == 0 -> max
+    rank = np.full(len(tail), _HLL12_MAX_RANK, dtype=np.int64)
+    nz = tail != 0
+    tnz = tail[nz]
+    rank[nz] = np.minimum(
+        np.log2(tnz & (~tnz + np.uint32(1))).astype(np.int64) + 1,
+        _HLL12_MAX_RANK,
+    )
+    ranks = np.zeros(_HLL12_BUCKETS, dtype=np.int64)
+    np.maximum.at(ranks, bucket, rank)
+    rank_count = np.bincount(ranks, minlength=_HLL12_MAX_RANK + 1)
+    zeros = int(rank_count[0])
+    # stable denominator (isBigRankStore + StableIfBig): long-double
+    # Horner over the rank histogram
+    val = np.longdouble(rank_count[_HLL12_MAX_RANK])
+    for i in range(_HLL12_MAX_RANK - 1, -1, -1):
+        val /= np.longdouble(2)
+        val += np.longdouble(rank_count[i])
+    denominator = float(val)
+    alpha_m = 0.7213 / (1 + 1.079 / _HLL12_BUCKETS)
+    raw = alpha_m * _HLL12_BUCKETS * _HLL12_BUCKETS / denominator
+    # FullFeatured with the trivial bias estimator
+    pow2_32 = 4294967296.0
+    import math
+
+    if raw > pow2_32 / 30.0:
+        fixed = -pow2_32 * math.log(1.0 - raw / pow2_32)
+    elif raw <= 2.5 * _HLL12_BUCKETS:
+        if zeros != 0:
+            fixed = _HLL12_BUCKETS * (
+                math.log(_HLL12_BUCKETS) - math.log(zeros)
+            )
+        else:
+            fixed = raw
+    else:
+        fixed = raw
+    return int(np.uint32(int(fixed + 0.5)))
 
 
 def register(spark) -> None:
@@ -169,3 +361,13 @@ def register(spark) -> None:
         return pd.Series(out)
 
     spark.udf.register("ch_rsv_det_quantiles", ch_rsv_det_quantiles)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def ch_timing_quantiles(values: pd.Series, levels: pd.Series) -> pd.Series:
+        out = []
+        for vals, lvls in zip(values, levels):
+            arr = np.asarray([] if vals is None else vals, dtype=np.int64)
+            out.append(timing_quantiles(arr, [float(p) for p in lvls]))
+        return pd.Series(out)
+
+    spark.udf.register("ch_timing_quantiles", ch_timing_quantiles)
