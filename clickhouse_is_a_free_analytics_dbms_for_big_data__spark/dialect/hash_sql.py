@@ -117,7 +117,7 @@ def register_hash_udfs(spark) -> None:
     Results are BIGINT bit patterns (combined/finalized in SQL)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, LongType
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StringType
 
     from ..functions import exact_hash as xh
 
@@ -152,6 +152,81 @@ def register_hash_udfs(spark) -> None:
         )
 
     @pandas_udf(LongType())
+    def ch_farm64(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None else _sign(
+                xh.farm_hash_64(v if isinstance(v, bytes) else str(v).encode())
+            ),
+            na_action="ignore",
+        )
+
+    @pandas_udf(LongType())
+    def ch_metro64(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None else _sign(
+                xh.metro_hash_64_1(v if isinstance(v, bytes) else str(v).encode())
+            ),
+            na_action="ignore",
+        )
+
+    @pandas_udf(ArrayType(LongType()))
+    def ch_farm64_arr(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda arr: None if arr is None else [
+                _sign(xh.farm_hash_64(str(v).encode())) for v in arr
+            ],
+            na_action="ignore",
+        )
+
+    @pandas_udf(ArrayType(LongType()))
+    def ch_metro64_arr(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda arr: None if arr is None else [
+                _sign(xh.metro_hash_64_1(str(v).encode())) for v in arr
+            ],
+            na_action="ignore",
+        )
+
+    @pandas_udf(LongType())
+    def ch_uniq_key(vals: pd.Series, widths: pd.Series) -> pd.Series:
+        # UniqVariadicHash.h approximate variadic key: h = CityHash64
+        # (LE bytes of arg0); then h = Hash128to64(CityHash64(bytes of
+        # arg_i), h).  Each arg arrives as its decimal string (integer
+        # bit pattern) with its byte width, or the raw string itself
+        # with width -1 — IColumn::getDataAt byte images.
+        out = []
+        for vs, ws in zip(vals, widths):
+            if vs is None:
+                out.append(None)
+                continue
+            h = None
+            ok = True
+            for v, w in zip(vs, ws):
+                if v is None:
+                    ok = False
+                    break
+                if w > 0:
+                    iv = int(v)
+                    b = iv.to_bytes(int(w), "little", signed=iv < 0)
+                else:
+                    b = str(v).encode()
+                c = xh.city_hash_64(b)
+                h = c if h is None else xh.hash128to64(c, h)
+            out.append(_sign(h) if ok and h is not None else None)
+        return pd.Series(out, dtype="object")
+
+    @pandas_udf(LongType())
+    def ch_hash32(v: pd.Series) -> pd.Series:
+        # low 32 bits of DefaultHash64 = unsalted intHash64 —
+        # UniquesHashSet's stored hash (uniq over UDF-produced keys,
+        # where the in-SQL murmur template can't be used: Python UDFs
+        # are barred from higher-order-function lambdas)
+        return v.map(
+            lambda x: None if x is None else int(xh.murmur_fin(int(x))) & 0xFFFFFFFF,
+            na_action="ignore",
+        )
+
+    @pandas_udf(LongType())
     def ch_urlhash(s: pd.Series, level: pd.Series) -> pd.Series:
         out = []
         for v, lv in zip(s, level):
@@ -162,6 +237,49 @@ def register_hash_udfs(spark) -> None:
                     _sign(xh.url_hash(str(v).encode(), None if lv is None or lv < 0 else int(lv)))
                 )
         return pd.Series(out, dtype="object")
+
+    @pandas_udf(DoubleType())
+    def ch_exp(s: pd.Series) -> pd.Series:
+        # glibc-exact exp: Java's Math.exp differs from the reference
+        # host's libm in the last ulp (exp(26) = ...83878 vs ...83875,
+        # golden 00232); CPython's math.exp calls the platform libm.
+        import math
+
+        return s.map(lambda v: None if v is None else math.exp(v), na_action="ignore")
+
+    @pandas_udf(StringType())
+    def ch_url_decode(s: pd.Series) -> pd.Series:
+        # DecodeURLComponentImpl (FunctionsURL.cpp decodeURL): only
+        # valid %XX triplets decode; malformed sequences stay verbatim;
+        # '+' is NOT turned into a space; a trailing '%' with < 2 chars
+        # left copies the rest unchanged
+        def dec(v):
+            b = v.encode("utf-8", "surrogateescape")
+            out = bytearray()
+            i, n = 0, len(b)
+            while i < n:
+                if b[i] == 0x25:  # '%'
+                    if n - i < 3:
+                        out.extend(b[i:])
+                        break
+                    hexpair = b[i + 1 : i + 3]
+                    # strict hex-digit check (char_to_digit_table):
+                    # int(, 16) would also accept '+f' / ' f'
+                    if all(c in b"0123456789abcdefABCDEF" for c in hexpair):
+                        out.append(int(hexpair, 16))
+                    else:
+                        # invalid triplet copied verbatim — the scan
+                        # still advances 3 (src_curr_pos += 3 runs on
+                        # both branches), so a '%' inside the skipped
+                        # pair is not re-examined
+                        out.extend(b[i : i + 3])
+                    i += 3
+                    continue
+                out.append(b[i])
+                i += 1
+            return bytes(out).decode("utf-8", "surrogateescape")
+
+        return s.map(lambda v: None if v is None else dec(str(v)), na_action="ignore")
 
     @pandas_udf(LongType())
     def ch_f64_bits(s: pd.Series) -> pd.Series:
@@ -184,7 +302,32 @@ def register_hash_udfs(spark) -> None:
     spark.udf.register("ch_city64", ch_city64)
     spark.udf.register("ch_sip64", ch_sip64)
     spark.udf.register("ch_city64_arr", ch_city64_arr)
+    spark.udf.register("ch_farm64", ch_farm64)
+    spark.udf.register("ch_metro64", ch_metro64)
+    spark.udf.register("ch_farm64_arr", ch_farm64_arr)
+    spark.udf.register("ch_metro64_arr", ch_metro64_arr)
+    spark.udf.register("ch_uniq_key", ch_uniq_key)
+    spark.udf.register("ch_hash32", ch_hash32)
     spark.udf.register("ch_urlhash", ch_urlhash)
+
+    @pandas_udf(LongType())
+    def ch_uniq_hll12(keys: pd.Series, trivial: pd.Series) -> pd.Series:
+        # bit-exact uniqHLL12 (HyperLogLogWithSmallSetOptimization
+        # <_, 16, 12>) — see dialect/reservoir.py hll12_count
+        from . import reservoir as R
+        import numpy as np
+
+        out = []
+        for ks, tr in zip(keys, trivial):
+            arr = np.asarray([] if ks is None else ks, dtype=np.int64).astype(
+                np.uint64
+            )
+            out.append(int(R.hll12_count(arr, bool(tr))))
+        return pd.Series(out, dtype="object")
+
+    spark.udf.register("ch_uniq_hll12", ch_uniq_hll12)
+    spark.udf.register("ch_exp", ch_exp)
+    spark.udf.register("ch_url_decode", ch_url_decode)
     spark.udf.register("ch_f64_bits", ch_f64_bits)
     spark.udf.register("ch_f32_bits", ch_f32_bits)
 
@@ -246,7 +389,9 @@ def scalar_hash_sql(x: str, ch_type: str, str_udf: str = "ch_city64") -> str | N
     return None
 
 
-def array_fold_sql(arr: str, elem_type: str, prev: str | None) -> str | None:
+def array_fold_sql(
+    arr: str, elem_type: str, prev: str | None, arr_udf: str = "ch_city64_arr"
+) -> str | None:
     """FunctionNeighbourhoodHash64::executeArray (FunctionsHashing.h:478):
     h = IntHash64(len); combined into the running value, then each
     element hash in order.  Pure SQL via transform + aggregate."""
@@ -259,7 +404,7 @@ def array_fold_sql(arr: str, elem_type: str, prev: str | None) -> str | None:
     if as_int is not None:
         hashes = f"transform({arr}, __e -> {sql_int_hash64(as_int)})"
     elif et == "String" or et.startswith("FixedString"):
-        hashes = f"ch_city64_arr({arr})"
+        hashes = f"{arr_udf}({arr})"
     else:
         return None
     return f"aggregate({hashes}, CAST(({init}) AS BIGINT), (__acc, __h) -> {sql_h128('__acc', '__h')})"

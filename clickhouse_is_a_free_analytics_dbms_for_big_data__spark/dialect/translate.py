@@ -477,6 +477,12 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
     prewhere_toks = _collect_inline_aliases(prewhere_toks, ctx, with_subs)
     having_toks = _collect_inline_aliases(having_toks, ctx, with_subs)
     order_toks = _collect_inline_aliases(order_toks, ctx, with_subs)
+    # FORWARD alias references: collection renders each body with only
+    # the aliases seen so far, so `... AS n_` referencing `b7` defined
+    # later still holds a raw `b7`.  Bring the bodies to a fixpoint
+    # (normalizeTree substitutes query-wide, order-independent —
+    # golden 00216's n_/b7..b0 chain).
+    _resolve_alias_chain(out_subs)
 
     # ---- WITH + inline-alias substitutions apply to every expression clause
     def subst(toks: list[Token]) -> list[Token]:
@@ -1261,15 +1267,26 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
     # order (DistinctBlockInputStream streams over the scan): emulate
     # with a min(monotonic id) group + sort, which follows partition
     # (scan) order.  Ordered/limited/grouped forms keep plain DISTINCT.
+    # (a LIMIT does not break the emulation — the wrapper sorts by the
+    # first-seen id and the LIMIT applies after it, exactly like the
+    # reference's streaming DISTINCT feeding a Limit — golden 00326)
     first_seen_distinct = (
         distinct
         and ctx.select_depth == 1
-        and limit_txt is None
         and limit_by is None
         and not order_items
         and not group_toks
         and not with_totals
         and not any(len(s) == 1 and s[0].text == "*" for s in select_items)
+        # with a LIMIT, skip the emulation over the unbounded
+        # system.numbers stream: the min-id group would aggregate the
+        # whole 2^27-row range where plain DISTINCT short-circuits
+        # (00154); bounded/real tables keep the faithful order (00326)
+        and not (
+            limit_txt is not None
+            and from_sql is not None
+            and "range(0, 134217728" in from_sql
+        )
     )
     sql = "SELECT "
     if hint:
@@ -1454,6 +1471,23 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
     if any(len(s) == 1 and s[0].text == "*" for s in select_items):
         ctx.out_ch_types = None
         ctx.out_ch_names = None
+        # pure `SELECT *` over one known table: the table's declared
+        # CH types drive the formatter (Enum right-alignment in
+        # Pretty, golden 00298)
+        if (
+            len(select_items) == 1
+            and not joins
+            and ctx.tabledef_of is not None
+            and ctx.current_table
+        ):
+            _td = ctx.tabledef_of(ctx.current_table)
+            if _td is not None:
+                _ord = [
+                    c for c in _td.columns
+                    if c.default_kind not in ("MATERIALIZED", "ALIAS")
+                ]
+                ctx.out_ch_names = [c.name for c in _ord]
+                ctx.out_ch_types = [c.ch_type for c in _ord]
     else:
         ctx.out_ch_types = _out_types
         ctx.out_ch_names = _out_names
@@ -2260,8 +2294,12 @@ def _resolve_alias_chain(subs: dict[str, str]) -> dict[str, str]:
                 if k2 == k:
                     continue
                 nv = nv.replace(f"`{k2}`", v2)
+                # literal replacement — v2 may contain backslashes
+                # that re.sub would treat as (invalid) escapes
                 nv = _re.sub(
-                    rf"(?<![\w`.]){_re.escape(k2)}(?![\w`])(?!\s*\()", v2, nv
+                    rf"(?<![\w`.]){_re.escape(k2)}(?![\w`])(?!\s*\()",
+                    lambda _m, _v=v2: _v,
+                    nv,
                 )
             if nv != v:
                 subs[k] = nv
@@ -2668,6 +2706,29 @@ def _fold_date_arith(pieces: list[str], kinds: list[str | None]) -> None:
             j += 1
             continue
         lk, rk = kinds[j - 1], kinds[j + 1]
+        # a Date/DateTime operand binds the seconds/days side as one
+        # unit — collapse tighter-binding multiplicative runs of plain
+        # numbers around the +/- first (now() - 24*60*60, 24*60 + now())
+        if lk in ("date", "datetime") and rk is None:
+            e = j + 1
+            while (
+                e + 2 < len(pieces)
+                and pieces[e + 1] in ("*", "%", "DIV")
+                and kinds[e + 2] is None
+            ):
+                e += 2
+            if e > j + 1:
+                pieces[j + 1 : e + 1] = ["(" + " ".join(pieces[j + 1 : e + 1]) + ")"]
+                kinds[j + 1 : e + 1] = [None]
+        elif op == "+" and rk in ("date", "datetime") and lk is None:
+            s = j - 1
+            while s - 2 >= 0 and pieces[s - 1] in ("*", "%", "DIV") and kinds[s - 2] is None:
+                s -= 2
+            if s < j - 1:
+                pieces[s : j] = ["(" + " ".join(pieces[s:j]) + ")"]
+                kinds[s : j] = [None]
+                j = s + 1
+        lk, rk = kinds[j - 1], kinds[j + 1]
         l, r = pieces[j - 1], pieces[j + 1]
         if (
             l in _ARITH_OPS
@@ -2772,6 +2833,82 @@ def _fold_case(pieces: list[str], kinds: list[str | None]) -> None:
                 pieces[i + 1 : k] = [f"CAST(({cond}) AS BOOLEAN)"]
                 kinds[i + 1 : k] = [None]
         i += 1
+
+
+_BIG_LIT_RE = re.compile(r"\b(\d{19,})\b")
+
+
+def _fold_u64_wrap_mod(
+    pieces: list[str],
+    kinds: list[str | None],
+    tok_slices: list[list[Token]],
+    ctx: Ctx,
+) -> None:
+    """UInt64 modulo with mod-2^64 wraparound on the left side.
+
+    ``(number + 0x8ffc...) * 0x66bb... % 131`` (golden 00264): the
+    reference wraps every +,-,* mod 2^64 and takes the UNSIGNED
+    remainder.  A bare literal past Int64 max renders as DECIMAL(20,0)
+    in Spark, whose exact arithmetic overflows (NULL) instead of
+    wrapping.  Re-fold the multiplicative run feeding ``%`` through
+    signed-BIGINT bit patterns (Java long arithmetic wraps mod 2^64)
+    and emit pmod over the unsigned value.  Triggered only when the
+    run carries a literal beyond Int64 range and the divisor is a
+    plain literal — everything else keeps its current rendering."""
+    from . import hash_sql as H
+
+    int64_max = (1 << 63) - 1
+
+    def to_bits(p: str) -> str:
+        # any UInt64-valued rendering (BIGINT bits or DECIMAL) → the
+        # signed-BIGINT bit pattern of its value mod 2^64
+        dec = (
+            f"pmod(CAST({p} AS DECIMAL(38, 0)), "
+            f"CAST(18446744073709551616 AS DECIMAL(38, 0)))"
+        )
+        return H.u64_to_signed(dec)
+
+    j = 1
+    while j < len(pieces) - 1:
+        if pieces[j] != "%":
+            j += 1
+            continue
+        # maximal multiplicative run ending at j-1
+        s = j - 1
+        while s - 2 >= 0 and pieces[s - 1] in ("*", "%", "DIV"):
+            s -= 2
+        run = pieces[s:j]
+        has_big = any(
+            int(m) > int64_max
+            for p in run[::2]
+            for m in _BIG_LIT_RE.findall(p)
+        )
+        rhs = pieces[j + 1]
+        if (
+            not has_big
+            or any(op != "*" for op in run[1::2])
+            or not re.fullmatch(r"\d+", rhs.strip())
+        ):
+            j += 1
+            continue
+        left_toks: list[Token] = []
+        for sl in tok_slices[s:j]:
+            left_toks.extend(sl)
+        t = _infer_expr_ch_type(left_toks, ctx)
+        if t != "UInt64":
+            j += 1
+            continue
+        run_toks = list(left_toks)
+        for sl in tok_slices[j : j + 2]:
+            run_toks.extend(sl)
+        acc = to_bits(run[0])
+        for p in run[2::2]:
+            acc = f"({acc} * {to_bits(p)})"
+        out = f"CAST(pmod({H.signed_to_u64(acc)}, {rhs}) AS BIGINT)"
+        pieces[s : j + 2] = [out]
+        kinds[s : j + 2] = [None]
+        tok_slices[s : j + 2] = [run_toks]
+        j = s + 1
 
 
 def _rw_seq(
@@ -2969,6 +3106,7 @@ def _rw_seq(
             i,
         )
     _fold_date_arith(pieces, kinds)
+    _fold_u64_wrap_mod(pieces, kinds, tok_slices, ctx)
     _fold_div(pieces, kinds)
     _fold_case(pieces, kinds)
     # NOT binds looser than comparisons but tighter than AND/OR: wrap
@@ -3490,8 +3628,16 @@ def _bare_col_is_array(item: list[Token], ctx: Ctx) -> bool:
 
 
 _EXACT_HASH_FNS = {
-    "cityHash64", "sipHash64", "intHash64", "intHash32", "halfMD5",
-    "URLHash",
+    "cityHash64", "farmHash64", "metroHash64", "sipHash64", "intHash64",
+    "intHash32", "halfMD5", "URLHash",
+}
+
+# string-element UDF per NeighbourhoodHash impl (same IntHash64 +
+# Hash128to64 combine for all three — they differ only in Hash64)
+_NEIGHBOURHOOD_STR_UDF = {
+    "cityHash64": "ch_city64",
+    "farmHash64": "ch_farm64",
+    "metroHash64": "ch_metro64",
 }
 
 
@@ -3563,9 +3709,11 @@ def _hash_fn(
         if len(args) == 2:
             return H.signed_to_u64(f"ch_urlhash({args[0]}, CAST({args[1]} AS INT))")
         return None
-    # cityHash64: multi-arg NeighbourhoodHash combine
-    if arg_items is None:
+    # cityHash64/farmHash64/metroHash64: multi-arg NeighbourhoodHash
+    # combine (FunctionNeighbourhoodHash64:378)
+    if arg_items is None or name not in _NEIGHBOURHOOD_STR_UDF:
         return None
+    str_udf = _NEIGHBOURHOOD_STR_UDF[name]
     expanded: list[list[Token]] = []
     for item in arg_items:
         if len(item) == 1 and item[0].text == "*":
@@ -3608,9 +3756,9 @@ def _hash_fn(
             return None
         base = t[9:-1] if t.startswith("Nullable(") else t
         if base.startswith("Array("):
-            acc2 = H.array_fold_sql(sql, base[6:-1], acc)
+            acc2 = H.array_fold_sql(sql, base[6:-1], acc, str_udf + "_arr")
         else:
-            h = H.scalar_hash_sql(sql, base)
+            h = H.scalar_hash_sql(sql, base, str_udf)
             acc2 = h if acc is None else (H.sql_h128(acc, h) if h else None)
         if acc2 is None:
             return None
@@ -3618,6 +3766,129 @@ def _hash_fn(
     if acc is None:
         return None
     return H.signed_to_u64(acc)
+
+
+_CH_LE_WIDTH = {
+    "UInt8": 1, "Int8": 1, "Enum8": 1,
+    "UInt16": 2, "Int16": 2, "Date": 2, "Enum16": 2,
+    "UInt32": 4, "Int32": 4, "DateTime": 4,
+    "UInt64": 8, "Int64": 8,
+}
+
+
+def _uniq_key_sql(arg_items: list[list[Token]], ctx: Ctx) -> tuple[str, bool] | None:
+    """Per-row key for the uniq* family (UniqVariadicHash.h): a single
+    argument inserts its 64-bit value (ints/date bit patterns, float
+    bits, CityHash64 for strings); several arguments (or one tuple)
+    chain h = Hash128to64(CityHash64(LE bytes of arg_i), h) starting
+    from CityHash64 of the first argument's bytes.  Returns
+    (key_sql BIGINT, is_variadic) or None when a type can't be
+    resolved."""
+    from . import hash_sql as H
+
+    elems: list[list[Token]] = []
+    for item in arg_items:
+        elems.extend(_hash_flatten(item, ctx))
+
+    def base_type(toks: list[Token]) -> str | None:
+        t = _infer_expr_ch_type(toks, ctx)
+        if t is None:
+            return None
+        return t[9:-1] if t.startswith("Nullable(") else t
+
+    if len(elems) == 1:
+        toks = elems[0]
+        sql = _rewrite(toks, ctx)
+        t = base_type(toks)
+        if t is None:
+            return None
+        as_int = H.element_to_int_sql(sql, t)
+        if as_int is not None:
+            return as_int, False
+        if t == "String" or t.startswith("FixedString"):
+            return f"ch_city64({sql})", False
+        if t == "Float64":
+            return f"ch_f64_bits({sql})", False
+        if t == "Float32":
+            return f"ch_f32_bits({sql})", False
+        return None
+
+    # variadic: the whole chain runs in ONE Arrow UDF (Python UDFs are
+    # barred from higher-order-function lambdas, so the in-SQL
+    # Hash128to64 template can't wrap per-arg UDF hashes)
+    val_parts: list[str] = []
+    width_parts: list[str] = []
+    for toks in elems:
+        sql = _rewrite(toks, ctx)
+        t = base_type(toks)
+        if t is None:
+            return None
+        if t == "String" or t.startswith("FixedString"):
+            val_parts.append(f"CAST({sql} AS STRING)")
+            width_parts.append("-1")
+        elif t == "Float32":
+            val_parts.append(f"CAST(ch_f32_bits({sql}) AS STRING)")
+            width_parts.append("4")
+        elif t == "Float64":
+            val_parts.append(f"CAST(ch_f64_bits({sql}) AS STRING)")
+            width_parts.append("8")
+        else:
+            w = _CH_LE_WIDTH.get(t.split("(")[0])
+            if w is None:
+                return None
+            as_int = H.element_to_int_sql(sql, t)
+            if as_int is None:
+                return None
+            val_parts.append(f"CAST({as_int} AS STRING)")
+            width_parts.append(str(w))
+    return (
+        f"ch_uniq_key(array({', '.join(val_parts)}), "
+        f"array({', '.join(width_parts)}))",
+        True,
+    )
+
+
+def _uniq_fn(
+    name: str, arg_items: list[list[Token]], ctx: Ctx
+) -> str | None:
+    """uniq / uniqHLL12 / uniqCombined with the reference's exact
+    count semantics at golden scales:
+
+    - uniq: UniquesHashSet of low-32 bits of intHash64(key)
+      (DefaultHash64; the variadic form inserts the key's low 32 bits
+      directly — TrivialHash).  Exact below the 65536-element thinning
+      threshold, emulated as COUNT(DISTINCT hash32).
+    - uniqCombined: small/medium tiers store keys exactly (up to
+      2^14); COUNT(DISTINCT key).  The 2^17-bucket HLL + bias-table
+      tier beyond that is not emulated.
+    - uniqHLL12: exact emulation incl. the 16-element small set and
+      the 4096-bucket HLL (ch_uniq_hll12 UDF, dialect/reservoir.py).
+    """
+    from . import hash_sql as H
+
+    got = _uniq_key_sql(arg_items, ctx)
+    if got is None:
+        return None
+    key, variadic = got
+    if name == "uniqHLL12":
+        return (
+            f"ch_uniq_hll12(collect_list({key}), "
+            + ("true" if variadic else "false")
+            + ")"
+        )
+    if name == "uniqCombined":
+        return f"count(DISTINCT ({key}))"
+    # uniq
+    if variadic:
+        h32 = f"(({key}) & 4294967295)"
+    elif "ch_" in key:
+        # UDF-produced key (string/float path): the lambda-based murmur
+        # template can't contain a Python UDF — hash in the UDF layer
+        h32 = f"ch_hash32({key})"
+    else:
+        fin = H.sql_murmur_fin(key)
+        h32 = f"(({fin}) & 4294967295)"
+    return f"count(DISTINCT {h32})"
 
 
 def _apply_fn(
@@ -3656,6 +3927,56 @@ def _apply_fn(
         if name == "empty":
             return f"(size({args[0]}) = 0)"
         return f"(size({args[0]}) > 0)"
+    # bit-exact uniq family (AggregateFunctionUniq.h): per-row keys
+    # hash per UniqVariadicHash.h, counted per each estimator's exact
+    # semantics — see _uniq_fn
+    if name in ("uniq", "uniqHLL12", "uniqCombined") and arg_items:
+        out = _uniq_fn(name, arg_items, ctx)
+        if out is not None:
+            return out
+    # toUInt64 of a Float argument: x86-64 double→uint64 conversion
+    # semantics (ConvertImpl static_cast + gcc's unsigned-convert
+    # codegen): values in [2^63, 2^64) convert exactly, >= 2^64 (and
+    # NaN) wrap to 0, negatives truncate then wrap mod 2^64 — Spark's
+    # DOUBLE→BIGINT cast saturates at Int64 max instead (golden 00232)
+    if name == "toUInt64" and arg_items and len(args) == 1:
+        at0 = _infer_expr_ch_type(arg_items[0], ctx) or ""
+        if at0.startswith("Nullable("):
+            at0 = at0[9:-1]
+        if at0.startswith("Float"):
+            from . import hash_sql as H
+
+            x = f"CAST({args[0]} AS DOUBLE)"
+            signed = H.signed_to_u64(f"CAST({x} AS BIGINT)")
+            return (
+                f"CAST(CASE WHEN isnan({x}) THEN 0 "
+                f"WHEN {x} >= 1.8446744073709552E19d THEN 0 "
+                # [2^63, 2^64): x - 2^63 is exact and fits BIGINT;
+                # a direct DOUBLE→DECIMAL cast would round-trip through
+                # the shortest string repr and lose the low digits
+                f"WHEN {x} >= 9.223372036854776E18d THEN "
+                f"CAST(CAST(({x} - 9.223372036854776E18d) AS BIGINT) AS DECIMAL(20, 0)) "
+                f"+ CAST(9223372036854775808 AS DECIMAL(20, 0)) "
+                f"ELSE {signed} END AS DECIMAL(20, 0))"
+            )
+    # toInt*/toUInt8..32 of a UInt64-typed argument: wraparound through
+    # the Int64 bit pattern (ConvertImpl static_cast chains) — Spark's
+    # DECIMAL(20,0)→integer casts NULL out on overflow instead
+    if (
+        name in ("toInt8", "toInt16", "toInt32", "toInt64")
+        and arg_items
+        and len(args) == 1
+    ):
+        at0 = _infer_expr_ch_type(arg_items[0], ctx) or ""
+        if at0.startswith("Nullable("):
+            at0 = at0[9:-1]
+        if at0 == "UInt64":
+            from . import hash_sql as H
+
+            signed = H.u64_to_signed(args[0])
+            tgt = {"toInt8": "TINYINT", "toInt16": "SMALLINT",
+                   "toInt32": "INT", "toInt64": "BIGINT"}[name]
+            return f"CAST({signed} AS {tgt})" if tgt != "BIGINT" else signed
     # integer-typed round/ceil/floor with a scale
     # (FunctionsRound.h IntegerRoundingComputation): scale >= 0 is
     # identity; scale < 0 works on the magnitude with divisor 10^|s| —
