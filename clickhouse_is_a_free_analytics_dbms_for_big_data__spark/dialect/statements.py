@@ -1134,10 +1134,15 @@ def _create(engine, tokens: list[Token]) -> None:
             # whose SELECT text merely contains that name.
             import re as _re
 
+            # sel_sql is tokenized text — dots carry surrounding
+            # spaces (`FROM default . test_table`)
             refs = {
-                r.split(".")[-1]
-                for r in _re.findall(
-                    r"\b(?:FROM|JOIN)\s+`?([A-Za-z_][\w.]*)`?", sel_sql, _re.I
+                (m[1] or m[0])
+                for m in _re.findall(
+                    r"\b(?:FROM|JOIN)\s+`?([A-Za-z_]\w*)`?"
+                    r"(?:\s*\.\s*`?([A-Za-z_]\w*)`?)?",
+                    sel_sql,
+                    _re.I,
                 )
             }
             bases = {
@@ -1464,7 +1469,11 @@ def _insert(engine, tokens: list[Token]) -> None:
         aliases = ", ".join(f"c{j}" for j in range(len(subset)))
         src = f"SELECT * FROM (VALUES {', '.join(rows_sql)}) AS __v({aliases})"
         try:
-            new_df = engine.spark.sql(src)
+            # one partition: the VALUES block is client-side data whose
+            # ROW ORDER is semantic (first-seen DISTINCT ids, golden
+            # 00326) — Spark would otherwise spread the inline table
+            # over default parallelism
+            new_df = engine.spark.sql(src).coalesce(1)
         except Exception:
             # VALUES rows may hold full expressions (the reference
             # evaluates them — ValuesRowInputStream falls back to the
@@ -1495,7 +1504,18 @@ def _insert(engine, tokens: list[Token]) -> None:
         if c.name in subset:
             src = f"`{src_cols[subset.index(c.name)]}`"
             v = c.wrapper.format(v=src) if c.wrapper else src
-            sel.append(f"CAST({v} AS {c.spark_type}) AS `{c.name}`")
+            base_ch = (c.ch_type or "").removeprefix("Nullable(").removesuffix(")") \
+                if (c.ch_type or "").startswith("Nullable(") else (c.ch_type or "")
+            if base_ch == "DateTime":
+                # a digit string parses as a unix timestamp
+                # (ReadHelpers.h readDateTimeText falls back to
+                # readIntText — golden 00141)
+                sel.append(
+                    f"coalesce(CAST(try_cast({v} AS BIGINT) AS TIMESTAMP), "
+                    f"try_cast({v} AS TIMESTAMP)) AS `{c.name}`"
+                )
+            else:
+                sel.append(f"CAST({v} AS {c.spark_type}) AS `{c.name}`")
     shaped = engine.spark.sql(
         f"SELECT {', '.join(sel)} FROM __ins_{view}"
     )

@@ -276,8 +276,9 @@ def format_result(
         "PrettyCompactMonoBlock",
     ):
         return _render_pretty(
-            names, rows, df.schema.fields, types, fmt, settings,
-            block_rows=block_rows,
+            _resolve_ch_names(ch_names, names), rows, df.schema.fields,
+            types, fmt, settings,
+            block_rows=block_rows, ch_types=ch_type_texts,
         )
     if fmt in ("Vertical", "VerticalRaw"):
         return _vertical(names, rows, types, raw=fmt == "VerticalRaw")
@@ -506,7 +507,7 @@ def _dt_is_numeric(dt) -> bool:
 
 def _render_pretty(
     names: list[str], rows, fields, types, fmt: str, settings: dict,
-    block_rows: list | None = None,
+    block_rows: list | None = None, ch_types: list | None = None,
 ) -> str:
     """Pretty* writers, byte-faithful to the reference
     (PrettyBlockOutputStream.cpp, PrettyCompactBlockOutputStream.cpp,
@@ -528,7 +529,13 @@ def _render_pretty(
     }[base]
     block_size = int(settings.get("max_block_size", 65536))
     pmax = int(settings.get("output_format_pretty_max_rows", 10000))
-    numeric = [_dt_is_numeric(f.dataType) for f in fields]
+    # Enum is numbers-backed (DataTypeEnum isNumeric) — right-aligned
+    # even though the Spark column is STRING (golden 00298)
+    numeric = [
+        _dt_is_numeric(f.dataType)
+        or bool(ch_types and i < len(ch_types) and str(ch_types[i]).startswith("Enum"))
+        for i, f in enumerate(fields)
+    ]
     name_cells = [_tsv_cell(n) for n in names]
 
     def bold(s: str) -> str:

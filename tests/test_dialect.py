@@ -350,9 +350,10 @@ def test_date_arith_translation():
     # plain numeric arithmetic untouched
     out = translate_sql("SELECT 1 + 2 * 3")
     assert "1 + 2 * 3" in out
-    # tighter-binding * after the right operand blocks the fold
+    # a tighter-binding multiplicative run on the seconds side folds
+    # as one unit (now() - 24*60*60, golden 00069)
     out = translate_sql("SELECT toDateTime(x) + 3600 * 24 FROM t")
-    assert "timestampadd" not in out
+    assert "timestampadd" in out and "(3600 * 24)" in out
 
 
 def test_exec_date_arith(eng):
