@@ -313,8 +313,14 @@ class ChEngine:
         }
 
     def _columns_of(self, table: str) -> list[str] | None:
+        # created tables: declared columns (incl. Nested members and
+        # ALIAS/MATERIALIZED — hasColumnInTable sees the definition)
+        tdef = self.tables.get(table)
+        if tdef is not None:
+            return [c.name for c in tdef.columns]
+        view = self.table_views.get(table)
         try:
-            return self.spark.table(table).columns
+            return self.spark.table(view or table).columns
         except Exception:
             return None
 

@@ -170,7 +170,10 @@ def _array_reduce(a: Args) -> str:
             return "array(" + ", ".join(parts) + ")"
         return parts[0]
     # -If combinator: last array is the condition
-    if name in ("uniqexactif", "uniqif", "countif", "sumif") and len(a) >= 3:
+    if name in (
+        "uniqexactif", "uniqif", "countif", "sumif",
+        "groupuniqarrayif", "groupuniqarraymergeif",
+    ) and len(a) >= 3:
         vals = a[1] if len(a) == 3 else f"arrays_zip({', '.join(a[1:-1])})"
         conds = a[-1]
         kept = (
@@ -182,6 +185,11 @@ def _array_reduce(a: Args) -> str:
             return f"size(array_distinct({kept}))"
         if name == "countif":
             return f"size({kept})"
+        if name == "groupuniqarrayif":
+            return f"array_distinct({kept})"
+        if name == "groupuniqarraymergeif":
+            # elements are states (arrays) — merge = flatten + distinct
+            return f"array_distinct(flatten({kept}))"
         return f"aggregate({kept}, CAST(0 AS DOUBLE), (__s, __x) -> __s + __x)"
     total = f"aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
     forms = {
@@ -198,6 +206,21 @@ def _array_reduce(a: Args) -> str:
         "quantile": f"element_at(array_sort({arr}), CAST((size({arr}) + 1) / 2 AS INT))",
         "grouparray": arr,
         "groupuniqarray": f"array_distinct({arr})",
+        # -State forms build the stored state representations
+        # (functions/state.py conventions: plain partials, avg struct)
+        "sumstate": (
+            f"aggregate({arr}, CAST(0 AS BIGINT), "
+            f"(acc, x) -> acc + CAST(x AS BIGINT))"
+        ),
+        "countstate": f"size({arr})",
+        "minstate": f"array_min({arr})",
+        "maxstate": f"array_max({arr})",
+        "avgstate": (
+            f"named_struct('sum', {total}, "
+            f"'cnt', CAST(size({arr}) AS BIGINT))"
+        ),
+        "grouparraystate": arr,
+        "groupuniqarraystate": f"array_distinct({arr})",
     }
     if name not in forms:
         raise ValueError(f"arrayReduce: unsupported aggregate {name!r}")
@@ -963,7 +986,11 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "avgState": lambda a: (
         f"named_struct('sum', sum(CAST({a[0]} AS DOUBLE)), 'cnt', count({a[0]}))"
     ),
-    "avgMerge": lambda a: f"(sum({a[0]}.sum) / sum({a[0]}.cnt))",
+    # merging only absent states yields the avg-of-nothing NaN
+    # (AggregateFunctionAvg finalize over zero count)
+    "avgMerge": lambda a: (
+        f"coalesce((sum({a[0]}.sum) / sum({a[0]}.cnt)), CAST('NaN' AS DOUBLE))"
+    ),
     # lgConfigK=14: exact for small sets like the reference's
     # HyperLogLogWithSmallSetOptimization (AggregateFunctionUniq.h)
     "uniqState": lambda a: f"hll_sketch_agg({a[0]}, 14)",
@@ -979,6 +1006,13 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "groupArrayMergeState": lambda a: f"flatten(collect_list({a[0]}))",
     "groupArrayState": lambda a: f"collect_list({a[0]})",
     "groupArrayMerge": lambda a: f"flatten(collect_list({a[0]}))",
+    "groupUniqArrayState": lambda a: f"collect_set({a[0]})",
+    "groupUniqArrayMerge": lambda a: (
+        f"array_distinct(flatten(collect_list({a[0]})))"
+    ),
+    "groupUniqArrayMergeState": lambda a: (
+        f"array_distinct(flatten(collect_list({a[0]})))"
+    ),
     "anyState": lambda a: f"first({a[0]})",
     "anyMerge": lambda a: f"first({a[0]})",
     "anyLastState": lambda a: f"last({a[0]})",

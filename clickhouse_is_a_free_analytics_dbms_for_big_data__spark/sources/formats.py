@@ -334,7 +334,8 @@ def format_result(
             head
             + "".join(
                 "\t".join(
-                    _tsv_cell(_f32(r[i], t)) for i, t in enumerate(types)
+                    _tsv_cell(_f32(_u64v(r[i], ch_type_texts[i]), t))
+                    for i, t in enumerate(types)
                 )
                 + "\n"
                 for r in rows
@@ -346,7 +347,7 @@ def format_result(
         # rows, blank line after each block
         # (BlockTabSeparatedRowOutputStream)
         body = "".join(
-            "\t".join(_tsv_cell(_f32(r[i], types[i])) for r in rows) + "\n"
+            "\t".join(_tsv_cell(_f32(_u64v(r[i], ch_type_texts[i]), types[i])) for r in rows) + "\n"
             for i in range(len(names))
         )
         return body + "\n" if body else body
@@ -357,7 +358,7 @@ def format_result(
         esc_names = [_tsv_cell(n).replace("=", "\\=") for n in out_names]
         return "".join(
             "\t".join(
-                f"{esc_names[i]}={_tsv_cell(_f32(r[i], t))}"
+                f"{esc_names[i]}={_tsv_cell(_f32(_u64v(r[i], ch_type_texts[i]), t))}"
                 for i, t in enumerate(types)
             )
             + "\n"
@@ -542,7 +543,10 @@ def _render_pretty(
         return s if no_escapes else f"\033[1m{s}\033[0m"
 
     def cells_of(r) -> list[str]:
-        return [_tsv_cell(_f32(r[i], t)) for i, t in enumerate(types)]
+        return [
+            _tsv_cell(_f32(_u64v(r[i], ch_types[i] if ch_types and i < len(ch_types) else None), t))
+            for i, t in enumerate(types)
+        ]
 
     if block_rows:
         # explicit block boundaries (one block per UNION ALL branch)
@@ -829,6 +833,24 @@ def _ch_nested(x) -> str:
     if x is None:
         return "NULL"
     return _cell(x)
+
+
+def _u64v(v, ch_t):
+    """UInt64-typed BIGINT bit pattern → the unsigned value for text
+    output (columns stored as signed longs print the full u64 range —
+    e.g. cityHash64 DEFAULT fills, golden 00253)."""
+    if (
+        isinstance(v, int)
+        and not isinstance(v, bool)
+        and v < 0
+        and ch_t
+    ):
+        t = str(ch_t)
+        if t.startswith("Nullable("):
+            t = t[9:-1]
+        if t == "UInt64":
+            return v + (1 << 64)
+    return v
 
 
 def _f32(v, spark_type: str):

@@ -109,7 +109,14 @@ def compact_summing(
     (first member is the key, the rest are summed per key; entries
     whose summed values are ALL zero are eliminated; keys sorted) —
     the reference's maps_to_sum path."""
-    map_cols = {c for m in maps for c in m}
+    def _map_members(m) -> list:
+        # (key_cols, val_cols) pair, or the legacy flat
+        # [key, val, ...] list
+        if m and isinstance(m[0], (list, tuple)):
+            return list(m[0]) + list(m[1])
+        return list(m)
+
+    map_cols = {c for m in maps for c in _map_members(m)}
     other = [
         c for c in df.columns
         if c not in pk and c not in metrics and c not in map_cols
@@ -124,35 +131,50 @@ def compact_summing(
         for f in df.schema.fields
         if f.dataType.typeName() == "array"
     }
-    post: list[tuple[Sequence[str], str]] = []
+    post: list[tuple[list[str], list[str], str]] = []
     for gi, group in enumerate(maps):
-        key, vals = group[0], list(group[1:])
+        # a member is a KEY when it is the first column or its name
+        # ends with ID/Key/Type (SummingSortedBlockInputStream
+        # maps_to_sum MapDescription — composite map keys, sorted as
+        # tuples in the merged output)
+        if isinstance(group[0], (list, tuple)):
+            keys, vals = list(group[0]), list(group[1])
+        else:
+            keys, vals = [group[0]], list(group[1:])
+        nk = len(keys)
         fields = ", ".join(
-            f"element_at(`{c}`, __i) AS v{j}"
-            for j, c in enumerate([key, *vals])
+            [f"element_at(`{c}`, __i) AS k{j}" for j, c in enumerate(keys)]
+            + [f"element_at(`{c}`, __i) AS v{j}" for j, c in enumerate(vals)]
         )
         entries = (
-            f"flatten(collect_list(transform(sequence(1, size(`{key}`)), "
+            f"flatten(collect_list(transform(sequence(1, size(`{keys[0]}`)), "
             f"__i -> struct({fields}))))"
         )
         aggs.append(F.expr(entries).alias(f"__map{gi}"))
-        zero = " AND ".join(f"s.v{j + 1} = 0" for j in range(len(vals)))
+        match = " AND ".join(f"e.k{j} = __k.k{j}" for j in range(nk))
+        keysel = ", ".join(f"e.k{j} AS k{j}" for j in range(nk))
+        keyout = ", ".join(f"__k.k{j} AS k{j}" for j in range(nk))
+        zero = " AND ".join(f"s.v{j} = 0" for j in range(len(vals)))
         sums = ", ".join(
-            f"aggregate(filter(`__map{gi}`, e -> e.v0 = __k), "
-            f"CAST(0 AS {elem_t[c].upper()}), (acc, e) -> acc + e.v{j + 1}) "
-            f"AS v{j + 1}"
+            f"aggregate(filter(`__map{gi}`, e -> {match}), "
+            f"CAST(0 AS {elem_t[c].upper()}), (acc, e) -> acc + e.v{j}) "
+            f"AS v{j}"
             for j, c in enumerate(vals)
         )
         merged = (
             f"filter(transform(array_sort(array_distinct("
-            f"transform(`__map{gi}`, e -> e.v0))), "
-            f"__k -> struct(__k AS v0, {sums})), s -> NOT ({zero}))"
+            f"transform(`__map{gi}`, e -> struct({keysel})))), "
+            f"__k -> struct({keyout}, {sums})), s -> NOT ({zero}))"
         )
-        post.append((group, merged))
+        post.append((keys, vals, merged))
     out = df.groupBy(*[qc(k) for k in pk]).agg(*aggs)
-    for gi, (group, merged) in enumerate(post):
+    for gi, (keys, vals, merged) in enumerate(post):
         out = out.withColumn(f"__m{gi}", F.expr(merged))
-        for j, c in enumerate(group):
+        for j, c in enumerate(keys):
+            out = out.withColumn(
+                c, F.expr(f"transform(`__m{gi}`, s -> s.k{j})")
+            )
+        for j, c in enumerate(vals):
             out = out.withColumn(
                 c, F.expr(f"transform(`__m{gi}`, s -> s.v{j})")
             )

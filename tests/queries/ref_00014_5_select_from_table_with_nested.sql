@@ -1,0 +1,1 @@
+SELECT s, nest.x, nest.y FROM nested_test ARRAY JOIN nest
