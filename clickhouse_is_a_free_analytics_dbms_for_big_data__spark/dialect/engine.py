@@ -317,7 +317,14 @@ class ChEngine:
         # ALIAS/MATERIALIZED — hasColumnInTable sees the definition)
         tdef = self.tables.get(table)
         if tdef is not None:
-            return [c.name for c in tdef.columns]
+            cols = [c.name for c in tdef.columns]
+            # MergeTree-family reads publish the _part virtual column
+            # (MergeTreeBlockInputStream); translate's `*`-visibility
+            # gate keys off its presence here, so surface it for the
+            # whole family (it is hidden from `*` downstream).
+            if tdef.engine.endswith("MergeTree"):
+                cols.append("_part")
+            return cols
         view = self.table_views.get(table)
         try:
             return self.spark.table(view or table).columns
