@@ -512,3 +512,29 @@ def system_parts_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT partition, rows, min_date, max_date, level, active "
         "FROM system.parts WHERE `table` = 'pstats' ORDER BY partition"
     )
+
+
+@query(
+    "dialect_select_star_mergetree",
+    """
+    SELECT DATE '1995-06-17' AS d, n_nationkey AS k, n_name AS name
+    FROM nation ORDER BY k
+    """,
+    doc="Regression pin for the *-visibility gate: SELECT * on an "
+    "inserted-into MergeTree table must expand to the DECLARED columns "
+    "only — the _part virtual column (MergeTreeBlockInputStream) stays "
+    "hidden.  The driver's sorted-column-name schema check fails if "
+    "_part leaks (round-7 regression, engine._columns_of).",
+    tags=("dialect", "statements", "mergetree"),
+)
+def dialect_select_star_mergetree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    eng.execute(
+        "CREATE TABLE star_mt (d Date, k UInt32, name String) "
+        "ENGINE = MergeTree(d, k, 8192)"
+    )
+    eng.execute(
+        "INSERT INTO star_mt "
+        "SELECT toDate('1995-06-17'), n_nationkey, n_name FROM nation"
+    )
+    return eng.sql("SELECT * FROM star_mt ORDER BY k")
