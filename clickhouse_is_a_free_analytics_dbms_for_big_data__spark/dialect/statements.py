@@ -1608,7 +1608,19 @@ def _insert(engine, tokens: list[Token]) -> None:
     # (ReplicatedMergeTreeBlockOutputStream checksum dedup —
     # goldens 00215/00226)
     if getattr(tdef.meta, "replicated", False):
-        fp = tuple(sorted(tuple(str(v) for v in r) for r in shaped.collect()))
+        # executor-side fingerprint: per-row hash combined with
+        # order-insensitive aggregates (count + sum + xor), so only ONE
+        # tiny agg row reaches the driver — never the block itself
+        # (the reference likewise checksums block data on the server)
+        from pyspark.sql import functions as F
+
+        _h = F.xxhash64(*[F.col(c).cast("string") for c in shaped.columns])
+        _a = shaped.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_h.cast("decimal(38,0)")).alias("s"),
+            F.bit_xor(_h).alias("x"),
+        ).first()
+        fp = (_a["n"], str(_a["s"]), _a["x"])
         seen = getattr(tdef, "_dedup_blocks", None)
         if seen is None:
             seen = set()

@@ -813,3 +813,45 @@ def test_reservoir_order_independent_beyond_limit():
     s2 = deterministic_samples(vals[perm], dets[perm])
     assert len(s1) <= SAMPLE_COUNT
     assert sorted(s1.tolist()) == sorted(s2.tolist())
+
+
+def test_replicated_dedup_no_block_collect(eng, monkeypatch):
+    """Replicated* INSERT dedup must fingerprint executor-side: no
+    collect() call may materialize O(block) rows on the driver
+    (ReplicatedMergeTreeBlockOutputStream checksums server-side)."""
+    from pyspark.sql import DataFrame
+
+    eng.execute("DROP TABLE IF EXISTS rdedup")
+    eng.execute(
+        "CREATE TABLE rdedup (d Date, k UInt32) ENGINE = "
+        "ReplicatedMergeTree('/clickhouse/tables/rdedup', 'r1', d, k, 8192)"
+    )
+    sizes: list[int] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    eng.execute(
+        "INSERT INTO rdedup SELECT o_orderdate, o_orderkey FROM orders"
+    )
+    n_orders = eng.spark.table("orders").count()
+    assert n_orders > 1000
+    assert max(sizes, default=0) < 100, (
+        f"driver-side collect materialized {max(sizes)} rows during a "
+        f"{n_orders}-row Replicated INSERT"
+    )
+    # dedup still works: the identical block is silently dropped...
+    eng.execute(
+        "INSERT INTO rdedup SELECT o_orderdate, o_orderkey FROM orders"
+    )
+    assert eng.sql("SELECT count() FROM rdedup").collect()[0][0] == n_orders
+    # ...but different content appends
+    eng.execute(
+        "INSERT INTO rdedup SELECT o_orderdate, o_orderkey FROM orders LIMIT 5"
+    )
+    assert eng.sql("SELECT count() FROM rdedup").collect()[0][0] == n_orders + 5
+    eng.execute("DROP TABLE rdedup")
