@@ -1897,6 +1897,68 @@ PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     ),
 }
 
+# ------------------------------------------------- quantile scale guard
+#
+# The bit-exact quantile family (taus88 reservoir replay, Timing
+# histogram, Exact nth-element) funnels each group's full value list
+# through collect_list into an Arrow UDF — exact vs the reference, but
+# unbounded per-group memory: a skewed group at 100 TB spills or OOMs
+# the executor.  `SET approx_quantiles = 1` (session or per-query
+# SETTINGS) reroutes the whole family to Spark's percentile_approx
+# (Greenwald-Khanna sketch: bounded memory, map-side partials, one
+# ordinary shuffle) for plans where bit-fidelity isn't required.
+# translate.translate_sql flips this module flag per statement.
+APPROX_QUANTILES = False
+
+_APPROX_ACCURACY = 10000  # GK sketch accuracy (Spark default)
+
+
+def _approx_q(x: str, levels: list[str], plural: bool) -> str:
+    if plural:
+        return (
+            f"percentile_approx(CAST({x} AS DOUBLE), "
+            f"array({', '.join(levels)}), {_APPROX_ACCURACY})"
+        )
+    return (
+        f"percentile_approx(CAST({x} AS DOUBLE), {levels[0]}, "
+        f"{_APPROX_ACCURACY})"
+    )
+
+
+def _guard_quantile(orig, plural: bool):
+    """Wrap a PARAMETRIC quantile builder: approx mode wins when set."""
+
+    def inner(p, a):
+        if APPROX_QUANTILES:
+            levels = p or ["0.5"]
+            if plural and not p:
+                return _empty_quantiles(a[0])
+            return _approx_q(a[0], levels, plural)
+        return orig(p, a)
+
+    return inner
+
+
+for _qn in (
+    "quantile", "quantileDeterministic", "quantileTiming",
+    "quantileExact", "quantileExactWeighted", "quantileTimingWeighted",
+):
+    PARAMETRIC[_qn] = _guard_quantile(PARAMETRIC[_qn], plural=False)
+for _qn in (
+    "quantiles", "quantilesDeterministic", "quantilesTiming",
+    "quantilesExact", "quantilesExactWeighted", "quantilesTimingWeighted",
+):
+    PARAMETRIC[_qn] = _guard_quantile(PARAMETRIC[_qn], plural=True)
+del _qn
+
+_orig_median = TEMPLATES["median"]
+TEMPLATES["median"] = (
+    lambda a: _approx_q(a[0], ["0.5"], False)
+    if APPROX_QUANTILES
+    else _orig_median(a)
+)
+
+
 # -------------------------------------------------------------- -If combo
 
 _IF_COMBINATOR_BASES: dict[str, str] = {

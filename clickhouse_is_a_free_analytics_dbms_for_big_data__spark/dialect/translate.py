@@ -212,7 +212,27 @@ def translate_sql(
     tokens = tokenize(sql)
     while tokens and tokens[-1].text == ";":
         tokens = tokens[:-1]
-    out = _translate_union(tokens, ctx)
+    # Scale guard for the bit-exact quantile family: SET/SETTINGS
+    # approx_quantiles = 1 routes quantile*/median* through Spark's
+    # percentile_approx (bounded-memory GK sketch) instead of the
+    # collect_list -> reservoir-replay Arrow UDF (unbounded per-group
+    # memory — exact vs the reference, but not a 100 TB plan).
+    import re as _re
+
+    from . import functions_map as _fm
+
+    _aq = (session_settings or {}).get("approx_quantiles", "0")
+    _m = _re.search(
+        r"\bSETTINGS\b[^;]*\bapprox_quantiles\s*=\s*(\d+)", sql, _re.I
+    )
+    if _m:
+        _aq = _m.group(1)
+    _prev_aq = _fm.APPROX_QUANTILES
+    _fm.APPROX_QUANTILES = str(_aq) not in ("0", "")
+    try:
+        out = _translate_union(tokens, ctx)
+    finally:
+        _fm.APPROX_QUANTILES = _prev_aq
     if capture is not None:
         capture["out_ch_types"] = ctx.out_ch_types
         capture["out_ch_names"] = ctx.out_ch_names

@@ -26,11 +26,14 @@ def main() -> None:
     limit = None
     only = None
     argv = sys.argv[1:]
+    explicit = None
     for i, a in enumerate(argv):
         if a == "--limit":
             limit = int(argv[i + 1])
         if a == "--only":
             only = argv[i + 1]
+        if a == "--cases":  # comma-separated explicit case list
+            explicit = argv[i + 1].split(",")
 
     from clickhouse_is_a_free_analytics_dbms_for_big_data__spark import (
         get_session,
@@ -52,6 +55,8 @@ def main() -> None:
         if f.endswith(".sql") and f[:-4] not in adopted
         and os.path.exists(os.path.join(REF_DIR, f[:-4] + ".reference"))
     )
+    if explicit is not None:
+        cases = [c for c in cases if c in explicit]
     if only:
         cases = [c for c in cases if only in c]
     if limit:

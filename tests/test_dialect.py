@@ -855,3 +855,36 @@ def test_replicated_dedup_no_block_collect(eng, monkeypatch):
     )
     assert eng.sql("SELECT count() FROM rdedup").collect()[0][0] == n_orders + 5
     eng.execute("DROP TABLE rdedup")
+
+
+def test_quantile_scale_guard_modes(eng):
+    """SET approx_quantiles = 1 routes the bit-exact quantile family
+    (collect_list -> reservoir Arrow UDF, unbounded per-group memory)
+    to percentile_approx — the bounded-memory plan for 100 TB groups.
+    Default stays the reference-exact reservoir replay."""
+    q = ("SELECT quantile(0.5)(o_totalprice) AS q,"
+         " quantiles(0.25, 0.75)(o_totalprice) AS qs,"
+         " quantileTiming(0.9)(o_orderkey) AS qt FROM orders")
+    exact_sql = eng.translate(q)
+    assert "ch_rsv_quantiles" in exact_sql
+    assert "percentile_approx" not in exact_sql
+    exact = eng.sql(q).collect()[0]
+
+    # per-query SETTINGS form
+    approx_sql = eng.translate(q + " SETTINGS approx_quantiles = 1")
+    assert "percentile_approx" in approx_sql
+    assert "ch_rsv_quantiles" not in approx_sql
+    assert "collect_list" not in approx_sql
+    # session SET form
+    eng.execute("SET approx_quantiles = 1")
+    try:
+        approx_sql2 = eng.translate(q)
+        assert "percentile_approx" in approx_sql2
+        approx = eng.sql(q).collect()[0]
+    finally:
+        eng.execute("SET approx_quantiles = 0")
+    # sketch results track the exact ones (orders is well-spread)
+    assert abs(approx["q"] - exact["q"]) / exact["q"] < 0.05
+    assert len(approx["qs"]) == 2
+    # default restored: exact path again
+    assert "ch_rsv_quantiles" in eng.translate(q)
