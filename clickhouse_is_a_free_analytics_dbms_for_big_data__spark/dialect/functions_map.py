@@ -1161,14 +1161,17 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     ),
     # little-endian integer bytes up to the first NUL — SQL twin of
     # functions/reinterpret.py:reinterpretAsString (FunctionsReinterpret.cpp)
+    # NOTE: built from the hex bytes, NOT char() — Spark's char(n)
+    # emits the code POINT (char(208) = 'Ð', two UTF-8 bytes), while
+    # the reference emits raw bytes (reinterpretAsString(33232) = 'Ё',
+    # bytes D0 81 — golden 00003)
     "reinterpretAsString": lambda a: _sql_let(
-        f"transform(sequence(0, 7), __i -> CAST(CAST({a[0]} AS BIGINT) "
-        f"DIV CAST(power(256, __i) AS BIGINT) % 256 AS INT))",
-        "__b",
-        "array_join(transform(slice(__b, 1, "
-        "(CASE WHEN array_position(__b, 0) = 0 THEN 8 "
-        "ELSE CAST(array_position(__b, 0) AS INT) - 1 END)), "
-        "__c -> char(__c)), '')",
+        f"lpad(hex(CAST({a[0]} AS BIGINT)), 16, '0')",
+        "__h",
+        "decode(unhex(regexp_replace(concat("
+        "substr(__h, 15, 2), substr(__h, 13, 2), substr(__h, 11, 2), "
+        "substr(__h, 9, 2), substr(__h, 7, 2), substr(__h, 5, 2), "
+        "substr(__h, 3, 2), substr(__h, 1, 2)), '(00)+$', '')), 'UTF-8')",
     ),
     # FunctionsCharset.cpp convertCharset — Arrow UDF over the
     # pure-Python codec layer (functions/charset.py; ICU-parity incl.
@@ -1203,7 +1206,12 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     ),
     "transform": _t_transform,
     "ifNull": lambda a: f"coalesce({a[0]}, {a[1]})",
-    "nullIf": lambda a: f"nullif({a[0]}, {a[1]})",
+    # NOT Spark's nullif: the reference builds multiIf(x = y, NULL, x)
+    # and a NULL condition yields NULL — so nullIf(9, NULL) is NULL,
+    # where Spark's nullif returns 9 (golden 00395)
+    "nullIf": lambda a: (
+        f"(CASE WHEN NOT (({a[0]}) = ({a[1]})) THEN ({a[0]}) END)"
+    ),
     "isNull": lambda a: f"({a[0]} IS NULL)",
     "isNotNull": lambda a: f"({a[0]} IS NOT NULL)",
     "assumeNotNull": lambda a: a[0],
@@ -1873,7 +1881,9 @@ PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     # -State on parametric quantiles: our state IS the finished value
     # (finalizeAggregation is then the identity — functions/state.py)
     "quantileTimingState": lambda p, a: _timing_quantile(a[0], p or ["0.5"]),
-    "quantilesTimingState": lambda p, a: _timing_quantile(a[0], p),
+    "quantilesTimingState": lambda p, a: _timing_quantile(
+        a[0], p, force_array=True
+    ),
     # plain quantile(s): ReservoirSampler state = the value list (exact
     # below the 8192 reservoir bound); Merge concatenates lists and
     # applies the interpolated finalizer
@@ -1951,6 +1961,15 @@ for _qn in (
     PARAMETRIC[_qn] = _guard_quantile(PARAMETRIC[_qn], plural=True)
 del _qn
 
+# parametric ForEach forms (AggregateFunctionForEach over a parametric
+# base — quantilesExactForEach(0.5, 0.9)(arr), golden 00447)
+PARAMETRIC["quantilesExactForEach"] = lambda p, a: _foreach_generic(
+    "quantilesExact", a[0], p
+)
+PARAMETRIC["quantileExactForEach"] = lambda p, a: _foreach_generic(
+    "quantileExact", a[0], p
+)
+
 _orig_median = TEMPLATES["median"]
 TEMPLATES["median"] = (
     lambda a: _approx_q(a[0], ["0.5"], False)
@@ -2010,14 +2029,59 @@ def foreach_combinator(name: str, args: Args) -> str | None:
         return fold(_FOREACH_MERGES[base])
     if base == "avg":
         return f"zip_with({fold(_FOREACH_MERGES['sum'])}, {fold(_FOREACH_MERGES['count'])}, (__s, __c) -> __s / __c)"
-    if base == "groupArray":
-        return (
-            f"aggregate({lists}, CAST(array() AS ARRAY<ARRAY<STRING>>), "
-            f"(__acc, __arr) -> zip_with(__acc, transform(__arr, __e -> CAST(__e AS STRING)), "
-            f"(__p, __q) -> concat(coalesce(__p, array()), "
-            f"CASE WHEN __q IS NULL THEN CAST(array() AS ARRAY<STRING>) ELSE array(__q) END)))"
+    return _foreach_generic(base, arr)
+
+
+def _foreach_generic(
+    base: str, arr: str, params: Args | None = None
+) -> str | None:
+    """Type-preserving ForEach: per index i, collect every row's i-th
+    element (rows shorter than i contribute nothing) and run the base
+    aggregate's finalizer over that list (AggregateFunctionForEach.h
+    nested-state-per-index — golden 00447).  The collected list is
+    let-bound so no aggregate appears inside a lambda body."""
+    vals = (
+        "filter(transform(__fls, __fa -> element_at(__fa, __fi)), "
+        "__fe -> __fe IS NOT NULL)"
+    )
+    if base in ("quantileExact", "quantilesExact"):
+        levels = list(params or ["0.5"])
+
+        def one(p: str) -> str:
+            lv = f"CAST({p} AS DOUBLE)"
+            n = (
+                f"IF({lv} < 1, CAST({lv} * size(__qfx) AS BIGINT), "
+                f"size(__qfx) - 1)"
+            )
+            return f"element_at(__qfx, CAST({n} AS INT) + 1)"
+
+        inner = (
+            "array(" + ", ".join(one(p) for p in levels) + ")"
+            if base == "quantilesExact"
+            else one(levels[0])
         )
-    return None
+        fin = _sql_let("array_sort(__fv)", "__qfx", inner)
+    else:
+        fins = {
+            "min": "array_min(__fv)",
+            "max": "array_max(__fv)",
+            "uniq": "size(array_distinct(__fv))",
+            "uniqExact": "size(array_distinct(__fv))",
+            "any": "element_at(__fv, 1)",
+            "anyLast": "element_at(__fv, -1)",
+            "groupArray": "__fv",
+            "groupUniqArray": "array_distinct(__fv)",
+        }
+        fin = fins.get(base)
+        if fin is None:
+            return None
+    maxlen = "aggregate(__fls, 0, (__fm, __fa) -> greatest(__fm, size(__fa)))"
+    body = (
+        f"transform(IF({maxlen} = 0, CAST(array() AS ARRAY<INT>), "
+        f"sequence(1, {maxlen})), "
+        f"__fi -> {_sql_let(vals, '__fv', fin)})"
+    )
+    return _sql_let(f"collect_list({arr})", "__fls", body)
 
 
 def array_combinator(

@@ -310,6 +310,25 @@ def register_hash_udfs(spark) -> None:
     spark.udf.register("ch_hash32", ch_hash32)
     spark.udf.register("ch_urlhash", ch_urlhash)
 
+    @pandas_udf(StringType())
+    def ch_urlhash_u64(s: pd.Series, level: pd.Series) -> pd.Series:
+        # unsigned decimal TEXT (cast to DECIMAL(20,0) in SQL): keeps
+        # the call site to a SINGLE UDF occurrence — signed_to_u64's
+        # CASE would duplicate a potentially huge argument expression
+        # past the codegen limit (golden 00149)
+        out = []
+        for v, lv in zip(s, level):
+            if v is None:
+                out.append(None)
+            else:
+                out.append(str(xh.url_hash(
+                    str(v).encode(),
+                    None if lv is None or lv < 0 else int(lv),
+                )))
+        return pd.Series(out, dtype="object")
+
+    spark.udf.register("ch_urlhash_u64", ch_urlhash_u64)
+
     @pandas_udf(LongType())
     def ch_uniq_hll12(keys: pd.Series, trivial: pd.Series) -> pd.Series:
         # bit-exact uniqHLL12 (HyperLogLogWithSmallSetOptimization

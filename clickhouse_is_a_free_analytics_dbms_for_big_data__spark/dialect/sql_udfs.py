@@ -102,7 +102,14 @@ def _ipv6_parse_body() -> str:
         "concat(__l, array_repeat('0', 8 - size(__l) - size(__r)), __r) "
         "ELSE __l END"
     )
-    build = f"unhex(array_join(transform({full}, __g -> lpad(__g, 4, '0')), ''))"
+    # unparseable / empty input yields all-zero bytes, never NULL
+    # (FunctionIPv6StringToNum writes a zeroed in6_addr on failure)
+    build = _let(
+        f"unhex(array_join(transform({full}, __g -> lpad(__g, 4, '0')), ''))",
+        "__b",
+        "CASE WHEN length(__b) = 16 THEN __b "
+        "ELSE unhex(repeat('00', 16)) END",
+    )
     body = _let(lgroups, "__l", _let(rgroups, "__r", build))
     body = _let("split(__c, '::', -1)", "__h", body)
     body = _let(with_tail, "__c", body)

@@ -963,8 +963,10 @@ def _engine_meta(engine: str, args: list[list[Token]]) -> TableMeta:
             meta.date_col = args[0][0].text  # month-partitioning column
         if len(args) > pk_idx:
             meta.primary_key = key_of(args[pk_idx])
-        if pk_idx == 2 and len(args[1]) == 1:
-            meta.sample_key = args[1][0].text
+        if pk_idx == 2 and args[1]:
+            # the sampling key may be an EXPRESSION — intHash64(x)
+            # (golden 00314); kept as CH text, translated at SAMPLE time
+            meta.sample_key = " ".join(t.text for t in args[1])
             meta.sample_raw = True
         if engine == "ReplacingMergeTree" and len(args) > pk_idx + 2:
             meta.version_col = args[pk_idx + 2][0].text
@@ -1059,6 +1061,17 @@ def execute_statement(engine, ch_sql: str) -> DataFrame | None:
         if tdef is None:
             # full ATTACH TABLE t (cols) ENGINE — same as CREATE
             return _create(engine, [Token("ident", "CREATE")] + tokens[1:])
+        if any(t.is_kw("ENGINE") for t in tokens):
+            # ATTACH TABLE t (cols) ENGINE = ... of a detached table:
+            # the DECLARATION wins (a re-attach may change the primary
+            # key — golden 00329), the detached part data stays
+            _create(engine, [Token("ident", "CREATE")] + tokens[1:])
+            newdef = engine.tables.get(name)
+            if newdef is not None:
+                newdef.raw = tdef.raw
+                newdef.parts = tdef.parts
+                _publish(engine, newdef)
+            return None
         engine.tables[name] = tdef
         engine.table_views[name] = _view_of(name)
         _publish(engine, tdef)
@@ -1294,6 +1307,12 @@ def _create(engine, tokens: list[Token]) -> None:
                 tdef.view_sql = " UNION ALL ".join(
                     f"SELECT * FROM {m}" for m in members
                 )
+                # SAMPLE over a Merge table uses the members' sampling
+                # key (StorageMerge forwards the clause — golden 00314)
+                _m0 = engine.tables.get(members[0])
+                if _m0 is not None and _m0.meta.sample_key:
+                    tdef.meta.sample_key = _m0.meta.sample_key
+                    tdef.meta.sample_raw = _m0.meta.sample_raw
                 df2 = engine.spark.sql(engine.translate(tdef.view_sql))
                 tdef.raw = df2
                 df2.createOrReplaceTempView(view)
@@ -1509,7 +1528,7 @@ def _drop_table(engine, name: str) -> None:
 
 
 def _insert(engine, tokens: list[Token]) -> None:
-    from .translate import Ctx, _rewrite, _translate_union
+    from .translate import Ctx, _rewrite, _strip_sub_totals, _translate_union
 
     i = 1
     assert tokens[i].is_kw("INTO")
@@ -1569,8 +1588,31 @@ def _insert(engine, tokens: list[Token]) -> None:
             ]
             new_df = engine.spark.sql("\nUNION ALL\n".join(selects))
     elif tokens[i].is_kw("SELECT") or tokens[i].text == "(":
-        sub = _translate_union(tokens[i:], ctx)
-        new_df = engine.spark.sql(sub)
+        sel_toks = tokens[i:]
+        # a WITH TOTALS / SETTINGS extremes=1 SELECT feeding an INSERT
+        # sends its totals/extremes blocks to the CLIENT — they are
+        # never inserted (NullAndDoCopyBlockInputStream forwards only
+        # data blocks; golden 00209).  Insert the stripped query; the
+        # out-of-band blocks are rendered into last_insert_echo.
+        stripped, had_totals = _strip_sub_totals(sel_toks)
+        _ext = str(engine.last_settings.get("extremes", "0")) in ("1",)
+        new_df = engine.spark.sql(
+            _translate_union(stripped if had_totals else sel_toks, ctx)
+        )
+        if had_totals or _ext:
+            from ..sources.formats import format_result
+
+            fdf = (
+                engine.spark.sql(_translate_union(sel_toks, ctx))
+                if had_totals
+                else new_df
+            )
+            txt = format_result(
+                fdf, "TabSeparated", totals=had_totals, extremes=_ext,
+                settings=engine.last_settings,
+            )
+            pos = txt.find("\n\n")
+            engine.last_insert_echo = txt[pos + 1 :] if pos >= 0 else ""
     else:
         raise ValueError("INSERT expects VALUES or SELECT")
 
@@ -1785,17 +1827,32 @@ def _tag_part(
     )
 
 
-def _retag_parts(tdef: TableDef) -> None:
+def _retag_parts(tdef: TableDef, keep: set[str] = frozenset()) -> None:
     """After a merge renamed parts, recompute every row's ``__part``
-    from the current per-partition part list."""
+    from the current per-partition part list.  Rows belonging to parts
+    in ``keep`` (skipped by the merge selector) keep their tag."""
     if tdef.raw is None:
         return
+    from pyspark.sql import functions as F
+
     raw = tdef.raw
+    kept_raw = None
+    if keep and "__part" in raw.columns:
+        _in_keep = F.coalesce(F.col("__part").isin(*keep), F.lit(False))
+        kept_raw = raw.filter(_in_keep)
+        raw = raw.filter(~_in_keep)
     for hidden in ("__part", "_part"):
         if hidden in raw.columns:
             raw = raw.drop(hidden)
-    pmap = {p["partition"]: p["name"] for p in tdef.parts if p["active"]}
-    tdef.raw = _tag_part(tdef, raw, pmap)
+    pmap = {
+        p["partition"]: p["name"]
+        for p in tdef.parts
+        if p["active"] and p["name"] not in keep
+    }
+    retagged = _tag_part(tdef, raw, pmap)
+    if kept_raw is not None:
+        retagged = kept_raw.unionByName(retagged)
+    tdef.raw = retagged
 
 
 def _track_insert_parts(
@@ -1865,14 +1922,18 @@ def _track_insert_parts(
     return pmap
 
 
-def merge_parts(tdef: TableDef) -> None:
-    """OPTIMIZE's part bookkeeping: merge all active parts within each
-    partition into one (level = max+1), like a full merge selecting the
-    whole partition (MergeTreeDataMerger)."""
+def merge_parts(tdef: TableDef, keep: set[str] = frozenset()) -> None:
+    """OPTIMIZE's part bookkeeping: merge the selected active parts
+    within each partition into one (level = max+1); parts in ``keep``
+    stay untouched (MergeTreeDataMerger)."""
     by_part: dict[str, list[dict]] = {}
+    kept_parts: list[dict] = []
     for p in tdef.parts:
-        by_part.setdefault(p["partition"], []).append(p)
-    merged: list[dict] = []
+        if p["name"] in keep:
+            kept_parts.append(p)
+        else:
+            by_part.setdefault(p["partition"], []).append(p)
+    merged: list[dict] = kept_parts
     for partition, ps in sorted(by_part.items()):
         if len(ps) == 1:
             merged.append(ps[0])
@@ -1980,6 +2041,54 @@ def _alter(engine, tokens: list[Token]) -> None:
         if not action:
             continue
         verb = action[0].text.upper()
+        if verb == "MODIFY" and action[1].is_kw("PRIMARY"):
+            # MODIFY PRIMARY KEY (k...) — changes the sort/index key;
+            # existing data stays, future reads/merges use the new key
+            # (InterpreterAlterQuery PRIMARY_KEY, golden 00329)
+            toks = action[3:]
+            if toks and toks[0].text == "(":
+                toks = toks[1:_match_paren(toks, 0)]
+            tdef.meta.primary_key = tuple(
+                t.text for t in toks if t.kind in ("ident", "qident")
+            )
+            _publish(engine, tdef)  # PK order drives plain-SELECT order
+            continue
+        if verb in ("DETACH", "ATTACH") and action[1].is_kw("PARTITION"):
+            # DETACH/ATTACH PARTITION p: rows of the month partition
+            # leave/rejoin the active set (InterpreterAlterQuery
+            # partition commands — golden 00428)
+            from pyspark.sql import functions as F
+
+            part_lit = action[2].text.strip("'")
+            if tdef.raw is None:
+                continue
+            month = _part_month_expr(tdef)
+            in_part = F.expr(f"CAST({month} AS STRING) = '{part_lit}'")
+            stash = getattr(tdef, "_detached_partitions", None)
+            if stash is None:
+                stash = {}
+                tdef._detached_partitions = stash
+            if verb == "DETACH":
+                stash[part_lit] = tdef.raw.filter(in_part).localCheckpoint(
+                    eager=True
+                )
+                tdef.raw = tdef.raw.filter(~in_part).localCheckpoint(
+                    eager=True
+                )
+                for p in tdef.parts:
+                    if p["partition"] == part_lit:
+                        p["active"] = 0
+            else:
+                back = stash.pop(part_lit, None)
+                if back is not None:
+                    tdef.raw = tdef.raw.unionByName(
+                        back, allowMissingColumns=True
+                    ).localCheckpoint(eager=True)
+                for p in tdef.parts:
+                    if p["partition"] == part_lit:
+                        p["active"] = 1
+            _publish(engine, tdef)
+            continue
         assert action[1].is_kw("COLUMN"), "ALTER supports COLUMN actions"
         rest = action[2:]
         if rest and rest[0].is_kw("IF"):
@@ -2328,6 +2437,10 @@ def _optimize(engine, tokens: list[Token]) -> None:
         raise ValueError(f"OPTIMIZE on unknown table {name!r}")
     view = engine.table_views.get(name, _view_of(name))
     df = engine.spark.table(view)
+    # OPTIMIZE merges every active part of the partition (the
+    # aggressive selectPartsToMerge path); no parts are skipped
+    keep_names: set[str] = set()
+    keep_df = None
     if "_part" in df.columns:
         df = df.drop("_part")  # virtual column, not merge input
     meta = tdef.meta
@@ -2366,13 +2479,21 @@ def _optimize(engine, tokens: list[Token]) -> None:
             f"GROUP BY {', '.join(f'`{k}`' for k in pk)}"
         ).select(*[f"`{c.name}`" for c in tdef.columns])
     else:
-        merge_parts(tdef)  # plain MergeTree: merge changes layout, not rows
-        _retag_parts(tdef)
+        # plain MergeTree: merge changes layout, not rows
+        merge_parts(tdef, keep_names)
+        _retag_parts(tdef, keep_names)
         _publish(engine, tdef)
         return None
     # a merge materializes current defaults into the merged part
-    tdef.raw = df.localCheckpoint(eager=True)
-    merge_parts(tdef)
+    if keep_df is not None:
+        tdef.raw = (
+            keep_df.withColumnRenamed("_part", "__part")
+            .unionByName(df, allowMissingColumns=True)
+            .localCheckpoint(eager=True)
+        )
+    else:
+        tdef.raw = df.localCheckpoint(eager=True)
+    merge_parts(tdef, keep_names)
     if tdef.parts:
         # compaction may have dropped rows (Replacing dedup, Collapsing
         # cancellation, Summing/Aggregating group-merge): refresh each
@@ -2399,11 +2520,14 @@ def _optimize(engine, tokens: list[Token]) -> None:
             counts = {"all": df.count()}
         kept = []
         for p in tdef.parts:
+            if p["name"] in keep_names:
+                kept.append(p)  # untouched by this merge
+                continue
             rows = counts.get(p["partition"], 0)
             if rows:
                 p["rows"] = rows
                 p["marks"] = (rows + 8191) // 8192
                 kept.append(p)
         tdef.parts = kept
-    _retag_parts(tdef)
+    _retag_parts(tdef, keep_names)
     _publish(engine, tdef)

@@ -155,9 +155,19 @@ class Ctx:
     # a top-level pass-through SELECT over a WITH TOTALS subquery:
     # the inline totals row IS the out-of-band totals block
     passthrough_totals: bool = False
+    # a top-level join whose RIGHT subquery declared WITH TOTALS: its
+    # totals row pairs null-safe with the left side's (00150)
+    join_right_totals: bool = False
     # max_block_size for block-model functions (blockSize() etc);
     # None = the current SELECT has no such calls
     block_fns_b: int | None = None
+    # hidden scan-ordinal column for order-sensitive accumulators
+    # (groupArray/groupUniqArray collect in SCAN order in the
+    # reference's single-threaded Aggregator); None = not annotated
+    group_array_ord: str | None = None
+    # per-column hidden lag flags for the preserved string-array has()
+    # defect (see _apply_fn `has` branch): column name -> flag column
+    has_prev_flags: dict | None = None
     # most recent subquery SQL including its LIMIT (rows_before_limit
     # fallback when the outer query has no LIMIT of its own)
     sub_limited_sql: str | None = None
@@ -681,6 +691,9 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         _item_has_agg(select_toks) or bool(group_toks)
     )
     from_sql, table_name = _render_from(from_toks, ctx)
+    # did the LEFT side itself declare WITH TOTALS?  (read before the
+    # joins render — a joined subquery's totals also set the flag)
+    left_had_totals = ctx.passthrough_totals
 
     # ---- block-model introspection (blockSize/rowNumberInAllBlocks/
     # rowNumberInBlock/blockNumber): the reference streams
@@ -712,6 +725,70 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
             f"(SELECT *, {rn} AS __rnall FROM {from_sql}) "
             f"{ctx.gensym('blk')}) {ctx.gensym('blk')}"
         )
+    # groupArray/groupUniqArray accumulate in SCAN order (the
+    # reference's single-threaded Aggregator appends per block) —
+    # Spark's collect_list order is partition-merge luck.  Annotate the
+    # source with a hidden monotonic ordinal; _apply_fn then collects
+    # (ordinal, value) structs and sorts (golden 00089).
+    _saved_ga_ord = ctx.group_array_ord
+    ctx.group_array_ord = None
+    if (
+        from_sql
+        and not joins
+        and any(
+            t.kind == "ident"
+            and t.text == "groupArray"
+            and k + 1 < len(select_toks)
+            and select_toks[k + 1].text == "("
+            for k, t in enumerate(select_toks)
+        )
+        and not any(t.text == "*" for t in select_toks)
+    ):
+        _ga = ctx.gensym("gaord")
+        from_sql = (
+            f"(SELECT *, monotonically_increasing_id() AS {_ga} "
+            f"FROM {from_sql}) {ctx.gensym('ga')}"
+        )
+        ctx.group_array_ord = _ga
+    # has() over stored Array(Nullable(String)) columns replays the
+    # reference's shifted-null-map defect, whose first element reads
+    # the PREVIOUS row's last flag — annotate a lag column per such
+    # column (see the `has` branch in _apply_fn, golden 00395)
+    _saved_hpf = ctx.has_prev_flags
+    ctx.has_prev_flags = None
+    if (
+        from_sql
+        and not joins
+        and table_name
+        and ctx.tabledef_of is not None
+        and any(
+            t.kind == "ident" and t.text == "has"
+            for t in select_toks + where_toks + having_toks
+        )
+        and not any(t.text == "*" for t in select_toks)
+    ):
+        _htd = ctx.tabledef_of(table_name)
+        _hcols = [
+            c.name
+            for c in (_htd.columns if _htd is not None else [])
+            if (c.ch_type or "").startswith("Array(Nullable(String")
+            or (c.ch_type or "").startswith("Array(Nullable(FixedString")
+        ]
+        if _hcols:
+            _flags = {}
+            adds = []
+            for c in _hcols:
+                fl = ctx.gensym("hpf")
+                adds.append(
+                    f"lag(element_at(`{c}`, -1) IS NULL, 1) OVER "
+                    f"(ORDER BY monotonically_increasing_id()) AS {fl}"
+                )
+                _flags[c] = fl
+            from_sql = (
+                f"(SELECT *, {', '.join(adds)} FROM {from_sql}) "
+                f"{ctx.gensym('hp')}"
+            )
+            ctx.has_prev_flags = _flags
     ctx.current_table = table_name
     ctx.current_from_sql = from_sql or None
 
@@ -997,6 +1074,27 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         )
         join_sql += js
         hint = hint or jhint
+    if (
+        ctx.join_right_totals
+        and not left_had_totals
+        and from_sql
+        and ctx.schema_of_sql is not None
+    ):
+        # only the RIGHT side declared WITH TOTALS: the combined totals
+        # block is (left type defaults) ⊕ (right totals) — add one
+        # all-NULL left row for the null-safe pairing to latch onto;
+        # the output default-fill renders its columns as type defaults
+        _lsch = ctx.schema_of_sql(from_sql) or []
+        if _lsch:
+            _nulls = ", ".join(
+                f"CAST(NULL AS {t}) AS `{c}`" for c, t in _lsch
+            )
+            from_sql = (
+                f"((SELECT * FROM {from_sql}) UNION ALL "
+                f"(SELECT {_nulls})) {ctx.gensym('lt')}"
+            )
+            ctx.current_from_sql = from_sql
+    ctx.join_right_totals = False
 
     def aj_subst(toks: list[Token]) -> list[Token]:
         if aj_subs:
@@ -1191,14 +1289,51 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
                             "UInt32": 4294967296,
                             "UInt64": 18446744073709551616,
                         }.get((c.ch_type or "").split("(")[0])
-        _prc = int(str(settings.get("parallel_replicas_count", 1) or 1))
-        _pro = int(str(settings.get("parallel_replica_offset", 0) or 0))
-        where_parts.append(
-            _sample_predicate(
-                sample_toks, meta.sample_key, ctx, width,
-                replicas=(_prc, _pro),
-            )
+        key_sql = meta.sample_key
+        if not str(key_sql).isidentifier():
+            # EXPRESSION sampling key — intHash64(x) (golden 00314)
+            key_sql = _rewrite(tokenize(meta.sample_key), ctx)
+            if width is None:
+                width = {
+                    "intHash32": 1 << 32,
+                    "intHash64": 1 << 64,
+                    "cityHash64": 1 << 64,
+                    "sipHash64": 1 << 64,
+                }.get(meta.sample_key.split("(")[0].strip())
+        _stxt = [t.text for t in sample_toks]
+        _is_abs = (
+            "/" not in _stxt
+            and not any(t.upper() == "OFFSET" for t in _stxt)
+            and len(_stxt) >= 1
+            and float(_stxt[0]) > 1
         )
+        if _is_abs and width is not None and from_sql:
+            # SAMPLE <n> (absolute row target): coefficient n / total,
+            # realized as a key-range cut; the _sample_factor virtual
+            # column is total / actually-sampled, so sums re-estimate
+            # the full table exactly (MergeTreeDataSelectExecutor
+            # relative_sample_size from approx row count — golden
+            # 00314).  Fidelity path: two global-count windows.
+            _N = _stxt[0]
+            from_sql = (
+                f"(SELECT *, __smpl_tot / CAST(count(*) OVER () AS DOUBLE) "
+                f"AS `_sample_factor` FROM (SELECT * FROM "
+                f"(SELECT *, CAST(count(*) OVER () AS DOUBLE) AS __smpl_tot "
+                f"FROM {from_sql}) {ctx.gensym('sm')} "
+                f"WHERE CAST({key_sql} AS DOUBLE) < "
+                f"({_N} / __smpl_tot) * {float(width)}) "
+                f"{ctx.gensym('sm')}) {ctx.gensym('sm')}"
+            )
+            ctx.current_from_sql = from_sql
+        else:
+            _prc = int(str(settings.get("parallel_replicas_count", 1) or 1))
+            _pro = int(str(settings.get("parallel_replica_offset", 0) or 0))
+            where_parts.append(
+                _sample_predicate(
+                    sample_toks, key_sql, ctx, width,
+                    replicas=(_prc, _pro),
+                )
+            )
 
     if group_toks:
         # the reference has NO positional GROUP BY: a bare integer
@@ -1234,6 +1369,77 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         if having_toks
         else ""
     )
+
+    # ---- max_rows_to_group_by + group_by_overflow_mode='any'
+    # (Limits.h; Aggregator::executeOnBlock checks the hash-table size
+    # AFTER each max_block_size block — once it exceeds the cap, later
+    # blocks admit NO new keys while rows of admitted keys keep
+    # aggregating).  Emulated relationally: first-block per key,
+    # cumulative distinct keys per block, cutoff = first block whose
+    # cumulative count crosses the cap; __gb_ok marks rows of admitted
+    # keys and drives the totals_mode variants below
+    # (TotalsHavingBlockInputStream addToTotals overflow handling —
+    # goldens 00104/00107).  Settings-gated fidelity emulation: the
+    # wrap costs two windows + a tiny cross join, only when asked for.
+    _gb_cap = settings.get("max_rows_to_group_by")
+    gb_flagged = False
+    if (
+        _gb_cap
+        and str(_gb_cap).isdigit()
+        and int(_gb_cap) > 0
+        and group_toks
+        and settings.get("group_by_overflow_mode") == "any"
+        and from_sql
+        and not joins
+        and not any(len(s) == 1 and s[0].text == "*" for s in select_items)
+    ):
+        _N = int(_gb_cap)
+        _B = int(str(settings.get("max_block_size", 65536)))
+        _suba: dict[str, str] = {}
+        for s in select_items:
+            body, al = _strip_alias(s)
+            if al:
+                _suba[al] = f"({_rewrite(aj_subst(body), ctx)})"
+        _key_sql = _rewrite_list(
+            aj_subst(_substitute(group_toks, _suba)), ctx
+        )
+        if "rand(" in _key_sql:
+            # non-deterministic grouping key: the admitted-key set is
+            # not reconstructible (each evaluation re-rolls), and Spark
+            # rejects rand() inside the emulation's count(DISTINCT);
+            # keep the limit advisory as before (golden 00263)
+            _key_sql = None
+        if _key_sql is not None:
+            _rn = (
+                "CAST(row_number() OVER "
+                "(ORDER BY monotonically_increasing_id()) AS BIGINT) - 1"
+            )
+            _s3 = (
+                f"(SELECT *, min(__gbb) OVER (PARTITION BY {_key_sql}) "
+                f"AS __gbkb "
+                f"FROM (SELECT *, CAST(floor(__gbrn / {_B}) AS BIGINT) "
+                f"AS __gbb "
+                f"FROM (SELECT *, {_rn} AS __gbrn FROM {from_sql}) "
+                f"{ctx.gensym('gb')}) {ctx.gensym('gb')}) {ctx.gensym('gb')}"
+            )
+            _cut = (
+                f"(SELECT min(CASE WHEN __gbck > {_N} THEN __gbcb END) "
+                f"AS __gbcut "
+                f"FROM (SELECT __gbcb, sum(__gbnk) OVER (ORDER BY __gbcb) "
+                f"AS __gbck "
+                f"FROM (SELECT __gbkb AS __gbcb, "
+                f"count(DISTINCT {_key_sql}) AS __gbnk "
+                f"FROM {_s3} GROUP BY __gbkb) {ctx.gensym('gb')}) "
+                f"{ctx.gensym('gb')})"
+            )
+            from_sql = (
+                f"(SELECT * EXCEPT (__gbcut), (__gbkb <= coalesce(__gbcut, "
+                f"CAST(9223372036854775807 AS BIGINT))) AS __gb_ok "
+                f"FROM {_s3} CROSS JOIN {_cut} {ctx.gensym('gb')}) "
+                f"{ctx.gensym('gb')}"
+            )
+            ctx.current_from_sql = from_sql
+            gb_flagged = True
     # ORDER BY scopes over the output projection — select aliases resolve
     # there, so array-join substitution must NOT apply (it would name a
     # pre-aggregation column that no longer exists above a GROUP BY).
@@ -1326,20 +1532,45 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         # the three after_having_* modes differ ONLY in whether
         # overflow aggregates (groups dropped by max_rows_to_group_by)
         # are added back to totals (TotalsHavingBlockInputStream.cpp:
-        # 57-67, 129-132) — this engine never produces overflow rows
-        # (group limits are advisory under Spark), so all three reduce
-        # to the exclusive path
-        totals_mode = "after_having_exclusive"
+        # 57-67, 129-132) — without the __gb_ok emulation there are no
+        # overflow rows, so all three reduce to the exclusive path.
+        # With it, `auto` approximates the runtime passed-fraction
+        # threshold: no HAVING passes every group (fraction 1 >=
+        # any threshold -> inclusive); with a HAVING we take the
+        # exclusive branch (fractions above totals_auto_threshold
+        # with overflow active are unusual — documented deviation).
+        if not gb_flagged:
+            totals_mode = "after_having_exclusive"
+        elif totals_mode == "after_having_auto":
+            totals_mode = (
+                "after_having_exclusive"
+                if having_sql
+                else "after_having_inclusive"
+            )
     if with_totals and totals_mode not in (
         "after_having_exclusive",
+        "after_having_inclusive",
         "before_having",
     ):
         raise ValueError(f"unsupported totals_mode {totals_mode!r}")
+    # group rows that must be hidden when overflow rows ride along to
+    # feed the totals block (dropped-key groups exist only for totals)
+    gb_group_guard = ""
+    if gb_flagged:
+        if not with_totals or totals_mode == "after_having_exclusive":
+            # only admitted keys aggregate; overflow rows are dropped
+            # entirely (and so never reach the totals row either)
+            where_parts = where_parts + ["__gb_ok"]
+        else:
+            # inclusive / before_having: overflow rows stay in the
+            # source so GROUPING SETS' () row absorbs them; their
+            # spurious key-groups are filtered post-agg
+            gb_group_guard = "bool_and(__gb_ok)"
     if (
         with_totals
         and group_sql
         and having_sql
-        and totals_mode == "after_having_exclusive"
+        and totals_mode in ("after_having_exclusive", "after_having_inclusive")
     ):
         # The subquery lives at WHERE scope — select-output aliases
         # (which Spark resolves in GROUP BY / HAVING of the outer
@@ -1354,10 +1585,18 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         h_toks = aj_subst(_substitute(having_toks, sub_aliases))
         having_sub = _boolify(h_toks, _rewrite(h_toks, ctx))
         sub = f"SELECT {group_sub}\nFROM {from_sql}{lateral}{join_sql}"
-        if where_parts:
-            sub += "\nWHERE " + " AND ".join(where_parts)
+        sub_where = list(where_parts)
+        if gb_flagged and "__gb_ok" not in sub_where:
+            sub_where.append("__gb_ok")  # passing groups among admitted keys
+        if sub_where:
+            sub += "\nWHERE " + " AND ".join(sub_where)
         sub += f"\nGROUP BY {group_sub}\nHAVING {having_sub}"
-        where_parts = where_parts + [f"({group_sub}) IN (\n{sub}\n)"]
+        pred = f"({group_sub}) IN (\n{sub}\n)"
+        if totals_mode == "after_having_inclusive":
+            # overflow rows bypass the passing-groups filter: they feed
+            # only the totals row (addToTotals includes overflow data)
+            pred = f"((NOT __gb_ok) OR {pred})"
+        where_parts = where_parts + [pred]
         having_sql = ""
     # Top-level unordered DISTINCT keeps the reference's FIRST-SEEN
     # order (DistinctBlockInputStream streams over the scan): emulate
@@ -1475,8 +1714,14 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
     if group_sql:
         if with_totals:
             sql += f"\nGROUP BY GROUPING SETS (({group_sql}), ())"
-            if having_sql:
-                sql += f"\nHAVING grouping_id() <> 0 OR ({having_sql})"
+            _grd = [g for g in (gb_group_guard, having_sql) if g]
+            if _grd:
+                _gx = (
+                    _grd[0]
+                    if len(_grd) == 1
+                    else " AND ".join(f"({g})" for g in _grd)
+                )
+                sql += f"\nHAVING grouping_id() <> 0 OR ({_gx})"
         else:
             sql += f"\nGROUP BY {group_sql}"
             if having_sql:
@@ -1573,6 +1818,9 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         else:
             sql = f"SELECT * EXCEPT ({', '.join(helpers)}) FROM (\n{sql}\n)"
         sql += f"\nORDER BY {gsym}" + (f", {o_refs}" if o_refs else "")
+        ctx.block_fns_b = _saved_block_b
+        ctx.group_array_ord = _saved_ga_ord
+        ctx.has_prev_flags = _saved_hpf
         return sql
     if first_seen_distinct:
         sql = (
@@ -1671,6 +1919,8 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         ctx.out_ch_types = _out_types
         ctx.out_ch_names = _out_names
     ctx.block_fns_b = _saved_block_b
+    ctx.group_array_ord = _saved_ga_ord
+    ctx.has_prev_flags = _saved_hpf
     return sql
 
 
@@ -1765,6 +2015,36 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
         i = close + 1
         if name in ("numbers", "numbers_mt"):
             return f"(SELECT id AS number FROM range({args[0]})) AS __numbers", None
+        if name == "merge" and len(args) >= 2:
+            # merge(db, 'regex') (TableFunctionMerge.h): union of the
+            # db's tables matching the regex.  Members' declared
+            # columns only (their published views carry _part).
+            import re as _re3
+
+            mdb = args[0].strip().strip("'")
+            mpat = args[1].strip().strip("'").replace("\\\\", "\\")
+            members = sorted(
+                k
+                for k in ctx.table_views
+                if k.startswith(mdb + ".")
+                and _re3.search(mpat, k.split(".", 1)[1])
+            )
+            if members:
+                sels = []
+                for m in members:
+                    cols = (
+                        ctx.columns_of(m) if ctx.columns_of is not None else None
+                    )
+                    cols = [c for c in (cols or []) if not c.startswith("_")]
+                    proj = (
+                        ", ".join(f"`{c}`" for c in cols) if cols else "*"
+                    )
+                    sels.append(f"SELECT {proj} FROM {ctx.table_views[m]}")
+                return (
+                    "(\n" + "\nUNION ALL\n".join(sels) + f"\n) {ctx.gensym('mg')}",
+                    # meta (sampling key etc.) resolves by VIEW name
+                    ctx.table_views[members[0]],
+                )
         if name == "remote":
             # remote('addrs', db, table) / remote('addrs', db.table):
             # Spark's scheduler already scatters/gathers, so every
@@ -2187,8 +2467,32 @@ def _render_join(
     global_ = "GLOBAL" in mods
 
     right_toks = j["right"]
+    right_totals = False
     if right_toks[0].text == "(":
-        inner = _translate_union(right_toks[1:-1], ctx)
+        sub_toks = right_toks[1:-1]
+        # depth-0 WITH TOTALS in a joined subquery: the totals row
+        # travels out-of-band and combines with the left side's totals
+        # (or type defaults) into the OUTER query's totals block
+        # (TotalsHaving propagation through joins — golden 00150).
+        # Pairing happens below via a null-safe ON; outside the
+        # top-level pass-through case the row is invisible — strip it.
+        _stripped, _had = _strip_sub_totals(sub_toks)
+        if _had:
+            if (
+                ctx.select_depth == 1
+                and not ctx.outer_consumes_agg
+                and j["using"]
+                and kind in ("LEFT", "INNER")
+            ):
+                right_totals = True
+            else:
+                sub_toks = _stripped
+        inner = _translate_union(sub_toks, ctx)
+        if right_totals:
+            # set AFTER the nested translate (which clears the flag at
+            # its own join stage) so the OUTER select's pairing sees it
+            ctx.passthrough_totals = True
+            ctx.join_right_totals = True
         right_sql = f"(\n{inner}\n)"
         right_name = None
     else:
@@ -2218,6 +2522,20 @@ def _render_join(
             f"(PARTITION BY {', '.join(using_cols)} ORDER BY {order}) AS {rn} "
             f"FROM {right_sql} ) WHERE {rn} = 1)"
         )
+
+    right_totals_pair = False
+    if right_totals and using_cols and ctx.schema_of_sql is not None:
+        # rename the USING columns so the join can use a null-safe ON:
+        # both sides' totals rows carry NULL keys, so l.k <=> r.k pairs
+        # them while ordinary rows keep plain-equality semantics
+        _rschema = ctx.schema_of_sql(right_sql) or []
+        if _rschema:
+            ren = ", ".join(
+                f"`{c}` AS `__rt_{c}`" if c in using_cols else f"`{c}`"
+                for c, _t in _rschema
+            )
+            right_sql = f"(SELECT {ren} FROM {right_sql})"
+            right_totals_pair = True
 
     # duplicate non-USING column names: the LEFT side wins — a bare
     # reference resolves to the left column in the reference (the probe
@@ -2285,7 +2603,11 @@ def _render_join(
 
     hint = f"BROADCAST({alias})" if global_ else ""
     sql = f"\n{kind} JOIN {right_sql} AS {alias}"
-    if using_cols:
+    if right_totals_pair:
+        sql += " ON " + " AND ".join(
+            f"`{c}` <=> {alias}.`__rt_{c}`" for c in using_cols
+        )
+    elif using_cols:
         sql += f" USING ({', '.join(using_cols)})"
     elif j["on"] is not None:
         sql += f" ON {_rewrite(j['on'], ctx)}"
@@ -2762,6 +3084,17 @@ def _order_items(tokens: list[Token], ctx: Ctx) -> list[tuple[str, str]]:
             if ev is not None:
                 items.append((ev, direction))
                 continue
+        if ch_t is not None and ch_t.startswith("Array(Nullable("):
+            # NULL elements compare GREATEST inside array comparisons
+            # (ColumnArray compareAt with null_direction_hint = 1 —
+            # golden 00395); Spark sorts array nulls first.  A struct
+            # key (is-null flag first) restores the order.
+            items.append((
+                f"transform({expr}, __oe -> "
+                f"struct((__oe IS NULL) AS n, __oe AS v))",
+                direction,
+            ))
+            continue
         items.append((expr, direction))
     return items
 
@@ -3265,7 +3598,10 @@ def _fold_array_in(
 ) -> None:
     """Array IN set: membership of ANY element (Set::execute over an
     array column checks elements — `[1,2,3] IN (3,4,5)` is 1, golden
-    00132); NOT IN negates the any-match."""
+    00132).  NOT IN is NOT the negation: it asks whether ANY element is
+    absent from the set (Set::executeArray applies the negative per
+    element, then ORs — `[1,2,3] NOT IN (1)` is 1, `NOT IN (1,2,3)`
+    is 0)."""
     j = 1
     while j < len(pieces) - 1:
         if pieces[j].upper() != "IN":
@@ -3291,8 +3627,11 @@ def _fold_array_in(
         if re.match(r"\(\s*SELECT", rhs, re.I):
             j += 1
             continue
-        inner = f"exists({pieces[li]}, __aie -> __aie IN {rhs})"
-        out = f"(NOT {inner})" if neg else inner
+        out = (
+            f"exists({pieces[li]}, __aie -> __aie NOT IN {rhs})"
+            if neg
+            else f"exists({pieces[li]}, __aie -> __aie IN {rhs})"
+        )
         run_toks: list[Token] = []
         for sl in tok_slices[li : j + 2]:
             run_toks.extend(sl)
@@ -4181,10 +4520,45 @@ def _hash_fn(
             return H.sql_int_hash32(x)
         return H.signed_to_u64(H.sql_int_hash64(x))
     if name == "URLHash":
+        # the string-returning UDF keeps the call site to a SINGLE
+        # occurrence: signed_to_u64's CASE would duplicate a huge
+        # argument expression (URLHierarchy element) past the codegen
+        # method limit, and a let-binding would put the UDF under a
+        # higher-order lambda, which ExtractPythonUDFs refuses
+        # (golden 00149)
         if len(args) == 1:
-            return H.signed_to_u64(f"ch_urlhash({args[0]}, -1)")
+            # URLHash(URLHierarchy(u)[k]) == URLHash(u, k - 1)
+            # (URLHashImpl applies the same find-level walk) — rewrite
+            # so the UDF argument carries no higher-order lambdas,
+            # which ExtractPythonUDFs refuses to pull out
+            it = arg_items[0] if arg_items else None
+            if (
+                it
+                and it[0].kind == "ident"
+                and it[0].text == "URLHierarchy"
+                and len(it) > 1
+                and it[1].text == "("
+            ):
+                close = _match_paren(it, 1)
+                if (
+                    close + 1 < len(it)
+                    and it[close + 1].text == "["
+                    and it[-1].text == "]"
+                ):
+                    u_sql = _rewrite(it[2:close], ctx)
+                    k_sql = _rewrite(it[close + 2 : -1], ctx)
+                    return (
+                        f"CAST(ch_urlhash_u64({u_sql}, "
+                        f"CAST(({k_sql}) - 1 AS INT)) AS DECIMAL(20, 0))"
+                    )
+            return (
+                f"CAST(ch_urlhash_u64({args[0]}, -1) AS DECIMAL(20, 0))"
+            )
         if len(args) == 2:
-            return H.signed_to_u64(f"ch_urlhash({args[0]}, CAST({args[1]} AS INT))")
+            return (
+                f"CAST(ch_urlhash_u64({args[0]}, CAST({args[1]} AS INT)) "
+                f"AS DECIMAL(20, 0))"
+            )
         return None
     # cityHash64/farmHash64/metroHash64: multi-arg NeighbourhoodHash
     # combine (FunctionNeighbourhoodHash64:378)
@@ -4380,6 +4754,23 @@ def _apply_fn(
         out = _hash_fn(name, args, arg_items, ctx)
         if out is not None:
             return out
+    # scan-ordered accumulator: collect (ordinal, value) and sort, so
+    # the array follows the reference's single-threaded append order
+    # (AggregateFunctionGroupArray.h insert per block — golden 00089).
+    # groupArray materializes the group either way, so the ordinal
+    # struct only adds a constant factor; groupUniqArray is NOT routed
+    # here — its memory is bounded by DISTINCT values (collect_set
+    # shape) and the reference emits hash-set order anyway.
+    if (
+        name == "groupArray"
+        and ctx.group_array_ord is not None
+        and len(args) == 1
+    ):
+        return (
+            f"transform(array_sort(collect_list(named_struct("
+            f"'o', {ctx.group_array_ord}, 'v', {args[0]}))), "
+            f"__gae -> __gae.v)"
+        )
     # dictionary functions (FunctionsExternalDictionaries.cpp) —
     # correlated scalar subquery → Catalyst plans a (broadcast) left join
     if name.startswith("dictGet") or name == "dictHas":
@@ -4650,6 +5041,49 @@ def _apply_fn(
                 from .functions_map import TEMPLATES as _T
 
                 return f"coalesce({_T['arrayFirst'](args)}, {d})"
+    if name == "has" and arg_items and len(args) == 2:
+        at = _infer_expr_ch_type(arg_items[0], ctx) or ""
+        _hcol = (
+            arg_items[0][0].text.strip("`")
+            if len(arg_items[0]) == 1
+            and arg_items[0][0].kind in ("ident", "qident")
+            else None
+        )
+        if (
+            at.startswith(("Array(Nullable(String", "Array(Nullable(FixedString"))
+            and _hcol is not None
+            and ctx.has_prev_flags is not None
+            and _hcol in ctx.has_prev_flags
+        ):
+            # preserved reference defect (golden 00395): the STORED
+            # string path reads each element's null flag one slot
+            # EARLY (ArrayElementStringImpl-style off-by-one in the
+            # FunctionArrayIndex null map): element k>=2 takes element
+            # k-1's flag, element 1 takes the PREVIOUS ROW's last flag
+            # (own flag on the very first row); a hidden null element
+            # exposes its stored EMPTY text to comparisons.
+            arr, needle = args
+            prev = (
+                f"coalesce({ctx.has_prev_flags[_hcol]}, "
+                f"element_at({arr}, 1) IS NULL)"
+            )
+            eff_null = (
+                f"({prev} OR (size({arr}) >= 2 AND "
+                f"exists(slice({arr}, 1, size({arr}) - 1), "
+                f"__hn -> __hn IS NULL)))"
+            )
+            match = (
+                f"((NOT {prev} AND coalesce(element_at({arr}, 1), '') "
+                f"<=> ({needle})) OR (size({arr}) >= 2 AND "
+                f"exists(sequence(2, greatest(size({arr}), 2)), "
+                f"__hk -> __hk <= size({arr}) "
+                f"AND element_at({arr}, __hk - 1) IS NOT NULL "
+                f"AND coalesce(element_at({arr}, __hk), '') <=> ({needle}))))"
+            )
+            return (
+                f"(CASE WHEN ({needle}) IS NULL THEN CAST({eff_null} AS INT) "
+                f"ELSE CAST({match} AS INT) END)"
+            )
     # arrayElement call form: same type-default out-of-bounds fill as
     # the [] subscript in _postfix (FunctionsArray.cpp arrayElement)
     if name == "arrayElement" and arg_items and len(args) == 2:
@@ -4664,6 +5098,24 @@ def _apply_fn(
             f"get({arr}, (CASE WHEN ({idx}) > 0 THEN ({idx}) - 1 "
             f"ELSE size({arr}) + ({idx}) END))"
         )
+        if (
+            at.startswith("Array(Nullable(String")
+            and arg_items[0][0].text != "["
+            and not (
+                len(arg_items[1]) == 1 and arg_items[1][0].kind == "number"
+            )
+        ):
+            # preserved reference defect: the non-const-index STRING
+            # path reads the result null flag one element EARLY
+            # (ArrayElementStringImpl::vector, FunctionsArray.cpp:600 —
+            # `current_offset + adjusted_index - 1`), so the value is
+            # right but the nullity comes from the preceding element
+            # (golden 00395's a/\N/\N/\N/\N block)
+            _j = f"(CASE WHEN ({idx}) <= 1 THEN 1 ELSE ({idx}) - 1 END)"
+            return (
+                f"(CASE WHEN element_at({arr}, CAST({_j} AS INT)) IS NULL "
+                f"THEN NULL ELSE {got} END)"
+            )
         return f"coalesce({got}, {default})" if default is not None else got
     # FixedString(N) → String conversion cuts the zero padding
     # (FunctionsConversion.cpp ConvertImpl<DataTypeFixedString,
@@ -4823,6 +5275,16 @@ def _apply_fn(
         _at = _infer_expr_ch_type(arg_items[0], ctx) or ""
         elem = _at[len("Array(") : -1] if _at.startswith("Array(") else None
         combo = array_combinator(name, args, elem)
+        if combo is not None:
+            return combo
+    if name.endswith("ArrayIf") and arg_items and len(args) >= 2:
+        # <agg>ArrayIf(arr, cond): rows failing cond contribute no
+        # elements — collect_list skips the NULL stand-in
+        # (combinator composition, AggregateFunctionFactory.cpp)
+        _at = _infer_expr_ch_type(arg_items[0], ctx) or ""
+        elem = _at[len("Array(") : -1] if _at.startswith("Array(") else None
+        gated = f"IF(CAST({args[-1]} AS BOOLEAN), {args[0]}, NULL)"
+        combo = array_combinator(name[: -len("If")], [gated], elem)
         if combo is not None:
             return combo
     return f"{name}({', '.join(args)})"

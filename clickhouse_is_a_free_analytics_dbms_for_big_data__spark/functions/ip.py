@@ -233,7 +233,17 @@ def IPv6StringToNum(s) -> Column:
 
             return _let(F.split(s2, "::", -1), from_halves)
 
-        return _let(with_tail(v4_tail), build)
+        # unparseable / empty input yields all-zero bytes, never NULL
+        # (FunctionIPv6StringToNum writes a zeroed in6_addr on failure)
+        return _let(
+            with_tail(v4_tail),
+            lambda s3: _let(
+                build(s3),
+                lambda b: F.when(F.length(b) == 16, b).otherwise(
+                    F.lit(bytes(16))
+                ),
+            ),
+        )
 
     return _let(F.lower(col_of(s)), parse)
 

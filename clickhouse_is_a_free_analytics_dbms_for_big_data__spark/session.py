@@ -53,6 +53,10 @@ def get_session(
         # Test corpus writes events.ts as TIMESTAMP(NANOS); read as long
         # nanos and convert in the catalog (Spark has no nanos timestamps).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # decode() of non-UTF-8 bytes substitutes U+FFFD instead of
+        # throwing (reinterpretAsString builds strings from raw
+        # little-endian integer bytes — golden 00003)
+        .config("spark.sql.legacy.codingErrorAction", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -216,6 +216,26 @@ def format_result(
         c if c is not None else _ch_type_text(t)
         for c, t in zip(ch_types, types)
     ]
+    # UInt64 bit patterns -> unsigned values ONCE, before dispatch, so
+    # every writer (CSV/JSON/Values/Vertical/XML/Pretty/TSV...) prints
+    # the full u64 range — not just the TSV family
+    _u64_idx = {
+        i
+        for i, c in enumerate(ch_type_texts)
+        if c
+        and str(c).removeprefix("Nullable(").removesuffix(")") == "UInt64"
+    }
+    if _u64_idx and rows:
+        from pyspark.sql import Row as _Row
+
+        _mk = _Row(*names)
+        rows = [
+            _mk(*[
+                _u64v(r[i], ch_type_texts[i]) if i in _u64_idx else r[i]
+                for i in range(len(names))
+            ])
+            for r in rows
+        ]
 
     # SETTINGS extremes = 1: a trailing two-row min/max block after a
     # blank separator (IProfilingBlockInputStream::updateExtremes +

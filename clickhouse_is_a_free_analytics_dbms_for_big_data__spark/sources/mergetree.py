@@ -123,6 +123,7 @@ def compact_summing(
     ]
     qc = lambda c: F.col(f"`{c}`")  # noqa: E731 - dotted Nested names
     aggs = [F.sum(qc(c)).alias(c) for c in metrics]
+    aggs += [F.count(F.lit(1)).alias("__sm_cnt")]
     # first row's value (the merge keeps the first-seen row,
     # SummingSortedBlockInputStream::insertCurrentRow)
     aggs += [F.first(qc(c)).alias(c) for c in other]
@@ -178,6 +179,34 @@ def compact_summing(
             out = out.withColumn(
                 c, F.expr(f"transform(`__m{gi}`, s -> s.v{j})")
             )
+    # a merged MULTI-ROW group whose every summed column is zero (and
+    # whose *Map groups all emptied) is DELETED — the "empty part" case
+    # (SummingSortedBlockInputStream current_row_is_zero: the flag is
+    # false for single-row groups, and the LAST group is written anyway
+    # when the merge output would otherwise be empty — golden 00043)
+    if metrics or post:
+        zero_conds = [qc(c) == 0 for c in metrics] + [
+            F.size(F.col(f"__m{gi}")) == 0 for gi in range(len(post))
+        ]
+        all_zero = zero_conds[0]
+        for z in zero_conds[1:]:
+            all_zero = all_zero & z
+        out = out.withColumn(
+            "__sm_drop",
+            F.coalesce(all_zero, F.lit(False)) & (F.col("__sm_cnt") > 1),
+        )
+        pk_tuple = F.struct(*[qc(k) for k in pk])
+        stats = out.agg(
+            F.min(F.col("__sm_drop").cast("int")).alias("__sm_alldrop"),
+            F.max(pk_tuple).alias("__sm_lastpk"),
+        )
+        out = out.crossJoin(F.broadcast(stats)).filter(
+            (~F.col("__sm_drop"))
+            | (
+                (F.col("__sm_alldrop") == 1)
+                & (pk_tuple == F.col("__sm_lastpk"))
+            )
+        )
     return out.select(*[qc(c) for c in df.columns])
 
 

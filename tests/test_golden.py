@@ -117,7 +117,13 @@ def run_sql_file(engine: ChEngine, path: str) -> str:
     saved_settings = dict(getattr(engine, "session_settings", {}))
     try:
         for stmt in split_statements(text):
+            engine.last_insert_echo = ""
             df = engine.execute(stmt)
+            if df is None:
+                # INSERT SELECT echoes its totals/extremes blocks to
+                # the client (out-of-band, never inserted — 00209)
+                if getattr(engine, "last_insert_echo", ""):
+                    outputs.append(engine.last_insert_echo)
             if df is not None:  # DDL/DML/SET produce no output
                 outputs.append(
                     format_result(

@@ -126,3 +126,59 @@ def test_minhash_banding_single_shuffle_before_join(spark):
     # the banded self-join reads ONE cached annotated frame; beyond
     # its window exchange there must be no full-data reshuffles
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_embedding_topk_is_take_ordered(spark):
+    """Brute-force cosine top-k must plan as TakeOrderedAndProject —
+    per-partition heaps + a k-row driver merge, NOT a global sort
+    (the difference between O(k) and O(n log n) network at 100 TB)."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.pipeline.similarity import (
+        topk_brute,
+    )
+
+    vecs = spark.read.parquet(os.path.join(SF_ORACLE, "embeddings.parquet"))
+    dim = len(vecs.select("embedding").first()[0])
+    out = topk_brute(vecs, "embedding", [0.1] * dim, k=5)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort stage
+
+
+def test_simhash_banding_single_shuffle(spark):
+    """SimHash candidate pairs: the banding (chunk-key bucket window)
+    shuffles the NARROW (id, simhash) frame once; beyond it only the
+    pair-level dedup may exchange — any further shuffle means the raw
+    text is being repartitioned."""
+    docs = spark.read.parquet(os.path.join(SF_ORACLE, "documents.parquet"))
+    pairs = D.simhash_dedup_pairs(docs, "doc_id", "text")
+    plan = _plan(pairs)
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    # banding window + candidate-pair dedup + output dedup = 3 narrow
+    # exchanges max (broadcast of the build side not counted)
+    assert _n_exchanges(plan) <= 3
+
+
+def test_read_mergetree_prunes_partitions(spark, tmp_path):
+    """A date-ranged read_mergetree must prune month partitions at
+    PLAN time: the parquet scan's partition filters name _partition
+    and the untouched months never reach the scan."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.mergetree import (
+        read_mergetree,
+        write_mergetree,
+    )
+
+    src = (
+        spark.range(300)
+        .withColumn(
+            "d", F.expr("date_add(DATE '1995-01-01', CAST(id AS INT))")
+        )
+        .withColumn("v", F.col("id") * 2)
+    )
+    path = os.path.join(str(tmp_path), "mt")
+    write_mergetree(src, path, date_col="d", order_by=["id"])
+    out = read_mergetree(
+        spark, path, date_range=("1995-03-01", "1995-04-30")
+    ).filter(F.col("v") >= 0)
+    plan = _plan(out)
+    assert "PartitionFilters" in plan
+    assert "_partition" in plan.split("PartitionFilters", 1)[1][:400]
