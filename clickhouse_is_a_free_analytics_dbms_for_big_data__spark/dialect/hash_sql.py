@@ -330,6 +330,25 @@ def register_hash_udfs(spark) -> None:
     spark.udf.register("ch_urlhash_u64", ch_urlhash_u64)
 
     @pandas_udf(LongType())
+    def ch_k128_slot(
+        allrows: pd.Series, own: pd.Series, widths: pd.Series
+    ) -> pd.Series:
+        # aggregation output ORDER for the keys128 method: simulate
+        # the reference hash table (UInt128HashCRC32, 256-bucket
+        # grower, linear probing) over ALL group keys and return each
+        # row's iteration position (exact_hash.keys128_slot_order —
+        # golden 00120).  `allrows` is the same full key list per row
+        # (window collect); the simulation runs once per batch.
+        out = []
+        for rows, mine, ws in zip(allrows, own, widths):
+            krows = [tuple(int(v) for v in r) for r in rows]
+            order = xh.keys128_slot_order(krows, [int(w) for w in ws])
+            out.append(order[krows.index(tuple(int(v) for v in mine))])
+        return pd.Series(out, dtype="object")
+
+    spark.udf.register("ch_k128_slot", ch_k128_slot)
+
+    @pandas_udf(LongType())
     def ch_uniq_hll12(keys: pd.Series, trivial: pd.Series) -> pd.Series:
         # bit-exact uniqHLL12 (HyperLogLogWithSmallSetOptimization
         # <_, 16, 12>) — see dialect/reservoir.py hll12_count

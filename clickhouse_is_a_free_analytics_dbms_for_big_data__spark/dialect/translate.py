@@ -1880,6 +1880,64 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
                 _kv = f"CAST({group_sql} AS BIGINT)"
             if _kv is not None:
                 sql += f"\nORDER BY pmod({_kv}, {_width})"
+    elif (
+        ctx.select_depth == 1
+        and group_toks
+        and not with_totals
+        and not gb_flagged
+        and limit_by is None
+        and limit_txt is None
+        and len(_split_top(group_toks, ",")) >= 2
+    ):
+        # MULTI fixed-numeric-key grouping with total width <= 16: the
+        # reference uses the keys128 method — HashMap<UInt128,
+        # UInt128HashCRC32> — and emits groups in HASH-TABLE bucket
+        # order (golden 00120).  When every key is a visible output
+        # column, replay the table (exact_hash.keys128_slot_order
+        # via the ch_k128_slot Arrow UDF over the collected key set —
+        # fidelity path: one global window over the GROUP rows).
+        _K128_W = {
+            "UInt8": 1, "Int8": 1, "UInt16": 2, "Int16": 2,
+            "UInt32": 4, "Int32": 4, "UInt64": 8, "Int64": 8,
+        }
+        _gitems = _split_top(group_toks, ",")
+        _alias_of: dict[str, str] = {}
+        for s in select_items:
+            body, al = _strip_alias(s)
+            btxt = " ".join(t.text for t in body)
+            if al:
+                _alias_of[al] = al
+                _alias_of[btxt] = al
+            elif len(body) == 1 and body[0].kind in ("ident", "qident"):
+                _alias_of[btxt] = body[0].text
+        _bits, _widths = [], []
+        for it in _gitems:
+            itxt = " ".join(t.text for t in it)
+            col = _alias_of.get(itxt)
+            w = _K128_W.get((_infer_expr_ch_type(it, ctx) or "").split("(")[0])
+            if col is None or w is None:
+                _bits = None
+                break
+            t_ = (_infer_expr_ch_type(it, ctx) or "")
+            if t_ == "UInt64":
+                _bits.append(
+                    f"CAST(CAST(`{col}` AS DECIMAL(21, 0)) - (CASE WHEN "
+                    f"`{col}` >= 9223372036854775808 THEN "
+                    f"CAST(18446744073709551616 AS DECIMAL(21, 0)) "
+                    f"ELSE 0 END) AS BIGINT)"
+                )
+            else:
+                _bits.append(f"CAST(`{col}` AS BIGINT)")
+            _widths.append(w)
+        if _bits is not None and sum(_widths) <= 16:
+            _karr = "array(" + ", ".join(_bits) + ")"
+            _warr = "array(" + ", ".join(str(w) for w in _widths) + ")"
+            sql = (
+                f"SELECT * EXCEPT (__aggord) FROM (\n"
+                f"SELECT *, ch_k128_slot(collect_list({_karr}) OVER (), "
+                f"{_karr}, {_warr}) AS __aggord FROM (\n{sql}\n)\n"
+                f") ORDER BY __aggord"
+            )
     if limit_txt is not None:
         ctx.pre_limit_sql = sql
         sql += f"\nLIMIT {limit_txt}"

@@ -821,3 +821,85 @@ def metro_hash_64_1(s: bytes, seed: int = 0) -> int:
     h = (h * k0) & M64
     h ^= _rot(h, 33)
     return h
+
+
+# ------------------------------------------------------------- CRC32-C
+# _mm_crc32_u64 emulation (SSE4.2 Castagnoli, bytewise table): the
+# hash the reference's aggregation hash tables use for fixed keys
+# (UInt128HashCRC32 in Interpreters/Aggregator.h:68).
+
+_CRC32C_POLY = 0x82F63B78
+_CRC32C_TBL: list[int] = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ _CRC32C_POLY if _c & 1 else _c >> 1
+    _CRC32C_TBL.append(_c)
+del _i, _c
+
+
+def crc32c_u64(crc: int, word: int) -> int:
+    """_mm_crc32_u64: CRC32-C update over the 8 little-endian bytes of
+    ``word``; 32-bit running state, result zero-extended."""
+    c = crc & 0xFFFFFFFF
+    w = word & M64
+    for _ in range(8):
+        c = _CRC32C_TBL[(c ^ (w & 0xFF)) & 0xFF] ^ (c >> 8)
+        w >>= 8
+    return c
+
+
+def keys128_slot_order(key_rows: list[tuple[int, ...]], widths: list[int]) -> list[int]:
+    """Iteration order of the reference's keys128 aggregation hash
+    table (Aggregator.h AggregatedDataWithKeys128 =
+    HashMap<UInt128, ..., UInt128HashCRC32>, HashTableGrower<8>):
+    keys packed little-endian into 16 bytes in GROUP BY order, bucket
+    = crc32c(-1, lo64, hi64) masked, linear probing, resize (+2
+    degrees) past 50% fill, iteration ascending buckets.  Returns for
+    each input row its position in the iteration order."""
+    def pack(vals: tuple[int, ...]) -> tuple[int, int]:
+        b = bytearray(16)
+        off = 0
+        for v, w in zip(vals, widths):
+            b[off : off + w] = (v & ((1 << (8 * w)) - 1)).to_bytes(
+                8, "little"
+            )[:w]
+            off += w
+        lo = int.from_bytes(b[:8], "little")
+        hi = int.from_bytes(b[8:], "little")
+        return lo, hi
+
+    degree = 8
+    slots: dict[int, int] = {}  # bucket -> input row index
+
+    def insert_all(order: list[int]) -> None:
+        nonlocal slots
+        slots = {}
+        mask = (1 << degree) - 1
+        for ri in order:
+            lo, hi = packed[ri]
+            h = crc32c_u64(crc32c_u64(0xFFFFFFFFFFFFFFFF, lo), hi)
+            b = h & mask
+            while b in slots:
+                b = (b + 1) & mask
+            slots[b] = ri
+
+    packed = [pack(v) for v in key_rows]
+    inserted: list[int] = []
+    for ri in range(len(key_rows)):
+        inserted.append(ri)
+        if len(inserted) > (1 << (degree - 1)):
+            degree += 2
+            insert_all(inserted)
+        else:
+            mask = (1 << degree) - 1
+            lo, hi = packed[ri]
+            h = crc32c_u64(crc32c_u64(0xFFFFFFFFFFFFFFFF, lo), hi)
+            b = h & mask
+            while b in slots:
+                b = (b + 1) & mask
+            slots[b] = ri
+    out = [0] * len(key_rows)
+    for pos, b in enumerate(sorted(slots)):
+        out[slots[b]] = pos
+    return out
