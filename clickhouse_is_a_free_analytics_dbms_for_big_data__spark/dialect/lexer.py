@@ -59,8 +59,12 @@ def tokenize(sql: str) -> list[Token]:
         text = m.group()
         if kind == "hexnum":
             # hex literal 0xFF (ExpressionElementParsers.cpp number
-            # parsing) — Spark SQL has no 0x form; emit decimal
-            kind, text = "number", str(int(text, 16))
+            # parsing = strtoull base 0) — Spark SQL has no 0x form;
+            # emit decimal, or the strtod double past the u64 range
+            v = int(text, 16)
+            kind, text = "number", (
+                str(v) if v <= 0xFFFFFFFFFFFFFFFF else repr(float(v))
+            )
         elif kind == "hexfloat":
             # C99 hex float 0x123p4 (strtod-style, same parser)
             kind, text = "number", repr(float.fromhex(text))
@@ -68,6 +72,40 @@ def tokenize(sql: str) -> list[Token]:
             # `-0.` / `1.` trailing-dot floats: Spark's parser rejects
             # a bare trailing dot
             text += "0"
+        elif (
+            kind == "number"
+            and text.isdigit()
+            and text.startswith("0")
+            and len(text) > 1
+        ):
+            # leading-zero integer: ParserNumber's strtoull(buf, &end,
+            # base=0) reads it as OCTAL; a non-octal digit or u64
+            # overflow leaves the token partially consumed, so the
+            # parser falls back to strtod's DECIMAL read (0377 = 255,
+            # 0999 = 999.0, 0100…(309 digits) = 1e308 — golden 00031)
+            try:
+                v = int(text, 8)
+            except ValueError:
+                v = None
+            kind, text = "number", (
+                str(v)
+                if v is not None and v <= 0xFFFFFFFFFFFFFFFF
+                else repr(float(text))
+            )
+        elif kind == "number" and text.isdigit() and int(text) > 0xFFFFFFFFFFFFFFFF:
+            # integer literal past the u64 range: strtoull overflows,
+            # the parser re-reads with strtod (Float64)
+            kind, text = "number", repr(float(text))
+        elif (
+            kind == "number"
+            and ("." in text or "e" in text.lower())
+            and not text.startswith(".")
+            and len(text) > 24
+        ):
+            # very long float literal (-0.0000…001 with 300 digits,
+            # golden 00031): Spark parses it as a DECIMAL first and
+            # overflows max precision 38 — pre-fold through strtod
+            kind, text = "number", repr(float(text))
         elif kind == "string":
             text = _decode_hex_escapes(text)
         out.append(Token(kind=kind, text=text, pos=m.start()))

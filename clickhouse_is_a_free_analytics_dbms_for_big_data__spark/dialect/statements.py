@@ -546,7 +546,9 @@ def _infer_ch_type(
         for bits in (8, 16, 32, 64):
             if v >= -(1 << (bits - 1)):
                 return _ch_num(bits, True)
-        return "Int64"
+        # below the Int64 range: strtoll overflows, the literal
+        # re-parses via strtod (golden 00031 -0xFFFFFFFFFFFFFFFF)
+        return "Float64"
     if t0.text == "[":
         # array literal: Array(least supertype of the elements)
         elems = _split_top(toks[1:-1], ",") if len(toks) > 2 else []
@@ -968,6 +970,12 @@ def _engine_meta(engine: str, args: list[list[Token]]) -> TableMeta:
             # (golden 00314); kept as CH text, translated at SAMPLE time
             meta.sample_key = " ".join(t.text for t in args[1])
             meta.sample_raw = True
+        if (
+            len(args) > pk_idx + 1
+            and len(args[pk_idx + 1]) == 1
+            and args[pk_idx + 1][0].kind == "number"
+        ):
+            meta.index_granularity = int(args[pk_idx + 1][0].text)
         if engine == "ReplacingMergeTree" and len(args) > pk_idx + 2:
             meta.version_col = args[pk_idx + 2][0].text
         if engine == "CollapsingMergeTree" and len(args) > pk_idx + 2:
@@ -1313,6 +1321,12 @@ def _create(engine, tokens: list[Token]) -> None:
                 if _m0 is not None and _m0.meta.sample_key:
                     tdef.meta.sample_key = _m0.meta.sample_key
                     tdef.meta.sample_raw = _m0.meta.sample_raw
+                if _m0 is not None:
+                    # StorageMerge forwards reads to the members: PK
+                    # pruning and granule-block structure are theirs
+                    # (golden 00160)
+                    tdef.meta.primary_key = _m0.meta.primary_key
+                    tdef.meta.index_granularity = _m0.meta.index_granularity
                 df2 = engine.spark.sql(engine.translate(tdef.view_sql))
                 tdef.raw = df2
                 df2.createOrReplaceTempView(view)

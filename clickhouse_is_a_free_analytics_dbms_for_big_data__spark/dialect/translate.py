@@ -84,6 +84,12 @@ class TableMeta:
     # Replicated* origin: INSERT blocks deduplicate by content
     # (ReplicatedMergeTreeBlockOutputStream checksum dedup)
     replicated: bool = False
+    # classic MergeTree third argument (index granularity in rows);
+    # a PK-pruned read streams single-granule blocks (golden 00160)
+    index_granularity: int | None = None
+    # Merge(db, 'regex') source spec, resolved per query (StorageMerge)
+    merge_db: str | None = None
+    merge_pat: str | None = None
 
 
 @dataclass
@@ -161,6 +167,9 @@ class Ctx:
     # max_block_size for block-model functions (blockSize() etc);
     # None = the current SELECT has no such calls
     block_fns_b: int | None = None
+    # blockSize() value for a PK-pruned MergeTree read (the
+    # index granularity, golden 00160); overrides block_fns_b
+    block_granule: int | None = None
     # hidden scan-ordinal column for order-sensitive accumulators
     # (groupArray/groupUniqArray collect in SCAN order in the
     # reference's single-threaded Aggregator); None = not annotated
@@ -706,6 +715,40 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         "blockNumber",
     }
     _saved_block_b = ctx.block_fns_b
+    _saved_block_g = ctx.block_granule
+    ctx.block_granule = None
+    if (
+        table_name
+        and any(
+            t.kind == "ident"
+            and t.text == "blockSize"
+            and k + 1 < len(where_toks)
+            and where_toks[k + 1].text == "("
+            for k, t in enumerate(where_toks)
+        )
+    ):
+        # blockSize() inside WHERE over a PK-pruned MergeTree read:
+        # the WHERE actions run per SCANNED block, and an index-driven
+        # read streams single-granule blocks
+        # (MergeTreeDataSelectExecutor mark-range spreading) — so
+        # blockSize() there is the index granularity, not
+        # max_block_size (golden 00160: MergeTree(d, x, 1), WHERE x IN
+        # (…) AND NOT ignore(blockSize() < 10 AS b) sees 1-row blocks).
+        # Gate: granularity declared AND the first PK column filtered.
+        _bm = ctx.table_meta.get(
+            _resolve_view_name(table_name, ctx) or table_name
+        ) or ctx.table_meta.get(table_name)
+        if (
+            _bm is not None
+            and _bm.index_granularity is not None
+            and _bm.primary_key
+            and any(
+                t.kind in ("ident", "qident")
+                and t.text.strip("`") == _bm.primary_key[0]
+                for t in where_toks
+            )
+        ):
+            ctx.block_granule = _bm.index_granularity
     if any(
         t.kind == "ident"
         and t.text in _block_fns
@@ -1819,6 +1862,7 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
             sql = f"SELECT * EXCEPT ({', '.join(helpers)}) FROM (\n{sql}\n)"
         sql += f"\nORDER BY {gsym}" + (f", {o_refs}" if o_refs else "")
         ctx.block_fns_b = _saved_block_b
+        ctx.block_granule = _saved_block_g
         ctx.group_array_ord = _saved_ga_ord
         ctx.has_prev_flags = _saved_hpf
         return sql
@@ -1977,6 +2021,7 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         ctx.out_ch_types = _out_types
         ctx.out_ch_names = _out_names
     ctx.block_fns_b = _saved_block_b
+    ctx.block_granule = _saved_block_g
     ctx.group_array_ord = _saved_ga_ord
     ctx.has_prev_flags = _saved_hpf
     return sql
@@ -3572,6 +3617,118 @@ def _fold_case(pieces: list[str], kinds: list[str | None]) -> None:
         i += 1
 
 
+def _fold_case_f32_defect(
+    pieces: list[str],
+    kinds: list[str | None],
+    tok_slices: list[list[Token]],
+    ctx: Ctx,
+) -> None:
+    """``CASE <expr> WHEN … ELSE … END`` whose result type is Float32
+    replays the reference's transform defect (golden 00328).
+
+    caseWithExpr (FunctionsConditional.h:1800) lowers to
+    transform(x, [froms], [tos], default).  When
+    getSmallestCommonNumericType(tos, default) is Float32 — every arm
+    in {Int8,Int16,UInt8,UInt16,Float32} with at least one Float32 —
+    the to-values sit in Float64-typed Fields whose UInt64 bit pattern
+    is memcpy'd into the 4-byte result slot
+    (FunctionsTransform.h:528 `memcpy(&dst[i], &it->second,
+    sizeof(dst[i]))`), i.e. the LOW 32 bits of the double; the default
+    takes `Field::get<Float32>()`, the same reinterpret
+    (FunctionsTransform.h:345).  Small integers' doubles have zero low
+    words, so every such CASE yields 0."""
+    _F32_SET = {"Int8", "Int16", "UInt8", "UInt16", "Float32"}
+    i = 0
+    while i < len(pieces):
+        if (
+            pieces[i].upper() != "CASE"
+            or i + 1 >= len(pieces)
+            or pieces[i + 1].upper() == "WHEN"
+        ):
+            i += 1
+            continue
+        # matching END at depth 0
+        d = 0
+        end_idx = None
+        j = i + 1
+        while j < len(pieces):
+            q = pieces[j].upper()
+            if q == "CASE":
+                d += 1
+            elif q == "END":
+                if d == 0:
+                    end_idx = j
+                    break
+                d -= 1
+            j += 1
+        if end_idx is None:
+            i += 1
+            continue
+        # THEN/ELSE arm types at depth 0; defect needs the 4-arg
+        # transform, i.e. an ELSE arm
+        arm_types: list[str | None] = []
+        has_else = False
+        d = 0
+        j = i + 1
+        while j < end_idx:
+            q = pieces[j].upper()
+            if q == "CASE":
+                d += 1
+            elif q == "END":
+                d -= 1
+            elif d == 0 and q in ("THEN", "ELSE"):
+                has_else = has_else or q == "ELSE"
+                k2 = j + 1
+                d2 = 0
+                while k2 < end_idx:
+                    q2 = pieces[k2].upper()
+                    if q2 == "CASE":
+                        d2 += 1
+                    elif q2 == "END":
+                        d2 -= 1
+                    elif d2 == 0 and q2 in ("WHEN", "ELSE"):
+                        break
+                    k2 += 1
+                arm_toks: list[Token] = []
+                for sl in tok_slices[j + 1 : k2]:
+                    arm_toks.extend(sl)
+                arm_types.append(_infer_expr_ch_type(arm_toks, ctx))
+                j = k2
+                continue
+            j += 1
+        if (
+            not has_else
+            or not arm_types
+            or any(t not in _F32_SET for t in arm_types)
+            or "Float32" not in arm_types
+        ):
+            i = end_idx + 1
+            continue
+        whole = " ".join(pieces[i : end_idx + 1])
+        low = f"(ch_f64_bits(CAST(({whole}) AS DOUBLE)) & 4294967295)"
+        formula = (
+            "((CASE WHEN __cfb >= 2147483648 THEN -1.0D ELSE 1.0D END) * "
+            "(CASE WHEN (shiftright(__cfb, 23) & 255) = 0 "
+            "THEN CAST(__cfb & 8388607 AS DOUBLE) * power(2.0D, -149) "
+            "WHEN (shiftright(__cfb, 23) & 255) = 255 THEN "
+            "(CASE WHEN (__cfb & 8388607) = 0 THEN CAST('Infinity' AS DOUBLE) "
+            "ELSE CAST('NaN' AS DOUBLE) END) "
+            "ELSE (1.0D + CAST(__cfb & 8388607 AS DOUBLE) / 8388608.0D) * "
+            "power(2.0D, CAST(shiftright(__cfb, 23) & 255 AS INT) - 127) END))"
+        )
+        out = (
+            f"element_at(transform(array({low}), "
+            f"__cfb -> {formula}), 1)"
+        )
+        whole_toks: list[Token] = []
+        for sl in tok_slices[i : end_idx + 1]:
+            whole_toks.extend(sl)
+        pieces[i : end_idx + 1] = [out]
+        kinds[i : end_idx + 1] = [None]
+        tok_slices[i : end_idx + 1] = [whole_toks]
+        i += 1
+
+
 _BIG_LIT_RE = re.compile(r"\b(\d{19,})\b")
 
 
@@ -3716,6 +3873,35 @@ def _rw_seq(
         t = tokens[i]
         if t.text in stop:
             break
+        if (
+            t.text == "-"
+            and i + 1 < len(tokens)
+            and tokens[i + 1].kind == "number"
+            and tokens[i + 1].text.isdigit()
+            and int(tokens[i + 1].text) > (1 << 63)
+        ):
+            # UNARY minus over an integer literal past the Int64 range:
+            # ParserNumber's strtoll overflows and re-reads the whole
+            # signed token with strtod → Float64 (-0xFFFFFFFFFFFFFFFF
+            # = -1.8446744073709552e19, golden 00031).  Binary minus
+            # keeps exact arithmetic.
+            prev = tokens[i - 1] if i > 0 else None
+            has_left = prev is not None and (
+                prev.kind in ("number", "string", "qident", "raw")
+                or prev.text in (")", "]")
+                or (
+                    prev.kind == "ident"
+                    and prev.text.upper() not in _NON_OPERAND_KWS
+                )
+            )
+            if not has_left:
+                piece = f"CAST({-float(int(tokens[i + 1].text))!r} AS DOUBLE)"
+                piece, j = _postfix(piece, tokens, i + 2, ctx)
+                pieces.append(piece)
+                kinds.append(None)
+                tok_slices.append(tokens[i:j])
+                i = j
+                continue
         if (
             t.is_kw("NOT")
             and not (i > 0 and tokens[i - 1].is_kw("IS"))
@@ -3898,6 +4084,7 @@ def _rw_seq(
     _fold_array_in(pieces, kinds, tok_slices, ctx)
     _fold_div(pieces, kinds)
     _fold_case(pieces, kinds)
+    _fold_case_f32_defect(pieces, kinds, tok_slices, ctx)
     # NOT binds looser than comparisons but tighter than AND/OR: wrap
     # the operand run (everything up to AND/OR or end) with a boolean
     # cast so `NOT 0` / `NOT x = y` both work; innermost (rightmost)
@@ -4474,10 +4661,11 @@ def _rw_item(
         # (ParserNumber/FieldToDataType); Spark would parse them as
         # exact DECIMALs and diverge in arithmetic and formatting
         # (0.1 + 0.2, count()/0.1, quantile levels)
-        if not (t.text.startswith(".") and t.text[1:].isdigit()):
-            return _postfix(
-                f"CAST({t.text} AS DOUBLE)", tokens, i + 1, ctx
-            )
+        # a leading-dot token reaching PRIMARY position is the float
+        # literal `.0` (tuple access `t.1` is consumed by _postfix off
+        # its base and never starts an item)
+        txt = "0" + t.text if t.text.startswith(".") else t.text
+        return _postfix(f"CAST({txt} AS DOUBLE)", tokens, i + 1, ctx)
 
     return _postfix(t.text, tokens, i + 1, ctx, base_toks=[t])
 
@@ -5032,6 +5220,10 @@ def _apply_fn(
                     return f"({sign} * ({b} + {d}))"
                 return f"({sign} * {b})"
 
+    # PK-pruned MergeTree read: blockSize() is the granule size (see
+    # _translate_select_inner's gate, golden 00160)
+    if ctx.block_granule is not None and name == "blockSize":
+        return str(ctx.block_granule)
     # block-model functions over the annotated source (see
     # _translate_select_inner's wrapper)
     if ctx.block_fns_b is not None:
@@ -5554,6 +5746,11 @@ def _postfix(
             tokens[i].text == "."
             and i + 1 < len(tokens)
             and tokens[i + 1].kind == "number"
+            and i >= 1
+            and (
+                tokens[i - 1].kind in ("ident", "qident", "raw", "number")
+                or tokens[i - 1].text in (")", "]")
+            )
         ):
             # tuple element access t.1 → struct field col1 (tupleElement,
             # FunctionsMiscellaneous.cpp; struct fields auto-named colN)
@@ -5563,8 +5760,15 @@ def _postfix(
             tokens[i].kind == "number"
             and tokens[i].text.startswith(".")
             and tokens[i].text[1:].isdigit()
+            and i >= 1
+            and (
+                tokens[i - 1].kind in ("ident", "qident", "raw", "number")
+                or tokens[i - 1].text in (")", "]")
+            )
         ):
-            # ".1" lexes as one number token: same tuple access
+            # ".1" lexes as one number token: same tuple access —
+            # only off an operand base (after an operator it's the
+            # float literal `-.0`, golden 00031)
             base = f"{base}.col{tokens[i].text[1:]}"
             i += 1
         else:

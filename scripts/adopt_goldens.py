@@ -114,7 +114,7 @@ def main() -> None:
         sql_path = os.path.join(REF_DIR, case + ".sql")
         ref_path = os.path.join(REF_DIR, case + ".reference")
         t0 = time.time()
-        signal.alarm(90)  # skip pathological cases
+        signal.alarm(int(os.environ.get("ADOPT_TIMEOUT", "90")))  # skip pathological cases
         try:
             got = run_sql_file(eng, sql_path)
         except BaseException as e:  # noqa: BLE001 - includes alarm
