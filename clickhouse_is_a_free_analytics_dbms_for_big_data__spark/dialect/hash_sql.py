@@ -349,6 +349,29 @@ def register_hash_udfs(spark) -> None:
     spark.udf.register("ch_k128_slot", ch_k128_slot)
 
     @pandas_udf(LongType())
+    def ch_k64_slot(allrows: pd.Series, own: pd.Series) -> pd.Series:
+        # aggregation output ORDER for the key32/key64 methods:
+        # simulate HashMap<UInt64, …, HashCRC32<UInt64>> (256-bucket
+        # grower, linear probing, first-occurrence insertion) over ALL
+        # group keys and return each row's iteration position
+        # (exact_hash.key64_slot_order — golden 00212).  `allrows` is
+        # the same full (rank, bits) list per row (window collect).
+        out = []
+        for rows, mine in zip(allrows, own):
+            ranked = [
+                (lambda v: (int(v[0]), int(v[1])))(
+                    list(r.values()) if hasattr(r, "values") else list(r)
+                )
+                for r in rows
+            ]
+            order = xh.key64_slot_order(ranked)
+            bits = [b for _, b in ranked]
+            out.append(order[bits.index(int(mine))])
+        return pd.Series(out, dtype="object")
+
+    spark.udf.register("ch_k64_slot", ch_k64_slot)
+
+    @pandas_udf(LongType())
     def ch_uniq_hll12(keys: pd.Series, trivial: pd.Series) -> pd.Series:
         # bit-exact uniqHLL12 (HyperLogLogWithSmallSetOptimization
         # <_, 16, 12>) — see dialect/reservoir.py hll12_count
@@ -364,6 +387,23 @@ def register_hash_udfs(spark) -> None:
         return pd.Series(out, dtype="object")
 
     spark.udf.register("ch_uniq_hll12", ch_uniq_hll12)
+
+    @pandas_udf(LongType())
+    def ch_uniq_combined(keys: pd.Series, kind: pd.Series) -> pd.Series:
+        # bit-exact uniqCombined (CombinedCardinalityEstimator 16/14/17
+        # + HLL++ bias tables) — dialect/reservoir.py
+        from . import reservoir as R
+        import numpy as np
+
+        out = []
+        for ks, kd in zip(keys, kind):
+            arr = np.asarray([] if ks is None else ks, dtype=np.int64).astype(
+                np.uint64
+            )
+            out.append(int(R.uniq_combined_count(arr, str(kd))))
+        return pd.Series(out, dtype="object")
+
+    spark.udf.register("ch_uniq_combined", ch_uniq_combined)
     spark.udf.register("ch_exp", ch_exp)
     spark.udf.register("ch_url_decode", ch_url_decode)
     spark.udf.register("ch_f64_bits", ch_f64_bits)

@@ -371,3 +371,105 @@ def register(spark) -> None:
         return pd.Series(out)
 
     spark.udf.register("ch_timing_quantiles", ch_timing_quantiles)
+
+
+_UC_BUCKETS = 1 << 17  # uniqCombined HLL precision 17
+
+
+def _uc_bias(raw: float) -> float:
+    """HyperLogLogBiasEstimator::getBias — linear interpolation over
+    the reference's measured (raw_estimate, bias) table."""
+    from .uniq_combined_bias import BIASES, RAW_ESTIMATES
+
+    import bisect
+
+    i = bisect.bisect_left(RAW_ESTIMATES, raw)
+    if i == len(RAW_ESTIMATES):
+        return BIASES[-1]
+    if RAW_ESTIMATES[i] == raw:
+        return BIASES[i]
+    if i == 0:
+        return BIASES[0]
+    e1, e2 = RAW_ESTIMATES[i - 1], RAW_ESTIMATES[i]
+    b1, b2 = BIASES[i - 1], BIASES[i]
+    return b1 + (b2 - b1) * (raw - e1) / (e2 - e1)
+
+
+def uniq_combined_count(keys: np.ndarray, kind: str) -> int:
+    """uniqCombined over one group's values (AggregateFunctionUniq.h
+    BaseUniqCombinedData: CombinedCardinalityEstimator<…, 16, 14, 17>).
+
+    ``kind``:
+      'num'  — keys are value bit patterns; estimator key =
+               UInt32(intHash64(key)) (AggregateFunctionUniqCombinedTraits)
+      'str'  — keys are CityHash64(value); estimator key = the full
+               UInt64 (BaseUniqCombinedData<String>)
+      'var'  — keys are UniqVariadicHash u64; estimator key is its
+               LOW 32 bits (Key=UInt32 insert truncation)
+
+    Tiers: a 16-element small set, an exact HashSet to 2^14 distinct
+    hashed keys, then HyperLogLogCounter<17> (TrivialHash over the
+    key, StableIfBig long-double denominator, FullFeatured mode with
+    the HLL++ bias tables and the 177700 LinearCounting threshold).
+    The medium→large handoff fires on the first insert AFTER the set
+    holds 2^14 keys; with only the distinct multiset available we go
+    large whenever 2^14 is reached and any insert follows (exact when
+    the 2^14-th distinct key is the group's final row, which the
+    corpus does not exercise)."""
+    import math
+
+    keys = keys.astype(np.uint64)
+    if kind == "num":
+        h = (_int_hash64(np.unique(keys)) & np.uint64(0xFFFFFFFF)).astype(
+            np.uint64
+        )
+        width = 32
+    elif kind == "var":
+        h = np.unique(keys) & np.uint64(0xFFFFFFFF)
+        width = 32
+    else:
+        h = np.unique(keys)
+        width = 64
+    uniq = np.unique(h)
+    n = len(uniq)
+    if n <= 16:
+        return n
+    if n < (1 << 14) or (n == (1 << 14) and len(keys) == n):
+        return n
+    max_rank = width - 17 + 1
+    bucket = (uniq & np.uint64(_UC_BUCKETS - 1)).astype(np.int64)
+    tail = uniq >> np.uint64(17)
+    rank = np.full(len(tail), max_rank, dtype=np.int64)
+    nz = tail != 0
+    tnz = tail[nz]
+    # trailing zeros + 1, capped
+    lsb = (tnz & (~tnz + np.uint64(1))).astype(np.float64)
+    rank[nz] = np.minimum(np.round(np.log2(lsb)).astype(np.int64) + 1, max_rank)
+    ranks = np.zeros(_UC_BUCKETS, dtype=np.int64)
+    np.maximum.at(ranks, bucket, rank)
+    rank_count = np.bincount(ranks, minlength=max_rank + 1)
+    zeros = int(rank_count[0])
+    val = np.longdouble(rank_count[max_rank])
+    for i in range(max_rank - 1, -1, -1):
+        val /= np.longdouble(2)
+        val += np.longdouble(rank_count[i])
+    denominator = float(val)
+    alpha_m = 0.7213 / (1 + 1.079 / _UC_BUCKETS)
+    raw = alpha_m * _UC_BUCKETS * _UC_BUCKETS / denominator
+    pow2_32 = 4294967296.0
+    if width == 32 and raw > pow2_32 / 30.0:
+        fixed = -pow2_32 * math.log(1.0 - raw / pow2_32)
+    else:
+        # applyCorrection with the non-trivial bias estimator
+        fixed = raw - _uc_bias(raw) if raw <= 5.0 * _UC_BUCKETS else raw
+        if zeros != 0:
+            linear = _UC_BUCKETS * (
+                math.log(_UC_BUCKETS) - math.log(zeros)
+            )
+        else:
+            linear = fixed
+        from .uniq_combined_bias import THRESHOLD
+
+        if linear < THRESHOLD:
+            fixed = linear
+    return int(np.uint32(int(fixed + 0.5)))

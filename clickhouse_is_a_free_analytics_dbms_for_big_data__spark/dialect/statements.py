@@ -1389,6 +1389,12 @@ def _create(engine, tokens: list[Token]) -> None:
         tdef.view_sql = " UNION ALL ".join(
             f"SELECT * FROM {m}" for m in members
         )
+        _m0 = engine.tables.get(members[0])
+        if _m0 is not None:
+            # StorageMerge forwards reads to the members: PK pruning
+            # and granule-block structure are theirs (golden 00160)
+            tdef.meta.primary_key = _m0.meta.primary_key
+            tdef.meta.index_granularity = _m0.meta.index_granularity
         df2 = engine.spark.sql(engine.translate(tdef.view_sql))
         tdef.raw = df2
         df2.createOrReplaceTempView(view)

@@ -518,6 +518,48 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
     # substituted only into WHERE/PREWHERE — Spark resolves them itself
     # in GROUP BY / HAVING / ORDER BY, and substituting a literal there
     # would turn `ORDER BY x` into a constant (or positional!) sort.
+    _saved_block_g = ctx.block_granule
+    ctx.block_granule = None
+    if from_toks and any(
+        t.kind == "ident"
+        and t.text == "blockSize"
+        and k + 1 < len(where_toks)
+        and where_toks[k + 1].text == "("
+        for k, t in enumerate(where_toks)
+    ):
+        # blockSize() inside WHERE over a PK-pruned MergeTree read:
+        # the WHERE actions run per SCANNED block, and an index-driven
+        # read streams single-granule blocks
+        # (MergeTreeDataSelectExecutor mark-range spreading) — so
+        # blockSize() there is the index granularity, not
+        # max_block_size (golden 00160: MergeTree(d, x, 1), WHERE x IN
+        # (…) AND NOT ignore(blockSize() < 10 AS b) sees 1-row blocks).
+        # Gate: plain table FROM, granularity declared, first PK
+        # column filtered.  Runs BEFORE inline-alias collection —
+        # alias bodies render at collection time.
+        _bt_name = ".".join(
+            t.text for t in from_toks if t.kind in ("ident", "qident")
+        ) if all(
+            t.kind in ("ident", "qident") or t.text == "."
+            for t in from_toks
+        ) else None
+        _bm = None
+        if _bt_name:
+            _bm = ctx.table_meta.get(
+                _resolve_view_name(_bt_name, ctx) or _bt_name
+            ) or ctx.table_meta.get(_bt_name)
+        if (
+            _bm is not None
+            and _bm.index_granularity is not None
+            and _bm.primary_key
+            and any(
+                t.kind in ("ident", "qident")
+                and t.text.strip("`") == _bm.primary_key[0]
+                for t in where_toks
+            )
+        ):
+            ctx.block_granule = _bm.index_granularity
+
     out_subs: dict[str, str] = {}
     select_toks = _collect_inline_aliases(
         select_toks, ctx, with_subs, out_subs=out_subs, top_select=True
@@ -699,10 +741,16 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
     ctx.outer_consumes_agg = (
         _item_has_agg(select_toks) or bool(group_toks)
     )
+    _pt_saved = ctx.passthrough_totals
     from_sql, table_name = _render_from(from_toks, ctx)
     # did the LEFT side itself declare WITH TOTALS?  (read before the
     # joins render — a joined subquery's totals also set the flag)
     left_had_totals = ctx.passthrough_totals
+    # NEWLY set by THIS select's FROM — the global flag stays raised
+    # while nested selects of an enclosing totals-passthrough query
+    # translate, so a stale read must not trigger per-select wraps
+    # (00111: the inner LIMIT 10 is not the totals carrier)
+    from_totals_here = ctx.passthrough_totals and not _pt_saved
 
     # ---- block-model introspection (blockSize/rowNumberInAllBlocks/
     # rowNumberInBlock/blockNumber): the reference streams
@@ -715,40 +763,6 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         "blockNumber",
     }
     _saved_block_b = ctx.block_fns_b
-    _saved_block_g = ctx.block_granule
-    ctx.block_granule = None
-    if (
-        table_name
-        and any(
-            t.kind == "ident"
-            and t.text == "blockSize"
-            and k + 1 < len(where_toks)
-            and where_toks[k + 1].text == "("
-            for k, t in enumerate(where_toks)
-        )
-    ):
-        # blockSize() inside WHERE over a PK-pruned MergeTree read:
-        # the WHERE actions run per SCANNED block, and an index-driven
-        # read streams single-granule blocks
-        # (MergeTreeDataSelectExecutor mark-range spreading) — so
-        # blockSize() there is the index granularity, not
-        # max_block_size (golden 00160: MergeTree(d, x, 1), WHERE x IN
-        # (…) AND NOT ignore(blockSize() < 10 AS b) sees 1-row blocks).
-        # Gate: granularity declared AND the first PK column filtered.
-        _bm = ctx.table_meta.get(
-            _resolve_view_name(table_name, ctx) or table_name
-        ) or ctx.table_meta.get(table_name)
-        if (
-            _bm is not None
-            and _bm.index_granularity is not None
-            and _bm.primary_key
-            and any(
-                t.kind in ("ident", "qident")
-                and t.text.strip("`") == _bm.primary_key[0]
-                for t in where_toks
-            )
-        ):
-            ctx.block_granule = _bm.index_granularity
     if any(
         t.kind == "ident"
         and t.text in _block_fns
@@ -832,6 +846,52 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
                 f"{ctx.gensym('hp')}"
             )
             ctx.has_prev_flags = _flags
+    # single WIDE-numeric grouping key (key32/key64 methods): output
+    # order is hash-table order with FIRST-OCCURRENCE insertion — a
+    # collision probes past earlier keys, so the rank must come from
+    # the source scan.  Annotate an ordinal now; the select list gets
+    # a hidden min() rank and the post-assembly branch adds the
+    # ch_k64_slot ordering (golden 00212's Float64/Float32 keys).
+    _k64_ord: str | None = None
+    _k64_type: str | None = None
+    _k64_col: str | None = None
+    if (
+        ctx.select_depth == 1
+        and from_sql
+        and not joins
+        and group_toks
+        and len(_split_top(group_toks, ",")) == 1
+        and not with_totals
+        and limit_by is None
+        and not any(t.text == "*" for t in select_toks)
+    ):
+        ctx.current_table = table_name
+        _gk1 = _split_top(group_toks, ",")[0]
+        _gt1 = (_infer_expr_ch_type(_gk1, ctx) or "").split("(")[0]
+        if _gt1 in (
+            "UInt32", "Int32", "UInt64", "Int64", "Float32", "Float64",
+        ):
+            _gtxt = " ".join(t.text for t in _gk1)
+            for s in select_items:
+                body, al = _strip_alias(s)
+                btxt = " ".join(t.text for t in body)
+                if al and (btxt == _gtxt or al == _gtxt):
+                    _k64_col = al
+                    break
+                if (
+                    btxt == _gtxt
+                    and len(body) == 1
+                    and body[0].kind in ("ident", "qident")
+                ):
+                    _k64_col = body[0].text.strip("`")
+                    break
+            if _k64_col is not None:
+                _k64_type = _gt1
+                _k64_ord = ctx.gensym("k64o")
+                from_sql = (
+                    f"(SELECT *, monotonically_increasing_id() AS "
+                    f"{_k64_ord} FROM {from_sql}) {ctx.gensym('k64')}"
+                )
     ctx.current_table = table_name
     ctx.current_from_sql = from_sql or None
 
@@ -1277,6 +1337,7 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
             rendered = f"{rendered} AS `{s[0].text.strip('`')}`"
         select_sql_items.append(rendered)
         # record -State-producing aliases for finalizeAggregation /
+        # (the hidden key64 rank item is appended after this loop)
         # runningAccumulate over inline subquery states (00410)
         _b, _al = _strip_alias(s)
         if (
@@ -1288,6 +1349,10 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
             and _b[1].text == "("
         ):
             ctx.state_fn_of[_al.strip('`')] = _b[0].text[: -len("State")]
+    if _k64_ord is not None:
+        # hidden first-occurrence rank for the key64-order wrapper;
+        # EXCEPTed back out post-assembly
+        select_sql_items.append(f"min({_k64_ord}) AS __k64rank")
     # record inferred CH output types for this SELECT — scalar
     # subqueries inside the items above already ran (and overwrote),
     # so the assignment here leaves the OUTERMOST select's types in
@@ -1982,7 +2047,59 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
                 f"{_karr}, {_warr}) AS __aggord FROM (\n{sql}\n)\n"
                 f") ORDER BY __aggord"
             )
-    if limit_txt is not None:
+    if _k64_ord is not None:
+        # key32/key64 hash-table output order (see the annotation
+        # above): order by the replayed slot, or just strip the
+        # hidden rank when an explicit ORDER BY wins anyway
+        if not order_sql and _k64_type and _k64_col:
+            _c = f"`{_k64_col}`"
+            _bits = {
+                "Float64": f"ch_f64_bits({_c})",
+                "Float32": f"ch_f32_bits({_c})",
+                "Int64": f"CAST({_c} AS BIGINT)",
+                "Int32": f"(CAST({_c} AS BIGINT) & 4294967295)",
+                "UInt32": f"CAST({_c} AS BIGINT)",
+                "UInt64": (
+                    f"CAST(CAST({_c} AS DECIMAL(21, 0)) - (CASE WHEN "
+                    f"{_c} >= 9223372036854775808 THEN "
+                    f"CAST(18446744073709551616 AS DECIMAL(21, 0)) "
+                    f"ELSE 0 END) AS BIGINT)"
+                ),
+            }[_k64_type]
+            sql = (
+                f"SELECT * EXCEPT (__k64rank, __aggord) FROM (\n"
+                f"SELECT *, ch_k64_slot(collect_list("
+                f"struct(__k64rank, {_bits})) OVER (), {_bits}) "
+                f"AS __aggord FROM (\n{sql}\n)\n"
+                f") ORDER BY __aggord"
+            )
+        else:
+            sql = f"SELECT * EXCEPT (__k64rank) FROM (\n{sql}\n)"
+            if order_sql:
+                sql += f"\nORDER BY {order_sql}"
+    if (
+        limit_txt is not None
+        and from_totals_here
+        and not with_totals
+        and offset_txt is None
+    ):
+        # pass-through totals under LIMIT: the limit cuts DATA rows
+        # only — the out-of-band totals block is forwarded untouched
+        # (golden 00220: SELECT x FROM (… WITH TOTALS) LIMIT 1 keeps
+        # both the first data row and the totals row).  The totals row
+        # is the stream's LAST row; keep first-N plus last.
+        ctx.pre_limit_sql = sql
+        _pt = ctx.gensym("pt")
+        sql = (
+            f"SELECT * EXCEPT (__ptrn, __ptn) FROM (\n"
+            f"SELECT *, row_number() OVER "
+            f"(ORDER BY monotonically_increasing_id()) AS __ptrn, "
+            f"count(*) OVER () AS __ptn FROM (\n{sql}\n) {_pt}\n"
+            f") WHERE __ptrn = __ptn OR __ptrn <= ({limit_txt})\n"
+            f"ORDER BY __ptrn"
+        )
+        ctx.sub_limited_sql = sql
+    elif limit_txt is not None:
         ctx.pre_limit_sql = sql
         sql += f"\nLIMIT {limit_txt}"
         if offset_txt is not None:
@@ -4593,6 +4710,18 @@ def _rw_item(
         if arg_items and any(tk.text == "->" for tk in arg_items[0]):
             lam_saved = dict(ctx.lambda_types)
             body = arg_items[0]
+            # `(x) -> …` single-formal parens: CH accepts them, Spark's
+            # lambda parser only takes `x ->` or `(a, b) ->` (golden
+            # 00005) — strip the parens around one formal
+            if (
+                len(body) >= 4
+                and body[0].text == "("
+                and body[1].kind == "ident"
+                and body[2].text == ")"
+                and body[3].text == "->"
+            ):
+                body = body[1:2] + body[3:]
+                arg_items[0] = body
             arrow = next(
                 (j for j, tk in enumerate(body) if tk.text == "->"), None
             )
@@ -4974,7 +5103,19 @@ def _uniq_fn(
             + ")"
         )
     if name == "uniqCombined":
-        return f"count(DISTINCT ({key}))"
+        # CombinedCardinalityEstimator small(16)/medium(2^14 exact)
+        # tiers plus the 2^17-bucket HLL++ large tier with the
+        # reference's bias tables (reservoir.uniq_combined_count).
+        # Key per AggregateFunctionUniqCombinedTraits: numeric/float →
+        # u32(intHash64(bits)); String → CityHash64 (u64 key);
+        # variadic → low-32 of UniqVariadicHash.
+        if variadic:
+            kind = "var"
+        elif key.startswith("ch_city64"):
+            kind = "str"
+        else:
+            kind = "num"
+        return f"ch_uniq_combined(collect_list({key}), '{kind}')"
     # uniq
     if variadic:
         h32 = f"(({key}) & 4294967295)"

@@ -903,3 +903,55 @@ def keys128_slot_order(key_rows: list[tuple[int, ...]], widths: list[int]) -> li
     for pos, b in enumerate(sorted(slots)):
         out[slots[b]] = pos
     return out
+
+
+def key64_slot_order(ranked_bits: list[tuple[int, int]]) -> list[int]:
+    """Iteration order of the reference's key32/key64 aggregation hash
+    table (Aggregator.h AggregatedDataWithUInt64Key = HashMap<UInt64,
+    ..., HashCRC32<UInt64>>, HashTableGrower<8>): bucket =
+    crc32c(-1ULL, key bits) masked, linear probing, inserts in
+    FIRST-OCCURRENCE order (collisions probe past earlier keys), the
+    zero-key special cell iterates first, then ascending buckets.
+    ``ranked_bits`` is [(first_occurrence_rank, key_bits_u64)];
+    returns each input row's iteration position (golden 00212)."""
+    order = sorted(range(len(ranked_bits)), key=lambda i: ranked_bits[i][0])
+    degree = 8
+    slots: dict[int, int] = {}
+    zero_ri: int | None = None
+
+    def insert(ri: int) -> None:
+        nonlocal zero_ri
+        bits = ranked_bits[ri][1] & M64
+        if bits == 0:
+            zero_ri = ri
+            return
+        h = crc32c_u64(M64, bits)
+        mask = (1 << degree) - 1
+        b = h & mask
+        while b in slots:
+            b = (b + 1) & mask
+        slots[b] = ri
+
+    inserted: list[int] = []
+    for ri in order:
+        inserted.append(ri)
+        if len(inserted) > (1 << (degree - 1)):
+            # grower resize (+2 degrees); reinsertion approximates the
+            # in-place rehash — exact below 128 keys (never resizes)
+            degree += 2
+            slots.clear()
+            saved_zero = zero_ri
+            for rj in inserted:
+                insert(rj)
+            zero_ri = saved_zero if zero_ri is None else zero_ri
+        else:
+            insert(ri)
+    out = [0] * len(ranked_bits)
+    pos = 0
+    if zero_ri is not None:
+        out[zero_ri] = pos
+        pos += 1
+    for b in sorted(slots):
+        out[slots[b]] = pos
+        pos += 1
+    return out
