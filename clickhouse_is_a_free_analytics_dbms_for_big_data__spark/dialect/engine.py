@@ -60,6 +60,7 @@ class ChEngine:
         # SQL counting the pre-LIMIT rows of the last SELECT (JSON's
         # rows_before_limit_at_least); None = no top-level LIMIT
         self.last_pre_limit_sql: str | None = None
+        self.last_limit_block_rows: int | None = None
         # keyless WITH TOTALS: output positions rendered as defaults
         self.last_totals_default_cols: list | None = None
         # constant output columns (extremes render the value itself)
@@ -132,6 +133,7 @@ class ChEngine:
         self.last_out_ch_types = capture.get("out_ch_types")
         self.last_out_ch_names = capture.get("out_ch_names")
         self.last_pre_limit_sql = capture.get("pre_limit_sql")
+        self.last_limit_block_rows = capture.get("limit_block_rows")
         self.last_totals_default_cols = capture.get("totals_default_cols")
         self.last_out_const_cols = capture.get("out_const_cols")
         self.last_union_branches = capture.get("union_branch_sqls")
@@ -160,9 +162,13 @@ class ChEngine:
         if self.last_pre_limit_sql is None:
             return None
         try:
-            return self.spark.sql(self.last_pre_limit_sql).count()
+            n = self.spark.sql(self.last_pre_limit_sql).count()
         except Exception:
             return None
+        if self.last_limit_block_rows is not None:
+            # plain streaming limit reads blocks of limit+offset rows
+            n = min(n, self.last_limit_block_rows)
+        return n
 
     def _wants_extremes(self, ch_sql: str) -> bool:
         """True when this SELECT should emit the extremes block: a

@@ -1165,13 +1165,16 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     # emits the code POINT (char(208) = 'Ð', two UTF-8 bytes), while
     # the reference emits raw bytes (reinterpretAsString(33232) = 'Ё',
     # bytes D0 81 — golden 00003)
+    # returns BINARY so arbitrary bytes survive collect() — the JVM's
+    # UTF8String→java.lang.String hop would mangle them to U+FFFD;
+    # formats collect strings byte-faithfully (golden 00309)
     "reinterpretAsString": lambda a: _sql_let(
         f"lpad(hex(CAST({a[0]} AS BIGINT)), 16, '0')",
         "__h",
-        "decode(unhex(regexp_replace(concat("
+        "unhex(regexp_replace(concat("
         "substr(__h, 15, 2), substr(__h, 13, 2), substr(__h, 11, 2), "
         "substr(__h, 9, 2), substr(__h, 7, 2), substr(__h, 5, 2), "
-        "substr(__h, 3, 2), substr(__h, 1, 2)), '(00)+$', '')), 'UTF-8')",
+        "substr(__h, 3, 2), substr(__h, 1, 2)), '(00)+$', ''))",
     ),
     # FunctionsCharset.cpp convertCharset — Arrow UDF over the
     # pure-Python codec layer (functions/charset.py; ICU-parity incl.
@@ -1456,8 +1459,11 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
         else _sort_by_key(a[0], a[1:], reverse=True)
     ),
     # separator defaults to '' (FunctionsString.cpp arrayStringConcat)
+    # elements may be BINARY (reinterpretAsString) — cast keeps the
+    # bytes JVM-side without validation
     "arrayStringConcat": lambda a: (
-        f"array_join({a[0]}, {a[1] if len(a) > 1 else chr(39) * 2})"
+        f"array_join(transform({a[0]}, __asc -> CAST(__asc AS STRING)), "
+        f"{a[1] if len(a) > 1 else chr(39) * 2})"
     ),
     # multi-array form counts unique TUPLES across the zipped arrays
     # (FunctionsArray.cpp FunctionArrayUniq: one hash over all columns)

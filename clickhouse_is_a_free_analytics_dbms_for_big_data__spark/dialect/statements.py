@@ -127,6 +127,11 @@ class TableDef:
     # system.parts (Storages/System/StorageSystemParts.cpp:20-41)
     parts: list = field(default_factory=list)
     next_block: int = 0
+    # stored BLOCK structure: one entry per block the squashing insert
+    # pipeline wrote (SquashingTransform over the source stream) —
+    # blockSize() on reads replays it (goldens 00340/00341)
+    block_sizes: list = field(default_factory=list)
+    row_count: int = 0
 
 
 def _render_type(toks: list[Token]) -> str:
@@ -1545,6 +1550,63 @@ def _drop_table(engine, name: str) -> None:
     view = engine.table_views.pop(name, _view_of(name))
     engine.table_meta.pop(view, None)
     engine.spark.catalog.dropTempView(view)
+
+
+def _squash_blocks(
+    src_blocks: list[int], min_rows: int, min_bytes: int, row_bytes: int
+) -> list[int]:
+    """SquashingTransform replay over source block row-counts
+    (DataStreams/SquashingTransform.cpp): a big-enough incoming block
+    flushes the accumulator and takes its place; small blocks append
+    until the accumulated block is big enough; the remainder flushes
+    at end-of-stream.  ``row_bytes`` approximates Block::bytes() for
+    fixed-width rows (0 disables the bytes criterion)."""
+
+    def enough(rows: int) -> bool:
+        return (
+            (not min_rows and not min_bytes)
+            or (bool(min_rows) and rows >= min_rows)
+            or (bool(min_bytes) and rows * row_bytes >= min_bytes)
+        )
+
+    out: list[int] = []
+    acc = 0
+    for b in src_blocks:
+        if enough(b):
+            if acc == 0:
+                out.append(b)
+            else:
+                out.append(acc)
+                acc = b
+        elif acc and enough(acc):
+            out.append(acc)
+            acc = b
+        else:
+            acc += b
+            if enough(acc):
+                out.append(acc)
+                acc = 0
+    if acc:
+        out.append(acc)
+    return out
+
+
+def _row_bytes_of(tdef) -> int:
+    """Fixed row width in bytes (Block::bytes() per row); 0 when any
+    stored column is variable-width (disables the bytes criterion)."""
+    from .translate import _CH_LE_WIDTH
+
+    total = 0
+    for c in tdef.columns:
+        if c.is_virtual or c.is_alias:
+            continue
+        t = (c.ch_type or "").removeprefix("Nullable(").removesuffix(")") \
+            if (c.ch_type or "").startswith("Nullable(") else (c.ch_type or "")
+        w = _CH_LE_WIDTH.get(t.split("(")[0])
+        if w is None:
+            return 0
+        total += w
+    return total
 
 
 def _insert(engine, tokens: list[Token]) -> None:

@@ -147,6 +147,10 @@ class Ctx:
     # (the outermost SELECT without its final LIMIT; totals rows
     # filtered out) — None when the query has no top-level LIMIT
     pre_limit_sql: str | None = None
+    # streaming-LIMIT block cap: InterpreterSelectQuery shrinks
+    # max_block_size to limit+offset for plain pass-through limits, so
+    # rows_before_limit_at_least reports that many rows read (00309)
+    limit_block_rows: int | None = None
     # keyless WITH TOTALS: output positions the totals row must render
     # as type defaults (non-aggregate items)
     totals_default_cols: list | None = None
@@ -256,6 +260,7 @@ def translate_sql(
         capture["out_ch_types"] = ctx.out_ch_types
         capture["out_ch_names"] = ctx.out_ch_names
         capture["pre_limit_sql"] = ctx.pre_limit_sql
+        capture["limit_block_rows"] = ctx.limit_block_rows
         capture["totals_default_cols"] = ctx.totals_default_cols
         capture["out_const_cols"] = ctx.out_const_cols
         capture["union_branch_sqls"] = ctx.union_branch_sqls
@@ -1094,6 +1099,77 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         # to the lockstep members' safe lateral aliases
         for out_name, safe in aj_renames.items():
             aj_subs[out_name] = aj_subs.get(safe, safe)
+    # ---- explode-invariant hoisting: a scalar call over the
+    # UN-exploded array (`countIf(has(x, 10)) … ARRAY JOIN x AS y`) is
+    # constant per source row, but referencing x past the LATERAL VIEW
+    # copies the whole array into every exploded row (a 1M-element
+    # array × 1M rows = OOM; golden 00041).  Hoist such calls into a
+    # pre-explode projection; once nothing downstream references the
+    # array, Catalyst prunes it from the Generate output — the 100 TB
+    # shape.  Only arrays kept visible by an EXPLICIT element alias
+    # qualify (bare `ARRAY JOIN x` shadows x with the element).
+    _AJ_HOIST_FNS = {
+        "has", "indexOf", "countEqual", "length", "empty", "notEmpty",
+    }
+    if array_join_items and lateral and from_sql and not joins and not any(
+        t.text == "*" for t in select_toks
+    ):
+        _hoist_bases = set()
+        for (_alias, _expr_sql, _explicit), (_l, _item) in zip(
+            exprs, array_join_items
+        ):
+            _it, _ = _strip_alias(_item)
+            if (
+                _explicit
+                and len(_it) == 1
+                and _it[0].kind in ("ident", "qident")
+                and _alias.strip("`") != _it[0].text.strip("`")
+            ):
+                _hoist_bases.add(_it[0].text.strip("`"))
+        _aj_names = {a.strip("`") for a, _e, _x in exprs} | set(aj_subs)
+        _hoists: dict[str, str] = {}
+
+        def _hoist_spans(toks: list[Token]) -> list[Token]:
+            out = list(toks)
+            i = 0
+            while i < len(out):
+                t = out[i]
+                if (
+                    t.kind == "ident"
+                    and t.text in _AJ_HOIST_FNS
+                    and i + 1 < len(out)
+                    and out[i + 1].text == "("
+                ):
+                    close = _match_paren(out, i + 1)
+                    span = out[i : close + 1]
+                    names = {
+                        tk.text.strip("`")
+                        for tk in span
+                        if tk.kind in ("ident", "qident")
+                    }
+                    if (names & _hoist_bases) and not (names & _aj_names):
+                        txt = " ".join(tk.text for tk in span)
+                        al = _hoists.get(txt)
+                        if al is None:
+                            al = ctx.gensym("ajh")
+                            _hoists[txt] = al
+                            _hoist_sql.append(
+                                f"{_rewrite(span, ctx)} AS {al}"
+                            )
+                        out[i : close + 1] = [Token("ident", al)]
+                i += 1
+            return out
+
+        _hoist_sql: list[str] = []
+        select_items = [_hoist_spans(s) for s in select_items]
+        where_toks = _hoist_spans(where_toks)
+        having_toks = _hoist_spans(having_toks)
+        if _hoist_sql:
+            from_sql = (
+                f"(SELECT *, {', '.join(_hoist_sql)} FROM {from_sql}) "
+                f"{ctx.gensym('ajh')}"
+            )
+            ctx.current_from_sql = from_sql
     # independent arrayJoin() calls: one lateral view each (cartesian
     # replication, matching repeated FunctionArrayJoin execution)
     for alias, arg_toks in array_join_indep:
@@ -2101,6 +2177,25 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         ctx.sub_limited_sql = sql
     elif limit_txt is not None:
         ctx.pre_limit_sql = sql
+        ctx.limit_block_rows = None
+        if (
+            not first_seen_distinct
+            and not where_parts
+            and not group_toks
+            and not having_toks
+            and not order_items
+            and limit_by is None
+            and not with_totals
+            and not any(_item_has_agg(s) for s in select_items)
+            and str(limit_txt).strip().isdigit()
+            and (offset_txt is None or str(offset_txt).strip().isdigit())
+        ):
+            # plain streaming limit: the reference reads blocks of
+            # exactly limit+offset rows (InterpreterSelectQuery.cpp
+            # "Optimization - if not specified DISTINCT, WHERE, …")
+            ctx.limit_block_rows = int(str(limit_txt).strip()) + int(
+                str(offset_txt).strip() if offset_txt is not None else 0
+            )
         sql += f"\nLIMIT {limit_txt}"
         if offset_txt is not None:
             sql += f" OFFSET {offset_txt}"

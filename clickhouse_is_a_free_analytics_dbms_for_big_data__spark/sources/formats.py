@@ -205,7 +205,7 @@ def format_result(
     with default values)."""
     fmt = _FMT_SYNONYMS.get(fmt, fmt)
     settings = settings or {}
-    rows = df.limit(max_rows).collect()
+    rows = _collect_bytes_faithful(df, max_rows)
     names = df.columns
     types = [f.dataType.simpleString() for f in df.schema.fields]
     # CH type text per output column: translator-inferred when
@@ -267,6 +267,9 @@ def format_result(
             + "\n"
             for k in (0, 1)
         )
+
+    if fmt == "RowBinary":
+        return _render_rowbinary(rows, types, ch_type_texts)
 
     forced = set(totals_default_cols or ())
     if totals and rows and fmt in ("TabSeparated", "TSV"):
@@ -932,6 +935,7 @@ def _resolve_ch_names(ch_names: list | None, names: list[str]) -> list[str]:
 def _json_escape(s: str) -> str:
     """writeJSONString (IO/WriteHelpers.h:156): escapes the JSON set
     plus '/' and renders control chars as \\uXXXX."""
+    s = _valid_utf8(s)
     out = []
     for ch in s:
         if ch == "\b":
@@ -1126,8 +1130,9 @@ def _render_json(
 
 
 def _xml_escape(s: str) -> str:
-    """writeXMLString (IO/WriteHelpers.h:435): only '<' and '&'."""
-    return s.replace("&", "&amp;").replace("<", "&lt;")
+    """writeXMLString (IO/WriteHelpers.h:435): only '<' and '&'.
+    The XML stream passes through WriteBufferValidUTF8 first."""
+    return _valid_utf8(s).replace("&", "&amp;").replace("<", "&lt;")
 
 
 def _xml_value(v) -> str:
@@ -1239,3 +1244,224 @@ def _sql_literal(v) -> str:
     if isinstance(v, str):
         return "'" + v.replace("'", "\\'") + "'"
     return str(v)
+
+
+# ------------------------------------------------------- RowBinary
+
+_RB_INT = {
+    "UInt8": (1, False), "UInt16": (2, False), "UInt32": (4, False),
+    "UInt64": (8, False), "Int8": (1, True), "Int16": (2, True),
+    "Int32": (4, True), "Int64": (8, True),
+}
+
+
+def _rb_varint(out: bytearray, n: int) -> None:
+    """LEB128 unsigned varint (IO/VarInt.h writeVarUInt)."""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _rb_value(out: bytearray, v, ch_t: str) -> None:
+    """One value in RowBinary (DataType*::serializeBinary): fixed-width
+    little-endian numerics, Date as u16 days, DateTime as u32 unix
+    seconds, String as varint length + bytes, Array as varint size +
+    elements, Tuple as its elements back to back."""
+    import datetime as _dt
+    import struct as _struct
+    from decimal import Decimal as _Dec
+
+    t = ch_t.strip()
+    if t.startswith("Nullable("):
+        # null flag byte precedes the value (DataTypeNullable)
+        if v is None:
+            out.append(1)
+            v = 0  # type default follows per serializeBinary
+        else:
+            out.append(0)
+        t = t[9:-1]
+    if t.startswith("Array("):
+        elems = list(v or [])
+        _rb_varint(out, len(elems))
+        inner = t[6:-1]
+        for e in elems:
+            _rb_value(out, e, inner)
+        return
+    if t.startswith("Tuple("):
+        inners = _ch_inner_types(t, "Tuple") or []
+        vals = list(v) if v is not None else [None] * len(inners)
+        for e, it in zip(vals, inners):
+            _rb_value(out, e, it)
+        return
+    if t in _RB_INT:
+        w, signed = _RB_INT[t]
+        n = int(v if not isinstance(v, _Dec) else int(v)) if v is not None else 0
+        n &= (1 << (8 * w)) - 1
+        out += n.to_bytes(w, "little")
+        return
+    if t == "Float64":
+        out += _struct.pack("<d", float(v) if v is not None else 0.0)
+        return
+    if t == "Float32":
+        out += _struct.pack("<f", float(v) if v is not None else 0.0)
+        return
+    if t == "Date":
+        days = (v - _dt.date(1970, 1, 1)).days if isinstance(v, _dt.date) else int(v or 0)
+        out += (days & 0xFFFF).to_bytes(2, "little")
+        return
+    if t == "DateTime":
+        if isinstance(v, _dt.datetime):
+            secs = int(v.replace(tzinfo=_dt.timezone.utc).timestamp())
+        else:
+            secs = int(v or 0)
+        out += (secs & 0xFFFFFFFF).to_bytes(4, "little")
+        return
+    if t.startswith("FixedString("):
+        n = int(t[len("FixedString("):-1])
+        b = (v or "").encode("utf-8", "surrogateescape") if isinstance(v, str) else bytes(v or b"")
+        out += b[:n].ljust(n, b"\0")
+        return
+    if t.startswith("Enum"):
+        # stored name -> declared value, 8/16-bit (DataTypeEnum)
+        from ..dialect.statements import _enum_pairs
+
+        w = 1 if t.startswith("Enum8") else 2
+        val = dict(_enum_pairs(t)).get(v, 0)
+        out += (int(val) & ((1 << (8 * w)) - 1)).to_bytes(w, "little")
+        return
+    # String and anything rendered textually
+    if isinstance(v, (bytes, bytearray)):
+        b = bytes(v)
+    elif isinstance(v, str):
+        b = v.encode("utf-8", "surrogateescape")
+    else:
+        b = _cell(v).encode("utf-8", "surrogateescape")
+    _rb_varint(out, len(b))
+    out += b
+
+
+def _render_rowbinary(rows, types: list[str], ch_types: list) -> str:
+    """FORMAT RowBinary: rows back to back, no header/separators
+    (RowBinaryRowOutputStream.cpp).  Returned as a surrogateescape str
+    so the golden runner's text comparison sees the exact bytes."""
+    out = bytearray()
+    for r in rows:
+        for i, (st, ct) in enumerate(zip(types, ch_types)):
+            _rb_value(out, r[i], ct or _ch_type_text(st))
+    return bytes(out).decode("utf-8", "surrogateescape")
+
+
+# ------------------------------------------- byte-faithful collect
+
+def _binary_ddl(dt) -> tuple[str, bool]:
+    """Spark DDL for ``dt`` with every StringType replaced by BINARY.
+    Returns (ddl, changed)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StringType):
+        return "BINARY", True
+    if isinstance(dt, T.ArrayType):
+        inner, ch = _binary_ddl(dt.elementType)
+        return f"ARRAY<{inner}>", ch
+    if isinstance(dt, T.StructType):
+        parts, ch = [], False
+        for f in dt.fields:
+            fd, fc = _binary_ddl(f.dataType)
+            parts.append(f"`{f.name}`: {fd}")
+            ch = ch or fc
+        return "STRUCT<" + ", ".join(parts) + ">", ch
+    if isinstance(dt, T.MapType):
+        kd, kc = _binary_ddl(dt.keyType)
+        vd, vc = _binary_ddl(dt.valueType)
+        return f"MAP<{kd}, {vd}>", kc or vc
+    return dt.simpleString(), False
+
+
+def _b2s(v):
+    """bytes → surrogateescape str, recursively — the renderers all
+    operate on str; raw bytes round-trip through the surrogates."""
+    from pyspark.sql import Row
+
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("utf-8", "surrogateescape")
+    if isinstance(v, Row):
+        vals = [_b2s(x) for x in v]
+        try:
+            return Row(*v.__fields__)(*vals)
+        except Exception:
+            return Row(*vals)
+    if isinstance(v, list):
+        return [_b2s(x) for x in v]
+    if isinstance(v, dict):
+        return {_b2s(k): _b2s(x) for k, x in v.items()}
+    return v
+
+
+def _collect_bytes_faithful(df, max_rows: int) -> list:
+    """collect() with string columns cast to BINARY for the transfer:
+    Spark's UTF8String holds arbitrary bytes JVM-side, but collect
+    converts through java.lang.String and mangles invalid UTF-8 to
+    U+FFFD.  The bytes come back as surrogateescape strs, so text
+    writers emit the exact reference bytes (golden 00309
+    reinterpretAsString over the full byte range)."""
+    from pyspark.sql import functions as F
+
+    from pyspark.sql import Row
+
+    ddls = [_binary_ddl(f.dataType) for f in df.schema.fields]
+    if not any(ch for _, ch in ddls):
+        return df.limit(max_rows).collect()
+    # positional rename first — output columns may share a name, which
+    # would make name-based selection ambiguous (golden 00007)
+    names = [f.name for f in df.schema.fields]
+    tmp = [f"__bf{i}" for i in range(len(names))]
+    casts = [
+        F.col(t).cast(ddl).alias(t) if ch else F.col(t)
+        for t, (ddl, ch) in zip(tmp, ddls)
+    ]
+    rows = df.toDF(*tmp).select(*casts).limit(max_rows).collect()
+    mk = Row(*names)
+    return [mk(*[_b2s(x) for x in r]) for r in rows]
+
+
+_UTF8_SEQ_LEN = [1] * 0xC0 + [2] * 32 + [3] * 16 + [4] * 8 + [5] * 4 + [6] * 4
+
+
+def _valid_utf8(s: str) -> str:
+    """WriteBufferValidUTF8 with grouped replacements (the JSON*/XML
+    output streams wrap one around the writer): each illegal UTF-8
+    sequence start skips ONE byte, consecutive replacements collapse
+    into a single U+FFFD (IO/WriteBufferValidUTF8.cpp)."""
+    try:
+        s.encode("utf-8")
+        return s
+    except UnicodeEncodeError:
+        pass
+    b = s.encode("utf-8", "surrogateescape")
+    out: list[str] = []
+    just_rep = False
+    i, n = 0, len(b)
+    while i < n:
+        ln = _UTF8_SEQ_LEN[b[i]]
+        ok = False
+        if ln <= 4 and i + ln <= n:
+            try:
+                seq = b[i : i + ln].decode("utf-8")
+                ok = True
+            except UnicodeDecodeError:
+                ok = False
+        if ok:
+            out.append(seq)
+            just_rep = False
+            i += ln
+        else:
+            if not just_rep:
+                out.append("�")
+                just_rep = True
+            i += 1
+    return "".join(out)

@@ -124,7 +124,7 @@ def main() -> None:
         finally:
             signal.alarm(0)
         try:
-            with open(ref_path) as f:
+            with open(ref_path, errors="surrogateescape") as f:
                 expected = f.read()
         except UnicodeDecodeError:
             err.append((case, "non-UTF8 reference"))

@@ -38,7 +38,7 @@ def main() -> None:
         except BaseException as e:  # noqa: BLE001
             print(f"=== {case}: ERROR {type(e).__name__}: {e}")
             continue
-        with open(os.path.join(REF_DIR, case + ".reference")) as f:
+        with open(os.path.join(REF_DIR, case + ".reference"), errors="surrogateescape") as f:
             expected = f.read()
         if got == expected:
             print(f"=== {case}: OK")

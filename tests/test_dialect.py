@@ -373,7 +373,7 @@ def test_length_polymorphic():
 
 def test_array_string_concat_default_sep():
     out = translate_sql("SELECT arrayStringConcat(['a','b'])")
-    assert "array_join(array('a', 'b'), '')" in out
+    assert "array_join(transform(array('a', 'b'), __asc -> CAST(__asc AS STRING)), '')" in out
     out = translate_sql("SELECT arrayStringConcat(['a','b'], '-')")
     assert "array_join(array('a', 'b'), '-')" in out
 
