@@ -1634,6 +1634,8 @@ def _insert(engine, tokens: list[Token]) -> None:
         i = close + 1
     ctx = Ctx(table_meta=engine.table_meta, columns_of=engine._columns_of,
               dictionaries=engine.dictionaries, table_views=engine.table_views)
+    _values_block = False  # block-structure provenance (00340/00341)
+    _arm_counts: list[int] | None = None
     if tokens[i].is_kw("VALUES"):
         rows_sql = []
         rows_vals: list[list[str]] = []
@@ -1650,6 +1652,7 @@ def _insert(engine, tokens: list[Token]) -> None:
             k = close + 1
             if k < len(tokens) and tokens[k].text == ",":
                 k += 1
+        _values_block = True
         aliases = ", ".join(f"c{j}" for j in range(len(subset)))
         src = f"SELECT * FROM (VALUES {', '.join(rows_sql)}) AS __v({aliases})"
         try:
@@ -1678,9 +1681,40 @@ def _insert(engine, tokens: list[Token]) -> None:
         # out-of-band blocks are rendered into last_insert_echo.
         stripped, had_totals = _strip_sub_totals(sel_toks)
         _ext = str(engine.last_settings.get("extremes", "0")) in ("1",)
-        new_df = engine.spark.sql(
-            _translate_union(stripped if had_totals else sel_toks, ctx)
-        )
+        _eff_toks = stripped if had_totals else sel_toks
+        new_df = engine.spark.sql(_translate_union(_eff_toks, ctx))
+        # per-arm block structure: each depth-0 UNION ALL arm is its
+        # own stream whose blocks reach the squashing transform
+        # separately (goldens 00341)
+        _arms, _depth, _cur = [], 0, []
+        k2 = 0
+        while k2 < len(_eff_toks):
+            tk = _eff_toks[k2]
+            if tk.text == "(":
+                _depth += 1
+            elif tk.text == ")":
+                _depth -= 1
+            if (
+                _depth == 0
+                and tk.is_kw("UNION")
+                and k2 + 1 < len(_eff_toks)
+                and _eff_toks[k2 + 1].is_kw("ALL")
+            ):
+                _arms.append(_cur)
+                _cur = []
+                k2 += 2
+                continue
+            _cur.append(tk)
+            k2 += 1
+        _arms.append(_cur)
+        if len(_arms) > 1:
+            try:
+                _arm_counts = [
+                    engine.spark.sql(_translate_union(a, ctx)).count()
+                    for a in _arms
+                ]
+            except Exception:
+                _arm_counts = None
         if had_totals or _ext:
             from ..sources.formats import format_result
 
@@ -1762,6 +1796,32 @@ def _insert(engine, tokens: list[Token]) -> None:
         shaped, allowMissingColumns=True
     ).localCheckpoint(eager=True)
     tdef.raw = merged
+    # record the inserted BLOCK structure: the insert pipeline wraps a
+    # SquashingBlockOutputStream (InterpreterInsertQuery.cpp:102) over
+    # the source stream's blocks — stored-table blockSize() replays it
+    # (goldens 00340/00341).  Source blocks: one per VALUES payload,
+    # one per UNION ALL arm, else max_block_size chunks.  Sizes come
+    # from one count() on the already-checkpointed union — no extra
+    # computation of the insert itself.
+    try:
+        _total = merged.count()
+        _n = _total - tdef.row_count
+        tdef.row_count = _total
+        _s = engine.session_settings
+        _min_rows = int(str(_s.get("min_insert_block_size_rows", 1048576)))
+        _min_bytes = int(str(_s.get("min_insert_block_size_bytes", 268435456)))
+        _mbs = int(str(_s.get("max_block_size", 65536)))
+        if _arm_counts is not None:
+            _src = list(_arm_counts)
+        elif _values_block:
+            _src = [_n] if _n else []
+        else:
+            _src = [_mbs] * (_n // _mbs) + ([_n % _mbs] if _n % _mbs else [])
+        tdef.block_sizes.extend(
+            _squash_blocks(_src, _min_rows, _min_bytes, _row_bytes_of(tdef))
+        )
+    except Exception:
+        tdef.block_sizes = []  # unknown structure: reads fall back
     _publish(engine, tdef)
     # materialized-view fan-out: run each dependent MV's SELECT over
     # the inserted BLOCK only and append the result

@@ -171,6 +171,9 @@ class Ctx:
     # max_block_size for block-model functions (blockSize() etc);
     # None = the current SELECT has no such calls
     block_fns_b: int | None = None
+    # stored-block boundary array SQL when the read replays a table's
+    # recorded INSERT block structure (goldens 00340/00341)
+    block_starts_sql: str | None = None
     # blockSize() value for a PK-pruned MergeTree read (the
     # index granularity, golden 00160); overrides block_fns_b
     block_granule: int | None = None
@@ -565,6 +568,60 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         ):
             ctx.block_granule = _bm.index_granularity
 
+    # ---- block-model introspection (blockSize/rowNumberInAllBlocks/
+    # rowNumberInBlock/blockNumber): the reference streams blocks;
+    # emulate by annotating the source with a global row number and a
+    # per-block size, then substituting the calls with column
+    # arithmetic (_apply_fn).  The DECISION runs BEFORE inline-alias
+    # collection (alias bodies render at collection time — `blockSize()
+    # AS b, count()/b`, golden 00341); the from_sql wrap happens after
+    # FROM renders.  A stored table whose INSERT history recorded the
+    # squashed block structure replays THOSE block sizes (goldens
+    # 00340/00341); everything else chunks by max_block_size.
+    _block_fns = {
+        "blockSize", "rowNumberInAllBlocks", "rowNumberInBlock",
+        "blockNumber",
+    }
+    _saved_block_b = ctx.block_fns_b
+    _saved_block_starts = ctx.block_starts_sql
+    ctx.block_starts_sql = None
+    _blk_wrap = None
+    if any(
+        t.kind == "ident"
+        and t.text in _block_fns
+        and k + 1 < len(select_toks)
+        and select_toks[k + 1].text == "("
+        for k, t in enumerate(select_toks)
+    ) and not any(t.text == "*" for t in select_toks):
+        _bb = int(str(settings.get("max_block_size", 65536)))
+        ctx.block_fns_b = _bb
+        _bt_name = ".".join(
+            t.text for t in from_toks if t.kind in ("ident", "qident")
+        ) if from_toks and all(
+            t.kind in ("ident", "qident") or t.text == "."
+            for t in from_toks
+        ) else None
+        _bsizes = None
+        if _bt_name and ctx.tabledef_of is not None:
+            _btd = ctx.tabledef_of(_bt_name)
+            if (
+                _btd is not None
+                and getattr(_btd, "block_sizes", None)
+                and sum(_btd.block_sizes) == getattr(_btd, "row_count", -1)
+                and len(_btd.block_sizes) <= 1024
+            ):
+                _bsizes = list(_btd.block_sizes)
+        if _bsizes:
+            _starts = [0]
+            for _b in _bsizes[:-1]:
+                _starts.append(_starts[-1] + _b)
+            _starts_sql = "array(" + ", ".join(map(str, _starts)) + ")"
+            _sizes_sql = "array(" + ", ".join(map(str, _bsizes)) + ")"
+            ctx.block_starts_sql = _starts_sql
+            _blk_wrap = ("starts", _starts_sql, _sizes_sql)
+        else:
+            _blk_wrap = ("window", _bb)
+
     out_subs: dict[str, str] = {}
     select_toks = _collect_inline_aliases(
         select_toks, ctx, with_subs, out_subs=out_subs, top_select=True
@@ -767,26 +824,28 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         "blockSize", "rowNumberInAllBlocks", "rowNumberInBlock",
         "blockNumber",
     }
-    _saved_block_b = ctx.block_fns_b
-    if any(
-        t.kind == "ident"
-        and t.text in _block_fns
-        and k + 1 < len(select_toks)
-        and select_toks[k + 1].text == "("
-        for k, t in enumerate(select_toks)
-    ) and not any(t.text == "*" for t in select_toks):
-        _bb = int(str(settings.get("max_block_size", 65536)))
-        ctx.block_fns_b = _bb
+    if _blk_wrap is not None:
         rn = (
             "CAST(row_number() OVER "
             "(ORDER BY monotonically_increasing_id()) AS BIGINT) - 1"
         )
-        from_sql = (
-            f"(SELECT *, count(*) OVER (PARTITION BY "
-            f"CAST(floor(__rnall / {_bb}) AS BIGINT)) AS __bsz FROM "
-            f"(SELECT *, {rn} AS __rnall FROM {from_sql}) "
-            f"{ctx.gensym('blk')}) {ctx.gensym('blk')}"
-        )
+        if _blk_wrap[0] == "starts":
+            _starts_sql, _sizes_sql = _blk_wrap[1], _blk_wrap[2]
+            _bidx = f"size(filter({_starts_sql}, __bst -> __bst <= __rnall))"
+            from_sql = (
+                f"(SELECT *, element_at({_sizes_sql}, "
+                f"CAST({_bidx} AS INT)) AS __bsz FROM "
+                f"(SELECT *, {rn} AS __rnall FROM {from_sql}) "
+                f"{ctx.gensym('blk')}) {ctx.gensym('blk')}"
+            )
+        else:
+            _bb = _blk_wrap[1]
+            from_sql = (
+                f"(SELECT *, count(*) OVER (PARTITION BY "
+                f"CAST(floor(__rnall / {_bb}) AS BIGINT)) AS __bsz FROM "
+                f"(SELECT *, {rn} AS __rnall FROM {from_sql}) "
+                f"{ctx.gensym('blk')}) {ctx.gensym('blk')}"
+            )
     # groupArray/groupUniqArray accumulate in SCAN order (the
     # reference's single-threaded Aggregator appends per block) —
     # Spark's collect_list order is partition-merge luck.  Annotate the
@@ -2003,6 +2062,7 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
             sql = f"SELECT * EXCEPT ({', '.join(helpers)}) FROM (\n{sql}\n)"
         sql += f"\nORDER BY {gsym}" + (f", {o_refs}" if o_refs else "")
         ctx.block_fns_b = _saved_block_b
+        ctx.block_starts_sql = _saved_block_starts
         ctx.block_granule = _saved_block_g
         ctx.group_array_ord = _saved_ga_ord
         ctx.has_prev_flags = _saved_hpf
@@ -2233,6 +2293,7 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         ctx.out_ch_types = _out_types
         ctx.out_ch_names = _out_names
     ctx.block_fns_b = _saved_block_b
+    ctx.block_starts_sql = _saved_block_starts
     ctx.block_granule = _saved_block_g
     ctx.group_array_ord = _saved_ga_ord
     ctx.has_prev_flags = _saved_hpf
@@ -5468,6 +5529,16 @@ def _apply_fn(
             return "__bsz"
         if name == "rowNumberInAllBlocks":
             return "__rnall"
+        if ctx.block_starts_sql is not None:
+            # stored-block boundaries (recorded INSERT structure)
+            _st = ctx.block_starts_sql
+            _ix = f"size(filter({_st}, __bst -> __bst <= __rnall))"
+            if name == "rowNumberInBlock":
+                return (
+                    f"(__rnall - element_at({_st}, CAST({_ix} AS INT)))"
+                )
+            if name == "blockNumber":
+                return f"CAST({_ix} - 1 AS BIGINT)"
         if name == "rowNumberInBlock":
             return f"(__rnall % {b})"
         if name == "blockNumber":
