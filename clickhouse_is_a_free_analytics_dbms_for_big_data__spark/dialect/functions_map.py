@@ -254,6 +254,23 @@ def _t_multi_if(a: Args) -> str:
     return f"(CASE {' '.join(pairs)} ELSE {a[-1]} END)"
 
 
+_RAND_CONSTANT: list[int] = []
+
+
+def reset_rand_constant() -> None:
+    """New randConstant draw for the next statement (FunctionsRandom
+    randConstant: one value per query execution)."""
+    _RAND_CONSTANT.clear()
+
+
+def _rand_constant() -> int:
+    import random
+
+    if not _RAND_CONSTANT:
+        _RAND_CONSTANT.append(random.randint(0, 4294967295))
+    return _RAND_CONSTANT[0]
+
+
 def _t_transform(a: Args) -> str:
     # FunctionsTransform.h:53 — value remap with default (4-arg) or
     # pass-through (3-arg).
@@ -1127,7 +1144,12 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "decodeURLComponent": lambda a: f"ch_url_decode({a[0]})",
     # constant-per-query random (FunctionsRandom.cpp randConstant):
     # a scalar subquery evaluates once
-    "randConstant": lambda a: "(SELECT CAST(rand() * 4294967296 AS BIGINT))",
+    # materialized as a translate-time literal, ONE draw per query: a
+    # scalar-subquery rand() (and a per-call literal) re-evaluates per
+    # REFERENCE — the ternary guard and arm would draw different
+    # values (golden 00223's WHERE number < (randConstant() % 2 ? 5 :
+    # 10)).  translate_sql refreshes the draw per statement.
+    "randConstant": lambda a: str(_rand_constant()),
     # text width of the value as the Pretty formats print it
     # (FunctionsMiscellaneous.cpp visibleWidth): composites render
     # without spaces, tuples parenthesized — Spark's struct cast gives

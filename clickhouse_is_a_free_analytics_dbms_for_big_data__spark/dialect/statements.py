@@ -1160,15 +1160,27 @@ def _create(engine, tokens: list[Token]) -> None:
             i += 1  # skip ENGINE/POPULATE clauses
         sel_sql = _toks_sql(tokens[i + 1 :])
         df = engine.spark.sql(engine.translate(sel_sql))
+        # the translator's inferred CH output types beat the Spark
+        # schema mapping — bigint can hold a UInt64 (system.numbers),
+        # and losing the unsignedness breaks wrap-aware ORDER BY over
+        # the view (golden 00111)
+        _ch_out = getattr(engine, "last_out_ch_types", None) or []
         if materialized and not populate:
             # without POPULATE the MV starts EMPTY and fills from
             # subsequent inserted blocks (StorageMaterializedView)
             df = df.limit(0)
         view = _view_of(name)
         cols = [
-            ColumnDef(f.name, f.dataType.simpleString(),
-                      ch_type=_ch_of_spark(f.dataType.simpleString()))
-            for f in df.schema.fields
+            ColumnDef(
+                f.name,
+                f.dataType.simpleString(),
+                ch_type=(
+                    _ch_out[k]
+                    if k < len(_ch_out) and _ch_out[k]
+                    else _ch_of_spark(f.dataType.simpleString())
+                ),
+            )
+            for k, f in enumerate(df.schema.fields)
         ]
         tdef = TableDef(
             name,
@@ -1633,7 +1645,12 @@ def _insert(engine, tokens: list[Token]) -> None:
         ]
         i = close + 1
     ctx = Ctx(table_meta=engine.table_meta, columns_of=engine._columns_of,
-              dictionaries=engine.dictionaries, table_views=engine.table_views)
+              dictionaries=engine.dictionaries, table_views=engine.table_views,
+              system_sql=engine._system_sql, default_db=engine.current_db,
+              tabledef_of=engine._tabledef_by_view,
+              agg_fn_of=engine._agg_fn_of,
+              schema_of_sql=engine._schema_of_sql,
+              session_settings=dict(engine.session_settings))
     _values_block = False  # block-structure provenance (00340/00341)
     _arm_counts: list[int] | None = None
     if tokens[i].is_kw("VALUES"):

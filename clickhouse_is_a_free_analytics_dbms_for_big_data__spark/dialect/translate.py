@@ -191,6 +191,12 @@ class Ctx:
     select_depth: int = 0
     # scan cap from max_rows_to_read + read_overflow_mode='break'
     max_read_rows: int | None = None
+    # per-select merged settings (SET session + query SETTINGS) for
+    # FROM-rendering decisions (skip_unavailable_shards,
+    # distributed_group_by_no_merge)
+    cur_settings: dict = field(default_factory=dict)
+    # hidden per-shard group key when distributed_group_by_no_merge=1
+    dgb_no_merge_col: str | None = None
     # IN-subquery context: select-list name dedup must not fire
     no_select_dedup: bool = False
     # lambda formal parameter → element CH type, bound while rewriting
@@ -223,6 +229,9 @@ def translate_sql(
     capture: dict | None = None,
     session_settings: dict | None = None,
 ) -> str:
+    from .functions_map import reset_rand_constant
+
+    reset_rand_constant()  # one randConstant draw per statement
     ctx = Ctx(
         table_meta=table_meta or {},
         columns_of=columns_of,
@@ -611,16 +620,16 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
                 and len(_btd.block_sizes) <= 1024
             ):
                 _bsizes = list(_btd.block_sizes)
+        _blk_post_where = bool(where_toks) or bool(prewhere_toks)
         if _bsizes:
             _starts = [0]
             for _b in _bsizes[:-1]:
                 _starts.append(_starts[-1] + _b)
             _starts_sql = "array(" + ", ".join(map(str, _starts)) + ")"
-            _sizes_sql = "array(" + ", ".join(map(str, _bsizes)) + ")"
             ctx.block_starts_sql = _starts_sql
-            _blk_wrap = ("starts", _starts_sql, _sizes_sql)
+            _blk_wrap = ("starts", _starts_sql, _blk_post_where)
         else:
-            _blk_wrap = ("window", _bb)
+            _blk_wrap = ("window", _bb, _blk_post_where)
 
     out_subs: dict[str, str] = {}
     select_toks = _collect_inline_aliases(
@@ -794,7 +803,12 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
     # source, which would otherwise scan its full virtual range
     cap = settings.get("max_rows_to_read")
     if cap and str(cap).isdigit() and settings.get("read_overflow_mode") == "break":
-        ctx.max_read_rows = int(cap)
+        # 'break' stops at a BLOCK boundary: the limit check runs after
+        # each whole block, so rows read round UP to max_block_size
+        # multiples (Limits.h; golden 00167's DISTINCT blockSize())
+        _capv = int(cap)
+        _capbb = int(str(settings.get("max_block_size", 65536)))
+        ctx.max_read_rows = -(-_capv // _capbb) * _capbb
 
     # ---- FROM
     # a FROM-subquery's WITH TOTALS row is invisible to an aggregating
@@ -804,7 +818,12 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         _item_has_agg(select_toks) or bool(group_toks)
     )
     _pt_saved = ctx.passthrough_totals
+    ctx.cur_settings = settings
+    _saved_dgb = ctx.dgb_no_merge_col
+    ctx.dgb_no_merge_col = None
     from_sql, table_name = _render_from(from_toks, ctx)
+    _dgb_col = ctx.dgb_no_merge_col
+    ctx.dgb_no_merge_col = _saved_dgb
     # did the LEFT side itself declare WITH TOTALS?  (read before the
     # joins render — a joined subquery's totals also set the flag)
     left_had_totals = ctx.passthrough_totals
@@ -830,21 +849,25 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
             "(ORDER BY monotonically_increasing_id()) AS BIGINT) - 1"
         )
         if _blk_wrap[0] == "starts":
-            _starts_sql, _sizes_sql = _blk_wrap[1], _blk_wrap[2]
-            _bidx = f"size(filter({_starts_sql}, __bst -> __bst <= __rnall))"
-            from_sql = (
-                f"(SELECT *, element_at({_sizes_sql}, "
-                f"CAST({_bidx} AS INT)) AS __bsz FROM "
-                f"(SELECT *, {rn} AS __rnall FROM {from_sql}) "
-                f"{ctx.gensym('blk')}) {ctx.gensym('blk')}"
+            _starts_sql = _blk_wrap[1]
+            _blk_expr = (
+                f"CAST(size(filter({_starts_sql}, "
+                f"__bst -> __bst <= __rnall)) AS BIGINT)"
             )
         else:
             _bb = _blk_wrap[1]
+            _blk_expr = f"CAST(floor(__rnall / {_bb}) AS BIGINT)"
+        from_sql = (
+            f"(SELECT *, {_blk_expr} AS __blk FROM "
+            f"(SELECT *, {rn} AS __rnall FROM {from_sql}) "
+            f"{ctx.gensym('blk')}) {ctx.gensym('blk')}"
+        )
+        if not _blk_wrap[2]:
+            # no filtering between the scan and the SELECT: the block
+            # size is the stored/chunked size — annotate it here
             from_sql = (
-                f"(SELECT *, count(*) OVER (PARTITION BY "
-                f"CAST(floor(__rnall / {_bb}) AS BIGINT)) AS __bsz FROM "
-                f"(SELECT *, {rn} AS __rnall FROM {from_sql}) "
-                f"{ctx.gensym('blk')}) {ctx.gensym('blk')}"
+                f"(SELECT *, count(*) OVER (PARTITION BY __blk) "
+                f"AS __bsz FROM {from_sql} ) {ctx.gensym('blk')}"
             )
     # groupArray/groupUniqArray accumulate in SCAN order (the
     # reference's single-threaded Aggregator appends per block) —
@@ -1517,6 +1540,18 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         where_parts.append(f"({_boolify(w, _rewrite(w, ctx))})")
 
     # ---- SAMPLE → hash-range predicate on the registered sampling key
+    # parallel_replicas_count without an explicit SAMPLE clause slices
+    # the FULL key range — each replica reads a disjoint portion
+    # (MergeTreeDataSelectExecutor applies relative sampling 1.0 split
+    # across replicas; golden 00193)
+    if (
+        not sample_toks
+        and int(str(settings.get("parallel_replicas_count", 0) or 0)) > 1
+        and table_name
+        and (ctx.table_meta.get(table_name) is not None)
+        and ctx.table_meta[table_name].sample_key is not None
+    ):
+        sample_toks = [Token("number", "1")]
     if sample_toks:
         meta = ctx.table_meta.get(table_name or "")
         if meta is None or meta.sample_key is None:
@@ -1924,6 +1959,28 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
             )
         )
     )
+    if _blk_wrap is not None and _blk_wrap[2] and not where_parts:
+        # the filter folded away — annotate the size in place
+        from_sql = (
+            f"(SELECT *, count(*) OVER (PARTITION BY __blk) AS __bsz "
+            f"FROM {from_sql} ) {ctx.gensym('bw')}"
+        )
+    elif _blk_wrap is not None and _blk_wrap[2] and where_parts:
+        # blockSize() is the POST-FILTER block size: the WHERE actions
+        # run per scanned block and the SELECT sees the filtered block
+        # (FilterBlockInputStream; golden 00167's WHERE number IN …
+        # yields 61/62-row blocks from 123-row scans)
+        _in = (
+            f"SELECT * FROM {from_sql}{lateral}{join_sql}\nWHERE "
+            + " AND ".join(where_parts)
+        )
+        from_sql = (
+            f"(SELECT *, count(*) OVER (PARTITION BY __blk) AS __bsz "
+            f"FROM (\n{_in}\n) {ctx.gensym('bw')}) {ctx.gensym('bw')}"
+        )
+        lateral = ""
+        join_sql = ""
+        where_parts = []
     sql = "SELECT "
     if hint:
         sql += f"/*+ {hint} */ "
@@ -1967,6 +2024,8 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
                 sql += f"\nHAVING grouping_id() <> 0 OR ({_gx})"
         else:
             sql += f"\nGROUP BY {group_sql}"
+            if _dgb_col:
+                sql += f", {_dgb_col}"
             if having_sql:
                 sql += f"\nHAVING {having_sql}"
     elif with_totals:
@@ -1981,8 +2040,10 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         # the reference (the aggregating stream emits nothing without
         # input blocks) — Spark's global aggregate would emit one;
         # a constant grouping key reproduces the empty-in/empty-out
-        # while keeping map-side partial aggregation
-        sql += "\nGROUP BY CAST(1 AS BOOLEAN)"
+        # while keeping map-side partial aggregation.  Under
+        # distributed_group_by_no_merge the hidden shard ordinal is
+        # the key: one result row PER SHARD (00184)
+        sql += f"\nGROUP BY {_dgb_col}" if _dgb_col else "\nGROUP BY CAST(1 AS BOOLEAN)"
         if having_sql:
             sql += f"\nHAVING {having_sql}"
     elif having_sql:
@@ -2429,13 +2490,32 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
             # reads t once per expanded address (2 shards = rows
             # duplicated twice, TableFunctionRemote.h brace
             # expansion), which distributed goldens observe.
-            shards = _addr_count(args[0].strip().strip("'"))
+            _srem = ctx.cur_settings or {}
+            shards = _addr_count(
+                args[0].strip().strip("'"),
+                skip_unavailable=str(
+                    _srem.get("skip_unavailable_shards", "0")
+                ) == "1",
+            )
+            _no_merge = str(
+                _srem.get("distributed_group_by_no_merge", "0")
+            ) == "1"
             target = ".".join(
                 a.strip().strip("'").replace("`", "").replace(" ", "")
                 for a in args[1:]
             ) if len(args) > 1 else args[0].strip().strip("'")
             if target in ("system.one", "one"):
                 if shards > 1:
+                    if _no_merge:
+                        # per-shard result sets stay UNMERGED: tag the
+                        # rows with the shard ordinal, the aggregation
+                        # adds it as a hidden group key (00184)
+                        ctx.dgb_no_merge_col = "__dgbnm"
+                        return (
+                            f"(SELECT 0 AS dummy, id AS __dgbnm "
+                            f"FROM range({shards})) AS __one",
+                            None,
+                        )
                     return (
                         f"(SELECT 0 AS dummy FROM range({shards})) AS __one",
                         None,
@@ -2462,6 +2542,13 @@ def _render_from(toks: list[Token], ctx: Ctx) -> tuple[str, str | None]:
                 target = target[len("default."):]
             resolved = ctx.table_views.get(target, target)
             if shards > 1:
+                if _no_merge:
+                    ctx.dgb_no_merge_col = "__dgbnm"
+                    return (
+                        f"(SELECT __r.*, id AS __dgbnm FROM {resolved} "
+                        f"AS __r CROSS JOIN range({shards})) AS __remote",
+                        target,
+                    )
                 return (
                     f"(SELECT __r.* FROM {resolved} AS __r "
                     f"CROSS JOIN range({shards})) AS __remote",
@@ -3144,12 +3231,23 @@ def _take_until(
     return out, i
 
 
-def _addr_count(addrs: str) -> int:
+def _addr_count(addrs: str, skip_unavailable: bool = False) -> int:
     """Number of addresses a remote() pattern expands to
     (TableFunctionRemote.h: top-level commas separate addresses,
     ``{a,b,c}`` alternatives and ``{N..M}`` numeric ranges multiply
-    within one address)."""
+    within one address).  With ``skip_unavailable`` (the
+    skip_unavailable_shards setting), only loopback shards count —
+    anything not 127.*/localhost is an unreachable host the reference
+    drops from the result (golden 00183)."""
     import re as _re
+
+    if skip_unavailable:
+        total = 0
+        for addr in _addr_expand(addrs):
+            host = addr.split(":")[0].strip()
+            if host.startswith("127.") or host == "localhost":
+                total += 1
+        return total
 
     parts: list[str] = []
     depth, cur = 0, ""
@@ -3207,6 +3305,46 @@ def _match_paren(tokens: list[Token], i: int) -> int:
             if depth == 0:
                 return k
     raise ValueError("unbalanced parentheses")
+
+
+def _addr_expand(addrs: str) -> list[str]:
+    """Expand a remote() address pattern into concrete addresses
+    (brace alternatives and numeric ranges multiply per address)."""
+    import itertools
+    import re as _re
+
+    parts: list[str] = []
+    depth, cur = 0, ""
+    for ch in addrs:
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    parts.append(cur)
+    out: list[str] = []
+    for part in parts:
+        segs: list[list[str]] = []
+        pos = 0
+        for m in _re.finditer(r"\{([^}]*)\}", part):
+            segs.append([part[pos : m.start()]])
+            body = m.group(1)
+            rng = _re.fullmatch(r"(\d+)\.\.(\d+)", body)
+            if rng:
+                segs.append(
+                    [str(x) for x in range(int(rng.group(1)), int(rng.group(2)) + 1)]
+                )
+            else:
+                segs.append(body.split(","))
+            pos = m.end()
+        segs.append([part[pos:]])
+        for combo in itertools.product(*segs):
+            out.append("".join(combo))
+    return out
 
 
 def _strip_alias(item: list[Token]) -> tuple[list[Token], str | None]:

@@ -538,3 +538,28 @@ def dialect_select_star_mergetree(spark: SparkSession, sf_dir: str) -> DataFrame
         "SELECT toDate('1995-06-17'), n_nationkey, n_name FROM nation"
     )
     return eng.sql("SELECT * FROM star_mt ORDER BY k")
+
+
+@query(
+    "fn_uniq_combined_large",
+    """
+    SELECT CAST(1 AS BIGINT) AS ok
+    """,
+    doc="uniqCombined large tier (CombinedCardinalityEstimator 2^17 HLL"
+    " + HLL++ bias tables, AggregateFunctionUniq.h): invariant oracle —"
+    " 300k distinct keys must estimate within the HLL error envelope"
+    " AND differ from the exact count (proving the estimator path ran,"
+    " not COUNT DISTINCT).  Byte-exactness is locked by golden"
+    " ref_00212_shard_aggregate_function_uniq.",
+    tags=("dialect", "aggregate", "approx"),
+)
+def fn_uniq_combined_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        """
+        SELECT toInt64(est != 300000 AND abs(toInt64(est) - 300000) <= 3000) AS ok
+        FROM (
+            SELECT uniqCombined(number) AS est
+            FROM (SELECT number FROM system.numbers LIMIT 300000)
+        )
+        """
+    )

@@ -51,6 +51,15 @@ def split_statements(text: str) -> list[str]:
             while i < len(text) and text[i] != "\n":
                 i += 1
             continue
+        if not in_str and text.startswith("/*", i):
+            # a ';' inside a block comment must not split (00193's
+            # Russian commentary); keep the comment text — the lexer
+            # drops it
+            end = text.find("*/", i + 2)
+            j = len(text) if end < 0 else end + 2
+            cur.append(text[i:j])
+            i = j
+            continue
         if ch == "'":
             in_str = not in_str
         if ch == ";" and not in_str:
