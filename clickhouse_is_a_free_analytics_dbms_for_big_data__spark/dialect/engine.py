@@ -371,7 +371,12 @@ class ChEngine:
                     f"SELECT * FROM (VALUES ({tup})) AS __t({cols}) WHERE 1 = 0"
                 )
             body = ", ".join(
-                "(" + ", ".join(q(str(v)) for v in r) + ")" for r in rows
+                "("
+                + ", ".join(
+                    str(v) if isinstance(v, int) else q(str(v)) for v in r
+                )
+                + ")"
+                for r in rows
             )
             return f"SELECT * FROM (VALUES {body}) AS __t({cols})"
 
@@ -415,11 +420,11 @@ class ChEngine:
                 for p in getattr(tdef, "parts", ()):
                     rows.append(
                         (
-                            p["partition"], p["name"], str(p["active"]),
-                            str(p["marks"]), str(p["rows"]), str(p["bytes"]),
+                            p["partition"], p["name"], int(p["active"]),
+                            int(p["marks"]), int(p["rows"]), int(p["bytes"]),
                             p["min_date"], p["max_date"],
-                            str(p["min_block"]), str(p["max_block"]),
-                            str(p["level"]), db or "default", t, tdef.engine,
+                            int(p["min_block"]), int(p["max_block"]),
+                            int(p["level"]), db or "default", t, tdef.engine,
                         )
                     )
             return values(

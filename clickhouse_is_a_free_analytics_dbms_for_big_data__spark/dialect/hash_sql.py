@@ -404,6 +404,19 @@ def register_hash_udfs(spark) -> None:
         return pd.Series(out, dtype="object")
 
     spark.udf.register("ch_uniq_combined", ch_uniq_combined)
+
+    @pandas_udf(StringType())
+    def ch_collate_key(s: pd.Series, loc: pd.Series) -> pd.Series:
+        # ORDER BY … COLLATE — ICU-tailored sort key
+        # (functions/collation.py)
+        from ..functions.collation import collate_key
+
+        return pd.Series([
+            None if v is None else collate_key(str(v), str(lo))
+            for v, lo in zip(s, loc)
+        ], dtype="object")
+
+    spark.udf.register("ch_collate_key", ch_collate_key)
     spark.udf.register("ch_exp", ch_exp)
     spark.udf.register("ch_url_decode", ch_url_decode)
     spark.udf.register("ch_f64_bits", ch_f64_bits)

@@ -1254,13 +1254,17 @@ def _create(engine, tokens: list[Token]) -> None:
     # semantic (identical blocks collapse — golden 00215/00226) and is
     # emulated in _insert
     replicated = False
+    zk_path = None
     if eng_name.startswith("Replicated") and eng_name.endswith("MergeTree"):
         replicated = True
+        if eng_args and eng_args[0] and eng_args[0][0].kind == "string":
+            zk_path = eng_args[0][0].text.strip("'")
         eng_name = eng_name[len("Replicated"):]
         if len(eng_args) >= 2:
             eng_args = eng_args[2:]
     meta = _engine_meta(eng_name, eng_args)
     meta.replicated = replicated
+    meta.zk_path = zk_path
     view = _view_of(name)
     if (
         i + 1 < len(tokens)
@@ -1416,6 +1420,36 @@ def _create(engine, tokens: list[Token]) -> None:
         tdef.raw = df2
         df2.createOrReplaceTempView(view)
         return None
+    if meta.replicated and meta.zk_path:
+        # replicated block numbers allocate past the RESERVED range
+        # (StorageReplicatedMergeTree RESERVED_BLOCK_NUMBERS = 200) —
+        # part names start at block 200 (golden 00296)
+        tdef.next_block = max(tdef.next_block, 199)
+        groups = getattr(engine, "zk_groups", None)
+        if groups is None:
+            groups = {}
+            engine.zk_groups = groups
+        grp = groups.setdefault(meta.zk_path, [])
+        grp[:] = [m for m in grp if m in engine.tables]
+        existing = [m for m in grp if m != name]
+        if existing:
+            # a joining replica adopts the group's shared parts state
+            # (replica registration fetches the ZK parts set — goldens
+            # 00074/00296; detached parts stay replica-local)
+            leader = engine.tables[existing[0]]
+            if leader.raw is not None:
+                tdef.raw = leader.raw
+            tdef.parts = leader.parts
+            tdef.row_count = leader.row_count
+            tdef.block_sizes = list(leader.block_sizes)
+            if getattr(leader, "_dedup_blocks", None) is None:
+                leader._dedup_blocks = set()
+            tdef._dedup_blocks = leader._dedup_blocks
+            tdef.next_block = leader.next_block = max(
+                leader.next_block, tdef.next_block
+            )
+        if name not in grp:
+            grp.append(name)
     _publish(engine, tdef)
 
 
@@ -1562,6 +1596,9 @@ def _drop_table(engine, name: str) -> None:
     view = engine.table_views.pop(name, _view_of(name))
     engine.table_meta.pop(view, None)
     engine.spark.catalog.dropTempView(view)
+    for grp in getattr(engine, "zk_groups", {}).values():
+        if name in grp:
+            grp.remove(name)
 
 
 def _squash_blocks(
@@ -1789,7 +1826,9 @@ def _insert(engine, tokens: list[Token]) -> None:
         # (the reference likewise checksums block data on the server)
         from pyspark.sql import functions as F
 
-        _h = F.xxhash64(*[F.col(c).cast("string") for c in shaped.columns])
+        _h = F.xxhash64(
+            *[F.col(f"`{c}`").cast("string") for c in shaped.columns]
+        )
         _a = shaped.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(_h.cast("decimal(38,0)")).alias("s"),
@@ -1840,6 +1879,7 @@ def _insert(engine, tokens: list[Token]) -> None:
     except Exception:
         tdef.block_sizes = []  # unknown structure: reads fall back
     _publish(engine, tdef)
+    _sync_replicas(engine, tdef)
     # materialized-view fan-out: run each dependent MV's SELECT over
     # the inserted BLOCK only and append the result
     # (StorageMaterializedView::write)
@@ -2186,6 +2226,31 @@ def _sync_raw(engine, tdef) -> None:
     _publish(engine, tdef)
 
 
+def _sync_replicas(engine, tdef: TableDef) -> None:
+    """Mirror a Replicated table's parts state to every replica that
+    shares its zookeeper path (the replication queue, collapsed to
+    synchronous application — replication_alter_partitions_sync=2)."""
+    path = getattr(tdef.meta, "zk_path", None)
+    if not path:
+        return
+    for other in getattr(engine, "zk_groups", {}).get(path, []):
+        odef = engine.tables.get(other)
+        if odef is None or odef is tdef:
+            continue
+        odef.raw = tdef.raw
+        odef.columns = tdef.columns  # ALTERs are replicated
+        odef.parts = tdef.parts
+        odef.block_sizes = list(tdef.block_sizes)
+        odef.row_count = tdef.row_count
+        odef.next_block = tdef.next_block
+        # NOTE: _detached_parts stays per-replica — the detached
+        # directory is replica-LOCAL disk in the reference
+        if getattr(tdef, "_dedup_blocks", None) is None:
+            tdef._dedup_blocks = set()
+        odef._dedup_blocks = tdef._dedup_blocks
+        _publish(engine, odef)
+
+
 def _alter(engine, tokens: list[Token]) -> None:
     """ALTER TABLE t ADD COLUMN c T [AFTER x] | DROP COLUMN c |
     MODIFY COLUMN c T  (Parsers/ParserAlterQuery.cpp,
@@ -2212,41 +2277,94 @@ def _alter(engine, tokens: list[Token]) -> None:
             )
             _publish(engine, tdef)  # PK order drives plain-SELECT order
             continue
-        if verb in ("DETACH", "ATTACH") and action[1].is_kw("PARTITION"):
-            # DETACH/ATTACH PARTITION p: rows of the month partition
-            # leave/rejoin the active set (InterpreterAlterQuery
-            # partition commands — golden 00428)
+        if verb in ("DETACH", "ATTACH", "DROP") and action[1].is_kw(
+            "PARTITION", "PART"
+        ):
+            # DETACH/ATTACH/DROP PARTITION p and ATTACH PART 'name':
+            # whole parts leave/rejoin/vanish from the active set
+            # (InterpreterAlterQuery partition commands — goldens
+            # 00428/00074/00236/00296).  Detached parts keep their
+            # rows and metadata for a later ATTACH; DROP discards.
             from pyspark.sql import functions as F
 
-            part_lit = action[2].text.strip("'")
+            by_part = action[1].is_kw("PART")
+            target = action[2].text.strip("'")
             if tdef.raw is None:
                 continue
-            month = _part_month_expr(tdef)
-            in_part = F.expr(f"CAST({month} AS STRING) = '{part_lit}'")
-            stash = getattr(tdef, "_detached_partitions", None)
+            stash = getattr(tdef, "_detached_parts", None)
             if stash is None:
                 stash = {}
-                tdef._detached_partitions = stash
-            if verb == "DETACH":
-                stash[part_lit] = tdef.raw.filter(in_part).localCheckpoint(
-                    eager=True
-                )
+                tdef._detached_parts = stash
+            if verb in ("DETACH", "DROP"):
+                gone = [p for p in tdef.parts if p["partition"] == target]
+                names = [p["name"] for p in gone]
+                if "__part" in tdef.raw.columns and names:
+                    in_part = F.coalesce(
+                        F.col("__part").isin(*names), F.lit(False)
+                    )
+                else:
+                    month = _part_month_expr(tdef)
+                    in_part = F.expr(
+                        f"CAST({month} AS STRING) = '{target}'"
+                    )
+                if verb == "DETACH":
+                    moved = tdef.raw.filter(in_part).localCheckpoint(
+                        eager=True
+                    )
+                    if gone:
+                        for p in gone:
+                            pdf = (
+                                moved.filter(F.col("__part") == p["name"])
+                                if "__part" in moved.columns
+                                else moved
+                            ).localCheckpoint(eager=True)
+                            stash[p["name"]] = (pdf, p)
+                    else:
+                        stash[target] = (moved, {
+                            "partition": target, "name": target,
+                            "rows": moved.count(), "marks": 1, "bytes": 0,
+                            "min_date": "19700101", "max_date": "19700101",
+                            "min_block": 0, "max_block": 0, "level": 0,
+                            "active": 1,
+                        })
                 tdef.raw = tdef.raw.filter(~in_part).localCheckpoint(
                     eager=True
                 )
-                for p in tdef.parts:
-                    if p["partition"] == part_lit:
-                        p["active"] = 0
-            else:
-                back = stash.pop(part_lit, None)
-                if back is not None:
+                tdef.parts = [
+                    p for p in tdef.parts if p["partition"] != target
+                ]
+            else:  # ATTACH
+                # the attach entry in the replication log makes every
+                # replica fetch the part — search the executing
+                # replica's detached dir first, then its peers'
+                # (goldens 00074/00296: DETACH on r2, ATTACH on r1)
+                stashes = [stash]
+                for other in getattr(engine, "zk_groups", {}).get(
+                    getattr(tdef.meta, "zk_path", None) or "", []
+                ):
+                    odef = engine.tables.get(other)
+                    ost = getattr(odef, "_detached_parts", None)
+                    if odef is not None and ost and ost is not stash:
+                        stashes.append(ost)
+                back = []
+                for st in stashes:
+                    back.extend(
+                        (nm, st)
+                        for nm, (_d, p) in st.items()
+                        if (nm == target if by_part else p["partition"] == target)
+                    )
+                for nm, st in back:
+                    got = st.pop(nm, None)
+                    if got is None:
+                        continue
+                    pdf, p = got
                     tdef.raw = tdef.raw.unionByName(
-                        back, allowMissingColumns=True
+                        pdf, allowMissingColumns=True
                     ).localCheckpoint(eager=True)
-                for p in tdef.parts:
-                    if p["partition"] == part_lit:
-                        p["active"] = 1
+                    if p["name"] not in {q["name"] for q in tdef.parts}:
+                        tdef.parts.append(p)
             _publish(engine, tdef)
+            _sync_replicas(engine, tdef)
             continue
         assert action[1].is_kw("COLUMN"), "ALTER supports COLUMN actions"
         rest = action[2:]
@@ -2304,6 +2422,27 @@ def _alter(engine, tokens: list[Token]) -> None:
                     for k, c in enumerate(tdef.columns):
                         if c.name == newc.name:
                             _convert_enum_modify(engine, tdef, c, newc)
+                            # physically convert the stored values to
+                            # the new type NOW (InterpreterAlterQuery
+                            # converts parts) — chained MODIFYs
+                            # (String→Int64→UInt32→DateTime, 00062)
+                            # must cast step by step, not from the
+                            # ORIGINAL stored representation
+                            if (
+                                tdef.raw is not None
+                                and newc.spark_type != c.spark_type
+                                and not _enum_pairs(c.ch_type)
+                                and not _enum_pairs(newc.ch_type)
+                                and newc.name in tdef.raw.columns
+                            ):
+                                from pyspark.sql import functions as F
+
+                                tdef.raw = tdef.raw.withColumn(
+                                    newc.name,
+                                    F.col(f"`{newc.name}`").cast(
+                                        newc.spark_type
+                                    ),
+                                )
                             if c.is_virtual == newc.is_virtual:
                                 tdef.columns[k] = newc
                             else:
@@ -2340,6 +2479,7 @@ def _alter(engine, tokens: list[Token]) -> None:
         else:
             raise ValueError(f"unsupported ALTER action {verb!r}")
     _sync_raw(engine, tdef)
+    _sync_replicas(engine, tdef)
 
 
 def _enum_pairs(ch_type: str) -> list[tuple[str, str]]:

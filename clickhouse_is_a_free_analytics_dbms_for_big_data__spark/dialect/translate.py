@@ -90,6 +90,8 @@ class TableMeta:
     # Merge(db, 'regex') source spec, resolved per query (StorageMerge)
     merge_db: str | None = None
     merge_pat: str | None = None
+    # Replicated* zookeeper path: replicas sharing it share parts state
+    zk_path: str | None = None
 
 
 @dataclass
@@ -1490,7 +1492,15 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         if (
             len(s) == 1
             and s[0].kind in ("ident", "qident")
-            and s[0].text.strip("`") in aj_out_names
+            and (
+                s[0].text.strip("`") in aj_out_names
+                # a bare lockstep ARRAY JOIN alias (arrayEnumerate(arr)
+                # AS n) substitutes to its element_at expression — keep
+                # the visible name so output-scope ORDER BY resolves
+                # (golden 00105)
+                or s[0].text.strip("`") in aj_subs
+            )
+            and " AS " not in rendered
         ):
             rendered = f"{rendered} AS `{s[0].text.strip('`')}`"
         select_sql_items.append(rendered)
@@ -1537,7 +1547,7 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         where_parts.append(f"({_boolify(pw, _rewrite(pw, ctx))})")
     if where_toks:
         w = aj_subst(where_toks)
-        where_parts.append(f"({_boolify(w, _rewrite(w, ctx))})")
+        where_parts.append(f"({_boolify_where(w, ctx)})")
 
     # ---- SAMPLE → hash-range predicate on the registered sampling key
     # parallel_replicas_count without an explicit SAMPLE clause slices
@@ -3137,6 +3147,45 @@ _BOOL_PUNCT = {"=", "==", "!=", "<>", "<", ">", "<=", ">=", "?"}
 _BOOL_KW = {"IN", "LIKE", "NOT", "AND", "OR", "IS", "BETWEEN", "EXISTS"}
 
 
+def _boolify_where(toks: list[Token], ctx: Ctx) -> str:
+    """Render a WHERE/PREWHERE/HAVING clause with UInt8 truthiness per
+    AND/OR OPERAND: `database = 'x' AND active` needs the bare numeric
+    ident cast to BOOLEAN (golden 00296), which a whole-clause wrap
+    cannot do once a boolean operator is present."""
+    if any(t.text == "?" for t in toks):
+        # ternary binds loosest — leave the chain to the generic path
+        return _boolify(toks, _rewrite(toks, ctx))
+    segs: list[list[Token]] = []
+    ops: list[str] = []
+    cur: list[Token] = []
+    depth = 0
+    skip_and = 0  # BETWEEN … AND … consumes one AND
+    for t in toks:
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        if depth == 0 and t.is_kw("BETWEEN"):
+            skip_and += 1
+        if depth == 0 and t.is_kw("AND", "OR") and not (
+            t.is_kw("AND") and skip_and > 0
+        ):
+            segs.append(cur)
+            ops.append(t.text.upper())
+            cur = []
+            continue
+        if depth == 0 and t.is_kw("AND") and skip_and > 0:
+            skip_and -= 1
+        cur.append(t)
+    segs.append(cur)
+    if len(segs) == 1 or any(not sg for sg in segs):
+        return _boolify(toks, _rewrite(toks, ctx))
+    out = f"({_boolify(segs[0], _rewrite(segs[0], ctx))})"
+    for op, sg in zip(ops, segs[1:]):
+        out += f" {op} ({_boolify(sg, _rewrite(sg, ctx))})"
+    return out
+
+
 def _boolify(toks: list[Token], sql: str) -> str:
     """The reference treats any numeric condition as a boolean (UInt8
     nonzero = true, Interpreters/ExpressionAnalyzer.cpp filter columns);
@@ -3520,7 +3569,30 @@ def _substitute(
     if not subs:
         return tokens
     out: list[Token] = []
-    for k, t in enumerate(tokens):
+    k = 0
+    n = len(tokens)
+    while k < n:
+        t = tokens[k]
+        if t.text == "(" and k + 1 < n and tokens[k + 1].is_kw("SELECT"):
+            # a SUBQUERY's own `AS name` definitions SHADOW enclosing
+            # select aliases (normalizeTree scoping — 00211's
+            # `SELECT 1 AS x, …, (SELECT 2 AS x, x)` binds the inner x
+            # to 2); recurse over the span with shadowed names dropped
+            close = _match_paren(tokens, k)
+            body = tokens[k + 1 : close]
+            shadowed = {
+                body[j + 1].text.strip("`")
+                for j, tk in enumerate(body)
+                if tk.is_kw("AS")
+                and j + 1 < len(body)
+                and body[j + 1].kind in ("ident", "qident")
+            }
+            inner_subs = {a: b for a, b in subs.items() if a not in shadowed}
+            out.append(tokens[k])
+            out.extend(_substitute(body, inner_subs, reexpand))
+            out.append(tokens[close])
+            k = close + 1
+            continue
         key = None
         if t.kind == "ident" and t.text in subs:
             key = t.text
@@ -3543,6 +3615,7 @@ def _substitute(
             out.append(sub_tok)
         else:
             out.append(t)
+        k += 1
     return out
 
 
@@ -3562,7 +3635,20 @@ def _order_items(tokens: list[Token], ctx: Ctx) -> list[tuple[str, str]]:
     items: list[tuple[str, str]] = []
     for item in _split_top(tokens, ","):
         item, direction = _order_direction(item)
+        # ORDER BY x COLLATE 'ru' — ICU collated comparison
+        # (ColumnString getPermutationWithCollation; golden 00105)
+        collate = None
+        if (
+            len(item) >= 2
+            and item[-2].is_kw("COLLATE")
+            and item[-1].kind == "string"
+        ):
+            collate = item[-1].text.strip("'")
+            item = item[:-2]
         expr = _rewrite(item, ctx)
+        if collate is not None:
+            items.append((f"ch_collate_key({expr}, '{collate}')", direction))
+            continue
         # Float sort: the reference places NaN BETWEEN the numbers and
         # the NULL block, on the NULL side (ColumnsNumber.h
         # PermutationSortNan + null_direction_hint; golden 00437) —
@@ -4747,6 +4833,12 @@ def _rw_item(
             # (SELECT 1 AS a, a)`), unlike Block-level name dedup
             saved_dedup = ctx.no_select_dedup
             if in_list:
+                ctx.no_select_dedup = True
+            else:
+                # SCALAR subquery keeps its full column multiplicity —
+                # a width-2 row becomes a Tuple even when one column is
+                # a bare reference to the other's alias
+                # (executeScalarSubqueries; 00211's (SELECT 2 AS x, x))
                 ctx.no_select_dedup = True
             try:
                 sub = _translate_union(inner, ctx)

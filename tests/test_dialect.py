@@ -375,7 +375,7 @@ def test_array_string_concat_default_sep():
     out = translate_sql("SELECT arrayStringConcat(['a','b'])")
     assert "array_join(transform(array('a', 'b'), __asc -> CAST(__asc AS STRING)), '')" in out
     out = translate_sql("SELECT arrayStringConcat(['a','b'], '-')")
-    assert "array_join(array('a', 'b'), '-')" in out
+    assert "array_join(transform(array('a', 'b'), __asc -> CAST(__asc AS STRING)), '-')" in out
 
 
 def test_exec_ipv6_roundtrip(eng):
@@ -708,9 +708,9 @@ def test_system_parts_tracks_inserts_and_optimize(eng):
         }
         # insert 1 spans two months -> two parts; insert 2 -> one more
         assert parts == {
-            ("202401", "20240105_20240105_1_1_0", "1", "0"),
-            ("202402", "20240206_20240206_2_2_0", "1", "0"),
-            ("202401", "20240107_20240107_3_3_0", "1", "0"),
+            ("202401", "20240105_20240105_1_1_0", 1, 0),
+            ("202402", "20240206_20240206_2_2_0", 1, 0),
+            ("202401", "20240107_20240107_3_3_0", 1, 0),
         }
         eng.execute("OPTIMIZE TABLE parts_t")
         merged = {
@@ -720,8 +720,8 @@ def test_system_parts_tracks_inserts_and_optimize(eng):
             ).collect()
         }
         assert merged == {
-            ("202401", "20240105_20240107_1_3_1", "2", "1"),
-            ("202402", "20240206_20240206_2_2_0", "1", "0"),
+            ("202401", "20240105_20240107_1_3_1", 2, 1),
+            ("202402", "20240206_20240206_2_2_0", 1, 0),
         }
     finally:
         eng.execute("DROP TABLE parts_t")
