@@ -182,3 +182,38 @@ def test_read_mergetree_prunes_partitions(spark, tmp_path):
     plan = _plan(out)
     assert "PartitionFilters" in plan
     assert "_partition" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_array_join_invariant_hoist_prunes_array(spark):
+    """`countIf(has(x, 10)) … ARRAY JOIN x AS y` must NOT carry the
+    array x through the explode: the scalar call hoists into a
+    pre-explode projection, so Catalyst prunes x from the Generate
+    output — otherwise every exploded row copies the whole array
+    (1M elements × 1M rows OOM'd before the fix; golden 00041).
+
+    Reference: ARRAY JOIN keeps source columns shared per block
+    (Interpreters/ArrayJoinAction), so the reference never pays this
+    copy either — the hoist is the Spark-side equivalent."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.dialect import (
+        ChEngine,
+    )
+
+    eng = ChEngine(spark)
+    eng.execute("DROP TABLE IF EXISTS hoist_t")
+    eng.execute("CREATE TABLE hoist_t (x Array(UInt8)) ENGINE = Memory")
+    eng.execute("INSERT INTO hoist_t VALUES ([1,2,3]), ([4,5,6])")
+    try:
+        df = eng.execute(
+            "SELECT countIf(has(x, 2)), sum(y) FROM hoist_t ARRAY JOIN x AS y"
+        )
+        assert [tuple(r) for r in df.collect()] == [(3, 21)]
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # the Generate (explode) node must not OUTPUT x — the hoisted
+        # has() is computed below it and x is pruned
+        gen = [ln for ln in plan.splitlines() if "Generate" in ln]
+        assert gen, plan
+        assert "has" not in gen[0].lower() or "x#" not in gen[0], plan
+        after_gen = plan.split("Generate", 1)[0]
+        assert "Aggregate" in after_gen
+    finally:
+        eng.execute("DROP TABLE hoist_t")
