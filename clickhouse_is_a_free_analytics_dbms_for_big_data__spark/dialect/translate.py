@@ -949,6 +949,7 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
         and from_sql
         and not joins
         and group_toks
+        and not order_toks  # an explicit ORDER BY wins; no replay
         and len(_split_top(group_toks, ",")) == 1
         and not with_totals
         and limit_by is None
@@ -2281,9 +2282,9 @@ def _translate_select_inner(tokens: list[Token], ctx: Ctx) -> str:
                 f") ORDER BY __aggord"
             )
         else:
+            # unreachable in the normal flow (the annotation requires
+            # no ORDER BY) — strip the hidden rank defensively
             sql = f"SELECT * EXCEPT (__k64rank) FROM (\n{sql}\n)"
-            if order_sql:
-                sql += f"\nORDER BY {order_sql}"
     if (
         limit_txt is not None
         and from_totals_here
