@@ -582,3 +582,336 @@ def pl_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_frames"))
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation operators (pipeline/curation.py, pipeline/cluster.py):
+# dup-group clustering, contamination sweep, holdout split, PII scrub,
+# repetition scoring, sequence packing.
+# ---------------------------------------------------------------------------
+
+from ..pipeline import cluster as CL  # noqa: E402
+from ..pipeline import curation as CU  # noqa: E402
+
+
+@query(
+    "pl_dup_clusters",
+    # Deterministic sliding-window corpus: stream s, window w covers
+    # tokens [10w, 10w+100) of stream s => adjacent windows have
+    # shingle-Jaccard 86/106 = 0.811 >= 0.7, windows 2+ apart 0.655 <
+    # 0.7, cross-stream 0.  The pair graph is a PATH per stream, so
+    # the cluster of 8 windows exists only through TRANSITIVE closure
+    # (no direct edge between window 0 and window 7).  Oracle:
+    # brute-force Jaccard pairs + recursive-CTE connected components.
+    """
+    WITH RECURSIVE win AS (
+        -- RANGE() can't take a subquery in DuckDB; doc_ids are dense
+        -- 0..N-1, so they serve as the id generator
+        SELECT doc_id AS nid, doc_id // 8 AS stream, doc_id % 8 AS w
+        FROM documents
+        WHERE doc_id < 8 * GREATEST(
+            (SELECT COUNT(*) FROM documents) // 100, 2)
+    ), sh AS (
+        SELECT nid,
+               LIST_TRANSFORM(RANGE(1, 97),
+                   i -> ARRAY_TO_STRING(
+                       LIST_TRANSFORM(RANGE(0, 5),
+                           k -> 's' || stream || 'g' || (10*w + i - 1 + k)),
+                       ' ')) AS s
+        FROM win
+    ), pairs AS (
+        SELECT a.nid AS x, b.nid AS y
+        FROM sh a JOIN sh b ON a.nid < b.nid
+        WHERE LEN(LIST_INTERSECT(a.s, b.s)) * 1.0 /
+              GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 1) >= 0.7
+    ), edges AS (
+        SELECT x, y FROM pairs UNION SELECT y, x FROM pairs
+    ), tc(a, b) AS (
+        SELECT x, y FROM edges
+        UNION
+        SELECT tc.a, e.y FROM tc JOIN edges e ON tc.b = e.x
+    ), comp AS (
+        SELECT a AS node, LEAST(a, MIN(b)) AS root FROM tc GROUP BY a
+    )
+    SELECT root AS cluster_root, COUNT(*) AS cluster_size
+    FROM comp GROUP BY root ORDER BY cluster_root
+    """,
+    doc="Duplicate-GROUP clustering: connected components (iterative "
+    "min-label propagation, one shuffle per round, localCheckpoint "
+    "lineage truncation) over an exact-recall shingle-inverted-index "
+    "candidate join; the planted pair graph is a path, so groups "
+    "exist only through transitive closure. Oracle: brute-force "
+    "Jaccard + recursive CTE.",
+    tags=("pipeline", "dedup"),
+)
+@_plan_cache
+def pl_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    n_streams = max(docs.count() // 100, 2)
+    win = (
+        spark.range(8 * n_streams)
+        .select(
+            F.col("id").alias("nid"),
+            (F.col("id") / 8).cast("long").alias("stream"),
+            (F.col("id") % 8).alias("w"),
+        )
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.col("w") * 10, F.col("w") * 10 + F.lit(99)
+                    ),
+                    lambda j: F.concat(
+                        F.lit("s"),
+                        F.col("stream").cast("string"),
+                        F.lit("g"),
+                        j.cast("string"),
+                    ),
+                ),
+                " ",
+            ),
+        )
+    )
+    pairs = CL.shingle_blocked_pairs(
+        win, "nid", TXT.shingles(F.col("text"), 5), threshold=0.7
+    )
+    return CL.dup_clusters(pairs).orderBy("cluster_root")
+
+
+@query(
+    "pl_contamination_check",
+    # Planted eval set: every 97th document with its first 3 tokens
+    # dropped — shares nearly all 8-grams with its source (and with
+    # any near-dup of the source), none with unrelated docs.
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT_REGEX(lower(text), '\\s+'),
+                           t -> LEN(t) > 0) AS tk
+        FROM documents
+    ), corpus_g AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   RANGE(1, GREATEST(LEN(tk) - 7, 1) + 1),
+                   i -> ARRAY_TO_STRING(tk[i:i+7], ' '))) AS gs
+        FROM tok
+    ), eval_g AS (
+        SELECT doc_id AS eval_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   RANGE(1, GREATEST(LEN(tk[4:]) - 7, 1) + 1),
+                   i -> ARRAY_TO_STRING((tk[4:])[i:i+7], ' '))) AS gs
+        FROM tok WHERE doc_id % 97 = 3
+    )
+    SELECT c.doc_id AS doc_id, e.eval_id AS eval_id,
+           CAST(LEN(LIST_INTERSECT(c.gs, e.gs)) AS BIGINT) AS shared_ngrams
+    FROM corpus_g c JOIN eval_g e
+      ON LEN(LIST_INTERSECT(c.gs, e.gs)) > 0
+    ORDER BY doc_id, eval_id
+    """,
+    doc="Train/test contamination sweep: token-8-gram overlap between "
+    "the corpus and a planted eval set (explode + equi-join on the "
+    "n-gram + partial-agg count; eval side broadcast-small). Oracle "
+    "recomputes overlaps relationally.",
+    tags=("pipeline", "text"),
+)
+@_plan_cache
+def pl_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") % 97 == 3).select(
+        F.col("doc_id").alias("eval_id"),
+        F.array_join(
+            F.slice(TXT.tokens(F.col("text")), 4, 1 << 30), " "
+        ).alias("text"),
+    )
+    return (
+        CU.contamination_hits(docs, evalset, "doc_id", "eval_id", n=8)
+        .select(
+            "doc_id", "eval_id",
+            F.col("shared_ngrams").cast("bigint").alias("shared_ngrams"),
+        )
+        .orderBy("doc_id", "eval_id")
+    )
+
+
+@query(
+    "pl_hash_split",
+    """
+    SELECT CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS docs,
+           CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT_REGEX(lower(text), '\\s+'),
+                                    t -> LEN(t) > 0))) AS BIGINT) AS tokens
+    FROM (
+        SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INTEGER % 100
+                   AS b, text
+        FROM documents
+    ) GROUP BY split ORDER BY split
+    """,
+    doc="Deterministic train/val/test holdout split: bucket = first 16 "
+    "bits of md5(doc_id) mod 100 — engine-portable (md5 is identical "
+    "everywhere, unlike seeded xxhash), so the same row lands in the "
+    "same split across the fleet and the eval stack.",
+    tags=("pipeline", "text"),
+)
+def pl_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(CU.train_val_test(F.col("doc_id")).alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(TXT.token_count(F.col("text")))
+            .cast("bigint")
+            .alias("tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "pl_pii_scrub",
+    """
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN
+                   text || ' contact user' || doc_id
+                        || '@example.com or +49' || (1000000 + doc_id)
+               ELSE text END AS text
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               LEN(regexp_extract_all(text,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_email,
+               LEN(regexp_extract_all(text, '\\+[0-9]{7,15}')) AS n_phone,
+               LENGTH(regexp_replace(
+                   regexp_replace(text,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\\+[0-9]{7,15}', '<PHONE>', 'g')) AS masked_len
+        FROM planted
+    )
+    SELECT CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_pii,
+           CAST(SUM(n_email) AS BIGINT) AS emails,
+           CAST(SUM(n_phone) AS BIGINT) AS phones,
+           CAST(SUM(masked_len) AS BIGINT) AS masked_chars
+    FROM scored
+    """,
+    doc="PII detection + scrubbing (emails, E.164-ish phones) over a "
+    "corpus with planted identifiers: regex classes chosen to behave "
+    "identically under Java regex and RE2; pure JVM regexp_extract_all"
+    "/regexp_replace, no UDFs.",
+    tags=("pipeline", "text"),
+)
+def pl_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +49"),
+                (F.col("doc_id") + 1000000).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    n_email, n_phone = CU.pii_counts(F.col("text"))
+    scored = planted.select(
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        F.length(CU.scrub_pii(F.col("text"))).alias("masked_len"),
+    )
+    return scored.agg(
+        F.sum(((F.col("n_email") + F.col("n_phone")) > 0).cast("int"))
+        .cast("bigint")
+        .alias("docs_with_pii"),
+        F.sum("n_email").cast("bigint").alias("emails"),
+        F.sum("n_phone").cast("bigint").alias("phones"),
+        F.sum("masked_len").cast("bigint").alias("masked_chars"),
+    )
+
+
+@query(
+    "pl_repetition_score",
+    """
+    WITH tok AS (
+        SELECT lang,
+               LIST_FILTER(STRING_SPLIT_REGEX(lower(text), '\\s+'),
+                           t -> LEN(t) > 0) AS tk
+        FROM documents
+    ), grams AS (
+        SELECT lang,
+               LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1) + 1),
+                   i -> ARRAY_TO_STRING(tk[i:i+1], ' ')) AS g
+        FROM tok
+    ), rep AS (
+        SELECT lang,
+               1.0 - LEN(LIST_DISTINCT(g)) * 1.0 / GREATEST(LEN(g), 1)
+                   AS r
+        FROM grams
+    )
+    SELECT lang, COUNT(*) AS docs,
+           ROUND(AVG(r), 6) AS avg_repetition,
+           CAST(SUM(CASE WHEN r > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS flagged
+    FROM rep GROUP BY lang ORDER BY lang
+    """,
+    doc="Gopher-style intra-document repetition signal: fraction of "
+    "duplicate token bigrams per doc, aggregated per language with a "
+    "quality-filter flag count. Pure Column expressions.",
+    tags=("pipeline", "text"),
+)
+def pl_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    rep = docs.select(
+        "lang", CU.repetition_ratio(F.col("text"), 2).alias("r")
+    )
+    return (
+        rep.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("r"), 6).alias("avg_repetition"),
+            F.sum((F.col("r") > 0.1).cast("int"))
+            .cast("bigint")
+            .alias("flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "pl_seq_packing",
+    """
+    WITH t AS (
+        SELECT lang, doc_id,
+               CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(lower(text), '\\s+'),
+                                    x -> LEN(x) > 0)) AS BIGINT) AS tk
+        FROM documents
+    ), c AS (
+        SELECT lang, tk,
+               SUM(tk) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT lang AS part, CAST(FLOOR((cum - tk) / 2048.0) AS BIGINT) AS bin,
+           COUNT(*) AS docs, SUM(tk) AS bin_tokens
+    FROM c GROUP BY part, bin ORDER BY part, bin
+    """,
+    doc="Greedy sequential packing of documents into 2048-token "
+    "training contexts (streaming concat-and-chunk batch layout); the "
+    "cumulative-sum window partitions by language so the stage "
+    "parallelizes instead of serializing the corpus through one "
+    "global window.",
+    tags=("pipeline", "text"),
+)
+def pl_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return CU.pack_sequences(
+        docs, "lang", "doc_id", TXT.token_count(F.col("text")), 2048
+    ).orderBy("part", "bin")
