@@ -217,3 +217,62 @@ def test_array_join_invariant_hoist_prunes_array(spark):
         assert "Aggregate" in after_gen
     finally:
         eng.execute("DROP TABLE hoist_t")
+
+
+def test_contamination_join_no_cartesian(spark):
+    """The contamination sweep is an equi-join on the exploded n-gram —
+    never a nested-loop/cartesian (which would be |corpus|×|eval| at
+    100 TB)."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.pipeline import (
+        curation as CU,
+    )
+
+    (docs,) = _t(spark, SF_ORACLE, "documents")
+    evalset = docs.filter(F.col("doc_id") % 97 == 3).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    plan = _plan(CU.contamination_hits(docs, evalset, "doc_id", "eval_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_seq_packing_window_is_partitioned(spark):
+    """The packing cumulative sum must be windowed per partition column
+    — a global (empty-partition) window serializes the corpus through
+    ONE task at scale."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.pipeline import (
+        curation as CU,
+    )
+
+    (docs,) = _t(spark, SF_ORACLE, "documents")
+    df = CU.pack_sequences(docs, "lang", "doc_id", F.length("text"))
+    plan = _plan(df)
+    assert "windowspecdefinition(part" in plan
+    # the empty-partition shape (spec starting at the ORDER column,
+    # i.e. no partition keys) must not appear
+    assert "windowspecdefinition(_ord" not in plan
+
+
+def test_dup_cluster_blocking_no_cartesian(spark):
+    """Shingle-inverted-index candidate generation: posting-list self-
+    join must be an equi-join on the shingle; the hot-block cap is an
+    anti-join, not a second agg over the corpus."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.pipeline import (
+        cluster as CL,
+    )
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.pipeline import (
+        text as TXT,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i} e{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = _plan(
+        CL.shingle_blocked_pairs(
+            docs, "doc_id", TXT.shingles(F.col("text"), 3)
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
