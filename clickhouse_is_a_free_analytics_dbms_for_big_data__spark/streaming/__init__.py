@@ -2,6 +2,7 @@ from .buffer import BufferSink, buffered_writer
 from .materialized_view import MaterializedView, attach_views
 from .stateful import (
     streaming_aggregate,
+    streaming_dedup,
     streaming_funnel,
     streaming_windowed_counts,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "MaterializedView",
     "attach_views",
     "streaming_aggregate",
+    "streaming_dedup",
     "streaming_funnel",
     "streaming_windowed_counts",
 ]

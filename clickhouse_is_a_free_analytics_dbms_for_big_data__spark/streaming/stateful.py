@@ -33,6 +33,7 @@ __all__ = [
     "streaming_aggregate",
     "streaming_windowed_counts",
     "streaming_funnel",
+    "streaming_dedup",
 ]
 
 
@@ -149,3 +150,30 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Ingest-time exact deduplication: rows whose ``key_cols`` (e.g. a
+    normalized content fingerprint) were already seen are dropped, with
+    the seen-set living in the streaming state store across
+    micro-batches — the streaming twin of ``pipeline.dedup.exact_dedup``
+    (and of ReplacingMergeTree's merge-time collapse,
+    MergeTreeDataMerger's Replacing mode — but at INSERT time with
+    exactly-once state instead of eventual merges).
+
+    With ``ts_col`` the state is WATERMARK-BOUNDED
+    (``dropDuplicatesWithinWatermark``): fingerprints older than the
+    watermark are evicted, so state size is rate×window, not corpus
+    size — the only shape that survives an unbounded 100 TB/day ingest.
+    Without it, state grows with distinct keys (fine for bounded
+    backfills, documented trade-off).
+    """
+    if ts_col is not None:
+        return stream_df.withWatermark(ts_col, watermark)\
+            .dropDuplicatesWithinWatermark(list(key_cols))
+    return stream_df.dropDuplicates(list(key_cols))

@@ -107,3 +107,66 @@ def test_streaming_funnel(spark, tmp_path):
     got = {r["user"]: (r["s"], r["done"]) for r in rows}
     assert got["u1"] == (3, True)
     assert got["u2"] == (1, False)
+
+
+def test_streaming_dedup_state_survives_batches(spark, tmp_path):
+    src = str(tmp_path / "dsrc")
+    spark.createDataFrame(
+        [("fpA", 1), ("fpB", 2)], "fp string, doc_id long"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("fp string, doc_id long").parquet(src)
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.streaming import (
+        streaming_dedup,
+    )
+
+    q = (
+        streaming_dedup(stream, ["fp"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+
+    # batch 2 replays fpA (must be dropped by cross-batch state) and
+    # introduces fpC (must pass)
+    spark.createDataFrame(
+        [("fpA", 3), ("fpC", 4)], "fp string, doc_id long"
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    fps = sorted(
+        r.fp for r in spark.sql("SELECT fp FROM dedup_out").collect()
+    )
+    assert fps == ["fpA", "fpB", "fpC"]
+
+
+def test_streaming_dedup_watermark_bounded(spark, tmp_path):
+    src = str(tmp_path / "wdsrc")
+    spark.createDataFrame(
+        [("fpA", "2024-01-01 00:00:00"), ("fpA", "2024-01-01 00:00:30")],
+        "fp string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop(
+        "ts_s"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("fp string, ts timestamp").parquet(src)
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.streaming import (
+        streaming_dedup,
+    )
+
+    q = (
+        streaming_dedup(stream, ["fp"], ts_col="ts", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wdedup_out")
+        .option("checkpointLocation", str(tmp_path / "wdckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT fp FROM wdedup_out").collect()
+    assert [r.fp for r in rows] == ["fpA"]  # in-watermark dup dropped
