@@ -35,11 +35,9 @@ REGISTRY = os.path.join(
 
 # this-round fixes: always sampled first (hand-edit per round)
 PIN: tuple[str, ...] = (
-    "hits_q24_star_prewhere",
-    "dict_hierarchy",
-    "fn_sum_foreach",
-    "pl_simhash_dedup",
-    "pl_fingerprint_rolling",
+    # r08: stalest evidence (r03) + the SELECT * _part regression pin
+    "with_totals_agg",
+    "dialect_select_star_mergetree",
 )
 
 WINDOW = 50  # how many names the driver snapshots
