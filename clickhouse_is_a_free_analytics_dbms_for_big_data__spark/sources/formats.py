@@ -13,9 +13,12 @@ exactly like the reference's output-only formats (they exist to format
 a query result for a human/client, never to store data).  ``max_rows``
 guards the collect.
 
-Not mapped: Native and RowBinary are the reference's internal wire
-formats (IDataType binary bulk serde, IDataType.h:55-60) — Arrow and
-Parquet fill that role on Spark by construction.
+**Wire formats**: RowBinary (row-wise, RowBinaryRowOutputStream.cpp)
+and Native (column-wise blocks, NativeBlockOutputStream.cpp) are both
+rendered byte-exactly for FORMAT output, with ``parse_native`` as the
+reader twin; for bulk STORAGE interchange Arrow and Parquet fill that
+role on Spark by construction (IDataType binary bulk serde,
+IDataType.h:55-60).
 """
 
 from __future__ import annotations
@@ -270,6 +273,10 @@ def format_result(
 
     if fmt == "RowBinary":
         return _render_rowbinary(rows, types, ch_type_texts)
+    if fmt == "Native":
+        return _render_native(
+            rows, names, types, ch_type_texts, block_rows
+        )
 
     forced = set(totals_default_cols or ())
     if totals and rows and fmt in ("TabSeparated", "TSV"):
@@ -1354,6 +1361,239 @@ def _render_rowbinary(rows, types: list[str], ch_types: list) -> str:
         for i, (st, ct) in enumerate(zip(types, ch_types)):
             _rb_value(out, r[i], ct or _ch_type_text(st))
     return bytes(out).decode("utf-8", "surrogateescape")
+
+
+# --------------------------------------------------------- Native
+
+def _native_default(ch_t: str):
+    """Type default filled under a Nullable null marker
+    (serializeBinaryBulk writes the nested column including the
+    placeholder value at null positions)."""
+    t = ch_t.strip()
+    if t.startswith("Array("):
+        return []
+    if t in ("String",) or t.startswith("FixedString") or t.startswith("Enum"):
+        return ""
+    if t in ("Date", "DateTime"):
+        return 0
+    if t.startswith("Float"):
+        return 0.0
+    return 0
+
+
+def _native_bulk(out: bytearray, vals: list, ch_t: str) -> None:
+    """Column-wise binary bulk, NativeBlockOutputStream::writeData /
+    IDataType::serializeBinaryBulk: Nullable = UInt8 null map then the
+    nested column; Array = cumulative UInt64 offsets then the flattened
+    nested column; Tuple = element columns in sequence
+    (DataTypeTuple::serializeBinaryBulk); scalars = the same per-value
+    encodings as RowBinary, column-contiguous."""
+    t = ch_t.strip()
+    if t.startswith("Nullable("):
+        inner = t[9:-1]
+        for v in vals:
+            out.append(1 if v is None else 0)
+        _native_bulk(
+            out,
+            [v if v is not None else _native_default(inner) for v in vals],
+            inner,
+        )
+        return
+    if t.startswith("Array("):
+        inner = t[6:-1]
+        running = 0
+        flat: list = []
+        for v in vals:
+            elems = list(v or [])
+            running += len(elems)
+            out += running.to_bytes(8, "little")
+            flat.extend(elems)
+        _native_bulk(out, flat, inner)
+        return
+    if t.startswith("Tuple("):
+        inners = _ch_inner_types(t, "Tuple") or []
+        for idx, it in enumerate(inners):
+            _native_bulk(
+                out,
+                [
+                    (list(v)[idx] if v is not None else None)
+                    for v in vals
+                ],
+                it,
+            )
+        return
+    for v in vals:
+        _rb_value(out, v, t)
+
+
+def _native_string(out: bytearray, s: str) -> None:
+    b = s.encode("utf-8", "surrogateescape")
+    _rb_varint(out, len(b))
+    out += b
+
+
+def _render_native(
+    rows,
+    names: list[str],
+    types: list[str],
+    ch_types: list,
+    block_rows: list | None = None,
+) -> str:
+    """FORMAT Native — the reference's columnar wire format
+    (NativeBlockOutputStream.cpp::write, client_revision 0 so no block
+    info header): per block, varint column count + varint row count,
+    then per column its name, its CH type name, and the column-wise
+    binary bulk.  One block per recorded stream block when the block
+    structure is known, else a single block."""
+    sizes = list(block_rows or ())
+    if not sizes or sum(sizes) != len(rows):
+        sizes = [len(rows)] if rows else []
+    if not rows:
+        sizes = [0]  # a single empty block still writes the header
+    out = bytearray()
+    pos = 0
+    for n in sizes:
+        chunk = rows[pos:pos + n]
+        pos += n
+        _rb_varint(out, len(names))
+        _rb_varint(out, len(chunk))
+        for i, (name, st, ct) in enumerate(zip(names, types, ch_types)):
+            _native_string(out, name)
+            cht = ct or _ch_type_text(st)
+            _native_string(out, cht)
+            if chunk:  # zero rows => zero bytes of data
+                _native_bulk(out, [r[i] for r in chunk], cht)
+    return bytes(out).decode("utf-8", "surrogateescape")
+
+
+def parse_native(data: bytes):
+    """Parse FORMAT Native bytes back into (names, ch_types, rows) —
+    NativeBlockInputStream::readImpl.  Used for INSERT FORMAT Native
+    payloads and as the writer's roundtrip check."""
+    import struct as _struct
+
+    pos = 0
+
+    def varint():
+        nonlocal pos
+        shift = n = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return n
+            shift += 7
+
+    def rd_str():
+        nonlocal pos
+        ln = varint()
+        s = data[pos:pos + ln].decode("utf-8", "surrogateescape")
+        pos += ln
+        return s
+
+    def rd_bulk(ch_t: str, n: int) -> list:
+        nonlocal pos
+        t = ch_t.strip()
+        if t.startswith("Nullable("):
+            nulls = [data[pos + i] for i in range(n)]
+            pos += n
+            nested = rd_bulk(t[9:-1], n)
+            return [None if nl else v for nl, v in zip(nulls, nested)]
+        if t.startswith("Array("):
+            offs = []
+            for _ in range(n):
+                offs.append(int.from_bytes(data[pos:pos + 8], "little"))
+                pos += 8
+            total = offs[-1] if offs else 0
+            flat = rd_bulk(t[6:-1], total)
+            res, prev = [], 0
+            for o in offs:
+                res.append(flat[prev:o])
+                prev = o
+            return res
+        if t.startswith("Tuple("):
+            inners = _ch_inner_types(t, "Tuple") or []
+            cols = [rd_bulk(it, n) for it in inners]
+            return [tuple(c[i] for c in cols) for i in range(n)]
+        if t in _RB_INT:
+            w, signed = _RB_INT[t]
+            vals = []
+            for _ in range(n):
+                vals.append(
+                    int.from_bytes(data[pos:pos + w], "little", signed=signed)
+                )
+                pos += w
+            return vals
+        if t in ("Float64", "Float32"):
+            w, f = (8, "<d") if t == "Float64" else (4, "<f")
+            vals = []
+            for _ in range(n):
+                vals.append(_struct.unpack(f, data[pos:pos + w])[0])
+                pos += w
+            return vals
+        if t == "Date":
+            vals = []
+            for _ in range(n):
+                vals.append(int.from_bytes(data[pos:pos + 2], "little"))
+                pos += 2
+            return vals
+        if t == "DateTime":
+            vals = []
+            for _ in range(n):
+                vals.append(int.from_bytes(data[pos:pos + 4], "little"))
+                pos += 4
+            return vals
+        if t.startswith("FixedString("):
+            w = int(t[len("FixedString("):-1])
+            vals = []
+            for _ in range(n):
+                vals.append(
+                    data[pos:pos + w].decode("utf-8", "surrogateescape")
+                )
+                pos += w
+            return vals
+        if t.startswith("Enum"):
+            w = 1 if t.startswith("Enum8") else 2
+            from ..dialect.statements import _enum_pairs
+
+            rev = {val: nm for nm, val in _enum_pairs(t)}
+            vals = []
+            for _ in range(n):
+                raw = int.from_bytes(
+                    data[pos:pos + w], "little", signed=True
+                )
+                pos += w
+                vals.append(rev.get(raw, raw))
+            return vals
+        # String
+        vals = []
+        for _ in range(n):
+            ln = varint()
+            vals.append(
+                data[pos:pos + ln].decode("utf-8", "surrogateescape")
+            )
+            pos += ln
+        return vals
+
+    names: list[str] = []
+    ch_types: list[str] = []
+    rows: list[tuple] = []
+    while pos < len(data):
+        n_cols = varint()
+        n_rows = varint()
+        cols: list[list] = []
+        blk_names, blk_types = [], []
+        for _ in range(n_cols):
+            blk_names.append(rd_str())
+            blk_types.append(rd_str())
+            cols.append(rd_bulk(blk_types[-1], n_rows) if n_rows else [])
+        if not names:
+            names, ch_types = blk_names, blk_types
+        rows.extend(
+            tuple(c[i] for c in cols) for i in range(n_rows)
+        )
+    return names, ch_types, rows
 
 
 # ------------------------------------------- byte-faithful collect

@@ -102,3 +102,83 @@ def test_unknown_format(spark, sample):
         read_format(spark, "/tmp/x", "Protobuf")
     with pytest.raises(ValueError):
         write_format(sample, "/tmp/x", "Native")
+
+
+# ------------------------------------------------------- Native format
+
+
+def test_native_known_bytes(spark):
+    """Hand-computed vector (NativeBlockOutputStream::write, revision
+    0): varint cols/rows, then per column name + type + column-wise
+    data."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+        format_result,
+    )
+
+    df = spark.createDataFrame([(1, "ab"), (2, "c")], "x INT, s STRING")
+    out = format_result(
+        df, "Native", ch_types=["Int32", "String"]
+    ).encode("utf-8", "surrogateescape")
+    exp = (
+        b"\x02"              # 2 columns
+        b"\x02"              # 2 rows
+        b"\x01x"             # name "x"
+        b"\x05Int32"         # type
+        b"\x01\x00\x00\x00\x02\x00\x00\x00"   # 1, 2 LE
+        b"\x01s"             # name "s"
+        b"\x06String"        # type
+        b"\x02ab\x01c"       # varint-length strings
+    )
+    assert out == exp
+
+
+def test_native_roundtrip_nullable_array(spark):
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+        format_result,
+        parse_native,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, [1, 2]), (2, "hi", []), (3, "yo", [7])],
+        "id BIGINT, s STRING, a ARRAY<INT>",
+    )
+    blob = format_result(
+        df, "Native",
+        ch_types=["UInt64", "Nullable(String)", "Array(Int32)"],
+    ).encode("utf-8", "surrogateescape")
+    names, ch_types, rows = parse_native(blob)
+    assert names == ["id", "s", "a"]
+    assert ch_types == ["UInt64", "Nullable(String)", "Array(Int32)"]
+    assert sorted(rows) == [(1, None, [1, 2]), (2, "hi", []), (3, "yo", [7])]
+
+
+def test_native_respects_block_structure(spark):
+    """INSERT-recorded block boundaries produce one Native block each
+    (the reference streams blocks; a 3+1 split must not merge)."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+        format_result,
+        parse_native,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(4)], "v INT")
+    blob = format_result(
+        df, "Native", ch_types=["Int32"], block_rows=[3, 1]
+    ).encode("utf-8", "surrogateescape")
+    # two block headers: count occurrences of the column descriptor
+    assert blob.count(b"\x01v\x05Int32") == 2
+    names, ch_types, rows = parse_native(blob)
+    assert sorted(rows) == [(0,), (1,), (2,), (3,)]
+
+
+def test_native_empty_result(spark):
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+        format_result,
+        parse_native,
+    )
+
+    df = spark.createDataFrame([], "v INT")
+    blob = format_result(df, "Native", ch_types=["Int32"]).encode(
+        "utf-8", "surrogateescape"
+    )
+    names, ch_types, rows = parse_native(blob)
+    assert names == ["v"] and rows == []
