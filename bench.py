@@ -3,8 +3,13 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Results are written to a noop-style sink (count over the final plan)
-so we measure the engine, not driver-side row materialization.
+Results go to Spark's ``noop`` sink: the full physical plan executes
+(every aggregate, filter and sort materialized) with zero driver-side
+row transfer.  NOT ``.count()`` — counting over a query lets Catalyst
+prune unreferenced aggregates and, for single-row global aggregations,
+eliminate the scan entirely (`ReadSchema: struct<>`), silently turning
+e.g. the 90-sum q30 into an empty-scan row count (found and fixed r8;
+rounds 1-7 under-measured every bare-aggregation query this way).
 """
 
 from __future__ import annotations
@@ -89,13 +94,20 @@ def main() -> None:
     # WARM_RUNS warm runs; report the MEDIAN warm run per query —
     # robust to one-off scheduler hiccups, unlike best-of-2.
     warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+
+    def run(name: str) -> None:
+        # noop sink: full plan executes, nothing crosses to the driver
+        qmap[name](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
     timings: dict[str, float] = {}
     for name in names:
-        qmap[name](spark, sf_dir).count()  # cold: codegen + class load
+        run(name)  # cold: codegen + class load
         runs = []
         for _ in range(warm_runs):
             t0 = time.perf_counter()
-            qmap[name](spark, sf_dir).count()
+            run(name)
             runs.append(time.perf_counter() - t0)
         runs.sort()
         mid = len(runs) // 2

@@ -27,56 +27,51 @@ from .registry import query
 
 
 def hits_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → hits-shaped wide projection (deterministic arithmetic)."""
+    """events → hits-shaped wide projection (deterministic arithmetic).
+
+    One ``selectExpr`` string per column instead of nested Column
+    builders: the ~450 py4j round-trips of the DSL form cost ~0.3 s of
+    driver time PER QUERY BUILD (measured r8 — the same finding as
+    text.tokens_sql at r4), which every fresh bench run re-paid.  The
+    expressions are semantically identical (same Catalyst tree).
+    """
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    eid, uid = F.col("event_id"), F.col("user_id")
-    return ev.select(
+    return ev.selectExpr(
         # cast NTZ parquet ts to session-tz timestamp: the oracle's naive
         # TIMESTAMP hashes identically to TimestampType (q43 proves it),
         # while TIMESTAMP_NTZ serializes differently in the driver compare
-        F.col("ts").cast("timestamp").alias("EventTime"),
-        F.to_date("ts").alias("EventDate"),
-        uid.alias("UserID"),
-        (uid % 100).alias("CounterID"),
-        (uid % 50).alias("RegionID"),
-        F.when(eid % 16 == 0, (eid % 5) + 1).otherwise(F.lit(0)).alias("AdvEngineID"),
-        (eid % 7).alias("SearchEngineID"),
-        F.when(eid % 5 == 0, F.concat(F.lit("phrase_"), (eid % 199).cast("string")))
-        .otherwise(F.lit(""))
-        .alias("SearchPhrase"),
-        F.concat(F.lit("http://example.com/page/"), (eid % 1000).cast("string")).alias("URL"),
-        F.concat(F.lit("http://ref.example.org/"), (uid % 300).cast("string")).alias("Referer"),
-        (F.lit(800) + eid % 400).alias("ResolutionWidth"),
-        F.pmod(uid * 2654435761, F.lit(4294967296)).alias("ClientIP"),
-        (eid % 10 == 0).cast("int").alias("Refresh"),
-        (eid % 13 - 6).alias("TraficSourceID"),
-        (eid % 9).alias("MobilePhone"),
-        F.when(uid % 4 == 0, F.concat(F.lit("model_"), (uid % 23).cast("string")))
-        .otherwise(F.lit(""))
-        .alias("MobilePhoneModel"),
-        F.when(
-            eid % 7 == 0,
-            F.concat(F.lit("Яндекс страница "), (eid % 500).cast("string")),
-        )
-        .otherwise(F.concat(F.lit("Page title "), (eid % 500).cast("string")))
-        .alias("Title"),
-        (eid * 2654435761).alias("WatchID"),
-        (eid % 17 == 0).cast("int").alias("DontCountHits"),
-        (eid % 11 == 0).cast("int").alias("IsLink"),
-        (eid % 33 == 0).cast("int").alias("IsDownload"),
-        ((eid % 1000) * 2654435761 % 4294967296).alias("URLHash"),
-        ((uid % 300) * 2654435761 % 4294967296).alias("RefererHash"),
-        (F.lit(1000) + eid % 800).alias("WindowClientWidth"),
-        (F.lit(600) + eid % 600).alias("WindowClientHeight"),
-        # full-range UInt64 analog: Decimal(20,0) beyond Int64 max (Q20)
-        (
-            F.lit("12345678901234567800").cast("decimal(20,0)")
-            + (uid % 100).cast("decimal(20,0)")
-        )
-        # pin back to decimal(20,0): Spark widens decimal addition to (21,0),
-        # which would hash-differently from the oracle's DECIMAL(20,0)
-        .cast("decimal(20,0)")
-        .alias("UserID64"),
+        "CAST(ts AS timestamp) AS EventTime",
+        "to_date(ts) AS EventDate",
+        "user_id AS UserID",
+        "user_id % 100 AS CounterID",
+        "user_id % 50 AS RegionID",
+        "CASE WHEN event_id % 16 = 0 THEN (event_id % 5) + 1 ELSE 0 END AS AdvEngineID",
+        "event_id % 7 AS SearchEngineID",
+        "CASE WHEN event_id % 5 = 0 THEN concat('phrase_', CAST(event_id % 199 AS string)) ELSE '' END AS SearchPhrase",
+        "concat('http://example.com/page/', CAST(event_id % 1000 AS string)) AS URL",
+        "concat('http://ref.example.org/', CAST(user_id % 300 AS string)) AS Referer",
+        "800 + event_id % 400 AS ResolutionWidth",
+        "pmod(user_id * 2654435761, 4294967296) AS ClientIP",
+        "CAST(event_id % 10 = 0 AS int) AS Refresh",
+        "event_id % 13 - 6 AS TraficSourceID",
+        "event_id % 9 AS MobilePhone",
+        "CASE WHEN user_id % 4 = 0 THEN concat('model_', CAST(user_id % 23 AS string)) ELSE '' END AS MobilePhoneModel",
+        "CASE WHEN event_id % 7 = 0 THEN concat('Яндекс страница ', CAST(event_id % 500 AS string)) "
+        "ELSE concat('Page title ', CAST(event_id % 500 AS string)) END AS Title",
+        "event_id * 2654435761 AS WatchID",
+        "CAST(event_id % 17 = 0 AS int) AS DontCountHits",
+        "CAST(event_id % 11 = 0 AS int) AS IsLink",
+        "CAST(event_id % 33 = 0 AS int) AS IsDownload",
+        "(event_id % 1000) * 2654435761 % 4294967296 AS URLHash",
+        "(user_id % 300) * 2654435761 % 4294967296 AS RefererHash",
+        "1000 + event_id % 800 AS WindowClientWidth",
+        "600 + event_id % 600 AS WindowClientHeight",
+        # full-range UInt64 analog: Decimal(20,0) beyond Int64 max (Q20);
+        # the outer cast pins back to (20,0) — Spark widens decimal
+        # addition to (21,0), which would hash-differently from the
+        # oracle's DECIMAL(20,0)
+        "CAST(CAST('12345678901234567800' AS decimal(20,0))"
+        " + CAST(user_id % 100 AS decimal(20,0)) AS decimal(20,0)) AS UserID64",
     )
 
 
@@ -329,9 +324,10 @@ def hits_q28(spark, sf_dir):
     "benchmark Q30: 90 simultaneous sums — codegen-width stress (queries.sql:30)",
 )
 def hits_q30(spark, sf_dir):
-    rw = F.col("ResolutionWidth")
+    # F.expr strings: 90 py4j calls instead of 450 (sum+add+lit+alias
+    # chains) — ~0.5 s of build time per bench run at r7, measured
     return hits_view(spark, sf_dir).agg(
-        *[F.sum(rw + F.lit(i)).alias(f"s{i}") for i in range(90)]
+        *[F.expr(f"sum(ResolutionWidth + {i}) AS s{i}") for i in range(90)]
     )
 
 

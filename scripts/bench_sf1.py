@@ -112,14 +112,18 @@ def main() -> None:
     build(spark)
     qmap = queries_map()
     timings: dict[str, float] = {}
-    rows: dict[str, int] = {}
     pipe_timings: dict[str, float] = {}
+    def run(name):
+        # noop sink — full plan executes; .count() would let Catalyst
+        # prune bare aggregations down to an empty-scan row count
+        qmap[name](spark, DST).write.mode("overwrite").format("noop").save()
+
     for name in QUERIES:
-        qmap[name](spark, DST).count()  # cold
+        run(name)  # cold
         runs = []
         for _ in range(5):
             t0 = time.perf_counter()
-            rows[name] = qmap[name](spark, DST).count()
+            run(name)
             runs.append(time.perf_counter() - t0)
         runs.sort()
         timings[name] = round(runs[2], 4)
@@ -133,13 +137,13 @@ def main() -> None:
         def run_once():
             if hasattr(fn, "_plans"):
                 fn._plans.clear()
-            return fn(spark, DST).count()
+            fn(spark, DST).write.mode("overwrite").format("noop").save()
 
         run_once()  # cold
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            rows[name] = run_once()
+            run_once()
             runs.append(time.perf_counter() - t0)
         runs.sort()
         pipe_timings[name] = round(runs[1], 4)
