@@ -276,3 +276,30 @@ def test_dup_cluster_blocking_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key join WITHOUT an Exchange on
+    either side — the write-once-join-many co-location lever for
+    repeated big-big joins (sources/bucketed.py)."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    facts = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    dims = spark.range(500).selectExpr("id AS k", "id * 3 AS w")
+    write_bucketed(facts, "bk_facts", "k", buckets=4)
+    write_bucketed(dims, "bk_dims", "k", buckets=4)
+    try:
+        # disable broadcast so the join strategy under test is the
+        # sort-merge path a big-big join would take
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = colocated_join(spark, "bk_facts", "bk_dims", "k")
+        plan = _plan(df)
+        assert _n_exchanges(plan) == 0, plan
+        assert df.count() == 500
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_facts")
+        spark.sql("DROP TABLE IF EXISTS bk_dims")
