@@ -573,6 +573,26 @@ def _sql_reinterpret_f64(x: str) -> str:
     )
 
 
+def _sql_reinterpret_f32(x: str) -> str:
+    """reinterpretAsFloat32(str): IEEE-754 binary32 decode of the 4
+    little-endian bytes (sign bit 31, 8 exponent bits bias 127, 23
+    mantissa bits, denormals at 2^-149) — exact power-of-two steps."""
+    le = _sql_rev_hex_pairs("__rh")
+    bits = f"CAST(conv({le}, 16, 10) AS BIGINT)"
+    decode = (
+        "CAST(((CASE WHEN (shiftright(__bt, 31) & 1) = 1 THEN -1.0 ELSE 1.0 END) * "
+        "(CASE WHEN ((shiftright(__bt, 23) & 255)) = 255 THEN "
+        "  (CASE WHEN (__bt & 8388607) = 0 THEN CAST('Infinity' AS DOUBLE) ELSE CAST('NaN' AS DOUBLE) END) "
+        "WHEN ((shiftright(__bt, 23) & 255)) = 0 THEN "
+        "  (__bt & 8388607) * power(2, -149) "
+        "ELSE (1.0 + (__bt & 8388607) / 8388608.0) * "
+        "  power(2, ((shiftright(__bt, 23) & 255)) - 127) END)) AS FLOAT)"
+    )
+    return _sql_let(
+        f"hex(left({x}, 4))", "__rh", _sql_let(bits, "__bt", decode)
+    )
+
+
 def _sql_url_hierarchy(u: str) -> str:
     """SQL twin of functions/url.py:URLHierarchy — proto://host, then
     cumulatively longer path prefixes."""
@@ -1106,6 +1126,82 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "reinterpretAsInt32": lambda a: _sql_reinterpret_uint(a[0], 4),
     "reinterpretAsInt64": lambda a: _sql_reinterpret_uint(a[0], 8),
     "reinterpretAsFloat64": lambda a: _sql_reinterpret_f64(a[0]),
+    "reinterpretAsFloat32": lambda a: _sql_reinterpret_f32(a[0]),
+    # reinterpretAsDate/DateTime (FunctionsReinterpret.h: the String
+    # reinterpret family — low 2 bytes as epoch days / low 4 as epoch
+    # seconds, zero-padded when the string is shorter)
+    "reinterpretAsDate": lambda a: (
+        f"date_add(DATE '1970-01-01', "
+        f"CAST({_sql_reinterpret_uint(a[0], 2)} AS INT))"
+    ),
+    "reinterpretAsDateTime": lambda a: (
+        f"CAST(from_unixtime({_sql_reinterpret_uint(a[0], 4)}) "
+        f"AS TIMESTAMP)"
+    ),
+    # SHA2 family (FunctionsHashing.h FunctionStringHashFixedString):
+    # FixedString(28/32) raw digest bytes, same shape as our MD5-binary
+    # convention — hex() of it prints the reference's uppercase digest
+    "SHA224": lambda a: f"unhex(sha2({a[0]}, 224))",
+    "SHA256": lambda a: f"unhex(sha2({a[0]}, 256))",
+    # sipHash128 (SipHash.h get128): FixedString(16), bit-exact port
+    "sipHash128": lambda a: f"ch_sip128({a[0]})",
+    # bitmaskToList (FunctionsFormatting.h writeBitmask): ascending set
+    # bits as comma-joined powers of two; bit 63 prints as the signed
+    # value, matching writeIntText over a signed T
+    "bitmaskToList": lambda a: (
+        "array_join(filter(transform(sequence(0, 63), __b -> "
+        f"CASE WHEN (shiftrightunsigned(CAST({a[0]} AS BIGINT), __b) & 1) = 1 "
+        "THEN (CASE WHEN __b = 63 THEN '-9223372036854775808' "
+        "ELSE CAST(shiftleft(CAST(1 AS BIGINT), __b) AS STRING) END) "
+        "END), __v -> __v IS NOT NULL), ',')"
+    ),
+    # URL family stragglers (FunctionsURL.h):
+    # queryStringAndFragment<true>: from after the first '?' to the
+    # end; else from '#' (kept); else ''
+    "queryStringAndFragment": lambda a: _sql_let(
+        a[0],
+        "__u",
+        "(CASE WHEN instr(__u, '?') > 0 THEN substr(__u, instr(__u, '?') + 1) "
+        "WHEN instr(__u, '#') > 0 THEN substr(__u, instr(__u, '#')) "
+        "ELSE '' END)",
+    ),
+    # CutSubstringImpl<ExtractQueryStringAndFragment<false>>: drop from
+    # the first '?' (or '#') to the end
+    "cutQueryStringAndFragment": lambda a: _sql_let(
+        a[0],
+        "__u",
+        "(CASE WHEN instr(__u, '?') > 0 THEN left(__u, instr(__u, '?') - 1) "
+        "WHEN instr(__u, '#') > 0 THEN left(__u, instr(__u, '#') - 1) "
+        "ELSE __u END)",
+    ),
+    # URLPathHierarchy (FunctionsURL.h:811): growing prefixes of the
+    # path+query+fragment, one per segment, each including its trailing
+    # separator; empty array without a {proto}://… prefix.  The
+    # protocol scan uses the reference's own STRICT comparisons
+    # (*pos > 'a' && < 'z', > '0' && < '9') — chars a,z,0,9 end it.
+    "URLPathHierarchy": lambda a: _sql_let(
+        f"regexp_extract({a[0]}, '^[b-y1-8]+://[^/?#]*(.*)$', 1)",
+        "__rest",
+        "(CASE WHEN __rest IS NULL OR __rest = '' THEN array() ELSE "
+        "filter(transform(sequence(1, length(__rest)), __i -> "
+        "CASE WHEN (__i = length(__rest) "
+        "          AND substr(__rest, __i, 1) NOT IN ('/', '?', '#')) "
+        "       OR (substr(__rest, __i, 1) IN ('/', '?', '#') AND __i > 1 "
+        "          AND substr(__rest, __i - 1, 1) NOT IN ('/', '?', '#')) "
+        "THEN left(__rest, __i) END), __t -> __t IS NOT NULL) END)"
+    ),
+    # timeSlots(t, duration): half-hour slot starts covering
+    # [t, t + duration] (FunctionsDateTime.h:796, TIME_SLOT_SIZE 1800)
+    "timeSlots": lambda a: (
+        f"transform(sequence(CAST(floor(unix_timestamp({a[0]}) / 1800) AS BIGINT), "
+        f"CAST(floor((unix_timestamp({a[0]}) + ({a[1]})) / 1800) AS BIGINT)), "
+        "__s -> CAST(from_unixtime(__s * 1800) AS TIMESTAMP))"
+    ),
+    # timezone(): the server timezone — our sessions pin UTC
+    "timezone": lambda a: "'UTC'",
+    # sleep(n) returns UInt8 0; the timing side effect is a test aid
+    # with no bearing on results, so it is a documented no-op here
+    "sleep": lambda a: "CAST(0 AS TINYINT)",
     # comparison / logic
     "equals": lambda a: f"({a[0]} = {a[1]})",
     "notEquals": lambda a: f"({a[0]} <> {a[1]})",

@@ -117,7 +117,13 @@ def register_hash_udfs(spark) -> None:
     Results are BIGINT bit patterns (combined/finalized in SQL)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, DoubleType, LongType, StringType
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        DoubleType,
+        LongType,
+        StringType,
+    )
 
     from ..functions import exact_hash as xh
 
@@ -139,6 +145,15 @@ def register_hash_udfs(spark) -> None:
             lambda v: None if v is None else _sign(
                 xh.sip_hash_64(v if isinstance(v, bytes) else str(v).encode())
             ),
+            na_action="ignore",
+        )
+
+    @pandas_udf(BinaryType())
+    def ch_sip128(s: pd.Series) -> pd.Series:
+        # FixedString(16): SipHash.h get128 — LE (v0^v1) then (v2^v3)
+        return s.map(
+            lambda v: None if v is None else
+            xh.sip_hash_128(v if isinstance(v, bytes) else str(v).encode()),
             na_action="ignore",
         )
 
@@ -301,6 +316,7 @@ def register_hash_udfs(spark) -> None:
 
     spark.udf.register("ch_city64", ch_city64)
     spark.udf.register("ch_sip64", ch_sip64)
+    spark.udf.register("ch_sip128", ch_sip128)
     spark.udf.register("ch_city64_arr", ch_city64_arr)
     spark.udf.register("ch_farm64", ch_farm64)
     spark.udf.register("ch_metro64", ch_metro64)

@@ -180,9 +180,10 @@ def city_hash_64(s: bytes) -> int:
 # ---------------------------------------------------------------- SipHash
 
 
-def sip_hash_64(data: bytes) -> int:
-    """SipHash-2-4, zero key, finalization per dbms/src/Common/SipHash.h
-    (last word = remaining bytes with total length in byte 7)."""
+def _sip_finalized_state(data: bytes) -> tuple[int, int, int, int]:
+    """SipHash-2-4, zero key, per dbms/src/Common/SipHash.h: the
+    finalized (v0, v1, v2, v3) state (last word = remaining bytes with
+    total length in byte 7).  get64 xors all four; get128 pairs them."""
     v0 = 0x736F6D6570736575
     v1 = 0x646F72616E646F6D
     v2 = 0x6C7967656E657261
@@ -222,7 +223,21 @@ def sip_hash_64(data: bytes) -> int:
     v0 ^= m
     v2 ^= 0xFF
     v0, v1, v2, v3 = rounds(v0, v1, v2, v3, 4)
+    return v0, v1, v2, v3
+
+
+def sip_hash_64(data: bytes) -> int:
+    """SipHash.h get64: xor of the finalized state."""
+    v0, v1, v2, v3 = _sip_finalized_state(data)
     return v0 ^ v1 ^ v2 ^ v3
+
+
+def sip_hash_128(data: bytes) -> bytes:
+    """SipHash.h get128: 16 bytes — little-endian (v0^v1) then
+    (v2^v3); the reference's sipHash128 FixedString(16) value
+    (FunctionsHashing.h FunctionStringHashFixedString)."""
+    v0, v1, v2, v3 = _sip_finalized_state(data)
+    return struct.pack("<QQ", v0 ^ v1, v2 ^ v3)
 
 
 # ---------------------------------------------------------------- int hashes

@@ -563,3 +563,54 @@ def fn_uniq_combined_large(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "fn_url_format_stragglers",
+    # the oracle reconstructs each value from the URL formula rather
+    # than re-implementing the reference's scanner: the inputs are
+    # deterministic, so the expected strings are closed-form
+    """
+    WITH u AS (
+        SELECT doc_id, lang,
+               CAST(doc_id % 7 AS VARCHAR) AS seg,
+               CAST(doc_id % 5 AS VARCHAR) AS p,
+               doc_id % 64 AS n
+        FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id,
+           'p=' || p || '#s' AS qsf,
+           'http://ex.com/' || lang || '/' || seg AS cut,
+           ['/' || lang || '/',
+            '/' || lang || '/' || seg || '?',
+            '/' || lang || '/' || seg || '?p=' || p || '#',
+            '/' || lang || '/' || seg || '?p=' || p || '#s'] AS hier,
+           COALESCE(ARRAY_TO_STRING(LIST_FILTER(LIST_TRANSFORM(RANGE(0, 6),
+               b -> CASE WHEN (n >> b) & 1 = 1
+                    THEN CAST((1 << b) AS VARCHAR) END),
+               x -> x IS NOT NULL), ','), '') AS bits
+    FROM u ORDER BY doc_id
+    """,
+    doc="URL/formatting straggler functions through the dialect: "
+    "queryStringAndFragment, cutQueryStringAndFragment, "
+    "URLPathHierarchy (segment-prefix scanner incl. ?/# separators), "
+    "bitmaskToList (FunctionsURL.h:811, FunctionsFormatting.h).",
+    tags=("dialect", "function"),
+)
+def fn_url_format_stragglers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        """
+        SELECT doc_id,
+               queryStringAndFragment(u) AS qsf,
+               cutQueryStringAndFragment(u) AS cut,
+               URLPathHierarchy(u) AS hier,
+               bitmaskToList(toUInt32(doc_id % 64)) AS bits
+        FROM (
+            SELECT doc_id,
+                   concat('http://ex.com/', lang, '/',
+                          toString(doc_id % 7), '?p=',
+                          toString(doc_id % 5), '#s') AS u
+            FROM documents WHERE doc_id < 40
+        ) ORDER BY doc_id
+        """
+    )
