@@ -254,6 +254,8 @@ def _t_multi_if(a: Args) -> str:
     return f"(CASE {' '.join(pairs)} ELSE {a[-1]} END)"
 
 
+_PROCESS_START = __import__("time").monotonic()
+
 _RAND_CONSTANT: list[int] = []
 
 
@@ -1202,6 +1204,12 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     # sleep(n) returns UInt8 0; the timing side effect is a test aid
     # with no bearing on results, so it is a documented no-op here
     "sleep": lambda a: "CAST(0 AS TINYINT)",
+    # uptime(): seconds since this engine process loaded (the
+    # reference reports seconds since server start — same contract,
+    # nondeterministic by design).  Translate-time literal.
+    "uptime": lambda a: str(
+        max(int(__import__("time").monotonic() - _PROCESS_START), 0)
+    ),
     # comparison / logic
     "equals": lambda a: f"({a[0]} = {a[1]})",
     "notEquals": lambda a: f"({a[0]} <> {a[1]})",
