@@ -1012,6 +1012,11 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "uniq": _t_uniq,
     "uniqHLL12": _t_uniq,
     "uniqCombined": _t_uniq,
+    # dev variants (AggregateFunctionsUniq.cpp:104-111): exact path in
+    # translate._uniq_fn; this approx fallback covers non-key shapes
+    "uniqCombinedRaw": _t_uniq,
+    "uniqCombinedLinearCounting": _t_uniq,
+    "uniqCombinedBiasCorrected": _t_uniq,
     # -State / -Merge combinators — SQL twins of functions/state.py
     # (states are typed columns: plain partials, avg struct, HLL sketch)
     "sumState": lambda a: f"sum({a[0]})",
@@ -1073,6 +1078,12 @@ TEMPLATES: dict[str, Callable[[Args], str]] = {
     "medianExact": lambda a: _exact_q_nth(a[0], ["0.5"], False),
     "medianExactWeighted": lambda a: _exact_weighted_q(a[0], a[1], ["0.5"]),
     "medianDeterministic": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    # median = alias of quantile(0.5) per family (AggregateFunction-
+    # Factory registers one alias per quantile family)
+    "medianTDigest": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    "medianTDigestWeighted": lambda a: (
+        f"percentile({a[0]}, 0.5, CAST({a[1]} AS BIGINT))"
+    ),
     "quantile": lambda a: f"percentile_approx({a[0]}, 0.5)",
     "quantileExact": lambda a: _exact_q_nth(a[0], ["0.5"], False),
     "sumMap": _t_sum_map,

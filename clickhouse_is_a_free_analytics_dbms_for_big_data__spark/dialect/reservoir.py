@@ -419,6 +419,13 @@ def uniq_combined_count(keys: np.ndarray, kind: str) -> int:
     import math
 
     keys = keys.astype(np.uint64)
+    # optional estimation-mode suffix (HyperLogLogCounter.h
+    # fixRawEstimate): 'full' (default), 'raw', 'lc', 'bias' — the
+    # uniqCombinedRaw/LinearCounting/BiasCorrected dev variants share
+    # the tiers and differ only in the final fix
+    mode = "full"
+    if ":" in kind:
+        kind, mode = kind.split(":", 1)
     if kind == "num":
         h = (_int_hash64(np.unique(keys)) & np.uint64(0xFFFFFFFF)).astype(
             np.uint64
@@ -457,10 +464,25 @@ def uniq_combined_count(keys: np.ndarray, kind: str) -> int:
     alpha_m = 0.7213 / (1 + 1.079 / _UC_BUCKETS)
     raw = alpha_m * _UC_BUCKETS * _UC_BUCKETS / denominator
     pow2_32 = 4294967296.0
-    if width == 32 and raw > pow2_32 / 30.0:
+    if mode == "raw":
+        # HyperLogLogMode::Raw — no corrections
+        fixed = raw
+    elif mode == "lc":
+        # HyperLogLogMode::LinearCounting — Whang et al. correction
+        # whenever any bucket is empty, else the raw estimate
+        fixed = (
+            _UC_BUCKETS * (math.log(_UC_BUCKETS) - math.log(zeros))
+            if zeros != 0
+            else raw
+        )
+    elif mode == "bias":
+        # HyperLogLogMode::BiasCorrected — HLL++ bias subtraction only
+        fixed = raw - _uc_bias(raw) if raw <= 5.0 * _UC_BUCKETS else raw
+    elif width == 32 and raw > pow2_32 / 30.0:
         fixed = -pow2_32 * math.log(1.0 - raw / pow2_32)
     else:
-        # applyCorrection with the non-trivial bias estimator
+        # FullFeatured: applyCorrection with the non-trivial bias
+        # estimator
         fixed = raw - _uc_bias(raw) if raw <= 5.0 * _UC_BUCKETS else raw
         if zeros != 0:
             linear = _UC_BUCKETS * (

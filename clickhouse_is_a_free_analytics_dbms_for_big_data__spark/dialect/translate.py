@@ -5489,20 +5489,26 @@ def _uniq_fn(
             + ("true" if variadic else "false")
             + ")"
         )
-    if name == "uniqCombined":
+    if name.startswith("uniqCombined"):
         # CombinedCardinalityEstimator small(16)/medium(2^14 exact)
         # tiers plus the 2^17-bucket HLL++ large tier with the
         # reference's bias tables (reservoir.uniq_combined_count).
         # Key per AggregateFunctionUniqCombinedTraits: numeric/float →
         # u32(intHash64(bits)); String → CityHash64 (u64 key);
-        # variadic → low-32 of UniqVariadicHash.
+        # variadic → low-32 of UniqVariadicHash.  The Raw/
+        # LinearCounting/BiasCorrected dev variants share the tiers
+        # and fork only the final estimate (HyperLogLogCounter.h
+        # fixRawEstimate) — encoded as a mode suffix on the kind.
         if variadic:
             kind = "var"
         elif key.startswith("ch_city64"):
             kind = "str"
         else:
             kind = "num"
-        return f"ch_uniq_combined(collect_list({key}), '{kind}')"
+        mode = {"uniqCombined": "", "uniqCombinedRaw": ":raw",
+                "uniqCombinedLinearCounting": ":lc",
+                "uniqCombinedBiasCorrected": ":bias"}[name]
+        return f"ch_uniq_combined(collect_list({key}), '{kind}{mode}')"
     # uniq
     if variadic:
         h32 = f"(({key}) & 4294967295)"
@@ -5572,7 +5578,9 @@ def _apply_fn(
     # bit-exact uniq family (AggregateFunctionUniq.h): per-row keys
     # hash per UniqVariadicHash.h, counted per each estimator's exact
     # semantics — see _uniq_fn
-    if name in ("uniq", "uniqHLL12", "uniqCombined") and arg_items:
+    if name in ("uniq", "uniqHLL12", "uniqCombined", "uniqCombinedRaw",
+                "uniqCombinedLinearCounting",
+                "uniqCombinedBiasCorrected") and arg_items:
         out = _uniq_fn(name, arg_items, ctx)
         if out is not None:
             return out

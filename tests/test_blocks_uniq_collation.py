@@ -81,3 +81,27 @@ def test_collation_ru_tr_orders():
     assert sorted(tr, key=lambda x: collate_key(x, "tr")) == [
         "c", "ç", "ı", "I", "i", "İ",
     ]
+
+
+def test_uniq_combined_dev_variant_modes():
+    """uniqCombinedRaw/LinearCounting/BiasCorrected share the tiers
+    (exact below 2^14) and fork ONLY the final HLL fix
+    (HyperLogLogCounter.h fixRawEstimate)."""
+    small = np.arange(5000, dtype=np.uint64)
+    for mode in ("", ":raw", ":lc", ":bias"):
+        assert uniq_combined_count(small, "num" + mode) == 5000
+
+    big = np.arange(50_000, dtype=np.uint64)
+    full = uniq_combined_count(big, "num")
+    raw = uniq_combined_count(big, "num:raw")
+    lc = uniq_combined_count(big, "num:lc")
+    bias = uniq_combined_count(big, "num:bias")
+    # corrected modes stay near the truth
+    for v in (full, lc, bias):
+        assert abs(v - 50_000) / 50_000 < 0.02, (full, lc, bias)
+    # Raw is the UNCORRECTED estimate: at n << m = 2^17 the raw HLL
+    # formula famously reads high (that is WHY the corrections exist);
+    # the dev variant must reproduce that, not hide it
+    assert raw > 90_000
+    # FullFeatured picks the linear-counting branch below THRESHOLD
+    assert full == lc
