@@ -96,15 +96,40 @@ class ChEngine:
         self.table_meta[name] = meta
 
     def register_dictionary(
-        self, name: str, df: DataFrame, key: str
+        self, name: str, df: DataFrame, key: str, parent: str | None = None
     ) -> None:
         """Register a dictionary (reference: external dictionaries,
         Dictionaries/ dir; flat/hashed layouts).  ``key`` is the lookup
-        column; remaining columns are the gettable attributes."""
+        column; remaining columns are the gettable attributes.
+
+        ``parent`` marks a HIERARCHICAL layout (DictionaryStructure
+        ``hierarchical`` attribute): the ancestor closure is computed
+        once here — hierarchy dictionaries are RAM-resident smalls in
+        the reference too (RegionsHierarchy) — and embedded as a map
+        literal so dictGetHierarchy/dictIsIn probes stay JVM-side."""
         view = f"__dict_{name}"
         attrs = tuple(c for c in df.columns if c != key)
         df.withColumnRenamed(key, "__k").createOrReplaceTempView(view)
-        self.dictionaries[name] = DictSpec(view=view, attrs=attrs)
+        hier = None
+        if parent is not None:
+            rows = df.select(key, parent).collect()
+            pmap = {r[0]: r[1] for r in rows}
+            chains: dict[int, list[int]] = {}
+            for node in pmap:
+                chain = [node]
+                cur = pmap.get(node)
+                while cur is not None and cur != 0 and cur not in chain \
+                        and len(chain) < 64:
+                    chain.append(cur)
+                    cur = pmap.get(cur)
+                chains[node] = chain
+            ks = ", ".join(f"CAST({k} AS BIGINT)" for k in chains)
+            vs = ", ".join(
+                "array(" + ", ".join(f"CAST({v} AS BIGINT)" for v in ch) + ")"
+                for ch in chains.values()
+            )
+            hier = f"map_from_arrays(array({ks}), array({vs}))"
+        self.dictionaries[name] = DictSpec(view=view, attrs=attrs, hier=hier)
 
     # -------------------------------------------------------- querying
 

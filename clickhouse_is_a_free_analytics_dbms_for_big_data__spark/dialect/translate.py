@@ -215,6 +215,10 @@ class Ctx:
 class DictSpec:
     view: str  # temp view name, key column pre-renamed to __k
     attrs: tuple[str, ...] = ()
+    # hierarchical layout: SQL map literal key -> ancestor chain
+    # (precomputed driver-side at registration — hierarchy dicts are
+    # RAM-resident smalls in the reference too, RegionsHierarchy)
+    hier: str | None = None
 
 
 def translate_sql(
@@ -5553,7 +5557,7 @@ def _apply_fn(
         )
     # dictionary functions (FunctionsExternalDictionaries.cpp) —
     # correlated scalar subquery → Catalyst plans a (broadcast) left join
-    if name.startswith("dictGet") or name == "dictHas":
+    if name.startswith("dictGet") or name in ("dictHas", "dictIsIn"):
         out = _dict_fn(name, args, ctx)
         if out is not None:
             return out
@@ -6092,10 +6096,28 @@ def _dict_fn(name: str, args: list[str], ctx: Ctx) -> str | None:
     dname = args[0].strip("'")
     spec = ctx.dictionaries.get(dname)
     if spec is None:
-        return None
+        raise ValueError(
+            f"unknown dictionary {dname!r} in {name} — register it "
+            f"with ChEngine.register_dictionary first "
+            f"(FunctionsExternalDictionaries: getExternalDictionaries)"
+        )
     if name == "dictHas":
         key = args[1]
         return f"(coalesce((SELECT max(1) FROM {spec.view} __d WHERE __d.__k = ({key})), 0) = 1)"
+    if name in ("dictGetHierarchy", "dictIsIn"):
+        if spec.hier is None:
+            raise ValueError(
+                f"dictionary {dname!r} has no hierarchical layout — "
+                f"pass parent= to register_dictionary"
+            )
+        child = args[1]
+        chain = (
+            f"coalesce(element_at({spec.hier}, CAST({child} AS BIGINT)), "
+            f"array(CAST({child} AS BIGINT)))"
+        )
+        if name == "dictGetHierarchy":
+            return chain
+        return f"array_contains({chain}, CAST({args[2]} AS BIGINT))"
     attr = args[1].strip("'")
     key = args[2]
     sub = f"(SELECT max(__d.{attr}) FROM {spec.view} __d WHERE __d.__k = ({key}))"

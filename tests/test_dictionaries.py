@@ -74,3 +74,38 @@ def test_hierarchy(spark):
     assert got[2] == ([2, 1], True, 1)
     assert got[1] == ([1], True, None)
     assert got[99] == ([99], False, None)
+
+
+def test_dialect_hierarchy_dictionary(spark):
+    """dictGetHierarchy/dictIsIn through the CH-SQL dialect: the
+    ancestor closure embeds as a broadcast map literal at registration
+    (FunctionsExternalDictionaries; RegionsHierarchy layout)."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.dialect import (
+        ChEngine,
+    )
+
+    eng = ChEngine(spark)
+    dim = spark.createDataFrame(
+        [(1, 0, "root"), (2, 1, "mid"), (3, 2, "leaf"), (10, 0, "x")],
+        "id long, pid long, nm string",
+    )
+    eng.register_dictionary("geo_t", dim, key="id", parent="pid")
+    get = lambda q: eng.execute(q).first()[0]
+    assert get("SELECT dictGetString('geo_t', 'nm', toUInt64(2))") == "mid"
+    assert get("SELECT dictGetHierarchy('geo_t', toUInt64(3))") == [3, 2, 1]
+    assert get("SELECT dictIsIn('geo_t', toUInt64(3), toUInt64(1))") is True
+    assert get("SELECT dictIsIn('geo_t', toUInt64(3), toUInt64(10))") is False
+    # unknown keys fall back to a self-chain (reference: hierarchy of
+    # an absent id is just the id)
+    assert get("SELECT dictGetHierarchy('geo_t', toUInt64(99))") == [99]
+
+
+def test_dialect_unknown_dictionary_is_clean_error(spark):
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.dialect import (
+        ChEngine,
+    )
+    import pytest as _pytest
+
+    eng = ChEngine(spark)
+    with _pytest.raises(Exception, match="unknown dictionary"):
+        eng.execute("SELECT dictGetString('no_such_dict', 'a', toUInt64(1))")
