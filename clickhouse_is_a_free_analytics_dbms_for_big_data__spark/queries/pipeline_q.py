@@ -900,7 +900,7 @@ def pl_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     )
     SELECT lang AS part, CAST(FLOOR((cum - tk) / 2048.0) AS BIGINT) AS bin,
-           COUNT(*) AS docs, SUM(tk) AS bin_tokens
+           COUNT(*) AS docs, CAST(SUM(tk) AS BIGINT) AS bin_tokens
     FROM c GROUP BY part, bin ORDER BY part, bin
     """,
     doc="Greedy sequential packing of documents into 2048-token "
