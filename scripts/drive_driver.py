@@ -1,6 +1,9 @@
 """Simulate the driver: import __spark_entry__ through its real path,
 run entry(spark), then run every queries() entry at sf0.01 and compare
-against oracle_sql() via DuckDB — exactly the driver's contract."""
+against oracle_sql() via DuckDB — exactly the driver's contract.
+
+Set SPARK_GRAFT_ORACLE_SF_DIR to sweep another scale (e.g.
+/root/testdata/sf0.1) — correctness at 10x the driver's gate."""
 import sys, os, math, datetime
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E
@@ -24,8 +27,9 @@ print("entry() first row:", rows[0])
 # 2. correctness: queries vs oracle at sf0.01
 import duckdb
 con = duckdb.connect()
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-    p = f"/root/testdata/sf0.01/{t}.parquet"
+    p = f"{SF_DIR}/{t}.parquet"
     if os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
@@ -38,7 +42,7 @@ def norm(v):
 qs, oracles = E.queries(), E.oracle_sql()
 ok = bad = 0
 for name, fn in sorted(qs.items()):
-    sdf = fn(spark, "/root/testdata/sf0.01")
+    sdf = fn(spark, SF_DIR)
     cols = sorted(sdf.columns)
     srows = sorted(tuple(norm(r[c]) for c in cols) for r in sdf.collect())
     if name not in oracles:
