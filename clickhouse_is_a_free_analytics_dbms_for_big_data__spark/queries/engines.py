@@ -141,7 +141,8 @@ def aggregating_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            make_timestamp(((epoch_ms(ts) // 1000) // 3600) * 3600 * 1000000)
                AS ts_bucket,
-           ROUND(AVG(value), 6) AS value
+           ROUND(CAST(SUM(value::DECIMAL(28,2)) AS DOUBLE) / COUNT(*), 6)
+               AS value
     FROM events
     GROUP BY event_type, ts_bucket ORDER BY event_type, ts_bucket
     """,
@@ -158,6 +159,7 @@ def graphite_rollup_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         value="value",
         keys=["event_type"],
         retentions=[(0, 3600)],
+        agg="avg_exact2",
     )
     return rolled.select(
         "event_type",

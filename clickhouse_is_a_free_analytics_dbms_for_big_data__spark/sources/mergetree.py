@@ -256,13 +256,21 @@ def graphite_rollup(
     keys: Sequence[str],
     retentions: Sequence[tuple[int, int]],
     now_ts: Column | None = None,
+    agg: str = "avg",
 ) -> DataFrame:
     """GraphiteMergeTree rollup: downsample by age-dependent precision
     (DataStreams/GraphiteRollupSortedBlockInputStream.h:125).
 
     ``retentions`` = [(min_age_seconds, precision_seconds), ...] sorted
     by age ascending; a row older than min_age is bucketed to its
-    precision and averaged within the bucket.
+    precision and aggregated within the bucket per ``agg`` — the
+    pattern's aggregation function in the reference's
+    <graphite_rollup> config (avg/sum/max/min/any).  ``avg_exact2``
+    computes a decimal-exact average of 2-decimal inputs (sum in
+    DECIMAL, divide by count): plain double avg is shuffle-order
+    dependent in the last ulp, which flips ROUND boundaries on big
+    buckets — the reference avoids this only because its merge is
+    single-streamed.
     """
     now_ = now_ts if now_ts is not None else F.current_timestamp()
     # Two-step cast: TIMESTAMP_NTZ (how Spark 4.x loads untagged
@@ -274,10 +282,17 @@ def graphite_rollup(
         precision = F.when(age >= min_age, F.lit(prec)).otherwise(precision)
     epoch = ts_epoch
     bucket = F.timestamp_seconds(epoch - (epoch % precision))
+    if agg == "avg_exact2":
+        agg_col = (
+            F.sum(F.col(value).cast("decimal(28,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias(value)
+    else:
+        agg_col = getattr(F, agg)(value).alias(value)
     return (
         df.withColumn("__bucket", bucket)
         .groupBy(*keys, "__bucket")
-        .agg(F.avg(value).alias(value))
+        .agg(agg_col)
         .withColumnRenamed("__bucket", ts)
     )
 
