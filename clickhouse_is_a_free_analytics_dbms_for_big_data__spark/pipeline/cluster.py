@@ -77,7 +77,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        cur = labels.agg(F.sum("label")).first()[0]
+        # DECIMAL sum: a BIGINT sum of ~1e12 64-bit node ids could
+        # overflow to NULL, and NULL == NULL would fake convergence
+        cur = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
         if prev is not None and cur == prev:
             break
         prev = cur
