@@ -915,3 +915,54 @@ def pl_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.pack_sequences(
         docs, "lang", "doc_id", TXT.token_count(F.col("text")), 2048
     ).orderBy("part", "bin")
+
+
+@query(
+    "pl_ann_quantized",
+    None,  # literal-vector oracle attached below
+    doc="ANN over int8-quantized embeddings (4x memory: 64B codes vs "
+    "256B floats) with exact float rescoring of the top-4k "
+    "candidates: integer dot-product ranking is bit-deterministic in "
+    "every engine, so the oracle replicates the full quantize -> "
+    "int-rank -> rescore pipeline.",
+    tags=("pipeline", "similarity"),
+)
+def pl_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return SIM.topk_quantized(emb, "embedding", _QUERY_VEC, k=10)
+
+
+_qq_lit, _ = SIM._quantize_query(_QUERY_VEC)
+_qq_sql = "[" + ", ".join(str(v) for v in _qq_lit) + "]::INTEGER[]"
+_Q["pl_ann_quantized"].oracle = f"""
+    WITH quant AS (
+        SELECT vec_id, embedding,
+               GREATEST(LIST_MAX(LIST_TRANSFORM(embedding::DOUBLE[],
+                   x -> ABS(x))), 1e-30) / 127.0 AS scale
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id, embedding,
+               LIST_TRANSFORM(embedding::DOUBLE[],
+                   x -> CAST(FLOOR(x / scale + 0.5) AS INTEGER)) AS qv
+        FROM quant
+    ), approx AS (
+        SELECT vec_id, embedding,
+               LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qv, {_qq_sql}),
+                        p -> p[1] * p[2]))
+               / GREATEST(SQRT(LIST_SUM(LIST_TRANSFORM(qv,
+                        x -> CAST(x AS DOUBLE) * x))), 1e-30) AS a
+        FROM q
+    ), cand AS (
+        SELECT vec_id, embedding FROM approx ORDER BY a DESC, vec_id
+        LIMIT 40
+    ), rescored AS (
+        SELECT vec_id,
+               LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding::DOUBLE[], {_vec_sql}),
+                        p -> p[1] * p[2]))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x*x)))
+                  * SQRT(LIST_SUM(LIST_TRANSFORM({_vec_sql}, x -> x*x)))) AS raw
+        FROM cand
+    )
+    SELECT vec_id, ROUND(raw, 9) AS sim FROM rescored
+    ORDER BY raw DESC, vec_id LIMIT 10
+"""

@@ -427,3 +427,31 @@ def test_multimodal_pil_guard_without_pillow(spark):
     df = spark.createDataFrame([(1, b"x")], "media_id long, data binary")
     with pytest.raises(NotImplementedError):
         M.decode_image_features(df, decoder="pil")
+
+
+def test_quantized_topk_matches_exact_on_separated_data(spark):
+    """int8 quantization keeps ~2 decimal digits of precision — on
+    well-separated vectors the quantized top-k equals the exact
+    top-k; the exact rescore then makes the SCORES identical too."""
+    import random as _r
+
+    rng = _r.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [rng.uniform(-1, 1) for _ in range(16)]
+    exact = [r.vec_id for r in SIM.topk_brute(df, "embedding", q, k=5).collect()]
+    quant = [
+        r.vec_id for r in SIM.topk_quantized(df, "embedding", q, k=5).collect()
+    ]
+    assert quant == exact
+
+
+def test_quantize_int8_bounds(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25, 0.0])], "vec_id long, embedding array<float>"
+    )
+    row = SIM.quantize_int8(df, "embedding").first()
+    assert row["__q"] == [127, -63, 32, 0]  # floor(x/scale + .5)
+    assert abs(row["__scale"] - 1.0 / 127.0) < 1e-12

@@ -303,3 +303,17 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bk_facts")
         spark.sql("DROP TABLE IF EXISTS bk_dims")
+
+
+def test_quantized_topk_candidate_stage_is_take_ordered(spark):
+    """The int8 candidate ranking must plan as TakeOrderedAndProject
+    (per-partition heaps over the 4x-smaller codes, no global sort)."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.pipeline.similarity import (
+        topk_quantized,
+    )
+
+    vecs = spark.read.parquet(os.path.join(SF_ORACLE, "embeddings.parquet"))
+    dim = len(vecs.select("embedding").first()[0])
+    out = topk_quantized(vecs, "embedding", [0.1] * dim, k=5)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
