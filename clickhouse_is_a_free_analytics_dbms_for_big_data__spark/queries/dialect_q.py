@@ -581,10 +581,10 @@ def fn_uniq_combined_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            'p=' || p || '#s' AS qsf,
            'http://ex.com/' || lang || '/' || seg AS cut,
-           ['/' || lang || '/',
+           ARRAY_TO_STRING(['/' || lang || '/',
             '/' || lang || '/' || seg || '?',
             '/' || lang || '/' || seg || '?p=' || p || '#',
-            '/' || lang || '/' || seg || '?p=' || p || '#s'] AS hier,
+            '/' || lang || '/' || seg || '?p=' || p || '#s'], ',') AS hier,
            COALESCE(ARRAY_TO_STRING(LIST_FILTER(LIST_TRANSFORM(RANGE(0, 6),
                b -> CASE WHEN (n >> b) & 1 = 1
                     THEN CAST((1 << b) AS VARCHAR) END),
@@ -603,7 +603,7 @@ def fn_url_format_stragglers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                queryStringAndFragment(u) AS qsf,
                cutQueryStringAndFragment(u) AS cut,
-               URLPathHierarchy(u) AS hier,
+               arrayStringConcat(URLPathHierarchy(u), ',') AS hier,
                bitmaskToList(toUInt32(doc_id % 64)) AS bits
         FROM (
             SELECT doc_id,

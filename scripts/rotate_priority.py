@@ -35,9 +35,10 @@ REGISTRY = os.path.join(
 
 # this-round fixes: always sampled first (hand-edit per round)
 PIN: tuple[str, ...] = (
-    # r08: stalest evidence (r03) + the SELECT * _part regression pin
-    "with_totals_agg",
-    "dialect_select_star_mergetree",
+    # r09: the only-ever-red row (array column now serialized for the
+    # driver canonicalizer) + the one entry with zero driver evidence
+    "fn_url_format_stragglers",
+    "pl_ann_quantized",
 )
 
 WINDOW = 50  # how many names the driver snapshots
