@@ -540,10 +540,13 @@ def _sql_rev_hex_pairs(h: str) -> str:
 
 def _sql_reinterpret_uint(x: str, nbytes: int) -> str:
     """reinterpretAsUInt8/16/32/64(str): little-endian bytes → integer
-    (FunctionsReinterpret.cpp reinterpretAsSomething over String)."""
+    (FunctionsReinterpret.cpp reinterpretAsSomething over String).
+    ``left(hex(x), 2n)`` takes the first n BYTES of the UTF-8 encoding
+    — ``hex(left(x, n))`` would count characters, so multibyte input
+    would reinterpret the wrong bytes."""
     le = _sql_rev_hex_pairs("__rh")
     return _sql_let(
-        f"hex(left({x}, {nbytes}))",
+        f"left(hex({x}), {nbytes * 2})",
         "__rh",
         f"coalesce(CAST(conv({le}, 16, 10) AS DECIMAL(20, 0)), 0)"
         if nbytes == 8
@@ -571,7 +574,7 @@ def _sql_reinterpret_f64(x: str) -> str:
         "  power(2, ((shiftright(__bt, 52) & 2047)) - 1023) END))"
     )
     return _sql_let(
-        f"hex(left({x}, 8))", "__rh", _sql_let(bits, "__bt", decode)
+        f"left(hex({x}), 16)", "__rh", _sql_let(bits, "__bt", decode)
     )
 
 
@@ -591,7 +594,7 @@ def _sql_reinterpret_f32(x: str) -> str:
         "  power(2, ((shiftright(__bt, 23) & 255)) - 127) END)) AS FLOAT)"
     )
     return _sql_let(
-        f"hex(left({x}, 4))", "__rh", _sql_let(bits, "__bt", decode)
+        f"left(hex({x}), 8)", "__rh", _sql_let(bits, "__bt", decode)
     )
 
 

@@ -29,7 +29,13 @@ __all__ = [
 
 def reinterpretAsString(x) -> Column:
     """Integer bytes (little-endian) as a string, stopping at the first
-    NUL — reinterpretAsString(65) = 'A', (12345 = 0x3039) = '90'."""
+    NUL — reinterpretAsString(65) = 'A', (12345 = 0x3039) = '90'.
+
+    Faithful for bytes < 0x80.  For bytes >= 0x80 the reference emits
+    a byte string that is invalid UTF-8, which Spark's StringType
+    cannot hold; this emits the CODEPOINT instead (so the string->int
+    reinterpret of such output reads that codepoint's UTF-8 bytes,
+    not the original byte — an inherent string-model limit)."""
     n = col_of(x).cast("long")
     bytes_ = F.array(
         *[
@@ -49,12 +55,17 @@ def reinterpretAsString(x) -> Column:
 
 
 def _string_to_int(x, width: int) -> Column:
-    """First ``width`` bytes of the string, little-endian."""
-    s = col_of(x)
+    """First ``width`` BYTES of the string's UTF-8 encoding, little-
+    endian.  Bytes are read off ``hex(encode(s))`` (2 hex chars per
+    byte) — ``substring``/``ascii`` would count CHARACTERS, so a
+    multibyte string would reinterpret codepoints instead of the raw
+    bytes the reference memcpys."""
+    h = F.hex(F.encode(col_of(x), "UTF-8"))
     total = F.lit(0).cast("long")
     for i in range(1, width + 1):
         byte = F.when(
-            F.length(s) >= i, F.ascii(F.substring(s, i, 1)).cast("long")
+            F.length(h) >= 2 * i,
+            F.conv(F.substring(h, 2 * i - 1, 2), 16, 10).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         total = total + byte * F.lit(1 << (8 * (i - 1))).cast("long")
     return total

@@ -42,7 +42,12 @@ def salted_join(
 
     Row-identical to the unsalted join for inner/left/left_semi (the
     replicated right contributes each match exactly once per salt, and
-    every left row carries exactly one salt).
+    every left row carries exactly one salt).  The salt is derived
+    from the row CONTENT (xxhash64 over all left columns), so task
+    retries and replays place every row in the same partition —
+    ``monotonically_increasing_id`` would re-deal salts per attempt.
+    Fully duplicate left rows share a salt, which only matters if the
+    hot key's rows are also near-total duplicates.
     """
     if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
                    "leftsemi", "left_anti", "leftanti"):
@@ -55,7 +60,7 @@ def salted_join(
     l = left.withColumn(
         _SALT,
         F.pmod(
-            F.xxhash64(F.monotonically_increasing_id()), F.lit(salts)
+            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts)
         ).cast("int"),
     )
     r = right.withColumn(

@@ -40,6 +40,10 @@ def connected_components(
     ``pairs`` is an undirected edge list; nodes that appear in no pair
     are absent from the output (callers union singletons back if they
     need total coverage).  Deterministic: labels are min node ids.
+
+    Raises ``RuntimeError`` if the propagation has not converged after
+    ``max_iter`` rounds (component diameter > max_iter) — returning
+    partial labels would silently split clusters.
     """
     e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
     edges = (
@@ -53,7 +57,12 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    prev: int | None = None
+    # sentinel (not None): the DECIMAL sum is legitimately NULL on an
+    # empty edge list, and that IS convergence — only overflow-NULL
+    # would be unsafe, which DECIMAL(38,0) rules out.
+    unset = object()
+    prev: object = unset
+    converged = False
     for _ in range(max_iter):
         # candidate label per node: min over the neighbours' labels
         cand = (
@@ -82,9 +91,16 @@ def connected_components(
         cur = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).first()[0]
-        if prev is not None and cur == prev:
+        if prev is not unset and cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (a component's diameter exceeds max_iter); "
+            "increase max_iter — partial labels would split clusters"
+        )
     return labels
 
 
@@ -93,39 +109,72 @@ def shingle_blocked_pairs(
     id_col: str,
     shingles_col: Column,
     threshold: float = 0.7,
-    max_block: int = 200,
+    max_block: int | None = None,
 ) -> DataFrame:
-    """Exact-recall near-dup candidates via a shingle inverted index.
+    """Exact-recall near-dup candidates via PREFIX-FILTERED shingle
+    inverted index (AllPairs/SSJoin prefix filtering — Bayardo et al.
+    WWW 2007; Chaudhuri et al. ICDE 2006).
 
-    Unlike MinHash banding (probabilistic recall), any two documents
-    with Jaccard > 0 share at least one shingle, so an equi-join on
-    the exploded shingle column has EXACT recall for every threshold.
-    The cost model is sum(freq^2) over shingle blocks, so hot shingles
-    (boilerplate) are capped at ``max_block`` — identical skew escape
-    to the LSH banding path (dedup.py).  Candidates are then verified
-    with the exact shingle-Jaccard, making the emitted pair set
-    engine-independent and oracle-checkable.
+    Each document's distinct shingles are ordered by global frequency
+    ascending (ties by token) and only the first
+    ``|A| - ceil(threshold*|A|) + 1`` join the inverted index: for any
+    pair with Jaccard >= threshold the overlap is >= t*max(|A|,|B|),
+    so the globally-smallest shared shingle provably sits inside BOTH
+    prefixes — recall is EXACT with no frequency cap.  Hot boilerplate
+    shingles sort LAST and therefore fall out of prefixes unless a
+    document consists mostly of boilerplate, which is precisely when
+    its pairs are real near-dups.  Candidates are then verified with
+    the exact shingle-Jaccard over the FULL shingle sets, making the
+    emitted pair set engine-independent and oracle-checkable.
+
+    ``max_block`` is an OPTIONAL hard safety cap on post-prefix
+    posting-list length (default None = off).  With a cap set, recall
+    is exact only for pairs whose smallest shared shingle's prefix
+    block is below the cap — a capped block can only arise from >cap
+    documents that agree on their rarest shingles, i.e. a giant
+    near-identical group whose pair output would itself be quadratic.
+
+    Scale shape: one shuffle for the frequency agg (tok), one for the
+    per-document prefix window (nid), one for the candidate self-join
+    (tok); block sizes are bounded by prefix membership, not raw
+    shingle frequency.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
     to 6 digits.
     """
+    from pyspark.sql import Window
+
     base = df.select(
         F.col(id_col).alias("nid"),
         F.array_distinct(shingles_col).alias("sh"),
     ).localCheckpoint(eager=True)
     posting = base.select(
-        "nid", F.explode("sh").alias("tok")
+        "nid", F.size("sh").alias("sz"), F.explode("sh").alias("tok")
     )
-    hot = (
-        posting.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .filter(F.col("freq") > max_block)
-        .select("tok")
+    freq = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("nid").orderBy("freq", "tok")
+    prefix = (
+        posting.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("sz")
+            - F.ceil(F.col("sz") * F.lit(float(threshold))).cast("int")
+            + 1
+        )
+        .select("nid", "tok")
     )
-    cold = posting.join(F.broadcast(hot), "tok", "left_anti")
+    if max_block is not None:
+        hot = (
+            prefix.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("pfreq"))
+            .filter(F.col("pfreq") > max_block)
+            .select("tok")
+        )
+        prefix = prefix.join(F.broadcast(hot), "tok", "left_anti")
     cand = (
-        cold.alias("l")
-        .join(cold.alias("r"), "tok")
+        prefix.alias("l")
+        .join(prefix.alias("r"), "tok")
         .filter(F.col("l.nid") < F.col("r.nid"))
         .select(
             F.col("l.nid").alias("id_a"), F.col("r.nid").alias("id_b")

@@ -70,17 +70,22 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
     # NARROW decimal operands: Spark's Decimal stays long-backed while
     # precision <= 18, so keeping each product under 18 digits keeps
-    # the three per-row multiplies in primitive math instead of
-    # BigDecimal (measured r8: ~25% of this query's time).  Widths are
-    # value-safe: price < 10^10 (12,2); discount/tax in [0,1] (4,2);
-    # products (17,4)/(22,6).  The VALUES are exact either way and the
-    # output casts to DOUBLE, so oracle parity is unaffected.
+    # the per-row multiplies in primitive math instead of BigDecimal
+    # (measured r8: ~25% of this query's time).  Widths are value-safe:
+    # price < 10^10 (12,2); discount/tax in [0,1] (4,2); disc_price =
+    # (12,2)x(5,2) -> (18,4), long-backed.  The intermediate cast of
+    # disc_price to (12,4) is exact (scale kept, values < 10^8 — TPC-H
+    # extendedprice = qty<=50 x retailprice<2100 < 105001, SF-invariant)
+    # and makes charge (12,4)x(5,2) -> (18,6), ALSO long-backed —
+    # without it, (18,4)x(5,2) -> (24,6) runs through BigDecimal.
+    # The VALUES are exact either way and the output casts to DOUBLE,
+    # so oracle parity is unaffected.
     one = F.lit("1").cast("decimal(3,2)")
     price12 = F.col("l_extendedprice").cast("decimal(12,2)")
     d4 = F.col("l_discount").cast("decimal(4,2)")
     t4 = F.col("l_tax").cast("decimal(4,2)")
     disc_price = price12 * (one - d4)
-    charge = disc_price * (one + t4)
+    charge = disc_price.cast("decimal(12,4)") * (one + t4)
     n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))

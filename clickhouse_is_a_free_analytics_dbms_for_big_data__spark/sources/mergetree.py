@@ -288,7 +288,22 @@ def graphite_rollup(
             / F.count(F.lit(1))
         ).alias(value)
     else:
-        agg_col = getattr(F, agg)(value).alias(value)
+        # Explicit allowlist: CH ``any`` = some-value (first seen), but
+        # getattr(F, "any") would resolve to PySpark's boolean ANY
+        # (bool_or) and fail analysis / change semantics on a metric.
+        rollup_aggs = {
+            "avg": F.avg,
+            "sum": F.sum,
+            "max": F.max,
+            "min": F.min,
+            "any": F.any_value,
+        }
+        if agg not in rollup_aggs:
+            raise ValueError(
+                f"graphite_rollup agg must be one of "
+                f"{sorted(rollup_aggs)} or 'avg_exact2', got {agg!r}"
+            )
+        agg_col = rollup_aggs[agg](value).alias(value)
     return (
         df.withColumn("__bucket", bucket)
         .groupBy(*keys, "__bucket")

@@ -40,6 +40,10 @@ def norm(v):
     return v
 
 qs, oracles = E.queries(), E.oracle_sql()
+# optional name filter: any argv[1:] substring match keeps the entry
+wanted = sys.argv[1:]
+if wanted:
+    qs = {n: f for n, f in qs.items() if any(w in n for w in wanted)}
 ok = bad = 0
 for name, fn in sorted(qs.items()):
     sdf = fn(spark, SF_DIR)

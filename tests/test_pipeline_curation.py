@@ -59,16 +59,52 @@ def test_shingle_blocking_exact_recall(spark):
     assert abs(pairs[0].jaccard - 5 / 7) < 1e-6
 
 
-def test_shingle_blocking_hot_block_cap(spark):
-    # every doc shares the hot shingle; with max_block below the corpus
-    # size the hot posting list is dropped and no candidates survive
+def test_shingle_blocking_hot_shingle_recall(spark):
+    # every doc shares ONE hot shingle ("x y z", freq 10 — classic
+    # boilerplate); each pair's true Jaccard is 1/7 >= 0.1, so with
+    # prefix filtering and NO cap all 45 pairs must be found — the old
+    # freq-capped blocking dropped the hot posting list and emitted 0.
     docs = spark.createDataFrame(
         [(i, f"x y z u{i} v{i} w{i}") for i in range(10)],
         "doc_id long, text string",
     )
     pairs = CL.shingle_blocked_pairs(
+        docs, "doc_id", TXT.shingles(F.col("text"), 3), threshold=0.1
+    ).collect()
+    assert len(pairs) == 45
+    assert all(abs(p.jaccard - 1 / 7) < 1e-6 for p in pairs)
+
+
+def test_shingle_blocking_boilerplate_duplicates(spark):
+    # 8 byte-identical docs: EVERY shingle is "hot" (freq 8).  The old
+    # max_block=5 cap had zero recall here; prefix filtering finds all
+    # 28 pairs at threshold 0.9 because the smallest shared shingle is
+    # in every doc's prefix regardless of frequency.
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated verbatim here")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    pairs = CL.shingle_blocked_pairs(
+        docs, "doc_id", TXT.shingles(F.col("text"), 3), threshold=0.9
+    ).collect()
+    assert len(pairs) == 28
+    assert all(p.jaccard == 1.0 for p in pairs)
+
+
+def test_shingle_blocking_hot_prefix_cap_optional(spark):
+    # the optional max_block safety valve caps POST-PREFIX posting
+    # lists: with 8 identical docs and max_block=5 the (uniformly hot)
+    # prefix blocks are dropped and no candidates survive — documented
+    # recall trade-off when the cap is explicitly requested.
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated verbatim here")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    pairs = CL.shingle_blocked_pairs(
         docs, "doc_id", TXT.shingles(F.col("text"), 3),
-        threshold=0.1, max_block=5,
+        threshold=0.9, max_block=5,
     )
     assert pairs.count() == 0
 

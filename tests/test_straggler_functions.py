@@ -73,9 +73,21 @@ def test_reinterpret_string(spark):
 
 
 def test_reinterpret_string_roundtrip(spark):
-    for n in (1, 65, 12345, 4294967295):
+    # roundtrip holds on the ASCII-byte domain (every byte < 0x80).
+    # For bytes >= 0x80 the reference produces a byte string that is
+    # NOT valid UTF-8, which Spark's StringType cannot represent —
+    # reinterpretAsString emits codepoints there (documented), while
+    # the string->int direction reads true UTF-8 bytes.
+    for n in (1, 65, 12345, 0x7F41, 0x7F7F7F7F):
         got = _one(spark, reinterpretAsUInt64(reinterpretAsString(F.lit(n))))
         assert got == n, n
+
+
+def test_reinterpret_uint32_multibyte(spark):
+    # '€' = UTF-8 E2 82 AC: the first 4 BYTES (zero-padded) little-
+    # endian = 0xAC82E2 — character-based extraction would see the
+    # codepoint 8364 instead of the raw bytes
+    assert _one(spark, reinterpretAsUInt32(F.lit("€"))) == 0xAC82E2
 
 
 def test_reinterpret_uint32_truncates(spark):
@@ -307,6 +319,11 @@ def _tsv(eng, q: str) -> str:
         # float32 decode from an explicit LE byte literal (0x3FC00000)
         ("SELECT reinterpretAsFloat32(unhex('0000C03F'))", "1.5"),
         ("SELECT reinterpretAsFloat32(unhex('0000807F'))", "inf"),
+        # multibyte input: reinterpret reads raw UTF-8 BYTES, not
+        # characters — '€' is E2 82 AC, so UInt16 takes E2 82 (LE
+        # 0x82E2) and UInt32 zero-pads the 3 bytes (LE 0xAC82E2)
+        ("SELECT reinterpretAsUInt16('€')", "33506"),
+        ("SELECT reinterpretAsUInt32('€')", "11305698"),
     ],
 )
 def test_straggler_function_vectors(seng, q, expected):
