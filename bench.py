@@ -83,7 +83,21 @@ def _sentinel() -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
-    spark = get_session(app_name="bench")
+    # Shuffle width sized to the benchmark's input volume (~64 MB per
+    # reduce partition, floor cpus//4, ceiling 4x cpus): at test SFs a
+    # cores-wide shuffle is pure task-scheduling overhead; at 100 TB
+    # the ceiling + AQE coalescing take over.  See
+    # session.sized_shuffle_partitions.
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.session import (
+        dir_size_bytes,
+        sized_shuffle_partitions,
+    )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    width = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+    ) or sized_shuffle_partitions(dir_size_bytes(sf_dir), cpus)
+    spark = get_session(app_name="bench", shuffle_partitions=width)
 
     qmap = queries_map()
     names = [n for n in HEADLINE if n in qmap]

@@ -108,7 +108,19 @@ def build(spark) -> None:
 
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
-    spark = get_session(app_name="bench_sf1")
+    # data-sized shuffle width (same heuristic as bench.py — see
+    # session.sized_shuffle_partitions); the replicated table may not
+    # exist yet on the first run, so size from the source dir x10
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.session import (
+        dir_size_bytes,
+        sized_shuffle_partitions,
+    )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    width = sized_shuffle_partitions(
+        dir_size_bytes(SRC) * REPLICAS, cpus
+    )
+    spark = get_session(app_name="bench_sf1", shuffle_partitions=width)
     build(spark)
     qmap = queries_map()
     timings: dict[str, float] = {}
