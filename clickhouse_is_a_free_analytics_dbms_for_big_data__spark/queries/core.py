@@ -68,36 +68,59 @@ def _dec(col: str, scale: int = 2) -> F.Column:
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
-    # NARROW decimal operands: Spark's Decimal stays long-backed while
-    # precision <= 18, so keeping each product under 18 digits keeps
-    # the per-row multiplies in primitive math instead of BigDecimal
-    # (measured r8: ~25% of this query's time).  Widths are value-safe:
-    # price < 10^10 (12,2); discount/tax in [0,1] (4,2); disc_price =
-    # (12,2)x(5,2) -> (18,4), long-backed.  The intermediate cast of
-    # disc_price to (12,4) is exact (scale kept, values < 10^8 — TPC-H
-    # extendedprice = qty<=50 x retailprice<2100 < 105001, SF-invariant)
-    # and makes charge (12,4)x(5,2) -> (18,6), ALSO long-backed —
-    # without it, (18,4)x(5,2) -> (24,6) runs through BigDecimal.
-    # The VALUES are exact either way and the output casts to DOUBLE,
-    # so oracle parity is unaffected.
-    one = F.lit("1").cast("decimal(3,2)")
-    price12 = F.col("l_extendedprice").cast("decimal(12,2)")
-    d4 = F.col("l_discount").cast("decimal(4,2)")
-    t4 = F.col("l_tax").cast("decimal(4,2)")
-    disc_price = price12 * (one - d4)
-    charge = disc_price.cast("decimal(12,4)") * (one + t4)
+    # SCALED-LONG exact sums (the reference's Decimal-as-Int64 model,
+    # AggregateFunctionSum over integer columns): every money value is
+    # an exact 2-decimal double, so ``round(x*100) AS LONG`` is its
+    # exact scaled-integer image, and all sums run as primitive long
+    # adds inside whole-stage codegen.  A decimal SUM's buffer is
+    # decimal(p+10, s) — beyond long-backing — so each row update
+    # allocates a JVM BigDecimal: measured r9 at sf0.1, 4 decimal
+    # sums = 1.06 s vs 0.42 s for primitive sums, and this rewrite
+    # takes the whole query 1.52 -> 0.87 s with BIT-IDENTICAL output.
+    #
+    # Overflow safety at 100 TB (~10^12 lineitem rows): per-row terms
+    # are bounded (qty*100 <= 5e3, price*100 < 1.05e7, disc_price
+    # scaled 1e4 < 1.05e9, charge scaled 1e6 < 1.16e11 — TPC-H bounds,
+    # SF-invariant), so the wide metrics sum as SPLIT hi/lo longs
+    # (hi = v div 1e6, lo = v mod 1e6): sum(lo) < 1e6*n overflows only
+    # past ~9e12 rows, sum(hi) even later; the exact total is
+    # recombined per GROUP as decimal(36,0) and descaled by an exact
+    # decimal multiply (36,0)x(3,2) -> (38,2)/(38,4)/(38,6), which
+    # cannot clip.  Values are non-negative, so ``%`` == mod.
+    q100 = F.round(F.col("l_quantity") * 100).cast("long")
+    p100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    t100 = F.round(F.col("l_tax") * 100).cast("long")
+    disc4 = p100 * (F.lit(100) - d100)  # disc_price scaled 10^4
+    chg6 = disc4 * (F.lit(100) + t100)  # charge scaled 10^6
+    M = 1_000_000
+
+    def split_sum(col: F.Column) -> F.Column:
+        hi = F.sum((col / M).cast("long")).cast("decimal(36,0)")
+        lo = F.sum(col % M)
+        return hi * F.lit(M) + lo
+
+    c2 = F.lit("0.01").cast("decimal(3,2)")
+    c4 = F.lit("0.0001").cast("decimal(5,4)")
+    c6 = F.lit("0.000001").cast("decimal(7,6)")
     n = F.count(F.lit(1))
+    sum_q = F.sum(F.col("q")).cast("decimal(36,0)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .select(
+            "l_returnflag", "l_linestatus",
+            q100.alias("q"), p100.alias("p"), d100.alias("d"),
+            disc4.alias("dp"), chg6.alias("ch"),
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
-            (F.sum(_dec("l_discount")).cast("double") / n).alias("avg_disc"),
+            (sum_q * c2).cast("double").alias("sum_qty"),
+            (split_sum(F.col("p")) * c2).cast("double").alias("sum_base_price"),
+            (split_sum(F.col("dp")) * c4).cast("double").alias("sum_disc_price"),
+            (split_sum(F.col("ch")) * c6).cast("double").alias("sum_charge"),
+            ((sum_q * c2).cast("double") / n).alias("avg_qty"),
+            ((split_sum(F.col("p")) * c2).cast("double") / n).alias("avg_price"),
+            ((F.sum(F.col("d")).cast("decimal(36,0)") * c2).cast("double") / n).alias("avg_disc"),
             n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
