@@ -326,6 +326,108 @@ class ChEngine:
         finally:
             self._running_query = ""
 
+    # ---------------------------------------------- binary ingest
+    # The input direction of the wire formats (FormatFactory.cpp
+    # registers Native and RowBinary both ways; the output direction
+    # lives in sources/formats.py).  A CH-migration user replays a
+    # dump with: eng.insert_native("t", open("dump.native","rb").read())
+
+    def _resolve_table(self, table: str):
+        for cand in (
+            f"{self.current_db}.{table}" if getattr(self, "current_db", None) else None,
+            table,
+            f"default.{table}",
+        ):
+            if cand and cand in self.tables:
+                return cand, self.tables[cand]
+        raise ValueError(f"unknown table {table!r}")
+
+    def _ingest_rows(
+        self,
+        table: str,
+        col_names: list[str],
+        ch_types: list[str],
+        rows: list[tuple],
+        block_rows: list[int] | None = None,
+    ) -> None:
+        from ..sources.formats import spark_ingest_type
+        from .statements import _ingest_df
+
+        name, tdef = self._resolve_table(table)
+        insertable = [c.name for c in tdef.columns if not c.is_virtual]
+        # Native blocks carry names: match by name when they all
+        # resolve (InterpreterInsertQuery header conversion), else
+        # positionally against the insert block
+        if col_names and all(c in insertable for c in col_names):
+            subset = list(col_names)
+        else:
+            subset = insertable[: len(ch_types)]
+        pairs = [spark_ingest_type(t) for t in ch_types]
+        ddl = ", ".join(
+            f"`{c}` {d}" for c, (d, _f) in zip(subset, pairs)
+        )
+        conv = [f for _d, f in pairs]
+        data = [
+            tuple(
+                None if v is None else f(v)
+                for f, v in zip(conv, r)
+            )
+            for r in rows
+        ]
+        df = self.spark.createDataFrame(data, ddl)
+        if block_rows and len(block_rows) > 1:
+            _ingest_df(self, name, tdef, subset, df, False, list(block_rows))
+        else:
+            _ingest_df(self, name, tdef, subset, df, True, None)
+
+    def insert_native(self, table: str, payload: bytes) -> None:
+        """INSERT ... FORMAT Native: the payload's own header supplies
+        names and CH types; per-block structure is preserved
+        (NativeBlockInputStream::readImpl)."""
+        from ..sources.formats import parse_native
+
+        names, ch_types, rows, blocks = parse_native(payload, with_blocks=True)
+        self._ingest_rows(table, names, ch_types, rows, blocks)
+
+    def insert_rowbinary(
+        self, table: str, payload: bytes, columns: list[str] | None = None
+    ) -> None:
+        """INSERT ... FORMAT RowBinary: schema-less row-major values
+        decoded by the target table's insert-block types
+        (RowBinaryRowInputStream.cpp)."""
+        from ..sources.formats import parse_rowbinary
+
+        _name, tdef = self._resolve_table(table)
+        insertable = {
+            c.name: c for c in tdef.columns if not c.is_virtual
+        }
+        cols = columns or list(insertable)
+        ch_types = [
+            insertable[c].ch_type or "String" for c in cols
+        ]
+        rows = parse_rowbinary(payload, ch_types)
+        self._ingest_rows(table, cols, ch_types, rows)
+
+    def read_native(self, src: bytes | str) -> DataFrame:
+        """A FORMAT Native dump (bytes, or a path to one) as a
+        DataFrame — schema comes from the stream itself."""
+        from ..sources.formats import parse_native, spark_ingest_type
+
+        data = src if isinstance(src, (bytes, bytearray)) else open(src, "rb").read()
+        names, ch_types, rows = parse_native(bytes(data))
+        pairs = [spark_ingest_type(t) for t in ch_types]
+        ddl = ", ".join(
+            f"`{c}` {d}" for c, (d, _f) in zip(names, pairs)
+        )
+        conv = [f for _d, f in pairs]
+        return self.spark.createDataFrame(
+            [
+                tuple(None if v is None else f(v) for f, v in zip(conv, r))
+                for r in rows
+            ],
+            ddl,
+        )
+
     @staticmethod
     def _query_settings(ch_sql: str) -> dict[str, str]:
         """name=value pairs of the statement's SETTINGS clause."""

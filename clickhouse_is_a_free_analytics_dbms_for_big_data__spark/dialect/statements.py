@@ -1786,6 +1786,24 @@ def _insert(engine, tokens: list[Token]) -> None:
     else:
         raise ValueError("INSERT expects VALUES or SELECT")
 
+    _ingest_df(engine, name, tdef, subset, new_df, _values_block, _arm_counts)
+
+
+def _ingest_df(
+    engine,
+    name: str,
+    tdef: TableDef,
+    subset: list[str],
+    new_df: DataFrame,
+    _values_block: bool = False,
+    _arm_counts: list[int] | None = None,
+) -> None:
+    """The INSERT pipeline below the source stream: schema projection,
+    default evaluation, Replicated dedup, part tracking, block-size
+    recording, publication and MV fan-out.  Shared by token-level
+    INSERT (VALUES / SELECT) and the binary ingest paths
+    (``ChEngine.insert_native`` / ``insert_rowbinary`` — the input
+    direction of FormatFactory.cpp's both-way registration)."""
     # project into the full physical schema: subset columns
     # (wrapped/cast) first, then the remaining DEFAULT/MATERIALIZED
     # columns computed in dependency layers — their expressions may

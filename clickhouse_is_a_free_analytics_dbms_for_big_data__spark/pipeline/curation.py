@@ -160,6 +160,86 @@ def repetition_ratio(text, n: int = 2) -> Column:
 
 # --------------------------------------------------- sequence packing
 
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int = 5,
+    salts: int = 16,
+) -> DataFrame:
+    """Per-group quota sampling: keep at most ``k`` rows per group,
+    deterministically ranked by ``(md5(id), id)`` — the per-domain /
+    per-source cap every web-scale curation pipeline applies so hot
+    domains cannot dominate the training mix.  md5 order makes the
+    kept set engine-portable and reproducible (same property as
+    :func:`hash_bucket`).
+
+    Two-level top-K: a salted partial top-k (salt derived from the
+    hash tail, so retries are deterministic) bounds every sort to the
+    salt-local slice, then the final rank sees at most ``salts * k``
+    survivors per group — a single-window formulation would sort a
+    hot group's entire row set through ONE reducer at 100 TB.  Exact:
+    any row in the global top-k is necessarily within its salt's
+    top-k.  Output: input columns + ``rank`` (1-based within group).
+    """
+    rk = F.md5(F.col(id_col).cast("string"))
+    w1 = Window.partitionBy(group_col, "_salt").orderBy("_rk", id_col)
+    w2 = Window.partitionBy(group_col).orderBy("_rk", id_col)
+    return (
+        df.withColumn("_rk", rk)
+        .withColumn(
+            "_salt",
+            F.pmod(
+                F.conv(F.substring(F.col("_rk"), 29, 4), 16, 10).cast("int"),
+                F.lit(salts),
+            ),
+        )
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .drop("_rk", "_salt", "_r1")
+    )
+
+
+def rare_token_ratio(
+    df: DataFrame, id_col: str, text_col: str, max_freq: int = 2
+) -> DataFrame:
+    """Share of a document's token occurrences whose CORPUS-WIDE
+    frequency is <= ``max_freq`` — the rare/OOV-token signal used to
+    flag gibberish, boilerplate-free spam and encoding damage (high
+    ratio) versus templated duplication (near-zero ratio).
+
+    Shapes for 100 TB: corpus frequencies are one explode +
+    partial-agg groupBy (shuffle on token); the per-doc ratio joins
+    the exploded tokens back on token (second shuffle — Zipf skew on
+    hot tokens is flattened by AQE's skew-join split since the
+    frequency side is one row per token) and re-aggregates per doc.
+    Integer counts and a single final division keep every value
+    engine-exact.  Output: (id, n_tokens, rare_tokens, rare_ratio).
+    """
+    tok = df.select(
+        F.col(id_col).alias("_did"),
+        F.explode(TXT.tokens(F.col(text_col))).alias("tok"),
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_tf"))
+    return (
+        tok.join(freq, "tok")
+        .groupBy("_did")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_tf") <= max_freq, 1).otherwise(0)
+            ).alias("rare_tokens"),
+        )
+        .withColumn(
+            "rare_ratio",
+            F.round(F.col("rare_tokens") / F.col("n_tokens"), 6),
+        )
+        .withColumnRenamed("_did", id_col)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     part_col: str,

@@ -918,6 +918,100 @@ def pl_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pl_quota_sample",
+    """
+    SELECT source, doc_id, rank FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(doc_id::VARCHAR), doc_id
+               ) AS rank
+        FROM documents
+    ) WHERE rank <= 3
+    ORDER BY source, rank
+    """,
+    doc="Per-source quota sampling (hot-domain cap): keep at most k "
+    "docs per source, deterministically ranked by (md5(id), id) so "
+    "the kept set is engine-portable.  Two-level top-K — salted "
+    "partial top-k then a final rank over <= salts*k survivors — so "
+    "a hot source never sorts its full row set through one reducer.",
+    tags=("pipeline", "text"),
+)
+def pl_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        CU.quota_sample(docs, "source", "doc_id", k=3)
+        .select(
+            "source", "doc_id", F.col("rank").cast("bigint").alias("rank")
+        )
+        .orderBy("source", "rank")
+    )
+
+
+@query(
+    "pl_rare_token_ratio",
+    """
+    WITH planted AS (
+        -- every 7th doc gets a token shared only with its cohort pair
+        -- (zqx(doc_id//14): corpus freq 2, or 1 for an unpaired tail)
+        -- so the tf<=2 rare-token detector has a planted answer that
+        -- exercises the frequency boundary, not just freq-1 uniques
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' zqx' || (doc_id // 14)
+                    ELSE text END AS text
+        FROM documents
+    ), tok AS (
+        SELECT doc_id AS did, UNNEST(
+            LIST_FILTER(STRING_SPLIT_REGEX(lower(text), '\\s+'),
+                        t -> LEN(t) > 0)) AS tok
+        FROM planted
+    ), freq AS (
+        SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok
+    )
+    SELECT did AS doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN tf <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rare_tokens,
+           ROUND(SUM(CASE WHEN tf <= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS rare_ratio
+    FROM tok JOIN freq USING (tok)
+    GROUP BY did
+    HAVING rare_tokens > 0
+    ORDER BY doc_id
+    """,
+    doc="Rare/OOV-token quality scoring: share of a document's token "
+    "occurrences whose corpus-wide frequency is <= 2 — flags "
+    "gibberish and encoding damage (high) vs templated duplication "
+    "(zero).  Corpus freq = one token-shuffle partial agg; per-doc "
+    "ratio = token join (AQE skew-split on Zipf-hot tokens) + one "
+    "doc-shuffle agg; integer counts + one division keep it "
+    "engine-exact.",
+    tags=("pipeline", "text"),
+)
+def pl_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" zqx"),
+                F.expr("CAST(doc_id DIV 14 AS STRING)"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        CU.rare_token_ratio(planted, "doc_id", "text", max_freq=2)
+        .filter(F.col("rare_tokens") > 0)
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "pl_ann_quantized",
     None,  # literal-vector oracle attached below
     doc="ANN over int8-quantized embeddings (4x memory: 64B codes vs "

@@ -1363,6 +1363,85 @@ def _render_rowbinary(rows, types: list[str], ch_types: list) -> str:
     return bytes(out).decode("utf-8", "surrogateescape")
 
 
+def parse_rowbinary(data: bytes, ch_types: list[str]):
+    """Parse FORMAT RowBinary bytes into rows — the reader twin of
+    ``_render_rowbinary`` (RowBinaryRowInputStream.cpp): values back
+    to back in row order, each decoded by its column's CH type.
+    RowBinary carries no schema, so ``ch_types`` (the target table's
+    insert-block types, in order) drives the decode."""
+    import struct as _struct
+
+    pos = 0
+
+    def varint() -> int:
+        nonlocal pos
+        shift = n = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return n
+            shift += 7
+
+    def rd_value(ch_t: str):
+        nonlocal pos
+        t = ch_t.strip()
+        if t.startswith("Nullable("):
+            isnull = data[pos]
+            pos += 1
+            v = rd_value(t[9:-1])
+            return None if isnull else v
+        if t.startswith("Array("):
+            n = varint()
+            inner = t[6:-1]
+            return [rd_value(inner) for _ in range(n)]
+        if t.startswith("Tuple("):
+            inners = _ch_inner_types(t, "Tuple") or []
+            return tuple(rd_value(it) for it in inners)
+        if t in _RB_INT:
+            w, signed = _RB_INT[t]
+            v = int.from_bytes(data[pos:pos + w], "little", signed=signed)
+            pos += w
+            return v
+        if t in ("Float64", "Float32"):
+            w, f = (8, "<d") if t == "Float64" else (4, "<f")
+            v = _struct.unpack(f, data[pos:pos + w])[0]
+            pos += w
+            return v
+        if t == "Date":
+            v = int.from_bytes(data[pos:pos + 2], "little")
+            pos += 2
+            return v
+        if t == "DateTime":
+            v = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+            return v
+        if t.startswith("FixedString("):
+            w = int(t[len("FixedString("):-1])
+            v = data[pos:pos + w].decode("utf-8", "surrogateescape")
+            pos += w
+            return v
+        if t.startswith("Enum"):
+            from ..dialect.statements import _enum_pairs
+
+            w = 1 if t.startswith("Enum8") else 2
+            raw = int.from_bytes(data[pos:pos + w], "little", signed=True)
+            pos += w
+            rev = {val: nm for nm, val in _enum_pairs(t)}
+            return rev.get(raw, raw)
+        # String (and textually-rendered fallbacks)
+        ln = varint()
+        v = data[pos:pos + ln].decode("utf-8", "surrogateescape")
+        pos += ln
+        return v
+
+    rows: list[tuple] = []
+    while pos < len(data):
+        rows.append(tuple(rd_value(t) for t in ch_types))
+    return rows
+
+
 # --------------------------------------------------------- Native
 
 def _native_default(ch_t: str):
@@ -1466,10 +1545,56 @@ def _render_native(
     return bytes(out).decode("utf-8", "surrogateescape")
 
 
-def parse_native(data: bytes):
+def spark_ingest_type(ch_t: str):
+    """(spark DDL, python-value converter) for one parsed wire-format
+    CH type — bridges ``parse_native``/``parse_rowbinary`` output
+    (raw ints for Date/DateTime, surrogateescape strings) to a
+    ``createDataFrame``-ready shape.  The INSERT pipeline then CASTs
+    to the target table's declared Spark types."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    t = ch_t.strip()
+    if t.startswith("Nullable("):
+        ddl, conv = spark_ingest_type(t[9:-1])
+        return ddl, (lambda v, c=conv: None if v is None else c(v))
+    if t.startswith("Array("):
+        ddl, conv = spark_ingest_type(t[6:-1])
+        return f"ARRAY<{ddl}>", (
+            lambda v, c=conv: None if v is None else [c(e) for e in v]
+        )
+    if t.startswith("Tuple("):
+        inners = [spark_ingest_type(it) for it in (_ch_inner_types(t, "Tuple") or [])]
+        ddl = "STRUCT<" + ", ".join(
+            f"`_{i+1}`: {d}" for i, (d, _c) in enumerate(inners)
+        ) + ">"
+        return ddl, (
+            lambda v, cs=[c for _d, c in inners]:
+            None if v is None else tuple(c(e) for c, e in zip(cs, v))
+        )
+    if t == "UInt64":
+        # full-range UInt64 is DECIMAL(20,0) in this engine
+        return "DECIMAL(20,0)", lambda v: _Dec(int(v))
+    if t in _RB_INT:
+        return "BIGINT", lambda v: int(v)
+    if t in ("Float64", "Float32"):
+        return "DOUBLE", lambda v: float(v)
+    if t == "Date":
+        return "DATE", lambda v: _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+    if t == "DateTime":
+        # naive UTC — the engine pins spark.sql.session.timeZone=UTC
+        return "TIMESTAMP", lambda v: _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            seconds=int(v)
+        )
+    return "STRING", lambda v: v if isinstance(v, str) else _cell(v)
+
+
+def parse_native(data: bytes, with_blocks: bool = False):
     """Parse FORMAT Native bytes back into (names, ch_types, rows) —
     NativeBlockInputStream::readImpl.  Used for INSERT FORMAT Native
-    payloads and as the writer's roundtrip check."""
+    payloads and as the writer's roundtrip check.  With
+    ``with_blocks=True`` also returns the per-block row counts (block
+    structure is semantic for stored tables — blockSize() replay)."""
     import struct as _struct
 
     pos = 0
@@ -1579,6 +1704,7 @@ def parse_native(data: bytes):
     names: list[str] = []
     ch_types: list[str] = []
     rows: list[tuple] = []
+    block_rows: list[int] = []
     while pos < len(data):
         n_cols = varint()
         n_rows = varint()
@@ -1590,9 +1716,12 @@ def parse_native(data: bytes):
             cols.append(rd_bulk(blk_types[-1], n_rows) if n_rows else [])
         if not names:
             names, ch_types = blk_names, blk_types
+        block_rows.append(n_rows)
         rows.extend(
             tuple(c[i] for c in cols) for i in range(n_rows)
         )
+    if with_blocks:
+        return names, ch_types, rows, block_rows
     return names, ch_types, rows
 
 

@@ -1,0 +1,182 @@
+"""Binary wire-format INGEST (the input direction of
+FormatFactory.cpp's both-way Native/RowBinary registration):
+``ChEngine.insert_native`` / ``insert_rowbinary`` / ``read_native``.
+
+Round-trip contract: ``_render_native`` output -> ``parse_native`` ->
+DataFrame -> re-render is byte-identical, and a RowBinary payload
+inserted into a table reads back exactly through the dialect."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.dialect import (
+    ChEngine,
+)
+from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+    format_result,
+    parse_native,
+    parse_rowbinary,
+)
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return ChEngine(spark)
+
+
+def _tsv(eng, q):
+    df = eng.execute(q)
+    return format_result(
+        df, "TabSeparated", ch_types=getattr(eng, "last_out_ch_types", None)
+    ).strip()
+
+
+def test_rowbinary_parse_roundtrip():
+    # writer -> reader twin over every RowBinary scalar family
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+        _rb_value,
+    )
+
+    types = [
+        "UInt32", "Int64", "Float64", "String", "Date", "DateTime",
+        "Nullable(String)", "Array(UInt16)", "FixedString(3)",
+    ]
+    rows = [
+        (7, -9, 1.5, "héllo", 17897, 1546300800, None, [1, 2, 3], "abc"),
+        (0, 2**62, -0.25, "", 0, 0, "x", [], "z\x00\x00"),
+    ]
+    out = bytearray()
+    for r in rows:
+        for v, t in zip(r, types):
+            _rb_value(out, v, t)
+    got = parse_rowbinary(bytes(out), types)
+    assert got == [tuple(r) for r in rows]
+
+
+def test_insert_rowbinary_into_table(eng):
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+        _rb_value,
+    )
+
+    eng.execute(
+        "CREATE TABLE rb_t (x UInt32, s String, d Date) ENGINE = Memory"
+    )
+    payload = bytearray()
+    for row in [(3, "c", 10), (1, "a", 0), (2, "béta", 400)]:
+        for v, t in zip(row, ["UInt32", "String", "Date"]):
+            _rb_value(payload, v, t)
+    eng.insert_rowbinary("rb_t", bytes(payload))
+    # Date 0 renders as the reference's zero date 0000-00-00
+    assert _tsv(eng, "SELECT * FROM rb_t ORDER BY x") == (
+        "1\ta\t0000-00-00\n"
+        "2\tbéta\t1971-02-05\n"
+        "3\tc\t1970-01-11"
+    )
+
+
+def test_insert_native_into_table_preserves_blocks(eng):
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+        _render_native,
+    )
+
+    eng.execute(
+        "CREATE TABLE nat_t (k UInt16, v String) ENGINE = Memory"
+    )
+    rows = [(1, "one"), (2, "two"), (3, "three"), (4, "four")]
+    blob = _render_native(
+        rows, ["k", "v"], ["SMALLINT", "STRING"],
+        ["UInt16", "String"], block_rows=[3, 1],
+    ).encode("utf-8", "surrogateescape")
+    eng.insert_native("nat_t", blob)
+    assert _tsv(eng, "SELECT * FROM nat_t ORDER BY k") == (
+        "1\tone\n2\ttwo\n3\tthree\n4\tfour"
+    )
+    # default settings: the ingest pipeline SQUASHES the small 3+1
+    # blocks into one (SquashingBlockOutputStream under
+    # min_insert_block_size_rows, InterpreterInsertQuery.cpp:102)
+    assert _tsv(
+        eng,
+        "SELECT DISTINCT blockSize() AS b FROM nat_t ORDER BY b",
+    ) == "4"
+    # squashing disabled: per-block structure of the Native stream
+    # survives ingest (one stored block per wire block)
+    eng.execute("SET min_insert_block_size_rows = 1")
+    eng.execute(
+        "CREATE TABLE nat_t2 (k UInt16, v String) ENGINE = Memory"
+    )
+    try:
+        eng.insert_native("nat_t2", blob)
+        assert _tsv(
+            eng,
+            "SELECT DISTINCT blockSize() AS b FROM nat_t2 ORDER BY b",
+        ) == "1\n3"
+    finally:
+        eng.execute("SET min_insert_block_size_rows = 1048576")
+
+
+def test_native_render_parse_rerender_byte_identical(spark):
+    """dump -> parse -> DataFrame -> re-dump is byte-identical (the
+    reader and writer are exact twins)."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+        _render_native,
+    )
+
+    rows = [
+        (1, "a", [10, 20], None),
+        (2, "", [], 2.5),
+        (3, "ccc", [7], -1.0),
+    ]
+    names = ["id", "s", "arr", "f"]
+    ch_types = ["UInt64", "String", "Array(Int32)", "Nullable(Float64)"]
+    blob1 = _render_native(
+        rows, names, ["DECIMAL(20,0)", "STRING", "ARRAY<INT>", "DOUBLE"],
+        ch_types,
+    ).encode("utf-8", "surrogateescape")
+    got_names, got_types, got_rows = parse_native(blob1)
+    assert got_names == names and got_types == ch_types
+    blob2 = _render_native(
+        got_rows, got_names, [None] * 4, got_types
+    ).encode("utf-8", "surrogateescape")
+    assert blob1 == blob2
+
+
+def test_read_native_dump(eng, tmp_path):
+    """read_native over a file: schema comes from the stream."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+        _render_native,
+    )
+
+    rows = [(1, "x", 17897), (2, "y", 0)]
+    blob = _render_native(
+        rows, ["a", "b", "d"], [None] * 3, ["UInt32", "String", "Date"]
+    ).encode("utf-8", "surrogateescape")
+    p = tmp_path / "dump.native"
+    p.write_bytes(blob)
+    df = eng.read_native(str(p))
+    got = sorted((r.a, r.b, str(r.d)) for r in df.collect())
+    assert got == [(1, "x", "2019-01-01"), (2, "y", "1970-01-01")]
+
+
+def test_insert_native_mergetree_parts(eng):
+    """Native ingest through a MergeTree table records parts like a
+    token-level INSERT (same _ingest_df pipeline)."""
+    eng.execute(
+        "CREATE TABLE nat_mt (d Date, k UInt32) "
+        "ENGINE = MergeTree(d, k, 8192)"
+    )
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+        _render_native,
+    )
+
+    blob = _render_native(
+        [(17897, 5), (17898, 6)], ["d", "k"], [None, None],
+        ["Date", "UInt32"],
+    ).encode("utf-8", "surrogateescape")
+    eng.insert_native("nat_mt", blob)
+    assert _tsv(eng, "SELECT k FROM nat_mt ORDER BY k") == "5\n6"
+    assert _tsv(
+        eng,
+        "SELECT count() FROM system.parts "
+        "WHERE table = 'nat_mt' AND active",
+    ) == "1"

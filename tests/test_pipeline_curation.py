@@ -196,3 +196,57 @@ def test_pack_sequences_layout(spark):
         ("en", 0, 3, 2100),
         ("en", 1, 2, 1400),
     ]
+
+
+def test_quota_sample_matches_single_window(spark):
+    # two-level salted top-K must equal the naive global window rank
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(200)],
+        "doc_id long, source string",
+    )
+    got = sorted(
+        (r.source, r.doc_id, r.rank)
+        for r in CU.quota_sample(df, "source", "doc_id", k=5).collect()
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    want = sorted(
+        (r.source, r.doc_id, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    assert got == want
+    assert len(got) == 20  # 4 sources x k
+
+
+def test_quota_sample_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "only") for i in range(50)], "doc_id long, source string"
+    )
+    a = sorted(r.doc_id for r in CU.quota_sample(df, "source", "doc_id", k=7).collect())
+    b = sorted(r.doc_id for r in CU.quota_sample(df, "source", "doc_id", k=7).collect())
+    assert a == b and len(a) == 7
+
+
+def test_rare_token_ratio_plants(spark):
+    # 'common' appears 4x (not rare at max_freq 2); 'pair' twice
+    # (rare, boundary); 'uniq0'/'uniq1' once each (rare)
+    df = spark.createDataFrame(
+        [
+            (0, "common pair uniq0"),
+            (1, "common pair uniq1"),
+            (2, "common common"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.n_tokens, r.rare_tokens, r.rare_ratio)
+        for r in CU.rare_token_ratio(df, "doc_id", "text", max_freq=2).collect()
+    }
+    assert rows[0] == (3, 2, round(2 / 3, 6))
+    assert rows[1] == (3, 2, round(2 / 3, 6))
+    assert rows[2] == (2, 0, 0.0)
