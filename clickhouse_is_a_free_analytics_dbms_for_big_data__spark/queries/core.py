@@ -359,7 +359,7 @@ def join_any_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         right.withColumnRenamed("o_custkey", "c_custkey"),
         on=["c_custkey"],
         how="left",
-        tie_break=[F.col("o_orderkey")],
+        tie_break=["o_orderkey"],
     )
     return joined.select("c_custkey", "c_name", "o_orderkey", "o_totalprice").orderBy(
         "c_custkey"

@@ -317,3 +317,44 @@ def test_quantized_topk_candidate_stage_is_take_ordered(spark):
     out = topk_quantized(vecs, "embedding", [0.1] * dim, k=5)
     plan = _plan(out)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_any_join_string_tiebreak_is_partial_agg(spark):
+    """ANY JOIN's fast path dedups the right side with
+    groupBy+min(struct) — map-side partial aggregation, NO Window
+    (a window would shuffle and sort every right row through its
+    key's reducer)."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.clauses import (
+        any_join,
+    )
+
+    left = spark.range(100).selectExpr("id AS k")
+    right = spark.range(1000).selectExpr(
+        "id % 100 AS k", "id AS o", "CAST(id AS STRING) AS s"
+    )
+    df = any_join(left, right, ["k"], "left", tie_break=["o"])
+    plan = _plan(df)
+    assert "Window" not in plan
+    # struct-min compiles to Sort/ObjectHashAggregate (struct is not a
+    # codegen hash-buffer type) — still partial+final, still measured
+    # faster than the window; the key property is NO Window node
+    assert "Aggregate" in plan
+    # NULL tie values and secondary ordering match the window
+    # formulation (nulls first, remaining columns break ties)
+    from pyspark.sql import Window as W
+
+    right2 = spark.createDataFrame(
+        [(1, None, "a"), (1, 5, "b"), (2, 3, "c"), (2, 3, "a")],
+        "k long, o long, s string",
+    )
+    left2 = spark.createDataFrame([(1,), (2,)], "k long")
+    fast = any_join(left2, right2, ["k"], "left", tie_break=["o"]).orderBy("k").collect()
+    w = W.partitionBy("k").orderBy("o", "s")
+    slow = left2.join(
+        right2.withColumn("rn", F.row_number().over(w))
+        .filter("rn=1")
+        .drop("rn"),
+        "k",
+        "left",
+    ).orderBy("k").collect()
+    assert fast == slow
