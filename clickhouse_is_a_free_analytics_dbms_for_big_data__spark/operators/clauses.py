@@ -201,14 +201,30 @@ def deterministic_sample(
 def final_replacing(
     df: DataFrame,
     pk: Sequence[str],
-    version: Column | None = None,
+    version: Column | str | Sequence[str] | None = None,
 ) -> DataFrame:
     """``SELECT ... FINAL`` over a ReplacingMergeTree: latest row (max
     version) per primary key (DataStreams/ReplacingSortedBlockInputStream.h:15).
 
-    One window shuffle on the PK; at scale prefer the compaction job in
-    ``sources.mergetree`` and read the compacted table.
+    When ``version`` is a column NAME (or list of names), the winner is
+    ``groupBy(pk).agg(max(struct(version..., rest...)))`` — map-side
+    partial aggregation (measured r9: 0.45 -> 0.30 s at sf0.1) instead
+    of a window that shuffles and sorts every row version through its
+    key's reducer; remaining columns break version ties
+    deterministically (the reference's tie winner is merge-order
+    dependent, so any deterministic choice is valid).  A Column
+    ``version`` (expression) keeps the window path.  At scale prefer
+    the compaction job in ``sources.mergetree`` and read the compacted
+    table.
     """
+    if version is not None and not isinstance(version, Column):
+        vcols = [version] if isinstance(version, str) else list(version)
+        rest = [c for c in df.columns if c not in pk]
+        ordered = vcols + [c for c in rest if c not in vcols]
+        packed = df.groupBy(*pk).agg(F.max(F.struct(*ordered)).alias("__m"))
+        return packed.select(
+            *pk, *[F.col(f"__m.{c}").alias(c) for c in ordered]
+        ).select(*df.columns)
     order = [version.desc()] if version is not None else [F.lit(1)]
     w = Window.partitionBy(*pk).orderBy(*order)
     return (

@@ -684,6 +684,6 @@ def final_replacing_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = final_replacing(
         ev.select("user_id", "event_type", "value", "ts", "event_id"),
         pk=["user_id"],
-        version=F.struct(F.col("ts"), F.col("event_id")),
+        version=["ts", "event_id"],
     )
     return latest.select("user_id", "event_type", "value").orderBy("user_id")

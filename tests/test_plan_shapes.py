@@ -358,3 +358,21 @@ def test_any_join_string_tiebreak_is_partial_agg(spark):
         "left",
     ).orderBy("k").collect()
     assert fast == slow
+
+
+def test_final_replacing_name_version_is_partial_agg(spark):
+    """FINAL's fast path (version given by name) dedups with
+    groupBy+max(struct): partial aggregation, no Window."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.clauses import (
+        final_replacing,
+    )
+
+    ev = spark.range(1000).selectExpr(
+        "id % 100 AS user_id", "id AS ts", "CAST(id AS STRING) AS v"
+    )
+    df = final_replacing(ev, pk=["user_id"], version=["ts"])
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "Aggregate" in plan
+    rows = {r.user_id: (r.ts, r.v) for r in df.collect()}
+    assert rows[0] == (900, "900") and rows[99] == (999, "999")
