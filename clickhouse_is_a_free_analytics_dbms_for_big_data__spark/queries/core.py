@@ -20,6 +20,7 @@ from ..operators import (
     with_totals,
 )
 from ..functions import aggregates as AGG
+from ..operators.exact_sum import exact_sum_scaled
 from ..sources.catalog import load_tables
 from .registry import query
 
@@ -153,7 +154,7 @@ def filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
     return ev.filter((F.col("event_type") == "click") & (F.col("value") > 5)).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(_dec("value")).cast("double").alias("sum_value"),
+        exact_sum_scaled(F.col("value")).cast("double").alias("sum_value"),
     )
 
 
@@ -326,7 +327,7 @@ def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.count(F.lit(1)).alias("customers"),
-            F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+            exact_sum_scaled(F.col("c_acctbal")).cast("double").alias("sum_bal"),
         )
         .orderBy("region")
     )
@@ -547,7 +548,7 @@ def with_totals_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
     aggs = [
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        exact_sum_scaled(F.col("o_totalprice")).cast("double").alias("sum_price"),
     ]
     return with_totals(orders, keys=["o_orderstatus"], aggs=aggs)
 
@@ -577,7 +578,7 @@ def totals_after_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
     aggs = [
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        exact_sum_scaled(F.col("o_totalprice")).cast("double").alias("sum_price"),
     ]
     return with_totals(
         orders,
@@ -606,7 +607,7 @@ def totals_before_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
     aggs = [
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        exact_sum_scaled(F.col("o_totalprice")).cast("double").alias("sum_price"),
     ]
     return with_totals(
         orders,
@@ -634,7 +635,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = deterministic_sample(li, F.col("l_orderkey"), 1, 10)
     return sampled.agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        exact_sum_scaled(F.col("l_quantity")).cast("double").alias("sum_qty"),
     )
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.exact_sum import exact_sum_scaled
 from ..functions.dictionaries import Dictionary, HierarchyDictionary, RangeDictionary
 from ..sources.catalog import load_tables
 from .registry import query
@@ -71,7 +72,7 @@ def dict_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         probed.groupBy("era")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            exact_sum_scaled(F.col("o_totalprice"))
             .cast("double")
             .alias("revenue"),
         )

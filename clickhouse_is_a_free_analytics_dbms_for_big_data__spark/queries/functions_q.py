@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.exact_sum import exact_sum_scaled
 from .. import functions as ch
 from ..functions import aggregates as A
 from .core import _dec, _t
@@ -30,7 +31,7 @@ def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             A.count_().alias("cnt"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            exact_sum_scaled(F.col("o_totalprice")).cast("double").alias("revenue"),
         )
         .orderBy("y", "m")
     )

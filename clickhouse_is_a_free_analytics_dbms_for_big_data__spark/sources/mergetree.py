@@ -283,8 +283,10 @@ def graphite_rollup(
     epoch = ts_epoch
     bucket = F.timestamp_seconds(epoch - (epoch % precision))
     if agg == "avg_exact2":
+        from ..operators.exact_sum import exact_sum_scaled
+
         agg_col = (
-            F.sum(F.col(value).cast("decimal(28,2)")).cast("double")
+            exact_sum_scaled(F.col(value)).cast("double")
             / F.count(F.lit(1))
         ).alias(value)
     else:
