@@ -31,6 +31,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _lc_dict_path(path: str, col: str) -> str:
+    # the leading underscore makes Spark's file index skip the dict
+    # directory when scanning the main table
+    return os.path.join(path, "__lc__", col)
+
+
 def write_mergetree(
     df: DataFrame,
     path: str,
@@ -38,6 +44,7 @@ def write_mergetree(
     order_by: Sequence[str],
     mode: str = "append",
     partition_granularity: str = "month",
+    low_cardinality: Sequence[str] = (),
 ) -> None:
     """MergeTree writer: partition by toYYYYMM(date), sort by PK within
     partitions (MergeTreeData.h:43-61 — month partitions + primary.idx).
@@ -45,7 +52,40 @@ def write_mergetree(
     Sorted writes give parquet row-group min/max stats on the PK, so
     PK-range predicates skip row groups like the reference's
     markRangesFromPKRange (MergeTreeDataSelectExecutor.cpp:93).
+
+    ``low_cardinality`` columns are DICTIONARY-ENCODED at write time —
+    the descendant of the reference's LowCardinality idea
+    (DataTypeString keys are the whole cost of a string GROUP BY:
+    Columns/ColumnString.h): the stored column holds a dense int CODE
+    and the (code, value) dictionary lives under ``path/__lc__/<col>``.
+    Downstream GROUP BYs then hash/compare 4-byte ints and shuffle
+    codes instead of strings, decoding via a broadcast join AFTER the
+    aggregation (late materialization — see ``read_mergetree``'s
+    ``decode_lc`` and ``lc_decode``).  Codes are assigned by value
+    order, so equal inputs produce identical tables on every engine.
+    Requires ``mode="overwrite"`` (an append would need a dict merge,
+    the analog of the reference's per-part dictionary unification).
     """
+    if low_cardinality and mode != "overwrite":
+        raise ValueError("low_cardinality encoding requires mode='overwrite'")
+    dicts: dict[str, DataFrame] = {}
+    for col in low_cardinality:
+        vocab = df.select(F.col(col).alias("value")).distinct()
+        # vocab-sized global window: the dictionary is RAM-resident in
+        # the reference too; a 100 TB corpus with a genuinely-low-
+        # cardinality column keeps this tiny.  Materialize BEFORE the
+        # main overwrite deletes ``path`` out from under the lineage.
+        dict_df = vocab.withColumn(
+            "code", F.row_number().over(Window.orderBy("value")).cast("int")
+        ).localCheckpoint(eager=True)
+        dicts[col] = dict_df
+        order = df.columns
+        df = (
+            df.join(F.broadcast(dict_df), df[col] == dict_df["value"], "left")
+            .withColumn(col, F.col("code"))
+            .drop("value", "code")
+            .select(*order)
+        )
     fmt = {"month": "yyyyMM", "day": "yyyyMMdd"}[partition_granularity]
     out = df.withColumn("_partition", F.date_format(F.col(date_col), fmt))
     (
@@ -55,6 +95,23 @@ def write_mergetree(
         .partitionBy("_partition")
         .parquet(path)
     )
+    # dictionaries land AFTER the main write (an overwrite clears path)
+    for col, dict_df in dicts.items():
+        dict_df.write.mode("overwrite").parquet(_lc_dict_path(path, col))
+
+
+def lc_decode(df: DataFrame, spark: SparkSession, path: str, col: str) -> DataFrame:
+    """Restore a LowCardinality column's string values by broadcast-
+    joining its dictionary — call AFTER the aggregation for late
+    materialization (the join then touches group rows, not data rows)."""
+    bdict = F.broadcast(spark.read.parquet(_lc_dict_path(path, col)))
+    order = df.columns
+    return (
+        df.join(bdict, df[col] == bdict["code"], "left")
+        .withColumn(col, F.col("value"))
+        .drop("code", "value")
+        .select(*order)
+    )
 
 
 def read_mergetree(
@@ -62,12 +119,18 @@ def read_mergetree(
     path: str,
     date_range: tuple[str, str] | None = None,
     keep_partition_col: bool = False,
+    decode_lc: bool = True,
 ) -> DataFrame:
     """Read a MergeTree-layout table.  ``date_range=(lo, hi)`` (ISO
     dates, inclusive) prunes month partitions BEFORE the scan — the
     analog of the reference's per-part min/max date part selection
     (MergeTreeDataSelectExecutor part filter; MergeTreeData.h:48-52).
-    The yyyyMM partition key compares correctly as a string."""
+    The yyyyMM partition key compares correctly as a string.
+
+    LowCardinality columns decode transparently (broadcast dict join)
+    unless ``decode_lc=False`` — pass False to aggregate on the int
+    CODES and decode the group rows afterwards with ``lc_decode``
+    (late materialization, the whole point of the encoding)."""
     df = spark.read.parquet(path)
     if date_range is not None:
         lo, hi = date_range
@@ -75,6 +138,12 @@ def read_mergetree(
             (F.col("_partition") >= lo[:7].replace("-", ""))
             & (F.col("_partition") <= hi[:7].replace("-", ""))
         )
+    if decode_lc:
+        lc_root = os.path.join(path, "__lc__")
+        if os.path.isdir(lc_root):
+            for col in sorted(os.listdir(lc_root)):
+                if col in df.columns:
+                    df = lc_decode(df, spark, path, col)
     return df if keep_partition_col else df.drop("_partition")
 
 
