@@ -472,3 +472,57 @@ def mt_low_cardinality_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), "phrase")
         .limit(10)
     )
+
+
+@query(
+    "sessionize_events",
+    # gaps-and-islands twin of Spark's session_window: a session break
+    # is a gap >= 12 hours (session_window merges strictly-closer
+    # events; the window end is exclusive)
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 12 HOUR
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, sid, COUNT(*) AS n FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(MAX(n) AS BIGINT) AS max_session_events,
+           CAST(SUM(n) AS BIGINT) AS total_events
+    FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Gap-based sessionization via Spark's native session_window "
+    "(gap 12h): per-user session count / largest session / total. "
+    "The reference emulates sessions with minute-rollup GROUP BYs "
+    "(hits q19/q43); session_window is the Spark-first form — in "
+    "streaming the same operator runs watermarked with bounded state "
+    "(streaming/stateful.py streaming_sessionize).",
+    tags=("session", "window"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "12 hours"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n").alias("max_session_events"),
+            F.sum("n").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )

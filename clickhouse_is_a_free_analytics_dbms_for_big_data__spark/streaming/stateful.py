@@ -98,6 +98,33 @@ def streaming_windowed_counts(
     )
 
 
+def streaming_sessionize(
+    stream_df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization over a stream: Spark's native
+    ``session_window`` merges events separated by less than ``gap``
+    into one session whose state closes when the watermark passes the
+    session end — bounded state, no custom stateful code.  (The
+    reference has no streaming sessionization; its users emulate
+    sessions with minute-rollup GROUP BYs — hits q19/q43 shapes.)
+    Emits (keys..., session_start, session_end, n_events)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *keys,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_funnel(
     stream_df: DataFrame,
     key_col: str,

@@ -170,3 +170,49 @@ def test_streaming_dedup_watermark_bounded(spark, tmp_path):
     q.stop()
     rows = spark.sql("SELECT fp FROM wdedup_out").collect()
     assert [r.fp for r in rows] == ["fpA"]  # in-watermark dup dropped
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(
+        [
+            # user u: one 3-event session (gaps < 10 min), then a
+            # separate single-event session 2h later
+            ("2024-01-01 00:00:00", "u"),
+            ("2024-01-01 00:05:00", "u"),
+            ("2024-01-01 00:12:00", "u"),
+            ("2024-01-01 02:30:00", "u"),
+            ("2024-01-01 00:00:00", "v"),
+        ],
+        "ts_s string, user string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").write.parquet(src)
+
+    stream = spark.readStream.schema("user string, ts timestamp").parquet(src)
+    sess = streaming_sessionize(
+        stream, "ts", ["user"], gap="10 minutes", watermark="1 minute"
+    )
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT user, n_events FROM sessions ORDER BY user, n_events"
+    ).collect()
+    got = {(r["user"], r["n_events"]) for r in rows}
+    # append mode emits watermark-closed sessions; the late 02:30 event
+    # may stay open, so assert the subset relationship plus the merged
+    # 3-event session when emitted
+    assert got <= {("u", 3), ("u", 1), ("v", 1)}
+    if ("u", 3) in got:
+        # the 00:00/00:05/00:12 events merged into ONE session even
+        # though first->last exceeds the gap (chained proximity)
+        assert ("u", 2) not in got
