@@ -688,3 +688,43 @@ def final_replacing_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         version=["ts", "event_id"],
     )
     return latest.select("user_id", "event_type", "value").orderBy("user_id")
+
+
+@query(
+    "asof_join_latest_view",
+    # DuckDB has native ASOF JOIN — the perfect oracle for the
+    # composed Spark plan.  Build side deduped to one row per
+    # (user_id, ts) with MAX(value), matching the engine's
+    # deterministic greatest-payload tie resolution.
+    """
+    WITH probe AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ), build AS (
+        SELECT user_id, ts, MAX(value) AS value
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT p.user_id, p.event_id, b.value
+    FROM probe p ASOF LEFT JOIN build b
+      ON p.user_id = b.user_id AND p.ts >= b.ts
+    ORDER BY p.event_id
+    """,
+    doc="ASOF JOIN (backward): each click matched with the latest "
+    "prior-or-equal view's value per user — trades-x-quotes shape. "
+    "Spark composition: union probe/build -> ONE shuffle+sort on "
+    "(key, ts, side) -> last non-null payload -> keep probe rows; "
+    "no join node, no |L|x|R| range-join blowup (operators/asof.py).",
+    tags=("join", "asof"),
+)
+def asof_join_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    (ev,) = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    build = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        probe, build, ["user_id"], "ts", ["value"]
+    ).select("user_id", "event_id", "value").orderBy("event_id")
