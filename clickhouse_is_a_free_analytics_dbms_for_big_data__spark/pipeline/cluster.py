@@ -76,12 +76,33 @@ def connected_components(
             .agg(F.min("nbl").alias("cand"))
             .withColumnRenamed("s", "node")
         )
+        stepped = labels.join(cand, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("cand"), F.col("label"))
+            ).alias("label"),
+        )
+        # POINTER JUMP (path doubling): label <- label(label).  Labels
+        # are always node ids present in ``labels``, so the self-join
+        # resolves every row; combined with the neighbour-min step the
+        # label front moves 2x per round, so convergence takes
+        # O(log diameter) rounds instead of O(diameter) — one extra
+        # same-key join per round buys e.g. 8 -> 4 rounds on an
+        # 8-node path (each round is a full shuffle cycle, so round
+        # count IS the wall-clock at scale).
         labels = (
-            labels.join(cand, "node", "left")
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("node").alias("label"), F.col("label").alias("ll")
+                ).alias("b"),
+                "label",
+                "left",
+            )
             .select(
-                "node",
+                F.col("a.node").alias("node"),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("cand"), F.col("label"))
+                    F.col("a.label"), F.coalesce(F.col("ll"), F.col("a.label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
