@@ -91,22 +91,30 @@ def contamination_hits(
     Shape at 100 TB: explode both sides to (ngram, id), one equi-join
     on the n-gram, one partial-aggregated groupBy — no cross product.
     The eval side is tiny (benchmarks are thousands of docs), so AQE
-    broadcasts it; in production the join key would be a 64-bit hash
-    of the n-gram to cut shuffle width (exact strings kept here so
-    the oracle can reproduce the join byte-for-byte).
+    broadcasts it.  The join key is ``xxhash64(ngram)`` — a ~50-char
+    gram string becomes 8 bytes through the exchange, the dominant
+    shuffle-byte cut for a corpus-wide sweep.  Counts are unchanged
+    unless two DISTINCT grams of the same doc pair collide in 64 bits
+    (expected collisions ~ pairs x grams^2 / 2^64 — zero in practice,
+    and deterministic when it ever happens).
     """
-    c = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(_ngrams_of_tokens(TXT.tokens(F.col(text_col)), n))
-        ).alias("g"),
-    )
-    e = evalset.select(
-        F.col(eval_id_col).alias("eval_id"),
-        F.explode(
-            F.array_distinct(_ngrams_of_tokens(TXT.tokens(F.col(text_col)), n))
-        ).alias("g"),
-    )
+    def _grams(df: DataFrame, ident: str, alias: str) -> DataFrame:
+        # hash INSIDE the gram array, before the explode: the generator
+        # then fans out 8-byte longs, never the gram strings
+        return df.select(
+            F.col(ident).alias(alias),
+            F.explode(
+                F.transform(
+                    F.array_distinct(
+                        _ngrams_of_tokens(TXT.tokens(F.col(text_col)), n)
+                    ),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("g"),
+        )
+
+    c = _grams(corpus, id_col, "doc_id")
+    e = _grams(evalset, eval_id_col, "eval_id")
     return (
         c.join(e, "g")
         .groupBy("doc_id", "eval_id")
