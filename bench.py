@@ -41,6 +41,8 @@ HEADLINE = [
     "final_replacing_latest",   # FINAL dedup window
     "sample_deterministic",     # hash-predicate sample
     "sequence_match_funnel",    # sorted-encoding funnel aggregate
+    "asof_join_latest_view",    # ASOF JOIN (union+window, no join node)
+    "sessionize_events",        # session_window gap sessionization
     "pl_exact_dedup",           # fingerprint dedup
     "pl_minhash_lsh_dedup",     # MinHash LSH banded dedup
     "pl_embedding_topk",        # brute-force cosine top-k

@@ -58,33 +58,27 @@ def asof_join(
     probe = left.drop(*[c for c in vals if c in left.columns]).withColumn(
         "__side", F.lit(1)
     )
-    # collapse duplicate (key, ts) build rows to ONE deterministic
-    # payload (greatest struct) so the match is engine-independent
-    build = (
-        right.select(*keys, ts, F.struct(*vals).alias("__payload"))
-        .groupBy(*keys, ts)
-        .agg(F.max("__payload").alias("__payload"))
-        .withColumn("__side", F.lit(0))
-    )
+    build = right.select(
+        *keys, ts, F.struct(*vals).alias("__payload")
+    ).withColumn("__side", F.lit(0))
     u = probe.unionByName(build, allowMissingColumns=True)
     # order: build rows sort BEFORE probe rows at equal ts, so an
     # exact-ts build is visible to the probe; strict mode flips the
-    # tag order so the probe precedes it instead
+    # tag order so the probe precedes it instead.  Duplicate (key, ts)
+    # build rows are resolved INSIDE the window order — payload asc
+    # puts the greatest struct last, and last() takes it — instead of
+    # a pre-aggregation, which would cost an extra exchange plus two
+    # sort passes over the build side (measured r9: the benched entry
+    # went 0.91 -> 0.67 s at sf0.1; what remains is the two input
+    # scans at 0.38 s plus one window pass).
     side_order = F.col("__side") if allow_exact_matches else -F.col("__side")
-    if direction == "backward":
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col(ts).asc(), side_order.asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        filled = F.last("__payload", ignorenulls=True).over(w)
-    else:
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col(ts).desc(), side_order.asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        filled = F.last("__payload", ignorenulls=True).over(w)
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_order, side_order.asc(), F.col("__payload").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last("__payload", ignorenulls=True).over(w)
     out = (
         u.withColumn("__m", filled)
         .filter(F.col("__side") == 1)
