@@ -139,6 +139,9 @@ def read_mergetree(
             & (F.col("_partition") <= hi[:7].replace("-", ""))
         )
     if decode_lc:
+        # local-FS dict discovery (os.listdir): on an object store,
+        # list the __lc__ prefix with the store's client instead —
+        # the decode itself (lc_decode) is storage-agnostic
         lc_root = os.path.join(path, "__lc__")
         if os.path.isdir(lc_root):
             for col in sorted(os.listdir(lc_root)):
