@@ -1,0 +1,78 @@
+"""windowFunnel-style analytics: max funnel depth per key within a
+time window, built by COMPOSING forward ASOF joins.
+
+ClickHouse's (later-era) windowFunnel searches, per key, for the
+longest chain stage_1 -> stage_2 -> ... with non-decreasing timestamps
+where every chained event falls within ``window`` seconds of the
+stage-1 event.  The greedy earliest-next chain is optimal for any
+fixed starting event (taking the earliest qualifying next stage can
+only leave more window budget), so per-start greedy + max over starts
+is exact.
+
+Spark-first shape: one forward ASOF join per funnel stage
+(operators/asof.py — union + single window pass each, no join node),
+then a per-key max.  Total cost: (stages-1) shuffle+sort cycles over
+the NARROW (key, ts) projections, never the raw event rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .asof import asof_join
+
+# far-future sentinel: a broken chain probes with this ts, finds no
+# (or an out-of-window) next stage, and scores no further levels
+_FAR = "9999-01-01 00:00:00"
+
+
+def window_funnel(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    event_col: str,
+    stages: Sequence[str],
+    window_seconds: int,
+) -> DataFrame:
+    """Per-key max funnel level (1..len(stages)); keys with no stage-1
+    event are absent.  Chains allow equal timestamps between
+    consecutive stages (ts_i <= ts_{i+1}); every chained event must
+    satisfy ts_i <= ts_1 + window."""
+    stages = list(stages)
+    if len(stages) < 2:
+        raise ValueError("window_funnel needs at least 2 stages")
+    cur = df.filter(F.col(event_col) == stages[0]).select(
+        F.col(key).alias(key), F.col(ts_col).alias("ts1")
+    )
+    for i, st in enumerate(stages[1:], start=2):
+        build = df.filter(F.col(event_col) == st).select(
+            F.col(key).alias(key),
+            F.col(ts_col).alias("__ts"),
+            F.col(ts_col).alias(f"ts{i}"),
+        )
+        probe = cur.withColumn(
+            "__ts",
+            F.coalesce(
+                F.col(f"ts{i - 1}"), F.lit(_FAR).cast("timestamp")
+            ),
+        )
+        cur = asof_join(
+            probe, build, [key], "__ts", [f"ts{i}"], direction="forward"
+        ).drop("__ts")
+    # level = longest prefix within window; the per-stage indicator is
+    # prefix-monotone because chained timestamps are non-decreasing
+    deadline = F.col("ts1") + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+    level = F.lit(1)
+    for i in range(2, len(stages) + 1):
+        level = level + F.when(
+            F.col(f"ts{i}").isNotNull() & (F.col(f"ts{i}") <= deadline),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    return (
+        cur.withColumn("__lvl", level)
+        .groupBy(key)
+        .agg(F.max("__lvl").cast("int").alias("level"))
+    )

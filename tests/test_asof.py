@@ -81,3 +81,62 @@ def test_asof_plan_single_exchange_no_join(spark):
     # raw tables are never cartesian-expanded
     assert _n_exchanges(plan) <= 3
     assert "CartesianProduct" not in plan
+
+
+def _funnel(spark, rows, window=100):
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.funnel import (
+        window_funnel,
+    )
+
+    df = spark.createDataFrame(rows, "k long, ts timestamp, e string")
+    return {
+        r.k: r.level
+        for r in window_funnel(
+            df, "k", "ts", "e", ["a", "b", "c"], window
+        ).collect()
+    }
+
+
+def _t(s):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def test_window_funnel_levels(spark):
+    rows = [
+        # k=1: full chain within window -> 3
+        (1, _t(0), "a"), (1, _t(10), "b"), (1, _t(20), "c"),
+        # k=2: no stage-2 at all -> 1
+        (2, _t(0), "a"), (2, _t(5), "c"),
+        # k=3: stage-2 outside the window -> 1 (and the later c is
+        # chained AFTER that b, so it cannot rescue the level)
+        (3, _t(0), "a"), (3, _t(200), "b"), (3, _t(250), "c"),
+        # k=4: c BEFORE b never matches (chain needs b.ts <= c.ts) -> 2
+        (4, _t(0), "a"), (4, _t(30), "c"), (4, _t(50), "b"),
+        # k=5: equal timestamps chain (ties allowed) -> 3
+        (5, _t(0), "a"), (5, _t(0), "b"), (5, _t(0), "c"),
+    ]
+    got = _funnel(spark, rows)
+    assert got == {1: 3, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_window_funnel_max_over_starts(spark):
+    # the first 'a' has no completion inside its window; a later 'a'
+    # completes — the per-key answer is the max over starting events
+    rows = [
+        (7, _t(0), "a"), (7, _t(500), "a"),
+        (7, _t(510), "b"), (7, _t(520), "c"),
+    ]
+    assert _funnel(spark, rows) == {7: 3}
+
+
+def test_window_funnel_greedy_earliest_next(spark):
+    # greedy takes the EARLIEST next stage; a later b would also work
+    # but greedy must not lose the c that follows only the later b...
+    # here the early b at t=5 leaves c at t=90 inside the window -> 3
+    rows = [
+        (8, _t(0), "a"), (8, _t(5), "b"), (8, _t(80), "b"),
+        (8, _t(90), "c"),
+    ]
+    assert _funnel(spark, rows) == {8: 3}
