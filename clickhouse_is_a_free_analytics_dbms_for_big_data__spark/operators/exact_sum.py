@@ -40,10 +40,17 @@ def exact_sum_scaled(value: Column, scale: int = 2) -> Column:
     ``scale`` decimals, computed in primitive long math.  Returns a
     decimal(38, scale) — cast to double at the edge if the consumer
     wants floats."""
+    if not isinstance(scale, int) or not (0 <= scale <= 18):
+        raise ValueError(
+            f"exact_sum_scaled: scale must be an int in [0, 18], got {scale!r}"
+        )
     v = F.round(value * F.lit(10 ** scale)).cast("long")
     hi = F.sum((v / _M).cast("long")).cast("decimal(36,0)")
     lo = F.sum(v % _M)
     total = hi * F.lit(_M) + lo
+    if scale == 0:
+        # degenerate case: scaled image IS the value; no descale step
+        return total.cast("decimal(38,0)")
     descale = F.lit("0." + "0" * (scale - 1) + "1").cast(
         f"decimal({scale + 1},{scale})"
     )

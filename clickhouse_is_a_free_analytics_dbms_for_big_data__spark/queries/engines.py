@@ -423,6 +423,31 @@ def uniq_state_merge_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lc_demo_path(sf_dir: str, name: str) -> str:
+    import os
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"{name}_{sf}",
+    )
+
+
+def _atomic_publish(staging: str, path: str) -> None:
+    """Publish a freshly-built table directory with a rename swap so a
+    concurrent reader of ``path`` never sees a torn table
+    (optimize_table's staging swap, shared)."""
+    import os
+    import shutil
+
+    backup = f"{path}.__old_{os.getpid()}__"
+    if os.path.exists(path):
+        os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
 @query(
     "mt_low_cardinality_group",
     # oracle computes the same top-10 straight from events — the LC
@@ -455,22 +480,82 @@ def mt_low_cardinality_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("phrase_"), (F.col("event_id") % 199).cast("string")
         ).alias("phrase"),
     )
-    sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-        f"lc_demo_{sf}",
-    )
+    path = _lc_demo_path(sf_dir, "lc_demo")
+    staging = f"{path}.__build_{os.getpid()}__"
     write_mergetree(
-        proj, path, "d", ["user_id"], mode="overwrite",
+        proj, staging, "d", ["user_id"], mode="overwrite",
         low_cardinality=["phrase"],
     )
+    _atomic_publish(staging, path)
     coded = read_mergetree(spark, path, decode_lc=False)
     agg = coded.groupBy("phrase").agg(F.count(F.lit(1)).alias("c"))
     return (
         lc_decode(agg, spark, path, "phrase")
         .orderBy(F.desc("c"), "phrase")
         .limit(10)
+    )
+
+
+@query(
+    "mt_low_cardinality_append",
+    # oracle computes straight from events — incremental LC ingestion
+    # (overwrite + append with per-part dict unification) must be
+    # value-invisible.  Batch 1 = even event_ids (phrases mod 199),
+    # batch 2 = odd event_ids (phrases mod 241): the second batch both
+    # overlaps the existing dict (residues < 199) and introduces
+    # genuinely new values (199-240), exercising the code-stable merge.
+    """
+    SELECT 'phrase_' || CAST(event_id % (CASE WHEN event_id % 2 = 0
+                                              THEN 199 ELSE 241 END)
+                             AS VARCHAR) AS phrase,
+           COUNT(*) AS c
+    FROM events
+    GROUP BY phrase ORDER BY c DESC, phrase LIMIT 15
+    """,
+    doc="LowCardinality APPEND mode: the second insert merges its "
+    "vocabulary into the stored dictionary (existing values keep "
+    "their codes — no rewrite of old parts; new values take codes "
+    "after the current max), the analog of the reference's per-part "
+    "dictionary unification on merge (MergeTreeData.h parts are "
+    "self-describing).  Aggregates on codes across BOTH parts, "
+    "decodes late.",
+    tags=("mergetree", "lowcardinality"),
+)
+def mt_low_cardinality_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.mergetree import lc_decode, read_mergetree, write_mergetree
+
+    (ev,) = _t(spark, sf_dir, "events")
+
+    def proj(df: DataFrame, modulus: int) -> DataFrame:
+        return df.select(
+            F.to_date("ts").alias("d"),
+            "user_id",
+            F.concat(
+                F.lit("phrase_"), (F.col("event_id") % modulus).cast("string")
+            ).alias("phrase"),
+        )
+
+    path = _lc_demo_path(sf_dir, "lc_append_demo")
+    staging = f"{path}.__build_{os.getpid()}__"
+    write_mergetree(
+        proj(ev.filter(F.col("event_id") % 2 == 0), 199),
+        staging, "d", ["user_id"], mode="overwrite",
+        low_cardinality=["phrase"],
+    )
+    write_mergetree(
+        proj(ev.filter(F.col("event_id") % 2 == 1), 241),
+        staging, "d", ["user_id"], mode="append",
+        low_cardinality=["phrase"],
+    )
+    _atomic_publish(staging, path)
+    coded = read_mergetree(spark, path, decode_lc=False)
+    agg = coded.groupBy("phrase").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        lc_decode(agg, spark, path, "phrase")
+        .orderBy(F.desc("c"), "phrase")
+        .limit(15)
     )
 
 

@@ -1285,12 +1285,13 @@ def _rb_value(out: bytearray, v, ch_t: str) -> None:
 
     t = ch_t.strip()
     if t.startswith("Nullable("):
-        # null flag byte precedes the value (DataTypeNullable)
+        # null flag byte precedes the value; a set flag is the WHOLE
+        # encoding — no payload follows (DataTypeNullable::serializeBinary
+        # writes the nested value only when !is_null)
         if v is None:
             out.append(1)
-            v = 0  # type default follows per serializeBinary
-        else:
-            out.append(0)
+            return
+        out.append(0)
         t = t[9:-1]
     if t.startswith("Array("):
         elems = list(v or [])
@@ -1388,10 +1389,14 @@ def parse_rowbinary(data: bytes, ch_types: list[str]):
         nonlocal pos
         t = ch_t.strip()
         if t.startswith("Nullable("):
+            # flag=1 is the whole encoding — no nested payload follows
+            # (DataTypeNullable::deserializeBinary only reads the nested
+            # value when the flag byte is 0)
             isnull = data[pos]
             pos += 1
-            v = rd_value(t[9:-1])
-            return None if isnull else v
+            if isnull:
+                return None
+            return rd_value(t[9:-1])
         if t.startswith("Array("):
             n = varint()
             inner = t[6:-1]

@@ -37,6 +37,30 @@ def _lc_dict_path(path: str, col: str) -> str:
     return os.path.join(path, "__lc__", col)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — storage-
+    agnostic (local, HDFS, object stores with configured connectors)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _list_lc_cols(spark: SparkSession, path: str) -> list[str]:
+    """Names of dictionary-encoded columns of a MergeTree table: the
+    subdirectories of ``path/__lc__``, listed through Hadoop's
+    FileSystem so discovery works on any storage the session can read
+    the table from (not just the driver's local FS)."""
+    fs, hpath = _hadoop_fs(spark, os.path.join(path, "__lc__"))
+    if not fs.exists(hpath):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory()
+    )
+
+
 def write_mergetree(
     df: DataFrame,
     path: str,
@@ -63,29 +87,68 @@ def write_mergetree(
     aggregation (late materialization — see ``read_mergetree``'s
     ``decode_lc`` and ``lc_decode``).  Codes are assigned by value
     order, so equal inputs produce identical tables on every engine.
-    Requires ``mode="overwrite"`` (an append would need a dict merge,
-    the analog of the reference's per-part dictionary unification).
+
+    ``mode="append"`` MERGES dictionaries — the analog of the
+    reference's per-part dictionary unification on merge
+    (MergeTreeData.h parts are self-describing; merged parts share one
+    dict): values already in the table's dict keep their codes
+    unchanged (no rewrite of stored data), genuinely-new values get
+    codes after the current max, assigned in value order.  The merged
+    (superset) dict lands BEFORE the appended rows so a reader never
+    sees a code without a dict entry.
     """
-    if low_cardinality and mode != "overwrite":
-        raise ValueError("low_cardinality encoding requires mode='overwrite'")
+    # spark handle for dict reads/FS checks (df is always attached)
+    spark = df.sparkSession
     dicts: dict[str, DataFrame] = {}
     for col in low_cardinality:
-        vocab = df.select(F.col(col).alias("value")).distinct()
+        vocab = df.select(F.col(col).alias("__lc_value")).distinct()
         # vocab-sized global window: the dictionary is RAM-resident in
         # the reference too; a 100 TB corpus with a genuinely-low-
         # cardinality column keeps this tiny.  Materialize BEFORE the
-        # main overwrite deletes ``path`` out from under the lineage.
-        dict_df = vocab.withColumn(
-            "code", F.row_number().over(Window.orderBy("value")).cast("int")
-        ).localCheckpoint(eager=True)
+        # main write touches ``path`` out from under the lineage.
+        # Dict columns use reserved __lc_* names so a table that itself
+        # has a `value`/`code` column survives the encode join.
+        fs, tbl_path = _hadoop_fs(spark, path)
+        dict_exists = fs.exists(
+            spark._jvm.org.apache.hadoop.fs.Path(_lc_dict_path(path, col))
+        )
+        if mode == "append" and fs.exists(tbl_path) and not dict_exists:
+            raise ValueError(
+                f"append with low_cardinality={col!r}: table {path} "
+                "exists but has no dictionary for that column (it was "
+                "written unencoded) — appending codes onto stored "
+                "strings would corrupt the column"
+            )
+        if mode == "append" and dict_exists:
+            old = _read_lc_dict(spark, path, col)
+            new_vals = vocab.join(
+                old, on="__lc_value", how="left_anti"
+            ).withColumn(
+                "__lc_code",
+                F.row_number().over(Window.orderBy("__lc_value")).cast("int")
+                + F.lit(old.agg(F.max("__lc_code")).collect()[0][0] or 0),
+            )
+            dict_df = old.unionByName(new_vals).localCheckpoint(eager=True)
+        else:
+            dict_df = vocab.withColumn(
+                "__lc_code",
+                F.row_number().over(Window.orderBy("__lc_value")).cast("int"),
+            ).localCheckpoint(eager=True)
         dicts[col] = dict_df
         order = df.columns
         df = (
-            df.join(F.broadcast(dict_df), df[col] == dict_df["value"], "left")
-            .withColumn(col, F.col("code"))
-            .drop("value", "code")
+            df.join(
+                F.broadcast(dict_df), df[col] == dict_df["__lc_value"], "left"
+            )
+            .withColumn(col, F.col("__lc_code"))
+            .drop("__lc_value", "__lc_code")
             .select(*order)
         )
+    if mode == "append":
+        # superset dict first: old rows still decode, and a failure
+        # between the two writes never strands an undecodable code
+        for col, dict_df in dicts.items():
+            dict_df.write.mode("overwrite").parquet(_lc_dict_path(path, col))
     fmt = {"month": "yyyyMM", "day": "yyyyMMdd"}[partition_granularity]
     out = df.withColumn("_partition", F.date_format(F.col(date_col), fmt))
     (
@@ -95,21 +158,35 @@ def write_mergetree(
         .partitionBy("_partition")
         .parquet(path)
     )
-    # dictionaries land AFTER the main write (an overwrite clears path)
-    for col, dict_df in dicts.items():
-        dict_df.write.mode("overwrite").parquet(_lc_dict_path(path, col))
+    if mode != "append":
+        # overwrite clears path, so dictionaries land AFTER the data
+        for col, dict_df in dicts.items():
+            dict_df.write.mode("overwrite").parquet(_lc_dict_path(path, col))
+
+
+def _read_lc_dict(spark: SparkSession, path: str, col: str) -> DataFrame:
+    d = spark.read.parquet(_lc_dict_path(path, col))
+    if "__lc_value" not in d.columns:
+        # pre-r10 on-disk layout used bare value/code column names
+        d = d.select(
+            F.col("value").alias("__lc_value"),
+            F.col("code").alias("__lc_code"),
+        )
+    return d.select("__lc_value", "__lc_code")
 
 
 def lc_decode(df: DataFrame, spark: SparkSession, path: str, col: str) -> DataFrame:
     """Restore a LowCardinality column's string values by broadcast-
     joining its dictionary — call AFTER the aggregation for late
-    materialization (the join then touches group rows, not data rows)."""
-    bdict = F.broadcast(spark.read.parquet(_lc_dict_path(path, col)))
+    materialization (the join then touches group rows, not data rows).
+    Dict columns carry reserved ``__lc_*`` names so tables that
+    themselves have a ``value`` or ``code`` column decode cleanly."""
+    bdict = F.broadcast(_read_lc_dict(spark, path, col))
     order = df.columns
     return (
-        df.join(bdict, df[col] == bdict["code"], "left")
-        .withColumn(col, F.col("value"))
-        .drop("code", "value")
+        df.join(bdict, df[col] == bdict["__lc_code"], "left")
+        .withColumn(col, F.col("__lc_value"))
+        .drop("__lc_code", "__lc_value")
         .select(*order)
     )
 
@@ -139,14 +216,12 @@ def read_mergetree(
             & (F.col("_partition") <= hi[:7].replace("-", ""))
         )
     if decode_lc:
-        # local-FS dict discovery (os.listdir): on an object store,
-        # list the __lc__ prefix with the store's client instead —
-        # the decode itself (lc_decode) is storage-agnostic
-        lc_root = os.path.join(path, "__lc__")
-        if os.path.isdir(lc_root):
-            for col in sorted(os.listdir(lc_root)):
-                if col in df.columns:
-                    df = lc_decode(df, spark, path, col)
+        # dict discovery through Hadoop's FileSystem — works on every
+        # store the session can scan the table from (local, HDFS,
+        # object stores), so encoded columns can't silently skip decode
+        for col in _list_lc_cols(spark, path):
+            if col in df.columns:
+                df = lc_decode(df, spark, path, col)
     return df if keep_partition_col else df.drop("_partition")
 
 

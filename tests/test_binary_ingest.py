@@ -54,6 +54,38 @@ def test_rowbinary_parse_roundtrip():
     assert got == [tuple(r) for r in rows]
 
 
+def test_rowbinary_nullable_wire_format_matches_reference():
+    """A set null flag is the ENTIRE encoding of a NULL — no value
+    payload follows (DataTypeNullable::serializeBinary writes the
+    nested value only when !is_null; deserializeBinary's
+    safeDeserialize reads nothing after a flag of 1).  Pinned to
+    hand-written byte sequences matching the reference wire format so
+    the writer/reader twins can't drift together."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+        _rb_value,
+    )
+
+    types = ["Nullable(UInt32)", "Nullable(String)", "UInt8"]
+    # row 1: (NULL, "ab", 7)  row 2: (5, NULL, 9)
+    ref_bytes = bytes(
+        [1]                                # NULL -> flag only
+        + [0, 0x61, 0x62][:0]              # (nothing for the null)
+        + [0, 2, 0x61, 0x62]               # "ab" -> flag 0, varint 2, bytes
+        + [7]
+        + [0, 5, 0, 0, 0]                  # 5 -> flag 0, u32 LE
+        + [1]                              # NULL -> flag only
+        + [9]
+    )
+    assert parse_rowbinary(ref_bytes, types) == [
+        (None, "ab", 7), (5, None, 9),
+    ]
+    out = bytearray()
+    for row in [(None, "ab", 7), (5, None, 9)]:
+        for v, t in zip(row, types):
+            _rb_value(out, v, t)
+    assert bytes(out) == ref_bytes
+
+
 def test_insert_rowbinary_into_table(eng):
     from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
         _rb_value,

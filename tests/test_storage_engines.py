@@ -131,8 +131,79 @@ def test_low_cardinality_roundtrip_and_late_decode(spark, tmp_path):
         .collect()
     )
     assert late == direct
-    # appending to an LC table is refused (dict merge not modeled)
+
+
+def test_low_cardinality_append_merges_dict_with_stable_codes(spark, tmp_path):
+    """Append-mode LC write: per-part dict unification analog — values
+    already in the dict keep their codes (stored rows are never
+    rewritten), new values get codes after the current max, and the
+    decoded table equals the union of both writes."""
+    import os
+
     import pytest as _pytest
 
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.mergetree import (
+        read_mergetree,
+        write_mergetree,
+    )
+
+    base = spark.createDataFrame(
+        [("2024-03-01", 1, "b"), ("2024-03-02", 2, "d")],
+        "d string, k long, s string",
+    ).selectExpr("CAST(d AS DATE) AS d", "k", "s")
+    path = os.path.join(str(tmp_path), "lc_app")
+    write_mergetree(base, path, "d", ["k"], mode="overwrite",
+                    low_cardinality=["s"])
+    dict1 = {
+        r["__lc_value"]: r["__lc_code"]
+        for r in spark.read.parquet(
+            os.path.join(path, "__lc__", "s")).collect()
+    }
+    assert dict1 == {"b": 1, "d": 2}
+    extra = spark.createDataFrame(
+        [("2024-04-01", 3, "a"), ("2024-04-02", 4, "d"),
+         ("2024-04-03", 5, "c")],
+        "d string, k long, s string",
+    ).selectExpr("CAST(d AS DATE) AS d", "k", "s")
+    write_mergetree(extra, path, "d", ["k"], mode="append",
+                    low_cardinality=["s"])
+    dict2 = {
+        r["__lc_value"]: r["__lc_code"]
+        for r in spark.read.parquet(
+            os.path.join(path, "__lc__", "s")).collect()
+    }
+    # pre-existing codes unchanged; new values appended after max
+    assert dict2 == {"b": 1, "d": 2, "a": 3, "c": 4}
+    got = sorted((r.k, r.s) for r in read_mergetree(spark, path).collect())
+    assert got == [(1, "b"), (2, "d"), (3, "a"), (4, "d"), (5, "c")]
+    # appending LC onto a table written WITHOUT the dict is refused
+    plain = os.path.join(str(tmp_path), "plain")
+    write_mergetree(base, plain, "d", ["k"], mode="overwrite")
     with _pytest.raises(ValueError):
-        write_mergetree(src, path, "d", ["k"], low_cardinality=["s"])
+        write_mergetree(extra, plain, "d", ["k"], mode="append",
+                        low_cardinality=["s"])
+
+
+def test_low_cardinality_table_with_value_code_columns(spark, tmp_path):
+    """The dict join uses reserved __lc_* names, so a table that itself
+    has `value`/`code` columns (metric tables) encodes and decodes
+    without ambiguous-reference errors or column loss."""
+    import os
+
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.mergetree import (
+        read_mergetree,
+        write_mergetree,
+    )
+
+    src = spark.createDataFrame(
+        [("2024-03-01", 1, "x", 10.0, 7), ("2024-03-01", 2, "y", 20.0, 8)],
+        "d string, k long, metric string, value double, code int",
+    ).selectExpr("CAST(d AS DATE) AS d", "k", "metric", "value", "code")
+    path = os.path.join(str(tmp_path), "lc_vc")
+    write_mergetree(src, path, "d", ["k"], mode="overwrite",
+                    low_cardinality=["metric"])
+    got = sorted(
+        (r.k, r.metric, r.value, r.code)
+        for r in read_mergetree(spark, path).collect()
+    )
+    assert got == [(1, "x", 10.0, 7), (2, "y", 20.0, 8)]
