@@ -83,6 +83,100 @@ def test_asof_plan_single_exchange_no_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_asof_null_ts_contract(spark):
+    """NULL ts never satisfies a temporal inequality (DuckDB ASOF /
+    SQL comparison semantics): NULL-ts probes yield NULL value columns
+    in BOTH directions, and NULL-ts build rows are ignored."""
+    probe = spark.createDataFrame(
+        [(1, None), (1, 10)], "k long, ts long"
+    )
+    build = spark.createDataFrame(
+        [(1, 5, "a"), (1, None, "ghost")], "k long, ts long, v string"
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            (r.k, r.ts): r.v
+            for r in asof_join(
+                probe, build, ["k"], "ts", ["v"], direction=direction
+            ).collect()
+        }
+        assert got[(1, None)] is None, direction
+        # the NULL-ts build row must never be the match
+        assert got[(1, 10)] in ("a", None) and got[(1, 10)] != "ghost"
+    # and the non-null cases still resolve correctly around the ghost
+    back = asof_join(probe, build, ["k"], "ts", ["v"]).collect()
+    assert {(r.k, r.ts): r.v for r in back}[(1, 10)] == "a"
+
+
+def _hot_key_frames(spark):
+    """One hot key with 1e5 build + 1e5 probe rows (duplicate build
+    timestamps via the %50000 wrap), a sparse key, a probe-only key,
+    probes stretching past the build range (seed must carry across
+    build-less buckets), and NULL-ts rows on both sides."""
+    build = spark.range(100_000).selectExpr(
+        "CAST(1 AS LONG) AS k",
+        "CAST((id * 7) % 50000 AS LONG) AS ts",
+        "CAST(id AS STRING) AS v",
+    )
+    sparse = spark.createDataFrame(
+        [(2, 100, "s1"), (2, 40_000, "s2"), (2, None, "s3")],
+        "k long, ts long, v string",
+    )
+    build = build.unionByName(sparse)
+    probe = spark.range(100_000).selectExpr(
+        "CAST(1 AS LONG) AS k",
+        "CAST((id * 13 + 3) % 120000 AS LONG) AS ts",
+    )
+    extras = spark.createDataFrame(
+        [(2, 50), (2, 99_999), (3, 10), (1, None)], "k long, ts long"
+    )
+    return probe.unionByName(extras), build
+
+
+def test_asof_hot_key_split_equivalent(spark):
+    """split_bucket (time-bucket pre-split + per-bucket seed rows) is
+    result-identical to the unsplit operator on a hot-key fixture, in
+    both directions and in strict mode."""
+    probe, build = _hot_key_frames(spark)
+    nskey = lambda t: tuple((x is None, x) if x is not None else (True, 0)  # noqa: E731
+                            for x in t)
+    for direction in ("backward", "forward"):
+        for exact in (True, False):
+            base = sorted(
+                ((r.k, r.ts, r.v)
+                 for r in asof_join(
+                     probe, build, ["k"], "ts", ["v"],
+                     direction=direction, allow_exact_matches=exact,
+                 ).collect()),
+                key=nskey,
+            )
+            split = sorted(
+                ((r.k, r.ts, r.v)
+                 for r in asof_join(
+                     probe, build, ["k"], "ts", ["v"],
+                     direction=direction, allow_exact_matches=exact,
+                     split_bucket=1000,
+                 ).collect()),
+                key=nskey,
+            )
+            assert split == base, (direction, exact)
+
+
+def test_asof_split_window_partitions_on_bucket(spark):
+    """The pre-split's window must partition on (key, bucket) — that
+    IS the skew escape; a plan that still windows on the bare key
+    would serialize the hot key through one task."""
+    probe, build = _hot_key_frames(spark)
+    df = asof_join(
+        probe, build, ["k"], "ts", ["v"], split_bucket=1000
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    wins = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any(re.search(r"k.*__b|__b.*k", w) for w in wins), wins
+
+
 def _funnel(spark, rows, window=100):
     from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.funnel import (
         window_funnel,
