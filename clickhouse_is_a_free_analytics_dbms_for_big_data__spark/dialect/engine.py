@@ -428,6 +428,20 @@ class ChEngine:
             ddl,
         )
 
+    def read_native_dir(
+        self, src: str, split_blocks: bool = False, lineage: bool = False
+    ) -> DataFrame:
+        """Distributed twin of ``read_native`` for real dump replay: a
+        FORMAT Native file or directory decoded EXECUTOR-side
+        (binaryFile + Arrow mapInPandas; ``split_blocks`` adds
+        block-level spans for one giant file) — the driver reads only
+        the first block for schema.  See sources/native_dist.py."""
+        from ..sources.native_dist import read_native_dist
+
+        return read_native_dist(
+            self.spark, src, split_blocks=split_blocks, lineage=lineage
+        )
+
     @staticmethod
     def _query_settings(ch_sql: str) -> dict[str, str]:
         """name=value pairs of the statement's SETTINGS clause."""

@@ -1594,6 +1594,82 @@ def spark_ingest_type(ch_t: str):
     return "STRING", lambda v: v if isinstance(v, str) else _cell(v)
 
 
+def _skip_varint(data: bytes, pos: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def _skip_bulk(data: bytes, pos: int, ch_t: str, n: int) -> int:
+    """Advance ``pos`` past a serialized bulk column WITHOUT
+    materializing values — fixed-width types skip in O(1); only
+    varint-length strings walk per row.  The skip twin of
+    ``parse_native``'s rd_bulk, used to find block boundaries."""
+    t = ch_t.strip()
+    if t.startswith("Nullable("):
+        # null map (n bytes) then the nested column INCLUDING
+        # placeholder values at null positions (serializeBinaryBulk)
+        return _skip_bulk(data, pos + n, t[9:-1], n)
+    if t.startswith("Array("):
+        total = (
+            int.from_bytes(data[pos + 8 * (n - 1):pos + 8 * n], "little")
+            if n else 0
+        )
+        return _skip_bulk(data, pos + 8 * n, t[6:-1], total)
+    if t.startswith("Tuple("):
+        for it in _ch_inner_types(t, "Tuple") or []:
+            pos = _skip_bulk(data, pos, it, n)
+        return pos
+    if t in _RB_INT:
+        return pos + _RB_INT[t][0] * n
+    if t == "Float64":
+        return pos + 8 * n
+    if t == "Float32":
+        return pos + 4 * n
+    if t == "Date":
+        return pos + 2 * n
+    if t == "DateTime":
+        return pos + 4 * n
+    if t.startswith("FixedString("):
+        return pos + int(t[len("FixedString("):-1]) * n
+    if t.startswith("Enum"):
+        return pos + (1 if t.startswith("Enum8") else 2) * n
+    # String
+    for _ in range(n):
+        ln, pos = _skip_varint(data, pos)
+        pos += ln
+    return pos
+
+
+def scan_native_blocks(data: bytes) -> list[tuple[int, int, int]]:
+    """(offset, length, n_rows) of every block in a FORMAT Native
+    stream — a boundary scan only (no row materialization), so a
+    driver or a per-file executor task can split a multi-block dump
+    into independently-decodable spans (each block is self-describing:
+    NativeBlockInputStream::readImpl re-reads names/types per block)."""
+    spans: list[tuple[int, int, int]] = []
+    pos = 0
+    while pos < len(data):
+        start = pos
+        n_cols, pos = _skip_varint(data, pos)
+        n_rows, pos = _skip_varint(data, pos)
+        for _ in range(n_cols):
+            ln, pos = _skip_varint(data, pos)     # column name
+            pos += ln
+            ln, pos = _skip_varint(data, pos)     # column type (needed)
+            ch_t = data[pos:pos + ln].decode("utf-8", "surrogateescape")
+            pos += ln
+            if n_rows:
+                pos = _skip_bulk(data, pos, ch_t, n_rows)
+        spans.append((start, pos - start, n_rows))
+    return spans
+
+
 def parse_native(data: bytes, with_blocks: bool = False):
     """Parse FORMAT Native bytes back into (names, ch_types, rows) —
     NativeBlockInputStream::readImpl.  Used for INSERT FORMAT Native

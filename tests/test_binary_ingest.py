@@ -190,6 +190,105 @@ def test_read_native_dump(eng, tmp_path):
     assert got == [(1, "x", "2019-01-01"), (2, "y", "1970-01-01")]
 
 
+def _multi_block_dump(rows, block_rows):
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+        _render_native,
+    )
+
+    return _render_native(
+        rows, ["k", "s", "arr", "f"], [None] * 4,
+        ["UInt32", "String", "Array(Int16)", "Nullable(Float64)"],
+        block_rows=block_rows,
+    ).encode("utf-8", "surrogateescape")
+
+
+def test_scan_native_blocks_boundaries():
+    """The skip-only scanner finds exact block boundaries: spans tile
+    the stream and each span independently re-parses to its rows."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+        scan_native_blocks,
+    )
+
+    rows = [(i, f"s{i}" * (i % 5), list(range(i % 4)), None if i % 3 else i / 2.0)
+            for i in range(10)]
+    blob = _multi_block_dump(rows, [4, 1, 5])
+    spans = scan_native_blocks(blob)
+    assert [nr for _o, _l, nr in spans] == [4, 1, 5]
+    pos = 0
+    seen = []
+    for off, ln, nr in spans:
+        assert off == pos
+        _n, _t, blk_rows = parse_native(blob[off:off + ln])
+        assert len(blk_rows) == nr
+        seen.extend(blk_rows)
+        pos = off + ln
+    assert pos == len(blob)
+    assert len(seen) == 10
+
+
+def test_read_native_dist_executor_decode(eng, tmp_path):
+    """Distributed dump replay: multi-file multi-block dir decodes
+    EXECUTOR-side (MapInPandas; no data rows through driver
+    createDataFrame), values equal the driver-side reader, and the
+    lineage columns reproduce the dump byte-identically."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+        _render_native,
+    )
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    all_rows = [
+        (i, f"v{i}", list(range(i % 3)), None if i % 4 == 0 else i * 0.5)
+        for i in range(20)
+    ]
+    files = {"a.native": (all_rows[:12], [5, 7]),
+             "b.native": (all_rows[12:], [8])}
+    for fname, (rows, blocks) in files.items():
+        (d / fname).write_bytes(_multi_block_dump(rows, blocks))
+
+    for split in (False, True):
+        df = eng.read_native_dir(str(d), split_blocks=split, lineage=True)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        # only metadata (paths / spans) may driver-materialize: no
+        # LocalTableScan line carries the data columns
+        for line in plan.splitlines():
+            if "LocalTableScan" in line:
+                assert "arr" not in line and " s#" not in line, line
+        got = df.collect()
+        assert len(got) == 20
+        # byte-identical re-render per file from lineage order
+        for fname, (rows, blocks) in files.items():
+            frows = sorted(
+                (r for r in got if r._file.endswith(fname)),
+                key=lambda r: (r._block, r._row_in_block),
+            )
+            rendered = _render_native(
+                [(int(r.k), r.s, [int(e) for e in r.arr],
+                  None if r.f is None else float(r.f)) for r in frows],
+                ["k", "s", "arr", "f"], [None] * 4,
+                ["UInt32", "String", "Array(Int16)", "Nullable(Float64)"],
+                block_rows=list(blocks),
+            ).encode("utf-8", "surrogateescape")
+            assert rendered == (d / fname).read_bytes(), (fname, split)
+
+
+def test_read_native_dist_matches_driver_reader(eng, tmp_path):
+    rows = [(1, "x", [1], 0.5), (2, "y", [], None), (3, "z", [7, 8], 2.0)]
+    blob = _multi_block_dump(rows, [2, 1])
+    p = tmp_path / "one.native"
+    p.write_bytes(blob)
+    dist = sorted(
+        (r.k, r.s, tuple(r.arr), r.f)
+        for r in eng.read_native_dir(str(p), split_blocks=True).collect()
+    )
+    drv = sorted(
+        (r.k, r.s, tuple(r.arr), r.f)
+        for r in eng.read_native(str(p)).collect()
+    )
+    assert dist == drv
+
+
 def test_insert_native_mergetree_parts(eng):
     """Native ingest through a MergeTree table records parts like a
     token-level INSERT (same _ingest_df pipeline)."""
