@@ -65,7 +65,21 @@ HEADLINE = [
     "hits_q33_watch_ip_all",    # heaviest hash-agg (near-unique keys)
     "hits_q34_url_top",         # heavy string-key GROUP BY
     "hits_q42_window_size",     # hash-equality drill-down histogram
+    # round-10: STORED hits table (the representation BASELINE.md's
+    # ClickHouse numbers actually measure — stored columns + LC dicts,
+    # not a 25-column derived projection re-computed per row)
+    "hits_q13_stored",          # LC int-code GROUP BY + late decode
+    "hits_q17_stored",          # two-key GROUP BY on (long, code)
+    "hits_q19_stored",          # three-key GROUP BY on codes
+    "hits_q21_stored",          # LIKE over the URL dict + code semi join
+    "hits_q34_stored",          # URL GROUP BY on codes
 ]
+
+# Idle single-thread sentinel on THIS round's container (measured at
+# 2.1 GHz, load < 1: ~1.9-2.1 s).  Host generations differ ~2x across
+# rounds — compare rounds via the sentinel RATIO, not raw seconds.
+# Override per machine with SPARK_GRAFT_QUIET_SENTINEL.
+QUIET_SENTINEL_SEC = 2.0
 
 
 def _sentinel() -> float:
@@ -166,6 +180,29 @@ def main() -> None:
 
     sentinel_after = _sentinel()
 
+    # Load guard (round-10, judge ask): the r9 artifact was captured
+    # ~25% loaded and its per-query diffs misled a round.  Flag any
+    # run whose sentinels sit above the quiet band or drift apart
+    # mid-run; readers must discount per-query comparisons then.
+    quiet_ref = float(
+        os.environ.get("SPARK_GRAFT_QUIET_SENTINEL", QUIET_SENTINEL_SEC)
+    )
+    warnings = []
+    if min(sentinel_before, sentinel_after) > 1.15 * quiet_ref:
+        warnings.append(
+            f"sentinels {sentinel_before}/{sentinel_after} exceed "
+            f"1.15x quiet ref {quiet_ref} — ambient load or a slower "
+            "host; timings not comparable to quiet-machine records"
+        )
+    hi, lo = max(sentinel_before, sentinel_after), min(
+        sentinel_before, sentinel_after
+    )
+    if lo > 0 and hi / lo > 1.2:
+        warnings.append(
+            "sentinel drift >20% between start and end — load changed "
+            "mid-run; per-query medians may mix load bands"
+        )
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -179,6 +216,8 @@ def main() -> None:
                 "aggregation": "median",
                 "sentinel_before_sec": sentinel_before,
                 "sentinel_after_sec": sentinel_after,
+                "quiet_sentinel_ref_sec": quiet_ref,
+                "load_warning": "; ".join(warnings) or None,
                 "sf1": {
                     "events_rows": sf1_rows,
                     "queries": sf1_timings,

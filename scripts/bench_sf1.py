@@ -41,6 +41,13 @@ QUERIES = [
     "hits_q13_phrase_top",
     "hits_q21_url_like",
     "hits_q34_url_top",
+    # STORED hits table twins (apples-to-apples with BASELINE.md's
+    # stored-column reads; build cost paid once, outside the timing)
+    "hits_q13_stored",
+    "hits_q17_stored",
+    "hits_q19_stored",
+    "hits_q21_stored",
+    "hits_q34_stored",
 ]
 
 # pipeline operators at 10x documents (50k docs): the dedup/curation

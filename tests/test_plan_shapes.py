@@ -376,3 +376,34 @@ def test_final_replacing_name_version_is_partial_agg(spark):
     assert "Aggregate" in plan
     rows = {r.user_id: (r.ts, r.v) for r in df.collect()}
     assert rows[0] == (900, "900") and rows[99] == (999, "999")
+
+
+def test_stored_hits_q21_pushes_code_in_filter(spark):
+    """q21_stored's LIKE must run over the DICTIONARY; the scan sees an
+    int IN-filter on the code column (PushedFilters), no join node —
+    the LowCardinality substring rewrite the 100 TB story depends on."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.queries import (
+        queries_map,
+    )
+
+    df = queries_map()["hits_q21_stored"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "PushedFilters: [In(URL" in plan
+
+
+def test_stored_hits_q13_decodes_as_projection(spark):
+    """q13_stored aggregates on int codes and decodes via a map-literal
+    PROJECTION — one exchange pair (partial+final agg), no join, no
+    second scan for the dictionary."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.queries import (
+        queries_map,
+    )
+
+    import re
+
+    df = queries_map()["hits_q13_stored"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Join" not in plan
+    # formatted explain lists each node once in the detail section
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1

@@ -207,3 +207,53 @@ def test_low_cardinality_table_with_value_code_columns(spark, tmp_path):
         for r in read_mergetree(spark, path).collect()
     )
     assert got == [(1, "x", 10.0, 7), (2, "y", 20.0, 8)]
+
+
+def test_lc_dict_map_and_decode_expr(spark, tmp_path):
+    """Collected-map decode: lc_dict_map memoizes {code: value};
+    lc_decode_expr is a pure projection equal to the broadcast-join
+    decode, escapes quotes/backslashes, and the max_entries guard
+    raises instead of silently collecting a big vocab."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.mergetree import (
+        lc_decode,
+        lc_decode_expr,
+        lc_dict_map,
+        read_mergetree,
+        write_mergetree,
+    )
+
+    src = spark.createDataFrame(
+        [("2024-03-01", 1, "it's"), ("2024-03-01", 2, "a\\b"),
+         ("2024-03-02", 3, "plain"), ("2024-03-02", 4, "it's")],
+        "d string, k long, s string",
+    ).selectExpr("CAST(d AS DATE) AS d", "k", "s")
+    path = os.path.join(str(tmp_path), "lcq")
+    write_mergetree(src, path, "d", ["k"], mode="overwrite",
+                    low_cardinality=["s"])
+    m = lc_dict_map(spark, path, "s")
+    assert sorted(m.values()) == ["a\\b", "it's", "plain"]
+    assert lc_dict_map(spark, path, "s") is m  # memoized
+    coded = read_mergetree(spark, path, decode_lc=False)
+    via_expr = sorted(
+        (r.k, r.s)
+        for r in coded.withColumn(
+            "s", lc_decode_expr(spark, path, "s")
+        ).collect()
+    )
+    via_join = sorted(
+        (r.k, r.s) for r in lc_decode(coded, spark, path, "s").collect()
+    )
+    assert via_expr == via_join
+    assert dict(via_expr)[1] == "it's" and dict(via_expr)[2] == "a\\b"
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources import (
+        mergetree as _mt,
+    )
+
+    _mt._LC_MAP_CACHE.pop((path, "s"))
+    with _pytest.raises(ValueError):
+        lc_dict_map(spark, path, "s", max_entries=2)
