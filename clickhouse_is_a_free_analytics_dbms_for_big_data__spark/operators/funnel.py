@@ -36,11 +36,16 @@ def window_funnel(
     event_col: str,
     stages: Sequence[str],
     window_seconds: int,
+    split_bucket: float | None = None,
 ) -> DataFrame:
     """Per-key max funnel level (1..len(stages)); keys with no stage-1
     event are absent.  Chains allow equal timestamps between
     consecutive stages (ts_i <= ts_{i+1}); every chained event must
-    satisfy ts_i <= ts_1 + window."""
+    satisfy ts_i <= ts_1 + window.
+
+    ``split_bucket`` threads the ASOF hot-key pre-split (seconds per
+    time bucket) through every stage join, so one key's event history
+    never serializes through a single window task."""
     stages = list(stages)
     if len(stages) < 2:
         raise ValueError("window_funnel needs at least 2 stages")
@@ -60,7 +65,8 @@ def window_funnel(
             ),
         )
         cur = asof_join(
-            probe, build, [key], "__ts", [f"ts{i}"], direction="forward"
+            probe, build, [key], "__ts", [f"ts{i}"],
+            direction="forward", split_bucket=split_bucket,
         ).drop("__ts")
     # level = longest prefix within window; the per-stage indicator is
     # prefix-monotone because chained timestamps are non-decreasing

@@ -241,6 +241,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     max_bucket: int = 256,
     verify: str = "tokens",
+    verify_hash64: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) via MinHash LSH banding with
     exact-Jaccard verification.
@@ -257,6 +258,12 @@ def minhash_dedup_pairs(
     sets — looser, order-insensitive) or "shingles" (the same k-shingle
     sets the signatures are built from — consistent with the LSH and
     relationally replicable, so results are oracle-checkable).
+
+    ``verify_hash64`` intersects xxhash64(element) longs instead of the
+    raw strings — 8 bytes/element through the verify-join exchange
+    instead of ~50-char shingles (the trick that paid off for the
+    contamination sweep).  Jaccard is unchanged absent 64-bit hash
+    collisions (probability ~|set|^2 / 2^64 per pair — negligible).
     """
     if verify not in ("tokens", "shingles"):
         raise ValueError(f"verify must be 'tokens' or 'shingles', got {verify!r}")
@@ -284,6 +291,8 @@ def minhash_dedup_pairs(
         if verify == "tokens"
         else shingles_sql(text_sql, k_shingle)
     )
+    if verify_hash64:
+        verify_sql = f"transform({verify_sql}, __s -> xxhash64(__s))"
     toks = _cache_tracked(
         spread.select(F.col(id_col).alias("tid"), F.expr(verify_sql).alias("toks"))
     )

@@ -1017,7 +1017,7 @@ def hits_q42(spark, sf_dir):
 # oracles) untouched; each stored entry's oracle is the SAME SQL as
 # its derived twin, so value equality also proves the store+LC paths.
 
-_HITS_STORE_VERSION = 1
+_HITS_STORE_VERSION = 3  # v3: cpu-wide PK-salted parts per month (scan width)
 _STORE_READY: set[str] = set()
 
 
@@ -1068,6 +1068,10 @@ def ensure_hits_stored(spark: SparkSession, sf_dir: str) -> str:
         ["CounterID", "UserID"],
         mode="overwrite",
         low_cardinality=["SearchPhrase", "URL", "Title"],
+        # multiple parts per month so scans parallelize even when one
+        # month's data fits a single row group (MergeTree has many
+        # parts per partition for the same reason)
+        parts_per_partition=32,
     )
     with open(os.path.join(staging, "_HITS_STORE_META"), "w") as fh:
         json.dump(sig, fh)

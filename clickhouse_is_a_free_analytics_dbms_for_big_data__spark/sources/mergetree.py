@@ -69,6 +69,7 @@ def write_mergetree(
     mode: str = "append",
     partition_granularity: str = "month",
     low_cardinality: Sequence[str] = (),
+    parts_per_partition: int = 1,
 ) -> None:
     """MergeTree writer: partition by toYYYYMM(date), sort by PK within
     partitions (MergeTreeData.h:43-61 — month partitions + primary.idx).
@@ -151,8 +152,23 @@ def write_mergetree(
             dict_df.write.mode("overwrite").parquet(_lc_dict_path(path, col))
     fmt = {"month": "yyyyMM", "day": "yyyyMMdd"}[partition_granularity]
     out = df.withColumn("_partition", F.date_format(F.col(date_col), fmt))
+    # ``parts_per_partition`` > 1 writes several PK-sorted files per
+    # month — the analog of multiple parts within a MergeTree
+    # partition.  One file per month serializes downstream scans when
+    # the file fits a single parquet row group (measured r10: the
+    # stored hits table at 1M rows scanned on ONE task); PK-salted
+    # parts restore scan parallelism while each file stays sorted for
+    # row-group pruning.
+    part_cols: list[Column] = [F.col("_partition")]
+    if parts_per_partition > 1:
+        part_cols.append(
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in order_by]),
+                F.lit(parts_per_partition),
+            )
+        )
     (
-        out.repartition(F.col("_partition"))
+        out.repartition(*part_cols)
         .sortWithinPartitions(*order_by)
         .write.mode(mode)
         .partitionBy("_partition")

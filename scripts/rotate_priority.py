@@ -35,10 +35,18 @@ REGISTRY = os.path.join(
 
 # this-round fixes: always sampled first (hand-edit per round)
 PIN: tuple[str, ...] = (
-    # r09: the only-ever-red row (array column now serialized for the
-    # driver canonicalizer) + the one entry with zero driver evidence
-    "fn_url_format_stragglers",
-    "pl_ann_quantized",
+    # r10: new entries (LC append-mode table, the five stored-hits
+    # variants) + the two entries whose operators changed this round
+    # (ASOF NULL-ts contract + pre-split; funnel inherits asof)
+    "mt_low_cardinality_append",
+    "hits_q13_stored",
+    "hits_q17_stored",
+    "hits_q19_stored",
+    "hits_q21_stored",
+    "hits_q34_stored",
+    "asof_join_latest_view",
+    "funnel_window_levels",
+    "mt_low_cardinality_group",
 )
 
 WINDOW = 50  # how many names the driver snapshots

@@ -225,6 +225,37 @@ def test_window_funnel_max_over_starts(spark):
     assert _funnel(spark, rows) == {7: 3}
 
 
+def test_window_funnel_split_bucket_equivalent(spark):
+    """split_bucket threads the hot-key pre-split through every stage
+    join without changing funnel levels (incl. broken chains, whose
+    far-future sentinel probes land in build-less buckets)."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.funnel import (
+        window_funnel,
+    )
+
+    rows = []
+    for k in range(5):
+        for i in range(200):
+            rows.append((k, _t(i * 7 + k), "a"))
+            if i % 3 == 0:
+                rows.append((k, _t(i * 7 + k + 2), "b"))
+            if i % 5 == 0:
+                rows.append((k, _t(i * 7 + k + 4), "c"))
+    rows.append((9, _t(0), "a"))  # never completes
+    df = spark.createDataFrame(rows, "k long, ts timestamp, e string")
+    base = {
+        r.k: r.level
+        for r in window_funnel(df, "k", "ts", "e", ["a", "b", "c"], 60).collect()
+    }
+    split = {
+        r.k: r.level
+        for r in window_funnel(
+            df, "k", "ts", "e", ["a", "b", "c"], 60, split_bucket=100
+        ).collect()
+    }
+    assert split == base
+
+
 def test_window_funnel_greedy_earliest_next(spark):
     # greedy takes the EARLIEST next stage; a later b would also work
     # but greedy must not lose the c that follows only the later b...
