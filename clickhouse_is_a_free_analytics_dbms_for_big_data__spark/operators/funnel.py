@@ -37,11 +37,16 @@ def window_funnel(
     stages: Sequence[str],
     window_seconds: int,
     split_bucket: float | None = None,
+    strict_increase: bool = False,
 ) -> DataFrame:
     """Per-key max funnel level (1..len(stages)); keys with no stage-1
     event are absent.  Chains allow equal timestamps between
     consecutive stages (ts_i <= ts_{i+1}); every chained event must
     satisfy ts_i <= ts_1 + window.
+
+    ``strict_increase`` requires strictly increasing chain timestamps
+    (ts_i < ts_{i+1}) — ClickHouse windowFunnel's strict_increase
+    mode; greedy earliest-strictly-later stays optimal per start.
 
     ``split_bucket`` threads the ASOF hot-key pre-split (seconds per
     time bucket) through every stage join, so one key's event history
@@ -67,6 +72,7 @@ def window_funnel(
         cur = asof_join(
             probe, build, [key], "__ts", [f"ts{i}"],
             direction="forward", split_bucket=split_bucket,
+            allow_exact_matches=not strict_increase,
         ).drop("__ts")
     # level = longest prefix within window; the per-stage indicator is
     # prefix-monotone because chained timestamps are non-decreasing

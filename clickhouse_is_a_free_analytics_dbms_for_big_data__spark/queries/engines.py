@@ -671,3 +671,60 @@ def funnel_window_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("users"))
         .orderBy("level")
     )
+
+
+@query(
+    "funnel_strict_increase",
+    # oracle chains DuckDB forward ASOF joins with STRICT inequalities
+    # (p.ts < b.ts): equal-timestamp events never chain
+    """
+    WITH s1 AS (
+        SELECT user_id, ts AS ts1 FROM events WHERE event_type = 'signup'
+    ), c AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ), pr AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), j2 AS (
+        SELECT s1.user_id, ts1, c.ts AS ts2,
+               COALESCE(c.ts, TIMESTAMP '9999-01-01') AS probe2
+        FROM s1 ASOF LEFT JOIN c
+          ON s1.user_id = c.user_id AND s1.ts1 < c.ts
+    ), j3 AS (
+        SELECT j2.user_id, ts1, ts2, pr.ts AS ts3
+        FROM j2 ASOF LEFT JOIN pr
+          ON j2.user_id = pr.user_id AND j2.probe2 < pr.ts
+    ), lv AS (
+        SELECT user_id,
+               1 + CASE WHEN ts2 IS NOT NULL
+                             AND ts2 <= ts1 + INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END
+                 + CASE WHEN ts3 IS NOT NULL
+                             AND ts3 <= ts1 + INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END AS level
+        FROM j3
+    ), mx AS (
+        SELECT user_id, CAST(MAX(level) AS INTEGER) AS level
+        FROM lv GROUP BY user_id
+    )
+    SELECT level, COUNT(*) AS users FROM mx GROUP BY level ORDER BY level
+    """,
+    doc="windowFunnel strict_increase mode: chained stage timestamps "
+    "must STRICTLY increase (ClickHouse windowFunnel('strict_increase') "
+    "— equal-ts events never chain); same greedy earliest-next "
+    "composition with strict forward ASOF joins.",
+    tags=("funnel", "asof"),
+)
+def funnel_strict_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import window_funnel
+
+    (ev,) = _t(spark, sf_dir, "events")
+    per_user = window_funnel(
+        ev, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"], 7 * 86400,
+        strict_increase=True,
+    )
+    return (
+        per_user.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("level")
+    )

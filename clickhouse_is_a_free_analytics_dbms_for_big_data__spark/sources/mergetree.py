@@ -535,13 +535,36 @@ def optimize_table(
     """OPTIMIZE-style maintenance job: apply a compaction transform and
     rewrite (the reference's background merge, made explicit).
     Writes to a staging dir then swaps, so readers never see a torn
-    table."""
-    df = spark.read.parquet(path)
-    compacted = compaction(df).coalesce(target_files_per_partition)
-    staging = path.rstrip("/") + ".__staging__"
-    compacted.write.mode("overwrite").parquet(staging)
+    table.
+
+    Layout is preserved: a ``_partition``-partitioned table is
+    rewritten partitioned (compaction runs per month, like the
+    reference's per-part merges), and LowCardinality dictionaries
+    under ``__lc__`` carry over unchanged — compaction transforms
+    operate on the stored CODES, which the merge semantics
+    (first/max/dedup per PK) keep valid."""
     import shutil
 
+    df = spark.read.parquet(path)
+    partitioned = "_partition" in df.columns
+    compacted = compaction(df)
+    staging = path.rstrip("/") + ".__staging__"
+    if partitioned:
+        # one merged file per month (the post-merge ideal part count);
+        # target_files_per_partition applies to unpartitioned tables
+        (
+            compacted.repartition(F.col("_partition"))
+            .write.mode("overwrite")
+            .partitionBy("_partition")
+            .parquet(staging)
+        )
+    else:
+        compacted.coalesce(target_files_per_partition).write.mode(
+            "overwrite"
+        ).parquet(staging)
+    lc_root = os.path.join(path, "__lc__")
+    if os.path.isdir(lc_root):
+        shutil.copytree(lc_root, os.path.join(staging, "__lc__"))
     backup = path.rstrip("/") + ".__old__"
     shutil.move(path, backup)
     shutil.move(staging, path)

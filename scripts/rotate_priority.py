@@ -39,6 +39,7 @@ PIN: tuple[str, ...] = (
     # variants) + the two entries whose operators changed this round
     # (ASOF NULL-ts contract + pre-split; funnel inherits asof)
     "mt_low_cardinality_append",
+    "funnel_strict_increase",
     "hits_q13_stored",
     "hits_q17_stored",
     "hits_q19_stored",

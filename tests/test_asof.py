@@ -256,6 +256,32 @@ def test_window_funnel_split_bucket_equivalent(spark):
     assert split == base
 
 
+def test_window_funnel_strict_increase(spark):
+    """strict_increase: equal timestamps never chain (ClickHouse
+    windowFunnel 'strict_increase' mode); default mode ties still do."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.funnel import (
+        window_funnel,
+    )
+
+    rows = [
+        (1, _t(0), "a"), (1, _t(0), "b"), (1, _t(5), "c"),   # a==b ts
+        (2, _t(0), "a"), (2, _t(1), "b"), (2, _t(2), "c"),   # clean chain
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, e string")
+    loose = {
+        r.k: r.level
+        for r in window_funnel(df, "k", "ts", "e", ["a", "b", "c"], 100).collect()
+    }
+    strict = {
+        r.k: r.level
+        for r in window_funnel(
+            df, "k", "ts", "e", ["a", "b", "c"], 100, strict_increase=True
+        ).collect()
+    }
+    assert loose == {1: 3, 2: 3}
+    assert strict == {1: 1, 2: 3}
+
+
 def test_window_funnel_greedy_earliest_next(spark):
     # greedy takes the EARLIEST next stage; a later b would also work
     # but greedy must not lose the c that follows only the later b...

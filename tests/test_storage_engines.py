@@ -257,3 +257,40 @@ def test_lc_dict_map_and_decode_expr(spark, tmp_path):
     _mt._LC_MAP_CACHE.pop((path, "s"))
     with _pytest.raises(ValueError):
         lc_dict_map(spark, path, "s", max_entries=2)
+
+
+def test_optimize_table_preserves_lc_dicts_and_partitions(spark, tmp_path):
+    """optimize_table on a dictionary-encoded, month-partitioned table
+    must keep the __lc__ dictionaries (previously destroyed with the
+    swapped-out directory) and the partition layout; the compaction
+    transform sees stored CODES."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.mergetree import (
+        compact_replacing,
+        optimize_table,
+        read_mergetree,
+        write_mergetree,
+    )
+
+    src = spark.createDataFrame(
+        [("2024-03-01", 1, 1, "x"), ("2024-03-05", 1, 2, "y"),
+         ("2024-04-01", 2, 1, "z")],
+        "d string, k long, v long, s string",
+    ).selectExpr("CAST(d AS DATE) AS d", "k", "v", "s")
+    path = os.path.join(str(tmp_path), "opt_lc")
+    write_mergetree(src, path, "d", ["k"], mode="overwrite",
+                    low_cardinality=["s"])
+    optimize_table(
+        spark, path, lambda df: compact_replacing(df, ["k"], version="v")
+    )
+    assert os.path.isdir(os.path.join(path, "__lc__", "s"))
+    # partition dirs survive (directory-partitioned layout, not a
+    # flattened _partition data column)
+    parts = [p for p in os.listdir(path) if p.startswith("_partition=")]
+    assert sorted(parts) == ["_partition=202403", "_partition=202404"]
+    got = sorted((r.k, r.v, r.s)
+                 for r in read_mergetree(spark, path).collect())
+    assert got == [(1, 2, "y"), (2, 1, "z")]
