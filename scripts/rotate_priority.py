@@ -35,9 +35,12 @@ REGISTRY = os.path.join(
 
 # this-round fixes: always sampled first (hand-edit per round)
 PIN: tuple[str, ...] = (
-    # r10: new entries (LC append-mode table, the five stored-hits
-    # variants) + the two entries whose operators changed this round
-    # (ASOF NULL-ts contract + pre-split; funnel inherits asof)
+    # r10: the seven NEW entries (never driver-sampled).  The three
+    # entries whose operators also changed (asof_join_latest_view,
+    # funnel_window_levels, mt_low_cardinality_group) are NOT pinned:
+    # they have r09 green rows + fresh in-round driver-sim evidence,
+    # and pinning them would push 3 more r07-stale entries past the
+    # 3-round sweep contract (48 stale + pins > the 50-slot window).
     "mt_low_cardinality_append",
     "funnel_strict_increase",
     "hits_q13_stored",
@@ -45,9 +48,6 @@ PIN: tuple[str, ...] = (
     "hits_q19_stored",
     "hits_q21_stored",
     "hits_q34_stored",
-    "asof_join_latest_view",
-    "funnel_window_levels",
-    "mt_low_cardinality_group",
 )
 
 WINDOW = 50  # how many names the driver snapshots
