@@ -428,6 +428,30 @@ class ChEngine:
             ddl,
         )
 
+    def insert_native_path(
+        self, table: str, src: str, split_blocks: bool = False
+    ) -> None:
+        """INSERT ... FORMAT Native from a dump FILE or DIRECTORY,
+        decoded executor-side (``read_native_dist``) — the scale path
+        of ``insert_native``: dump bytes never pass through the
+        driver, while the insert still runs the full ``_ingest_df``
+        pipeline (projection, defaults, Replicated dedup, MV fan-out).
+        Per-wire-block structure is not replayed (blocks decode
+        distributed; the ingest records one logical block)."""
+        from ..sources.native_dist import read_native_dist
+        from .statements import _ingest_df
+
+        name, tdef = self._resolve_table(table)
+        df = read_native_dist(self.spark, src, split_blocks=split_blocks)
+        insertable = [c.name for c in tdef.columns if not c.is_virtual]
+        cols = list(df.columns)
+        if all(c in insertable for c in cols):
+            subset = cols
+        else:
+            subset = insertable[: len(cols)]
+            df = df.toDF(*subset)
+        _ingest_df(self, name, tdef, subset, df, True, None)
+
     def read_native_dir(
         self, src: str, split_blocks: bool = False, lineage: bool = False
     ) -> DataFrame:

@@ -728,3 +728,44 @@ def asof_join_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         probe, build, ["user_id"], "ts", ["value"]
     ).select("user_id", "event_id", "value").orderBy("event_id")
+
+
+@query(
+    "asof_join_bucketed",
+    # same DuckDB native-ASOF oracle shape as asof_join_latest_view but
+    # FORWARD and strict — the split path must be value-invisible
+    """
+    WITH probe AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ), build AS (
+        SELECT user_id, ts, MAX(value) AS value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT p.user_id, p.event_id, b.value
+    FROM probe p ASOF LEFT JOIN build b
+      ON p.user_id = b.user_id AND p.ts < b.ts
+    ORDER BY p.event_id
+    """,
+    doc="ASOF JOIN through the HOT-KEY PRE-SPLIT path (split_bucket): "
+    "the window partitions on (user_id, 6h time bucket) with one "
+    "injected seed row per probe bucket, so one key's history spreads "
+    "over many tasks; forward + strict here (next strictly-later "
+    "purchase value per click).  Result-identical to the unsplit "
+    "operator — the oracle is DuckDB's native ASOF (operators/asof.py).",
+    tags=("join", "asof"),
+)
+def asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    (ev,) = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    build = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        probe, build, ["user_id"], "ts", ["value"],
+        direction="forward", allow_exact_matches=False,
+        split_bucket=6 * 3600,
+    ).select("user_id", "event_id", "value").orderBy("event_id")

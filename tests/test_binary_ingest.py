@@ -289,6 +289,36 @@ def test_read_native_dist_matches_driver_reader(eng, tmp_path):
     assert dist == drv
 
 
+def test_insert_native_path_distributed(eng, tmp_path):
+    """insert_native_path: dump replay into a table with the decode in
+    executors, through the same _ingest_df pipeline (projection +
+    defaults evaluated) — the scale path of insert_native."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+        _render_native,
+    )
+
+    eng.execute(
+        "CREATE TABLE np_t (k UInt32, s String, twice UInt32 "
+        "DEFAULT k * 2) ENGINE = Memory"
+    )
+    d = tmp_path / "npdump"
+    d.mkdir()
+    (d / "part1.native").write_bytes(
+        _render_native([(1, "a"), (2, "b")], ["k", "s"], [None] * 2,
+                       ["UInt32", "String"], block_rows=[1, 1]
+        ).encode("utf-8", "surrogateescape")
+    )
+    (d / "part2.native").write_bytes(
+        _render_native([(3, "c")], ["k", "s"], [None] * 2,
+                       ["UInt32", "String"]
+        ).encode("utf-8", "surrogateescape")
+    )
+    eng.insert_native_path("np_t", str(d), split_blocks=True)
+    assert _tsv(eng, "SELECT k, s, twice FROM np_t ORDER BY k") == (
+        "1\ta\t2\n2\tb\t4\n3\tc\t6"
+    )
+
+
 def test_insert_native_mergetree_parts(eng):
     """Native ingest through a MergeTree table records parts like a
     token-level INSERT (same _ingest_df pipeline)."""
