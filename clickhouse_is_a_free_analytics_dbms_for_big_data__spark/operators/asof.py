@@ -103,11 +103,9 @@ def asof_join(
             if ts_dtype.startswith("timestamp")
             else split_bucket
         )
-        bucket = lambda df: F.floor(  # noqa: E731
-            _epoch(F.col(ts), ts_dtype) / F.lit(width)
-        )
-        probe = probe.withColumn("__b", bucket(probe))
-        build = build.withColumn("__b", bucket(build))
+        bucket_col = F.floor(_epoch(F.col(ts), ts_dtype) / F.lit(width))
+        probe = probe.withColumn("__b", bucket_col)
+        build = build.withColumn("__b", bucket_col)
         part_keys.append("__b")
         # per (key, bucket) EDGE row — the build row the unsplit window
         # would carry across this bucket's boundary, reduced under the
