@@ -283,10 +283,19 @@ def read_mergetree(
     if decode_lc:
         # dict discovery through Hadoop's FileSystem — works on every
         # store the session can scan the table from (local, HDFS,
-        # object stores), so encoded columns can't silently skip decode
+        # object stores), so encoded columns can't silently skip decode.
+        # Small dictionaries decode as a map-literal PROJECTION (no
+        # join, no dict-scan job); big ones fall back to the broadcast
+        # join.
         for col in _list_lc_cols(spark, path):
             if col in df.columns:
-                df = lc_decode(df, spark, path, col)
+                try:
+                    df = df.withColumn(
+                        col, lc_decode_expr(spark, path, col,
+                                            max_entries=10_000)
+                    )
+                except ValueError:
+                    df = lc_decode(df, spark, path, col)
     return df if keep_partition_col else df.drop("_partition")
 
 
