@@ -273,6 +273,52 @@ def minhash_dedup_pairs(
     # Spread the hash-heavy projection across all cores: a small input
     # file arrives as one partition, which would serialize the compute.
     spread = _spread(df.select(id_col, text_col), id_col)
+    if verify_hash64 and verify == "shingles":
+        # ONE shingle pass: the xxhash64'd shingle sets feed BOTH the
+        # signature/banding and the verify join from one cached frame
+        # of LONG arrays.  (The string-array form of this cache was
+        # measured and REJECTED at r9 — ~600 MB of shingle strings
+        # cost more than recomputing; hashing first shrinks the cache
+        # ~6x and flips the trade: 4.16 -> 3.62 s at 50k docs, r10
+        # interleaved, pair set bit-identical.)  array_distinct is
+        # min-invariant, so signatures match the two-pass form.
+        hs = _cache_tracked(
+            spread.select(
+                F.col(id_col).alias("id"),
+                F.expr(
+                    f"array_distinct(transform("
+                    f"{shingles_sql(text_sql, k_shingle)}, "
+                    f"__s -> xxhash64(__s)))"
+                ).alias("hs"),
+            )
+        )
+        sig = (
+            f"get(transform(array(hs), h -> "
+            f"transform(sequence(0, {n_hashes - 1}), "
+            f"i -> array_min(transform(h, x -> xxhash64(x, i))))), 0)"
+        )
+        bands_expr = (
+            f"get(transform(array({sig}), "
+            f"sg -> transform(sequence(0, {bands - 1}), "
+            f"b -> struct(b as band, "
+            f"xxhash64(slice(sg, b * {rows} + 1, {rows})) as bucket))), 0)"
+        )
+        banded = hs.select(
+            "id", F.explode(F.expr(bands_expr)).alias("bb")
+        ).select("id", "bb.band", "bb.bucket")
+        cand = _banded_candidates(
+            banded, ("band", "bucket"), max_bucket=max_bucket
+        )
+        toks = hs.select(
+            F.col("id").alias("tid"), F.col("hs").alias("toks")
+        )
+        return (
+            cand.join(toks.withColumnRenamed("tid", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+            .join(toks.withColumnRenamed("tid", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+            .withColumn("jaccard", F.round(jaccard(F.col("toks_a"), F.col("toks_b")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     # The narrow (id, band, bucket) frame is annotated + cached inside
     # _banded_candidates, so the n_hashes×shingles signature is
     # evaluated exactly once (cold fill) — no cache here.  The banding
