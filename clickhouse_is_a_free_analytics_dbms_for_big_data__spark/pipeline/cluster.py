@@ -131,6 +131,7 @@ def shingle_blocked_pairs(
     shingles_col: Column,
     threshold: float = 0.7,
     max_block: int | None = None,
+    hash64: bool = False,
 ) -> DataFrame:
     """Exact-recall near-dup candidates via PREFIX-FILTERED shingle
     inverted index (AllPairs/SSJoin prefix filtering — Bayardo et al.
@@ -160,14 +161,25 @@ def shingle_blocked_pairs(
     (tok); block sizes are bounded by prefix membership, not raw
     shingle frequency.
 
+    ``hash64`` runs the whole index on ``xxhash64(shingle)`` longs —
+    the checkpointed arrays, the frequency shuffle, the join-back and
+    the candidate self-join all carry 8-byte keys instead of ~50-char
+    strings.  Prefix filtering stays EXACT under any fixed total
+    order of tokens (Bayardo WWW 2007 requires only a consistent
+    ordering; frequency-ascending is a block-size heuristic), and the
+    verify Jaccard is unchanged absent 64-bit collisions.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
     to 6 digits.
     """
     from pyspark.sql import Window
 
+    sh = F.array_distinct(shingles_col)
+    if hash64:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
     base = df.select(
         F.col(id_col).alias("nid"),
-        F.array_distinct(shingles_col).alias("sh"),
+        sh.alias("sh"),
     ).localCheckpoint(eager=True)
     posting = base.select(
         "nid", F.size("sh").alias("sz"), F.explode("sh").alias("tok")

@@ -678,7 +678,10 @@ def pl_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = CL.shingle_blocked_pairs(
-        win, "nid", TXT.shingles(F.col("text"), 5), threshold=0.7
+        win, "nid", TXT.shingles(F.col("text"), 5), threshold=0.7,
+        # 8-byte posting keys (measured r10: 1.76 -> 1.56 s at 4k docs
+        # x 800-shingle windows, pair set bit-identical)
+        hash64=True,
     )
     return CL.dup_clusters(pairs).orderBy("cluster_root")
 
