@@ -88,3 +88,59 @@ def window_funnel(
         .groupBy(key)
         .agg(F.max("__lvl").cast("int").alias("level"))
     )
+
+
+def window_funnel_strict_order(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    event_col: str,
+    stages: Sequence[str],
+    window_seconds: int,
+) -> DataFrame:
+    """windowFunnel 'strict_order' mode: interleaving events break the
+    chain — stage i+1 must be the IMMEDIATELY NEXT event in the key's
+    timeline (ClickHouse windowFunnel('strict_order')).
+
+    That consecutiveness makes the windowed-ASOF composition
+    unnecessary: per key, sort events once and check the next
+    ``len(stages)-1`` events with ``lead()`` — the chain for a start
+    at position p is exactly events p, p+1, ..., so the level is the
+    longest matching prefix of leads within the window.  ONE
+    shuffle+sort total (the window), then a per-key max.
+
+    Keys with no stage-1 event are absent (same contract as
+    ``window_funnel``).  Ties: equal-ts events order by event value
+    (deterministic, documented — the reference's order within equal
+    timestamps is insertion order, which a distributed sort cannot
+    reproduce)."""
+    from pyspark.sql import Window
+
+    stages = list(stages)
+    if len(stages) < 2:
+        raise ValueError("window_funnel_strict_order needs at least 2 stages")
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts_col).asc_nulls_last(), F.col(event_col)
+    )
+    cur = df.select(key, ts_col, event_col)
+    for j in range(1, len(stages)):
+        cur = cur.withColumn(f"__e{j}", F.lead(event_col, j).over(w))
+        cur = cur.withColumn(f"__t{j}", F.lead(ts_col, j).over(w))
+    deadline = F.col(ts_col) + F.expr(
+        f"INTERVAL {int(window_seconds)} SECONDS"
+    )
+    level = F.lit(1)
+    ok = F.lit(True)
+    for j, st in enumerate(stages[1:], start=1):
+        ok = ok & (
+            (F.col(f"__e{j}") == st)
+            & F.col(f"__t{j}").isNotNull()
+            & (F.col(f"__t{j}") <= deadline)
+        )
+        level = level + F.when(ok, 1).otherwise(0)
+    return (
+        cur.filter(F.col(event_col) == stages[0])
+        .withColumn("__lvl", level)
+        .groupBy(key)
+        .agg(F.max("__lvl").cast("int").alias("level"))
+    )

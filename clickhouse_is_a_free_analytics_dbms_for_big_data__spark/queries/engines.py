@@ -674,6 +674,55 @@ def funnel_window_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_strict_order",
+    # oracle replicates the consecutiveness contract directly with
+    # LEAD(): stage i+1 must be the immediately next event in the
+    # user's (ts, event_type)-ordered timeline, inside the 7-day window
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               LEAD(event_type, 1) OVER w AS e1, LEAD(ts, 1) OVER w AS t1,
+               LEAD(event_type, 2) OVER w AS e2, LEAD(ts, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ), lv AS (
+        SELECT user_id,
+               1 + CASE WHEN e1 = 'click' AND t1 <= ts + INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END
+                 + CASE WHEN e1 = 'click' AND t1 <= ts + INTERVAL 7 DAY
+                             AND e2 = 'purchase'
+                             AND t2 <= ts + INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END AS level
+        FROM seq WHERE event_type = 'signup'
+    ), mx AS (
+        SELECT user_id, CAST(MAX(level) AS INTEGER) AS level
+        FROM lv GROUP BY user_id
+    )
+    SELECT level, COUNT(*) AS users FROM mx GROUP BY level ORDER BY level
+    """,
+    doc="windowFunnel strict_order mode: interleaving events break the "
+    "chain (stage i+1 must be the IMMEDIATELY next event on the key's "
+    "timeline) — consecutiveness reduces the operator to lead() checks "
+    "over ONE per-key window sort, no ASOF chain at all "
+    "(operators/funnel.py window_funnel_strict_order).",
+    tags=("funnel",),
+)
+def funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import window_funnel_strict_order
+
+    (ev,) = _t(spark, sf_dir, "events")
+    per_user = window_funnel_strict_order(
+        ev, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"], 7 * 86400,
+    )
+    return (
+        per_user.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("level")
+    )
+
+
+@query(
     "funnel_strict_increase",
     # oracle chains DuckDB forward ASOF joins with STRICT inequalities
     # (p.ts < b.ts): equal-timestamp events never chain

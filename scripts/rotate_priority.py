@@ -43,6 +43,7 @@ PIN: tuple[str, ...] = (
     # 3-round sweep contract (48 stale + pins > the 50-slot window).
     "mt_low_cardinality_append",
     "funnel_strict_increase",
+    "funnel_strict_order",
     "asof_join_bucketed",
     "hits_q13_stored",
     "hits_q17_stored",

@@ -282,6 +282,37 @@ def test_window_funnel_strict_increase(spark):
     assert strict == {1: 1, 2: 3}
 
 
+def test_window_funnel_strict_order(spark):
+    """strict_order: an interleaving foreign event breaks the chain —
+    stage i+1 must be the IMMEDIATELY next event on the key's
+    timeline; a later clean start can still score."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.funnel import (
+        window_funnel_strict_order,
+    )
+
+    rows = [
+        # k=1: a -> b -> c consecutive -> 3
+        (1, _t(0), "a"), (1, _t(1), "b"), (1, _t(2), "c"),
+        # k=2: 'x' interleaves between a and b -> 1
+        (2, _t(0), "a"), (2, _t(1), "x"), (2, _t(2), "b"), (2, _t(3), "c"),
+        # k=3: first start broken by x, SECOND start is clean -> 3
+        (3, _t(0), "a"), (3, _t(1), "x"),
+        (3, _t(10), "a"), (3, _t(11), "b"), (3, _t(12), "c"),
+        # k=4: chain consecutive but c outside the window -> 2
+        (4, _t(0), "a"), (4, _t(5), "b"), (4, _t(500), "c"),
+        # k=5: no stage-1 at all -> absent
+        (5, _t(0), "b"), (5, _t(1), "c"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, e string")
+    got = {
+        r.k: r.level
+        for r in window_funnel_strict_order(
+            df, "k", "ts", "e", ["a", "b", "c"], 100
+        ).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 3, 4: 2}
+
+
 def test_window_funnel_greedy_earliest_next(spark):
     # greedy takes the EARLIEST next stage; a later b would also work
     # but greedy must not lose the c that follows only the later b...
