@@ -38,6 +38,7 @@ def window_funnel(
     window_seconds: int,
     split_bucket: float | None = None,
     strict_increase: bool = False,
+    strict_dedup: bool = False,
 ) -> DataFrame:
     """Per-key max funnel level (1..len(stages)); keys with no stage-1
     event are absent.  Chains allow equal timestamps between
@@ -47,6 +48,16 @@ def window_funnel(
     ``strict_increase`` requires strictly increasing chain timestamps
     (ts_i < ts_{i+1}) — ClickHouse windowFunnel's strict_increase
     mode; greedy earliest-strictly-later stays optimal per start.
+
+    ``strict_dedup`` (CH windowFunnel 'strict_dedup'): while searching
+    for stage i+1 from ts_i, a REPEAT of any already-matched stage
+    (1..i) occurring strictly after ts_i and strictly before the
+    stage-(i+1) candidate interrupts the chain at level i.  One extra
+    strict forward ASOF per (step, earlier stage) — O(stages²) narrow
+    passes, each over (key, ts) projections only.  Ties: a duplicate
+    AT the candidate's exact timestamp does not interrupt (documented;
+    the reference's tie behavior is insertion-order-dependent, which a
+    distributed sort cannot reproduce).
 
     ``split_bucket`` threads the ASOF hot-key pre-split (seconds per
     time bucket) through every stage join, so one key's event history
@@ -73,7 +84,37 @@ def window_funnel(
             probe, build, [key], "__ts", [f"ts{i}"],
             direction="forward", split_bucket=split_bucket,
             allow_exact_matches=not strict_increase,
-        ).drop("__ts")
+        )
+        if strict_dedup:
+            # earliest repeat of each already-matched stage strictly
+            # after the probe point; the chain survives only when the
+            # stage-i candidate comes no later than every repeat
+            dup_cols = []
+            for j in range(1, i):
+                dcol = f"__dup{i}_{j}"
+                dup_cols.append(dcol)
+                dup_build = df.filter(
+                    F.col(event_col) == stages[j - 1]
+                ).select(
+                    F.col(key).alias(key),
+                    F.col(ts_col).alias("__ts"),
+                    F.col(ts_col).alias(dcol),
+                )
+                cur = asof_join(
+                    cur, dup_build, [key], "__ts", [dcol],
+                    direction="forward", split_bucket=split_bucket,
+                    allow_exact_matches=False,
+                )
+            broke = F.coalesce(
+                F.least(*dup_cols) < F.col(f"ts{i}")
+                if len(dup_cols) > 1
+                else F.col(dup_cols[0]) < F.col(f"ts{i}"),
+                F.lit(False),
+            )
+            cur = cur.withColumn(
+                f"ts{i}", F.when(~broke, F.col(f"ts{i}"))
+            ).drop(*dup_cols)
+        cur = cur.drop("__ts")
     # level = longest prefix within window; the per-stage indicator is
     # prefix-monotone because chained timestamps are non-decreasing
     deadline = F.col("ts1") + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")

@@ -674,6 +674,95 @@ def funnel_window_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_strict_dedup",
+    # oracle mirrors the construction: per chain step, a strict forward
+    # ASOF to the earliest repeat of each already-matched stage; the
+    # candidate survives only when no repeat lands strictly before it
+    """
+    WITH s1 AS (
+        SELECT user_id, ts AS ts1 FROM events WHERE event_type = 'signup'
+    ), c AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ), pr AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), sdup AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'signup'
+    ), j2 AS (
+        SELECT s1.user_id, ts1, c.ts AS ts2r
+        FROM s1 ASOF LEFT JOIN c
+          ON s1.user_id = c.user_id AND s1.ts1 <= c.ts
+    ), d2 AS (
+        SELECT j2.user_id, ts1, ts2r, sdup.ts AS dup1
+        FROM j2 ASOF LEFT JOIN sdup
+          ON j2.user_id = sdup.user_id AND j2.ts1 < sdup.ts
+    ), v2 AS (
+        SELECT user_id, ts1,
+               CASE WHEN ts2r IS NOT NULL
+                         AND NOT COALESCE(dup1 < ts2r, FALSE)
+                    THEN ts2r END AS ts2
+        FROM d2
+    ), p2 AS (
+        SELECT user_id, ts1, ts2,
+               COALESCE(ts2, TIMESTAMP '9999-01-01') AS probe2
+        FROM v2
+    ), j3 AS (
+        SELECT p2.user_id, ts1, ts2, probe2, pr.ts AS ts3r
+        FROM p2 ASOF LEFT JOIN pr
+          ON p2.user_id = pr.user_id AND p2.probe2 <= pr.ts
+    ), d31 AS (
+        SELECT j3.user_id, ts1, ts2, probe2, ts3r, sdup.ts AS dup31
+        FROM j3 ASOF LEFT JOIN sdup
+          ON j3.user_id = sdup.user_id AND j3.probe2 < sdup.ts
+    ), d32 AS (
+        SELECT d31.user_id, ts1, ts2, ts3r, dup31, c2.ts AS dup32
+        FROM d31 ASOF LEFT JOIN c AS c2
+          ON d31.user_id = c2.user_id AND d31.probe2 < c2.ts
+    ), v3 AS (
+        SELECT user_id, ts1, ts2,
+               CASE WHEN ts3r IS NOT NULL
+                         AND NOT COALESCE(dup31 < ts3r, FALSE)
+                         AND NOT COALESCE(dup32 < ts3r, FALSE)
+                    THEN ts3r END AS ts3
+        FROM d32
+    ), lv AS (
+        SELECT user_id,
+               1 + CASE WHEN ts2 IS NOT NULL
+                             AND ts2 <= ts1 + INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END
+                 + CASE WHEN ts3 IS NOT NULL
+                             AND ts3 <= ts1 + INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END AS level
+        FROM v3
+    ), mx AS (
+        SELECT user_id, CAST(MAX(level) AS INTEGER) AS level
+        FROM lv GROUP BY user_id
+    )
+    SELECT level, COUNT(*) AS users FROM mx GROUP BY level ORDER BY level
+    """,
+    doc="windowFunnel strict_dedup mode: a repeat of an already-matched "
+    "stage strictly between ts_i and the next-stage candidate "
+    "interrupts the chain (ClickHouse windowFunnel('strict_dedup')); "
+    "one extra strict forward ASOF per (step, earlier stage) — "
+    "O(stages²) narrow (key, ts) passes (operators/funnel.py).",
+    tags=("funnel", "asof"),
+)
+def funnel_strict_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import window_funnel
+
+    (ev,) = _t(spark, sf_dir, "events")
+    per_user = window_funnel(
+        ev, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"], 7 * 86400,
+        strict_dedup=True,
+    )
+    return (
+        per_user.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("level")
+    )
+
+
+@query(
     "funnel_strict_order",
     # oracle replicates the consecutiveness contract directly with
     # LEAD(): stage i+1 must be the immediately next event in the

@@ -44,6 +44,7 @@ PIN: tuple[str, ...] = (
     "mt_low_cardinality_append",
     "funnel_strict_increase",
     "funnel_strict_order",
+    "funnel_strict_dedup",
     "asof_join_bucketed",
     "hits_q13_stored",
     "hits_q17_stored",

@@ -282,6 +282,36 @@ def test_window_funnel_strict_increase(spark):
     assert strict == {1: 1, 2: 3}
 
 
+def test_window_funnel_strict_dedup(spark):
+    """strict_dedup: a repeat of an already-matched stage strictly
+    between ts_i and the next-stage candidate interrupts the chain."""
+    rows = [
+        # k=1: a -> b, REPEATED b before c (not a chain start) -> 2
+        (1, _t(0), "a"), (1, _t(5), "b"), (1, _t(8), "b"), (1, _t(10), "c"),
+        # k=2: a -> b, then a repeat of 'a' before c — but that repeat
+        # is itself a start whose own b-search hits... no later b ->
+        # interrupted chain caps at 2, repeat-start caps at 1 -> 2
+        (2, _t(0), "a"), (2, _t(10), "b"), (2, _t(15), "a"), (2, _t(20), "c"),
+        # k=3: clean chain; a repeat only AFTER completion -> 3
+        (3, _t(0), "a"), (3, _t(10), "b"), (3, _t(20), "c"), (3, _t(30), "a"),
+    ]
+    got = dict(_funnel(spark, rows).items())
+    # default mode: repeats don't interrupt
+    assert got == {1: 3, 2: 3, 3: 3}
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.funnel import (
+        window_funnel,
+    )
+
+    df = spark.createDataFrame(rows, "k long, ts timestamp, e string")
+    strict = {
+        r.k: r.level
+        for r in window_funnel(
+            df, "k", "ts", "e", ["a", "b", "c"], 100, strict_dedup=True
+        ).collect()
+    }
+    assert strict == {1: 2, 2: 2, 3: 3}
+
+
 def test_window_funnel_strict_order(spark):
     """strict_order: an interleaving foreign event breaks the chain —
     stage i+1 must be the IMMEDIATELY next event on the key's
