@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .asof import asof_join
@@ -184,4 +184,34 @@ def window_funnel_strict_order(
         .withColumn("__lvl", level)
         .groupBy(key)
         .agg(F.max("__lvl").cast("int").alias("level"))
+    )
+
+
+def retention(
+    df: DataFrame,
+    key: str,
+    conds: Sequence[Column],
+) -> DataFrame:
+    """ClickHouse ``retention(cond1, ..., condN)``: per key, an array
+    of 0/1 flags where ``r[0]`` = some event satisfied cond1 and
+    ``r[i]`` = cond1 AND cond_{i+1} were both satisfied (by any events
+    of the key — the classic day-0/day-N cohort-retention aggregate).
+
+    Spark-first: one groupBy with ``max(cond)`` per condition and an
+    ``array()`` projection — a single partial+final agg shuffle, no
+    windows, no joins."""
+    conds = list(conds)
+    if not conds:
+        raise ValueError("retention needs at least one condition")
+    aggs = [
+        F.max(c.cast("int")).alias(f"__c{i}") for i, c in enumerate(conds)
+    ]
+    grouped = df.groupBy(key).agg(*aggs)
+    first = F.coalesce(F.col("__c0"), F.lit(0))
+    flags = [first] + [
+        first * F.coalesce(F.col(f"__c{i}"), F.lit(0))
+        for i in range(1, len(conds))
+    ]
+    return grouped.select(
+        key, F.array(*flags).alias("r")
     )

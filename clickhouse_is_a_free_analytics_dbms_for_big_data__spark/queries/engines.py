@@ -674,6 +674,46 @@ def funnel_window_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "retention_cohort",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c0,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(c0) AS BIGINT) AS r1,
+           CAST(SUM(c0 * c1) AS BIGINT) AS r2,
+           CAST(SUM(c0 * c2) AS BIGINT) AS r3
+    FROM per_user
+    """,
+    doc="retention(cond1..condN) cohort aggregate: r[0] = cond1 held "
+    "for the key, r[i] = cond1 AND cond_{i+1} both held — ONE "
+    "partial+final agg shuffle, no windows or joins "
+    "(operators/funnel.py retention).",
+    tags=("funnel",),
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import retention
+
+    (ev,) = _t(spark, sf_dir, "events")
+    r = retention(
+        ev, "user_id",
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+    )
+    return r.agg(
+        F.sum(F.col("r")[0]).cast("bigint").alias("r1"),
+        F.sum(F.col("r")[1]).cast("bigint").alias("r2"),
+        F.sum(F.col("r")[2]).cast("bigint").alias("r3"),
+    )
+
+
+@query(
     "funnel_strict_dedup",
     # oracle mirrors the construction: per chain step, a strict forward
     # ASOF to the earliest repeat of each already-matched stage; the

@@ -45,6 +45,7 @@ PIN: tuple[str, ...] = (
     "funnel_strict_increase",
     "funnel_strict_order",
     "funnel_strict_dedup",
+    "retention_cohort",
     "asof_join_bucketed",
     "hits_q13_stored",
     "hits_q17_stored",

@@ -352,3 +352,27 @@ def test_window_funnel_greedy_earliest_next(spark):
         (8, _t(90), "c"),
     ]
     assert _funnel(spark, rows) == {8: 3}
+
+
+def test_retention_cohort(spark):
+    """retention(cond1..condN): r[0] = cond1 held; r[i] = cond1 AND
+    cond_{i+1} both held (any events of the key)."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.funnel import (
+        retention,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a"), (1, "b"),            # cond1+cond2 -> [1,1,0]
+        (2, "b"), (2, "c"),            # no cond1 -> [0,0,0]
+        (3, "a"), (3, "c"), (3, "c"),  # cond1+cond3 -> [1,0,1]
+    ]
+    df = spark.createDataFrame(rows, "k long, e string")
+    got = {
+        r.k: list(r.r)
+        for r in retention(
+            df, "k",
+            [F.col("e") == "a", F.col("e") == "b", F.col("e") == "c"],
+        ).collect()
+    }
+    assert got == {1: [1, 1, 0], 2: [0, 0, 0], 3: [1, 0, 1]}
