@@ -102,7 +102,15 @@ def write_mergetree(
     spark = df.sparkSession
     dicts: dict[str, DataFrame] = {}
     for col in low_cardinality:
-        vocab = df.select(F.col(col).alias("__lc_value")).distinct()
+        # NULL never joins the encode equality, so it encodes to a NULL
+        # code and decodes back to NULL without a dict entry — keep it
+        # out of the vocab (an append would otherwise add a fresh
+        # NULL-value row per insert)
+        vocab = (
+            df.select(F.col(col).alias("__lc_value"))
+            .filter(F.col("__lc_value").isNotNull())
+            .distinct()
+        )
         # vocab-sized global window: the dictionary is RAM-resident in
         # the reference too; a 100 TB corpus with a genuinely-low-
         # cardinality column keeps this tiny.  Materialize BEFORE the

@@ -294,3 +294,35 @@ def test_optimize_table_preserves_lc_dicts_and_partitions(spark, tmp_path):
     got = sorted((r.k, r.v, r.s)
                  for r in read_mergetree(spark, path).collect())
     assert got == [(1, 2, "y"), (2, 1, "z")]
+
+
+def test_low_cardinality_null_values_roundtrip(spark, tmp_path):
+    """NULLs in an LC column encode to NULL codes (no dict entry) and
+    decode back to NULL; appends don't grow the dict with NULL rows."""
+    import os
+
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.mergetree import (
+        read_mergetree,
+        write_mergetree,
+    )
+
+    batch = spark.createDataFrame(
+        [("2024-03-01", 1, "x"), ("2024-03-02", 2, None)],
+        "d string, k long, s string",
+    ).selectExpr("CAST(d AS DATE) AS d", "k", "s")
+    path = os.path.join(str(tmp_path), "lc_null")
+    write_mergetree(batch, path, "d", ["k"], mode="overwrite",
+                    low_cardinality=["s"])
+    more = spark.createDataFrame(
+        [("2024-04-01", 3, None), ("2024-04-02", 4, "y")],
+        "d string, k long, s string",
+    ).selectExpr("CAST(d AS DATE) AS d", "k", "s")
+    write_mergetree(more, path, "d", ["k"], mode="append",
+                    low_cardinality=["s"])
+    d = spark.read.parquet(os.path.join(path, "__lc__", "s"))
+    assert d.count() == 2  # only 'x' and 'y' — no NULL rows ever
+    got = sorted(
+        ((r.k, r.s) for r in read_mergetree(spark, path).collect()),
+        key=lambda t: t[0],
+    )
+    assert got == [(1, "x"), (2, None), (3, None), (4, "y")]
