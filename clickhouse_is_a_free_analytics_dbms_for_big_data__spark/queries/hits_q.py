@@ -1021,6 +1021,26 @@ _HITS_STORE_VERSION = 3  # v3: cpu-wide PK-salted parts per month (scan width)
 _STORE_READY: set[str] = set()
 
 
+def _dir_max_mtime(path: str) -> int:
+    """Newest file mtime (integer seconds) under ``path`` — part of the
+    store rebuild fingerprint so a regenerated source of identical byte
+    size still triggers a rebuild."""
+    import os
+
+    if os.path.isfile(path):
+        return int(os.path.getmtime(path))
+    newest = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                newest = max(
+                    newest, int(os.path.getmtime(os.path.join(root, f)))
+                )
+            except OSError:
+                pass
+    return newest
+
+
 def _hits_store_path(sf_dir: str) -> str:
     import os
 
@@ -1046,9 +1066,13 @@ def ensure_hits_stored(spark: SparkSession, sf_dir: str) -> str:
     if path in _STORE_READY:
         return path
     meta_p = os.path.join(path, "_HITS_STORE_META")
+    src = os.path.join(sf_dir, "events.parquet")
+    # size alone can collide when the source is REGENERATED at the same
+    # byte size; the newest mtime under the source dir catches that
     sig = [
         _HITS_STORE_VERSION,
-        dir_size_bytes(os.path.join(sf_dir, "events.parquet")),
+        dir_size_bytes(src),
+        _dir_max_mtime(src),
     ]
     try:
         with open(meta_p) as fh:
@@ -1076,6 +1100,13 @@ def ensure_hits_stored(spark: SparkSession, sf_dir: str) -> str:
     with open(os.path.join(staging, "_HITS_STORE_META"), "w") as fh:
         json.dump(sig, fh)
     _atomic_publish(staging, path)
+    # the table was rebuilt: drop the memoized base DataFrame (and any
+    # collected LC maps for the old table) so this session's readers
+    # pick up the new files, not a stale plan
+    _STORED_DF.pop(path, None)
+    from ..sources.mergetree import _evict_lc_cache
+
+    _evict_lc_cache(path)
     _STORE_READY.add(path)
     return path
 

@@ -160,6 +160,17 @@ def write_mergetree(
             dict_df.write.mode("overwrite").parquet(_lc_dict_path(path, col))
     fmt = {"month": "yyyyMM", "day": "yyyyMMdd"}[partition_granularity]
     out = df.withColumn("_partition", F.date_format(F.col(date_col), fmt))
+    # Overwrite with LC columns builds in a STAGING dir and publishes
+    # with a rename swap: writing data straight to ``path`` (overwrite
+    # clears it) and dictionaries after would leave a crash window
+    # where the table reads back raw int codes with no dict — silently
+    # wrong values.  With the swap, a crash leaves either the old
+    # table intact or (in the instant between renames) no table at
+    # all — a loud error, never codes.
+    target = path
+    publish = mode != "append" and bool(dicts)
+    if publish:
+        target = path.rstrip("/") + ".__lc_staging__"
     # ``parts_per_partition`` > 1 writes several PK-sorted files per
     # month — the analog of multiple parts within a MergeTree
     # partition.  One file per month serializes downstream scans when
@@ -178,14 +189,27 @@ def write_mergetree(
     (
         out.repartition(*part_cols)
         .sortWithinPartitions(*order_by)
-        .write.mode(mode)
+        .write.mode("overwrite" if publish else mode)
         .partitionBy("_partition")
-        .parquet(path)
+        .parquet(target)
     )
-    if mode != "append":
-        # overwrite clears path, so dictionaries land AFTER the data
+    if publish:
         for col, dict_df in dicts.items():
-            dict_df.write.mode("overwrite").parquet(_lc_dict_path(path, col))
+            dict_df.write.mode("overwrite").parquet(
+                _lc_dict_path(target, col)
+            )
+        jP = spark._jvm.org.apache.hadoop.fs.Path
+        fs, tbl_path = _hadoop_fs(spark, path)
+        backup = jP(path.rstrip("/") + ".__lc_old__")
+        fs.delete(backup, True)
+        if fs.exists(tbl_path):
+            fs.rename(tbl_path, backup)
+        fs.rename(jP(target), tbl_path)
+        fs.delete(backup, True)
+    # a write changed (or may have changed) this table's dictionaries:
+    # drop any memoized collected maps so a same-session reader never
+    # decodes new codes through a stale map (to NULL, silently)
+    _evict_lc_cache(path)
 
 
 def _read_lc_dict(spark: SparkSession, path: str, col: str) -> DataFrame:
@@ -200,6 +224,15 @@ def _read_lc_dict(spark: SparkSession, path: str, col: str) -> DataFrame:
 
 
 _LC_MAP_CACHE: dict[tuple[str, str], dict[int, str]] = {}
+
+
+def _evict_lc_cache(path: str) -> None:
+    """Drop every memoized LC dictionary map for ``path`` — called by
+    writers (write_mergetree, optimize_table) so appends/overwrites in
+    one session never decode through a stale map."""
+    norm = path.rstrip("/")
+    for key in [k for k in _LC_MAP_CACHE if k[0].rstrip("/") == norm]:
+        del _LC_MAP_CACHE[key]
 
 
 def lc_dict_map(
@@ -586,3 +619,4 @@ def optimize_table(
     shutil.move(path, backup)
     shutil.move(staging, path)
     shutil.rmtree(backup)
+    _evict_lc_cache(path)

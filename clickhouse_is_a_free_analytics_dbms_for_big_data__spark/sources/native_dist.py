@@ -70,8 +70,8 @@ def _first_block(path: str) -> bytes:
                 return head[off:off + ln]
         except IndexError:
             pass
-        if len(head) < size:  # whole file read, still no block => raise
-            return head
+        if len(head) < size:  # whole file read, still no complete block
+            raise ValueError(f"no complete Native block in {path!r}")
         size *= 2
 
 
@@ -127,15 +127,26 @@ def read_native_dist(
     src: str,
     split_blocks: bool = False,
     lineage: bool = False,
+    decode_partitions: int | None = None,
 ) -> DataFrame:
     """A FORMAT Native dump (file or directory of files) as a
     DataFrame, decoded in EXECUTORS (Arrow ``mapInPandas``); the
-    driver reads only the first block (schema) and, with
-    ``split_blocks``, the span list.
+    driver reads only the first block of one file (schema discovery).
+    With ``split_blocks`` the block-span index flows scan -> shuffle ->
+    decode entirely as a DataFrame — a 100 TB dump's block list never
+    lives on the driver (the reference streams blocks too,
+    DataStreams/NativeBlockInputStream.h — no materialized index).
+
+    Every block re-states names/types; the decode verifies each
+    block's header against the discovered schema and raises on
+    mismatch, so a mixed-schema directory fails loudly instead of
+    misattributing values.
 
     ``lineage`` adds ``_file``/``_block``/``_row_in_block`` columns —
     enough to reproduce the dump's exact row order and block structure
     (deterministic replay / byte-identical re-render).
+    ``decode_partitions`` sizes the decode stage for ``split_blocks``
+    (default: the session's defaultParallelism).
     """
     paths = _list_native_files(spark, src)
     if not paths:
@@ -143,6 +154,14 @@ def read_native_dist(
     names, ch_types, ddl, convs = _schema_of(paths[0])
     out_ddl = ddl + (", " + _LINEAGE_DDL if lineage else "")
     want_lineage = lineage
+
+    def check_block(bn, bt, p):
+        if list(bn) != list(names) or list(bt) != list(ch_types):
+            raise ValueError(
+                f"Native block in {p!r} declares schema "
+                f"{list(zip(bn, bt))}, expected "
+                f"{list(zip(names, ch_types))}"
+            )
 
     if split_blocks:
         # stage 1: block-boundary scan, executor-side, one task/file
@@ -165,10 +184,10 @@ def read_native_dist(
         files_df = spark.createDataFrame(
             [(p,) for p in paths], "path string"
         ).repartition(len(paths))
-        spans = files_df.mapInPandas(
+        spans_df = files_df.mapInPandas(
             scan_iter,
             "path string, block long, offset long, length long, n_rows long",
-        ).collect()  # metadata only: one tiny row per block
+        )
 
         def decode_span_iter(batches):
             for pdf in batches:
@@ -176,34 +195,39 @@ def read_native_dist(
                     pdf["path"], pdf["block"], pdf["offset"], pdf["length"]
                 ):
                     data = _read_range(p, int(off), int(ln))
-                    _n, _t, rows = parse_native(data)
+                    bn, bt, rows = parse_native(data)
+                    check_block(bn, bt, p)
                     yield _rows_to_pdf(
                         names, convs, ch_types, rows,
                         (p, int(blk)) if want_lineage else None,
                     )
 
-        spans_df = spark.createDataFrame(
-            [(s.path, s.block, s.offset, s.length) for s in spans],
-            "path string, block long, offset long, length long",
-        ).repartition(max(len(spans), 1))
-        return spans_df.mapInPandas(decode_span_iter, out_ddl)
+        # span rows shuffle straight into the decode stage — a plain
+        # hash repartition on (path, block); no count job, no driver
+        # materialization (the span index stays distributed end-to-end)
+        width = decode_partitions or spark.sparkContext.defaultParallelism
+        return spans_df.repartition(width, "path", "block").mapInPandas(
+            decode_span_iter, out_ddl
+        )
 
     # per-file parallelism: binaryFile scan feeds the decode directly
     def decode_file_iter(batches):
         for pdf in batches:
             for p, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
-                if want_lineage:
-                    for i, (off, ln, _nr) in enumerate(
-                        scan_native_blocks(data)
-                    ):
-                        _n, _t, rows = parse_native(data[off:off + ln])
-                        yield _rows_to_pdf(
-                            names, convs, ch_types, rows, (p, i)
-                        )
-                else:
-                    _n, _t, rows = parse_native(data)
-                    yield _rows_to_pdf(names, convs, ch_types, rows, None)
+                # per-block decode in both modes: every block re-states
+                # names/types, and check_block validates each one (a
+                # whole-file parse_native would surface only the first
+                # block's header)
+                for i, (off, ln, _nr) in enumerate(
+                    scan_native_blocks(data)
+                ):
+                    bn, bt, rows = parse_native(data[off:off + ln])
+                    check_block(bn, bt, p)
+                    yield _rows_to_pdf(
+                        names, convs, ch_types, rows,
+                        (p, i) if want_lineage else None,
+                    )
 
     files = (
         spark.read.format("binaryFile")

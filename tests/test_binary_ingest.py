@@ -341,3 +341,64 @@ def test_insert_native_mergetree_parts(eng):
         "SELECT count() FROM system.parts "
         "WHERE table = 'nat_mt' AND active",
     ) == "1"
+
+
+def test_read_native_dist_no_driver_span_collect(eng, tmp_path):
+    """split_blocks keeps the block-span index DISTRIBUTED: building
+    the DataFrame performs no driver collect (the span list of a
+    100 TB dump must never materialize on the driver — the reference
+    streams blocks, NativeBlockInputStream.h), and the plan carries
+    scan -> exchange -> decode with both stages as MapInPandas."""
+    from pyspark.sql import DataFrame
+
+    rows = [(i, f"s{i}", [i], i * 1.0) for i in range(9)]
+    p = tmp_path / "big.native"
+    p.write_bytes(_multi_block_dump(rows, [3, 3, 3]))
+
+    calls = []
+    orig = DataFrame.collect
+    DataFrame.collect = lambda self: (calls.append(1), orig(self))[1]
+    try:
+        df = eng.read_native_dir(str(p), split_blocks=True)
+        assert calls == [], "read_native_dist collected during plan build"
+    finally:
+        DataFrame.collect = orig
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2  # span scan + decode stages
+    assert "Exchange" in plan  # spans shuffle straight into the decode
+    got = sorted((r.k, r.s, tuple(r.arr), r.f) for r in df.collect())
+    assert got == sorted((k, s, tuple(a), f) for k, s, a, f in rows)
+
+
+def test_read_native_dist_truncated_file_raises(eng, tmp_path):
+    """A file with no complete block fails schema discovery with a
+    clear error, not a downstream IndexError."""
+    full = _multi_block_dump([(1, "x", [1], 0.5)], [1])
+    p = tmp_path / "trunc.native"
+    p.write_bytes(full[: len(full) - 3])
+    with pytest.raises(ValueError, match="no complete Native block"):
+        eng.read_native_dir(str(p))
+
+
+def test_read_native_dist_schema_mismatch_raises(eng, tmp_path):
+    """Every block re-states names/types; a directory mixing files
+    with different column order fails LOUDLY at decode instead of
+    silently misattributing values via the first file's schema."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.formats import (
+        _render_native,
+    )
+
+    d = tmp_path / "mixdump"
+    d.mkdir()
+    (d / "a.native").write_bytes(
+        _render_native([(1, "x")], ["k", "s"], [None] * 2,
+                       ["UInt32", "String"]
+                       ).encode("utf-8", "surrogateescape"))
+    (d / "b.native").write_bytes(
+        _render_native([("y", 2)], ["s", "k"], [None] * 2,
+                       ["String", "UInt32"]
+                       ).encode("utf-8", "surrogateescape"))
+    for split in (False, True):
+        df = eng.read_native_dir(str(d), split_blocks=split)
+        with pytest.raises(Exception, match="declares schema"):
+            df.collect()

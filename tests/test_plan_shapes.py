@@ -407,3 +407,33 @@ def test_stored_hits_q13_decodes_as_projection(spark):
     assert "Join" not in plan
     # formatted explain lists each node once in the detail section
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_stored_hits_rebuild_fingerprint_tracks_source_mtime(spark, tmp_path):
+    """The store's rebuild signature includes the source's newest
+    mtime, so a REGENERATED events.parquet of identical byte size
+    still triggers a rebuild in a fresh process (the in-process memo
+    is intentionally free; this guards the on-disk marker)."""
+    import json
+    import os
+    import shutil
+
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.queries import (
+        hits_q,
+    )
+
+    src = os.path.join(str(tmp_path), "sfx")
+    os.makedirs(src)
+    ev = os.path.join(src, "events.parquet")
+    shutil.copy2("/root/testdata/sf0.001/events.parquet", ev)
+    path = hits_q.ensure_hits_stored(spark, src)
+    meta1 = json.load(open(os.path.join(path, "_HITS_STORE_META")))
+    # simulate source regeneration at the same byte size: bump mtime
+    st = os.stat(ev)
+    os.utime(ev, (st.st_atime + 5, st.st_mtime + 5))
+    # new process = empty memo
+    hits_q._STORE_READY.discard(path)
+    path2 = hits_q.ensure_hits_stored(spark, src)
+    meta2 = json.load(open(os.path.join(path2, "_HITS_STORE_META")))
+    assert meta1[:2] == meta2[:2]          # version + size unchanged
+    assert meta1[2] != meta2[2], "mtime change must force a rebuild"

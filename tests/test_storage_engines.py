@@ -326,3 +326,84 @@ def test_low_cardinality_null_values_roundtrip(spark, tmp_path):
         key=lambda t: t[0],
     )
     assert got == [(1, "x"), (2, None), (3, None), (4, "y")]
+
+
+def test_lc_cache_evicted_on_append(spark, tmp_path):
+    """write_mergetree evicts the memoized LC dictionary map for its
+    path, so an append's NEW values decode correctly through
+    read_mergetree in the SAME session (a stale map would decode the
+    new codes to NULL, silently)."""
+    import os
+
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.mergetree import (
+        lc_dict_map,
+        read_mergetree,
+        write_mergetree,
+    )
+
+    base = spark.createDataFrame(
+        [("2024-03-01", 1, "b")], "d string, k long, s string"
+    ).selectExpr("CAST(d AS DATE) AS d", "k", "s")
+    path = os.path.join(str(tmp_path), "lc_evict")
+    write_mergetree(base, path, "d", ["k"], mode="overwrite",
+                    low_cardinality=["s"])
+    # warm the collected-map cache (what read_mergetree's decode uses)
+    assert lc_dict_map(spark, path, "s") == {1: "b"}
+    extra = spark.createDataFrame(
+        [("2024-04-01", 2, "zz")], "d string, k long, s string"
+    ).selectExpr("CAST(d AS DATE) AS d", "k", "s")
+    write_mergetree(extra, path, "d", ["k"], mode="append",
+                    low_cardinality=["s"])
+    got = sorted((r.k, r.s) for r in read_mergetree(spark, path).collect())
+    assert got == [(1, "b"), (2, "zz")]  # NEW value visible, not NULL
+    assert lc_dict_map(spark, path, "s") == {1: "b", 2: "zz"}
+
+
+def test_lc_overwrite_crash_leaves_old_table_intact(spark, tmp_path):
+    """Overwrite-mode LC writes build in a staging dir and publish
+    with a rename swap: a crash BEFORE publish (here: injected failure
+    in the dictionary write) leaves the previous table fully readable
+    with decoded strings — never a table of raw int codes."""
+    import os
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.mergetree import (
+        read_mergetree,
+        write_mergetree,
+    )
+
+    base = spark.createDataFrame(
+        [("2024-03-01", 1, "old")], "d string, k long, s string"
+    ).selectExpr("CAST(d AS DATE) AS d", "k", "s")
+    path = os.path.join(str(tmp_path), "lc_crash")
+    write_mergetree(base, path, "d", ["k"], mode="overwrite",
+                    low_cardinality=["s"])
+    repl = spark.createDataFrame(
+        [("2024-05-01", 9, "new")], "d string, k long, s string"
+    ).selectExpr("CAST(d AS DATE) AS d", "k", "s")
+
+    orig = DataFrameWriter.parquet
+
+    def boom(self, p, **kw):
+        if "__lc__" in p:
+            raise RuntimeError("injected crash before dict publish")
+        return orig(self, p, **kw)
+
+    DataFrameWriter.parquet = boom
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            write_mergetree(repl, path, "d", ["k"], mode="overwrite",
+                            low_cardinality=["s"])
+    finally:
+        DataFrameWriter.parquet = orig
+    # old table untouched and still decodes (no torn/codes-only state)
+    got = [(r.k, r.s) for r in read_mergetree(spark, path).collect()]
+    assert got == [(1, "old")]
+    # and a retried overwrite completes and publishes the new table
+    write_mergetree(repl, path, "d", ["k"], mode="overwrite",
+                    low_cardinality=["s"])
+    got = [(r.k, r.s) for r in read_mergetree(spark, path).collect()]
+    assert got == [(9, "new")]
