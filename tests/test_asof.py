@@ -376,3 +376,175 @@ def test_retention_cohort(spark):
         ).collect()
     }
     assert got == {1: [1, 1, 0], 2: [0, 0, 0], 3: [1, 0, 1]}
+
+
+# --- brute-force property oracle for window_funnel -------------------------
+#
+# The DuckDB oracle for funnel_strict_dedup mirrors the chained-ASOF
+# construction (engines.py documents this honestly), so it proves
+# engine-equivalence but not independence of the FORMULATION.  The
+# oracle below is the independent form: a direct per-key greedy chain
+# simulation in pure Python, derived from the documented semantics
+# (window_funnel docstring; reference
+# AggregateFunctions/AggregateFunctionWindowFunnel.h semantics for the
+# mode flags), with no ASOF joins, windows, or sorting tricks.
+
+
+def _brute_funnel_level(events, stages, window,
+                        strict_increase=False, strict_dedup=False):
+    """Max funnel level for ONE key's event soup: for every stage-1
+    event, greedily take the earliest qualifying next-stage event
+    (optimal per start), applying the strict_increase (strictly later)
+    and strict_dedup (a repeat of any already-matched stage strictly
+    between the probe point and the candidate interrupts) rules, then
+    score the longest prefix within the window."""
+    best = 0
+    starts = [ts for ts, e in events if e == stages[0]]
+    for ts1 in starts:
+        chain = [ts1]
+        cur = ts1
+        for i, st in enumerate(stages[1:], start=2):
+            cands = [
+                ts for ts, e in events
+                if e == st and (ts > cur if strict_increase else ts >= cur)
+            ]
+            if not cands:
+                break
+            cand = min(cands)
+            if strict_dedup:
+                matched = set(stages[: i - 1])
+                repeats = [
+                    ts for ts, e in events
+                    if e in matched and cur < ts < cand
+                ]
+                if repeats:
+                    break
+            chain.append(cand)
+            cur = cand
+        level = 1
+        for ts in chain[1:]:
+            if ts <= ts1 + window:
+                level += 1
+            else:
+                break
+        best = max(best, level)
+    return best
+
+
+def _brute_strict_order_level(events, stages, window):
+    """strict_order mode for ONE key: sort by (ts, event); the chain
+    from a stage-1 start must be the IMMEDIATELY following events."""
+    timeline = sorted(events)
+    best = 0
+    for p, (ts1, e1) in enumerate(timeline):
+        if e1 != stages[0]:
+            continue
+        level = 1
+        for j, st in enumerate(stages[1:], start=1):
+            if p + j >= len(timeline):
+                break
+            ts, e = timeline[p + j]
+            if e != st or ts > ts1 + window:
+                break
+            level += 1
+        best = max(best, level)
+    return best
+
+
+def test_window_funnel_property_sweep_all_modes(spark):
+    """150 randomized per-key event soups (seeded), each a fixture:
+    window_funnel must equal the pure-Python greedy simulation in all
+    four (strict_increase x strict_dedup) combinations, and
+    window_funnel_strict_order must equal its timeline simulation.
+    Timestamps collide on purpose (small range) to exercise the
+    equal-ts tie rules."""
+    import random
+
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.funnel import (
+        window_funnel,
+        window_funnel_strict_order,
+    )
+
+    rng = random.Random(0xC1ACDB)
+    stages = ["a", "b", "c", "d"]
+    window = 40
+    per_key = {}
+    rows = []
+    for k in range(150):
+        n = rng.randint(1, 14)
+        evs = [
+            (rng.randint(0, 60), rng.choice("abcd"))
+            for _ in range(n)
+        ]
+        per_key[k] = evs
+        rows.extend((k, _t(ts), e) for ts, e in evs)
+    df = spark.createDataFrame(rows, "k long, ts timestamp, e string")
+
+    for si in (False, True):
+        for sd in (False, True):
+            got = {
+                r.k: r.level
+                for r in window_funnel(
+                    df, "k", "ts", "e", stages, window,
+                    strict_increase=si, strict_dedup=sd,
+                ).collect()
+            }
+            want = {
+                k: _brute_funnel_level(
+                    evs, stages, window,
+                    strict_increase=si, strict_dedup=sd,
+                )
+                for k, evs in per_key.items()
+            }
+            want = {k: v for k, v in want.items() if v > 0}
+            assert got == want, f"strict_increase={si} strict_dedup={sd}"
+
+    got = {
+        r.k: r.level
+        for r in window_funnel_strict_order(
+            df, "k", "ts", "e", stages, window
+        ).collect()
+    }
+    want = {
+        k: _brute_strict_order_level(evs, stages, window)
+        for k, evs in per_key.items()
+    }
+    want = {k: v for k, v in want.items() if v > 0}
+    assert got == want
+
+
+def test_window_funnel_strict_dedup_hand_fixtures(spark):
+    """Hand-computed strict_dedup levels from the documented rules —
+    covers repeat-at-equal-ts (no interrupt: the repeat must fall
+    STRICTLY between probe and candidate) and multi-repeat cases."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.funnel import (
+        window_funnel,
+    )
+
+    rows = [
+        # k=1: b@5 repeats inside (b@1, c@6) -> interrupt at 2
+        (1, _t(0), "a"), (1, _t(1), "b"), (1, _t(5), "b"), (1, _t(6), "c"),
+        # k=2: repeat of 'a' AT the probe ts (a@3 == b@3) — not
+        # strictly after the probe, no interrupt -> 3
+        (2, _t(0), "a"), (2, _t(3), "b"), (2, _t(3), "a"), (2, _t(5), "c"),
+        # k=3: repeat of 'a' AT the candidate ts (a@4 == c@4) — not
+        # strictly before the candidate, no interrupt -> 3
+        (3, _t(0), "a"), (3, _t(2), "b"), (3, _t(4), "a"), (3, _t(4), "c"),
+        # k=4: repeat strictly inside (b@2, c@4) -> interrupt at 2
+        (4, _t(0), "a"), (4, _t(2), "b"), (4, _t(3), "a"), (4, _t(4), "c"),
+        # k=5: MULTIPLE repeats (a@2 and b@3) inside (b@1, c@9) ->
+        # interrupt at 2 (and the restart a@2 finds no later b... it
+        # finds b@3 then c@9 with a repeat? a@2 -> b@3: ok; b@3 -> c@9
+        # has no repeat strictly inside (3,9)?  none of a/b in (3,9)
+        # -> that start reaches 3)
+        (5, _t(0), "a"), (5, _t(1), "b"), (5, _t(2), "a"),
+        (5, _t(3), "b"), (5, _t(9), "c"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, e string")
+    got = {
+        r.k: r.level
+        for r in window_funnel(
+            df, "k", "ts", "e", ["a", "b", "c"], 100, strict_dedup=True
+        ).collect()
+    }
+    assert got == {1: 2, 2: 3, 3: 3, 4: 2, 5: 3}
