@@ -65,6 +65,15 @@ class ChEngine:
         self.last_totals_default_cols: list | None = None
         # constant output columns (extremes render the value itself)
         self.last_out_const_cols: list | None = None
+        # in-flight query registry: KILL QUERY + max_execution_time
+        # (Interpreters/ProcessList.h; see dialect/process_list.py)
+        from .process_list import ProcessList
+
+        self.process_list = ProcessList(spark)
+        # per-THREAD last query id: auto-retire is sequential within a
+        # thread, so a KILL issued from another thread never retires
+        # the entry it is about to match
+        self._qid_local = __import__("threading").local()
         # SQL-UDF-backed dialect functions (IPv6 codecs) — the
         # translator passes their calls through by name
         register_sql_udfs(spark)
@@ -304,10 +313,21 @@ class ChEngine:
     def sql(self, ch_sql: str) -> DataFrame:
         return self.spark.sql(self.translate(ch_sql))
 
-    def execute(self, ch_sql: str) -> DataFrame | None:
+    def execute(
+        self, ch_sql: str, query_id: str | None = None
+    ) -> DataFrame | None:
         """Full statement surface: SELECT returns a DataFrame;
         CREATE TABLE / INSERT / DROP / SET return None
-        (Interpreters/InterpreterFactory.cpp dispatch)."""
+        (Interpreters/InterpreterFactory.cpp dispatch).
+
+        Every statement registers in the process list under a job
+        group (``query_id`` names it for KILL QUERY), and
+        ``SETTINGS max_execution_time = N`` arms a watchdog that
+        cancels the group at the deadline — the binding is
+        thread-local and outlives this call, so a SELECT the client
+        collects lazily is still covered.  The previous statement's
+        entry is retired when the next one begins (single-session
+        model; ``finish_query`` retires it explicitly)."""
         import re as _re
 
         from .statements import execute_statement
@@ -320,11 +340,38 @@ class ChEngine:
         self.last_format = m.group(1) if m else None
         self.last_settings = dict(self.session_settings)
         self.last_settings.update(self._query_settings(ch_sql))
+        prev = getattr(self._qid_local, "qid", None)
+        if prev is not None:
+            self.process_list.finish(prev)
+        met = self.last_settings.get("max_execution_time")
+        try:
+            met_s = float(met) if met is not None else None
+        except ValueError:
+            met_s = None
+        qid = self.process_list.begin(
+            ch_sql, query_id=query_id, max_execution_time=met_s
+        )
+        self._qid_local.qid = qid
         self._running_query = ch_sql  # surfaced by system.processes
         try:
             return execute_statement(self, ch_sql)
+        except Exception:
+            # an eagerly-executed statement that blew the deadline
+            # surfaces as the reference's TIMEOUT_EXCEEDED error class
+            self.process_list.check(qid)
+            raise
         finally:
             self._running_query = ""
+
+    def finish_query(self, query_id: str | None = None) -> None:
+        """Retire a query's process-list entry (disarms its
+        max_execution_time watchdog).  Default: this thread's last
+        statement."""
+        qid = query_id or getattr(self._qid_local, "qid", None)
+        if qid is not None:
+            self.process_list.finish(qid)
+            if qid == getattr(self._qid_local, "qid", None):
+                self._qid_local.qid = None
 
     # ---------------------------------------------- binary ingest
     # The input direction of the wire formats (FormatFactory.cpp
@@ -599,12 +646,22 @@ class ChEngine:
                 "database, table, engine",
             )
         if which == "processes":
-            # StorageSystemProcesses.cpp core columns; local mode has
-            # exactly one running query — the one being translated
-            # (elapsed pinned to 0 for determinism)
+            # StorageSystemProcesses.cpp core columns.  Row 1 is the
+            # query being translated (query_id/elapsed pinned for
+            # output determinism — golden parity); concurrent
+            # in-flight queries from OTHER threads follow from the
+            # process list with their real ids/elapsed.
             qtext = getattr(self, "_running_query", "") or ""
+            cur_qid = getattr(self._qid_local, "qid", None)
+            rows = [("1", "default", "", "0", qtext)]
+            for e in self.process_list.running():
+                if e["query_id"] != cur_qid and e["status"] == "Running":
+                    rows.append(
+                        ("1", e["user"], e["query_id"],
+                         f"{e['elapsed']:.3f}", e["query"])
+                    )
             return values(
-                [("1", "default", "", "0", qtext)],
+                rows,
                 "is_initial_query, user, query_id, elapsed, query",
             )
         if which == "functions":

@@ -1047,13 +1047,27 @@ def execute_statement(engine, ch_sql: str) -> DataFrame | None:
         )  # raises if unknown
         return engine.spark.createDataFrame([[1]], "result INT")
     if head == "KILL":
-        # KILL QUERY WHERE ... (InterpreterKillQueryQuery.cpp): Spark
-        # local mode tracks no server-side query list — the match set is
-        # empty; same (kill_status, query_id, user, query) block shape.
+        # KILL QUERY WHERE query_id = '...' [AND user = '...']
+        # [SYNC|ASYNC|TEST] (InterpreterKillQueryQuery.cpp): resolve
+        # matching process-list entries and cancel their Spark job
+        # groups; same (kill_status, query_id, user, query) block shape.
+        import re as _re
+
         from pyspark.sql.types import StructType
 
+        raw = " ".join(t.text for t in tokens)
+        qid = user = None
+        m = _re.search(r"query_id\s*=\s*'([^']*)'", raw, _re.I)
+        if m:
+            qid = m.group(1)
+        m = _re.search(r"\buser\s*=\s*'([^']*)'", raw, _re.I)
+        if m:
+            user = m.group(1)
+        rows = []
+        if qid is not None or user is not None:
+            rows = engine.process_list.kill(query_id=qid, user=user)
         return engine.spark.createDataFrame(
-            [],
+            rows,
             StructType.fromDDL(
                 "kill_status STRING, query_id STRING, user STRING, query STRING"
             ),
