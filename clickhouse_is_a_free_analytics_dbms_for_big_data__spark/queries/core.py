@@ -52,8 +52,8 @@ def _dec(col: str, scale: int = 2) -> F.Column:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
            CAST(SUM(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)) * (1 + l_tax::DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)) * (1 + l_tax::DECIMAL(18,2))), 2) AS DOUBLE) AS sum_charge,
            CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS avg_price,
            CAST(SUM(l_discount::DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -117,8 +117,15 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (sum_q * c2).cast("double").alias("sum_qty"),
             (split_sum(F.col("p")) * c2).cast("double").alias("sum_base_price"),
-            (split_sum(F.col("dp")) * c4).cast("double").alias("sum_disc_price"),
-            (split_sum(F.col("ch")) * c6).cast("double").alias("sum_charge"),
+            # the 4/6-decimal money totals round to cents BEFORE the
+            # double cast: past ~10^16 scaled units (sf1's sum_charge)
+            # the exact decimal exceeds double's 2^53 mantissa, and
+            # engines then disagree in the last ulp (DuckDB converts
+            # int-then-divides = double rounding; the JVM cast rounds
+            # once).  Cent precision keeps the cast exact to ~10^11
+            # in magnitude — and is what TPC-H reports anyway.
+            F.round(split_sum(F.col("dp")) * c4, 2).cast("double").alias("sum_disc_price"),
+            F.round(split_sum(F.col("ch")) * c6, 2).cast("double").alias("sum_charge"),
             ((sum_q * c2).cast("double") / n).alias("avg_qty"),
             ((split_sum(F.col("p")) * c2).cast("double") / n).alias("avg_price"),
             ((F.sum(F.col("d")).cast("decimal(36,0)") * c2).cast("double") / n).alias("avg_disc"),

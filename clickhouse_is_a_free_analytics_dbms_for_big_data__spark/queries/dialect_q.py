@@ -174,8 +174,11 @@ def dialect_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dialect_sample",
     """
     SELECT COUNT(*) AS cnt FROM events
-    WHERE ((CAST(user_id AS BIGINT) * 2654435761) % 4294967296) >= 0
-      AND ((CAST(user_id AS BIGINT) * 2654435761) % 4294967296) < 1288490188
+    -- HUGEINT: the multiply exceeds INT64 once sf1-scale user ids
+    -- appear; Spark's non-ANSI wrap preserves mod-2^32 exactly, and
+    -- the wider oracle type computes the same residue without raising
+    WHERE ((CAST(user_id AS HUGEINT) * 2654435761) % 4294967296) >= 0
+      AND ((CAST(user_id AS HUGEINT) * 2654435761) % 4294967296) < 1288490188
     """,
     doc="Deterministic SAMPLE 0.3 via dialect — identical Knuth-hash "
     "predicate on both engines (MergeTreeDataSelectExecutor.cpp:253-270).",

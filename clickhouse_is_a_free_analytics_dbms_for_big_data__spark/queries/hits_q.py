@@ -51,14 +51,17 @@ def hits_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat('http://example.com/page/', CAST(event_id % 1000 AS string)) AS URL",
         "concat('http://ref.example.org/', CAST(user_id % 300 AS string)) AS Referer",
         "800 + event_id % 400 AS ResolutionWidth",
-        "pmod(user_id * 2654435761, 4294967296) AS ClientIP",
+        # % 1e9 BEFORE the Knuth multiply keeps the product inside
+        # INT64 for any id scale (identity at the driver's scales,
+        # where ids stay below 1e9; the sf1 build offsets ids past it)
+        "pmod((user_id % 1000000000) * 2654435761, 4294967296) AS ClientIP",
         "CAST(event_id % 10 = 0 AS int) AS Refresh",
         "event_id % 13 - 6 AS TraficSourceID",
         "event_id % 9 AS MobilePhone",
         "CASE WHEN user_id % 4 = 0 THEN concat('model_', CAST(user_id % 23 AS string)) ELSE '' END AS MobilePhoneModel",
         "CASE WHEN event_id % 7 = 0 THEN concat('Яндекс страница ', CAST(event_id % 500 AS string)) "
         "ELSE concat('Page title ', CAST(event_id % 500 AS string)) END AS Title",
-        "event_id * 2654435761 AS WatchID",
+        "(event_id % 1000000000) * 2654435761 AS WatchID",
         "CAST(event_id % 17 = 0 AS int) AS DontCountHits",
         "CAST(event_id % 11 = 0 AS int) AS IsLink",
         "CAST(event_id % 33 = 0 AS int) AS IsDownload",
@@ -90,14 +93,14 @@ _HITS_CTE = """
              'http://example.com/page/' || CAST(event_id % 1000 AS VARCHAR) AS URL,
              'http://ref.example.org/' || CAST(user_id % 300 AS VARCHAR) AS Referer,
              800 + event_id % 400 AS ResolutionWidth,
-             ((user_id * 2654435761) % 4294967296 + 4294967296) % 4294967296 AS ClientIP,
+             (((user_id % 1000000000) * 2654435761) % 4294967296 + 4294967296) % 4294967296 AS ClientIP,
              CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS Refresh,
              event_id % 13 - 6 AS TraficSourceID,
              event_id % 9 AS MobilePhone,
              CASE WHEN user_id % 4 = 0 THEN 'model_' || CAST(user_id % 23 AS VARCHAR) ELSE '' END AS MobilePhoneModel,
              CASE WHEN event_id % 7 = 0 THEN 'Яндекс страница ' || CAST(event_id % 500 AS VARCHAR)
                   ELSE 'Page title ' || CAST(event_id % 500 AS VARCHAR) END AS Title,
-             event_id * 2654435761 AS WatchID,
+             (event_id % 1000000000) * 2654435761 AS WatchID,
              CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END AS DontCountHits,
              CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END AS IsLink,
              CASE WHEN event_id % 33 = 0 THEN 1 ELSE 0 END AS IsDownload,
@@ -674,7 +677,7 @@ def hits_q23(spark, sf_dir):
     """
     SELECT * REPLACE (CAST(UserID64 AS VARCHAR) AS UserID64)
     FROM hits WHERE URL LIKE '%page/123%'
-    ORDER BY EventTime, WatchID LIMIT 10
+    ORDER BY EventTime, WatchID, UserID LIMIT 10
     """,
     "benchmark Q24: SELECT * with PREWHERE LIKE + time order (queries.sql:24; "
     "PREWHERE folds into the scan filter, WatchID breaks time ties). "
@@ -686,7 +689,10 @@ def hits_q24(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
         .filter(F.col("URL").like("%page/123%"))
-        .orderBy("EventTime", "WatchID")
+        # UserID joins the tiebreak: WatchID is unique at driver
+        # scales but collapses across sf1 replicas (mod-1e9 image),
+        # and SELECT * carries replica-varying columns
+        .orderBy("EventTime", "WatchID", "UserID")
         .limit(10)
         .withColumn("UserID64", F.col("UserID64").cast("string"))
     )
@@ -1017,7 +1023,9 @@ def hits_q42(spark, sf_dir):
 # oracles) untouched; each stored entry's oracle is the SAME SQL as
 # its derived twin, so value equality also proves the store+LC paths.
 
-_HITS_STORE_VERSION = 3  # v3: cpu-wide PK-salted parts per month (scan width)
+# v4: overflow-safe ClientIP/WatchID derivation (mod 1e9 before the
+# Knuth multiply — identity at driver scales, required at sf1 ids)
+_HITS_STORE_VERSION = 4
 _STORE_READY: set[str] = set()
 
 

@@ -30,7 +30,9 @@ con = duckdb.connect()
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     p = f"{SF_DIR}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):  # Spark-written table (e.g. the .sf1 build)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 def norm(v):

@@ -35,23 +35,19 @@ REGISTRY = os.path.join(
 
 # this-round fixes: always sampled first (hand-edit per round)
 PIN: tuple[str, ...] = (
-    # r10: the seven NEW entries (never driver-sampled).  The three
-    # entries whose operators also changed (asof_join_latest_view,
-    # funnel_window_levels, mt_low_cardinality_group) are NOT pinned:
-    # they have r09 green rows + fresh in-round driver-sim evidence,
-    # and pinning them would push 3 more r07-stale entries past the
-    # 3-round sweep contract (48 stale + pins > the 50-slot window).
-    "mt_low_cardinality_append",
-    "funnel_strict_increase",
-    "funnel_strict_order",
-    "funnel_strict_dedup",
-    "retention_cohort",
-    "asof_join_bucketed",
-    "hits_q13_stored",
-    "hits_q17_stored",
-    "hits_q19_stored",
-    "hits_q21_stored",
-    "hits_q34_stored",
+    # r11: the nine entries whose latest DRIVER evidence is r07 (the
+    # r10 window couldn't fit them behind its 11 new-entry pins; the
+    # r10 judge re-verified all nine green in both full sweeps and
+    # asked for them to lead this window).
+    "sample_deterministic",
+    "semi_join_in",
+    "sequence_count_pairs",
+    "sequence_match_funnel",
+    "summing_mergetree",
+    "topk_group_order_limit",
+    "union_all_chain",
+    "uniq_exact",
+    "uniq_state_merge_hll",
 )
 
 WINDOW = 50  # how many names the driver snapshots
