@@ -151,6 +151,7 @@ def main() -> None:
     # reference times exceed the Spark job floor.  Data builds once
     # under .bench_sf1/ and is reused.  Skip with SPARK_GRAFT_SKIP_SF1=1.
     sf1_timings: dict[str, float] = {}
+    sf1_ops: dict[str, float] = {}
     sf1_rows = 0
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         try:
@@ -173,6 +174,29 @@ def main() -> None:
                     runs.append(time.perf_counter() - t0)
                 runs.sort()
                 sf1_timings[name] = round(runs[1], 4)
+            # non-hits headline ops at sf1 (r11): pipeline dedup/
+            # curation at 50k docs + ASOF/funnel/sessionize at 1M
+            # events.  The plan cache is cleared per run so entries
+            # that do eager work at build time (pl_dup_clusters' CC
+            # loop) pay their full cost in every timed run.
+            for name in _sf1.DOC_QUERIES + _sf1.EVENT_OPS:
+                fn = qmap[name]
+
+                def run_op() -> None:
+                    if hasattr(fn, "_plans"):
+                        fn._plans.clear()
+                    fn(spark, _sf1.DST).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+
+                run_op()  # cold
+                runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    run_op()
+                    runs.append(time.perf_counter() - t0)
+                runs.sort()
+                sf1_ops[name] = round(runs[1], 4)
             sf1_rows = spark.read.parquet(
                 os.path.join(_sf1.DST, "events.parquet")
             ).count()
@@ -222,6 +246,7 @@ def main() -> None:
                 "sf1": {
                     "events_rows": sf1_rows,
                     "queries": sf1_timings,
+                    "ops": sf1_ops,
                     "warm_runs": 3,
                     "aggregation": "median",
                 },

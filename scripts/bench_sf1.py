@@ -64,6 +64,20 @@ DOC_QUERIES = [
     "pl_token_stats",
 ]
 
+# event-table operators at 1M rows (r11: the non-hits headliners the
+# 100 TB design story leans on — ASOF, funnel, sessionization — get
+# recorded sf1 numbers in the per-round BENCH artifact, not just
+# sf0.1).  bench.py times DOC_QUERIES + EVENT_OPS in its embedded
+# sf1 section with the plan-cache-clearing runner.
+EVENT_OPS = [
+    "asof_join_latest_view",
+    "asof_join_bucketed",
+    "sessionize_events",
+    "sequence_match_funnel",
+    "funnel_window_levels",
+    "retention_cohort",
+]
+
 
 def build(spark) -> None:
     from pyspark.sql import functions as F
