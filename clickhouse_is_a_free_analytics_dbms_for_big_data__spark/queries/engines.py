@@ -141,7 +141,11 @@ def aggregating_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            make_timestamp(((epoch_ms(ts) // 1000) // 3600) * 3600 * 1000000)
                AS ts_bucket,
-           ROUND(CAST(SUM(value::DECIMAL(28,2)) AS DOUBLE) / COUNT(*), 6)
+           -- exact half-up rounding at 6 decimals on the rational
+           -- sum/n, in integer arithmetic: ROUND() on the double ties
+           -- engine-dependently at the 6th digit (sf1 finding)
+           CAST((2 * CAST(SUM(value::DECIMAL(28,2)) * 1000000 AS HUGEINT)
+                 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000
                AS value
     FROM events
     GROUP BY event_type, ts_bucket ORDER BY event_type, ts_bucket
@@ -160,11 +164,12 @@ def graphite_rollup_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         retentions=[(0, 3600)],
         agg="avg_exact2",
+        avg_round=6,  # exact integer-domain rounding (see operator doc)
     )
     return rolled.select(
         "event_type",
         F.col("ts").alias("ts_bucket"),
-        F.round("value", 6).alias("value"),
+        "value",
     ).orderBy("event_type", "ts_bucket")
 
 

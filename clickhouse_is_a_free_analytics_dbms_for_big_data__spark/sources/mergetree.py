@@ -519,6 +519,7 @@ def graphite_rollup(
     retentions: Sequence[tuple[int, int]],
     now_ts: Column | None = None,
     agg: str = "avg",
+    avg_round: int | None = None,
 ) -> DataFrame:
     """GraphiteMergeTree rollup: downsample by age-dependent precision
     (DataStreams/GraphiteRollupSortedBlockInputStream.h:125).
@@ -532,7 +533,10 @@ def graphite_rollup(
     DECIMAL, divide by count): plain double avg is shuffle-order
     dependent in the last ulp, which flips ROUND boundaries on big
     buckets — the reference avoids this only because its merge is
-    single-streamed.
+    single-streamed.  ``avg_round=D`` (avg_exact2 only, non-negative
+    values) additionally rounds the average HALF-UP at D decimals on
+    the exact rational in integer arithmetic — rounding the double
+    afterwards is engine-dependent exactly at half-ties.
     """
     now_ = now_ts if now_ts is not None else F.current_timestamp()
     # Two-step cast: TIMESTAMP_NTZ (how Spark 4.x loads untagged
@@ -547,6 +551,36 @@ def graphite_rollup(
     if agg == "avg_exact2":
         from ..operators.exact_sum import exact_sum_scaled
 
+        if avg_round is not None:
+            # Exact HALF-UP rounding of (sum / n) at ``avg_round``
+            # decimals, computed on INTEGERS: rounding the correctly-
+            # rounded double instead ties at the last digit engine-
+            # dependently (found at sf1 — two 1-ulp flips per 3600
+            # buckets).  round(a/b) = (2a + b) div (2b) for a, b > 0;
+            # the final /10^D divides the same integer by the same
+            # double on every engine.  Non-negative values only (the
+            # half-up identity flips for negative sums).
+            scale_f = 10 ** int(avg_round)
+            grouped = (
+                df.withColumn("__bucket", bucket)
+                .groupBy(*keys, "__bucket")
+                .agg(
+                    exact_sum_scaled(F.col(value)).alias("__s"),
+                    F.count(F.lit(1)).alias("__n"),
+                )
+            )
+            return (
+                grouped.withColumn(
+                    value,
+                    F.expr(
+                        f"CAST((2 * CAST(__s * {scale_f} AS DECIMAL(38,0))"
+                        f" + __n) DIV (2 * __n) AS DOUBLE) / {scale_f}"
+                    ),
+                )
+                .drop("__s", "__n")
+                .withColumnRenamed("__bucket", ts)
+                .select(*keys, ts, value)
+            )
         agg_col = (
             exact_sum_scaled(F.col(value)).cast("double")
             / F.count(F.lit(1))
