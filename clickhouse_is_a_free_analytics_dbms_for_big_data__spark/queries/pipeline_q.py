@@ -234,12 +234,36 @@ _SHINGLE_PAIRS_SQL = """
                  RANGE(1, GREATEST(LEN(tk) - 4, 1) + 1),
                  i -> ARRAY_TO_STRING(tk[i:i+4], ' '))) AS s
       FROM toks
+    ),
+    -- candidate generation: Bayardo/AllPairs PREFIX FILTER instead of
+    -- all-pairs (quadratic in the corpus; the r11 sf1 sweep measured
+    -- 1.25e9 pairs).  THEOREM (exact recall, no banding involved): if
+    -- J(A,B) >= t, the first floor((1-t)|X|)+1 shingles of each set
+    -- under ANY consistent global order must intersect; ordering by
+    -- (doc frequency, shingle) keeps prefixes rare.  Every candidate
+    -- still passes the EXACT Jaccard verify below.
+    posting AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    df AS (SELECT g, COUNT(*) AS dfreq FROM posting GROUP BY g),
+    ranked AS (
+      SELECT p.doc_id, p.g,
+             ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                                ORDER BY d.dfreq, p.g) AS pos,
+             COUNT(*) OVER (PARTITION BY p.doc_id) AS n
+      FROM posting p JOIN df d USING (g)
+    ),
+    pref AS (
+      SELECT doc_id, g FROM ranked
+      WHERE pos <= CAST(FLOOR(0.2 * n) AS BIGINT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+      FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id
     )
     SELECT l.doc_id AS id_a, r.doc_id AS id_b,
            ROUND(LEN(LIST_INTERSECT(l.s, r.s)) * 1.0 /
                  GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(l.s, r.s))), 1), 6)
                AS jaccard
-    FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+    FROM cand JOIN sh l ON l.doc_id = cand.x JOIN sh r ON r.doc_id = cand.y
     WHERE LEN(LIST_INTERSECT(l.s, r.s)) * 1.0 /
           GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(l.s, r.s))), 1) >= 0.8
     ORDER BY id_a, id_b
@@ -418,15 +442,19 @@ _Q["pl_embedding_topk"].oracle = f"""
     # absence of false positives (the exact cosine verify guarantees
     # precision 1.0, so any emitted pair would be a real bug)
     """
-    WITH scored AS (
+    WITH n AS (
+        -- per-vector norms once (linear), not per pair: the values
+        -- are IEEE-identical, and the all-pairs verify at sf1 (2e8
+        -- pairs over 20k vectors) drops from ~3x list work per pair
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               SQRT(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[],
+                                            x -> x*x))) AS nm
+        FROM embeddings
+    ), scored AS (
         SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-               LIST_SUM(LIST_TRANSFORM(
-                   LIST_ZIP(l.embedding::DOUBLE[], r.embedding::DOUBLE[]),
-                   p -> p[1] * p[2]))
-               / (SQRT(LIST_SUM(LIST_TRANSFORM(l.embedding::DOUBLE[], x -> x*x)))
-                  * SQRT(LIST_SUM(LIST_TRANSFORM(r.embedding::DOUBLE[], x -> x*x))))
-                   AS raw
-        FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+               LIST_SUM(LIST_TRANSFORM(LIST_ZIP(l.e, r.e),
+                        p -> p[1] * p[2])) / (l.nm * r.nm) AS raw
+        FROM n l JOIN n r ON l.vec_id < r.vec_id
     )
     SELECT id_a, id_b, ROUND(raw, 6) AS cos FROM scored
     WHERE raw >= 0.9 ORDER BY id_a, id_b
@@ -467,13 +495,16 @@ def pl_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), aug AS (
         SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
         UNION ALL SELECT vec_id, embedding FROM pert
+    ), n AS (
+        -- per-vector norms once (see pl_embedding_neardup)
+        SELECT vec_id, embedding AS e,
+               SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> x*x))) AS nm
+        FROM aug
     ), scored AS (
         SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-               LIST_SUM(LIST_TRANSFORM(LIST_ZIP(l.embedding, r.embedding),
-                        p -> p[1] * p[2]))
-               / (SQRT(LIST_SUM(LIST_TRANSFORM(l.embedding, x -> x*x)))
-                  * SQRT(LIST_SUM(LIST_TRANSFORM(r.embedding, x -> x*x)))) AS raw
-        FROM aug l JOIN aug r ON l.vec_id < r.vec_id
+               LIST_SUM(LIST_TRANSFORM(LIST_ZIP(l.e, r.e),
+                        p -> p[1] * p[2])) / (l.nm * r.nm) AS raw
+        FROM n l JOIN n r ON l.vec_id < r.vec_id
     )
     SELECT id_a, id_b, ROUND(raw, 6) AS cos FROM scored
     WHERE raw >= 0.98 ORDER BY id_a, id_b
@@ -624,8 +655,14 @@ from ..pipeline import curation as CU  # noqa: E402
                        ' ')) AS s
         FROM win
     ), pairs AS (
+        -- same-stream restriction: shingle tokens embed the stream id
+        -- ('s<stream>g<token>'), so cross-stream intersections are
+        -- EMPTY by construction (jaccard 0 < 0.7 always) — the join
+        -- stays value-identical while dropping from quadratic in the
+        -- corpus (8M pairs at sf1) to 28 pairs per stream
         SELECT a.nid AS x, b.nid AS y
-        FROM sh a JOIN sh b ON a.nid < b.nid
+        FROM sh a JOIN sh b
+          ON a.nid < b.nid AND a.nid // 8 = b.nid // 8
         WHERE LEN(LIST_INTERSECT(a.s, b.s)) * 1.0 /
               GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 1) >= 0.7
     ), edges AS (

@@ -126,16 +126,22 @@ def build(spark) -> None:
         def perturb(df, r):
             if r == 0:
                 return df
-            # one vec_id-dependent dimension moves by a per-replica
-            # epsilon: replicas stay near the original but are
-            # directionally distinct (no manufactured cosine ties)
-            eps = r * 1e-3
+            # replica r adds a NORM-SIZED component on a per-replica
+            # dimension: cos(original, replica) ~ 0.707 and
+            # cos(replica_r, replica_s) ~ 0.5 — replicas are real
+            # distinct directions, never near-dups (a small epsilon
+            # would make every replica pair cosine ~1 and break the
+            # near-dup entries' exact-empty-result oracles; a pure
+            # scale would be cosine-invariant and manufacture top-k
+            # ties no real corpus has)
             return df.withColumn(
                 "embedding",
                 F.expr(
                     "transform(embedding, (x, i) -> CASE WHEN i = "
-                    "CAST(pmod(vec_id, size(embedding)) AS INT) THEN "
-                    f"CAST(x + {eps} AS FLOAT) ELSE x END)"
+                    f"CAST(pmod(vec_id + {r}, size(embedding)) AS INT) "
+                    "THEN CAST(x + sqrt(aggregate(embedding, 0D, "
+                    "(a, e) -> a + CAST(e AS DOUBLE) * e)) AS FLOAT) "
+                    "ELSE x END)"
                 ),
             ).withColumn("vec_id", F.col("vec_id") + F.lit(r * VEC_OFF))
 
