@@ -9,9 +9,15 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E
 from pyspark.sql import SparkSession
 
-spark = (SparkSession.builder.master("local[4]")
+# sf1-scale sweeps need more than the 1g default heap (the funnel
+# window sorts over 1M events OOM'd the r11 sweep); the driver's own
+# gate stays the small default
+_CORES = os.environ.get("SPARK_GRAFT_SIM_CORES", "4")
+_MEM = os.environ.get("SPARK_GRAFT_SIM_MEM", "4g")
+spark = (SparkSession.builder.master(f"local[{_CORES}]")
          .appName("driver-sim")
-         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.driver.memory", _MEM)
+         .config("spark.sql.shuffle.partitions", _CORES)
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.ui.enabled", "false")
          .getOrCreate())
