@@ -100,7 +100,10 @@ def pl_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT doc_id,
                LIST_FILTER(STRING_SPLIT(lower(text), ' '), t -> LEN(t) > 0) AS tk,
-               text
+               (LEN(text) - LEN(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')))
+                 * 1.0 / GREATEST(LEN(text), 1) AS punct_r,
+               (LEN(text) - LEN(REGEXP_REPLACE(text, '[0-9]', '', 'g')))
+                 * 1.0 / GREATEST(LEN(text), 1) AS digit_r
         FROM documents
     )
     SELECT doc_id,
@@ -109,13 +112,14 @@ def pl_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              + LEAST((LEN(LIST_FILTER(tk, t -> t IN ('the','a','of','and','to',
                        'in','is','it','that','for'))) * 1.0
                       / GREATEST(LEN(tk), 1)) * 5.0, 1.0) * 0.4
-             + 0.2,
+             + (1.0 - LEAST(punct_r * 4.0 + digit_r * 2.0, 1.0)) * 0.2,
            6) AS quality
     FROM toks ORDER BY doc_id LIMIT 200
     """,
     doc="Quality scoring: length + stopword-ratio + noise penalty "
-    "(C4-style pretraining filter; corpus has no punctuation so the "
-    "noise term is constant 0).",
+    "(C4-style pretraining filter). The oracle computes the full "
+    "punct/digit noise term — the sf1 corpus salts tokens with "
+    "digits, so the term is live there (constant 0 at sf<=0.1).",
     tags=("pipeline", "text"),
 )
 def pl_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
