@@ -74,6 +74,18 @@ class ChEngine:
         # thread, so a KILL issued from another thread never retires
         # the entry it is about to match
         self._qid_local = __import__("threading").local()
+        # per-user usage quotas (Interpreters/Quota.h; users.xml's
+        # <quotas> section -> Quotas.configure, Context::setUser ->
+        # set_user).  current_quota is the active user's counter set;
+        # None = unlimited (no quota assigned).
+        from .quota import Quotas
+
+        self.quotas = Quotas()
+        self.current_user = "default"
+        self.current_quota = None
+        # quota each in-flight query accounts against (execution time
+        # is added at retire, which may happen under a later statement)
+        self._quota_by_qid: dict[str, object] = {}
         # SQL-UDF-backed dialect functions (IPv6 codecs) — the
         # translator passes their calls through by name
         register_sql_udfs(spark)
@@ -342,20 +354,33 @@ class ChEngine:
         self.last_settings.update(self._query_settings(ch_sql))
         prev = getattr(self._qid_local, "qid", None)
         if prev is not None:
-            self.process_list.finish(prev)
+            self._retire(prev)
         met = self.last_settings.get("max_execution_time")
         try:
             met_s = float(met) if met is not None else None
         except ValueError:
             met_s = None
         qid = self.process_list.begin(
-            ch_sql, query_id=query_id, max_execution_time=met_s
+            ch_sql, query_id=query_id, max_execution_time=met_s,
+            user=self.current_user,
         )
         self._qid_local.qid = qid
+        quota = self.current_quota
+        if quota is not None:
+            self._quota_by_qid[qid] = quota
         self._running_query = ch_sql  # surfaced by system.processes
         try:
+            # admission gate (executeQuery.cpp:174-177): count this
+            # query, then refuse if any interval's limit is exceeded
+            if quota is not None:
+                quota.add_query()
+                quota.check_exceeded()
             return execute_statement(self, ch_sql)
         except Exception:
+            # failed queries count against the errors limit
+            # (executeQuery.cpp:95,298 onException paths)
+            if quota is not None:
+                quota.add_error()
             # an eagerly-executed statement that blew the deadline
             # surfaces as the reference's TIMEOUT_EXCEEDED error class
             self.process_list.check(qid)
@@ -369,9 +394,68 @@ class ChEngine:
         statement."""
         qid = query_id or getattr(self._qid_local, "qid", None)
         if qid is not None:
-            self.process_list.finish(qid)
+            self._retire(qid)
             if qid == getattr(self._qid_local, "qid", None):
                 self._qid_local.qid = None
+
+    def _retire(self, qid: str) -> None:
+        """Retire a process-list entry and account its wall-clock
+        against the owning quota (IProfilingBlockInputStream.cpp:213
+        accounts execution time as the stream drains; our analog is
+        begin->retire elapsed — the enforcement point is the next
+        query's admission check)."""
+        import time as _time
+
+        entry = self.process_list.finish(qid)
+        quota = self._quota_by_qid.pop(qid, None)
+        if entry is not None and quota is not None:
+            quota.add_execution_time(_time.monotonic() - entry["start"])
+
+    def set_user(self, name: str, quota: str | None = None,
+                 quota_key: str = "") -> None:
+        """Context::setUser/setQuota — switch the session's user and
+        select the quota template its statements account against
+        (``quota=None`` detaches any quota: unlimited)."""
+        self.current_user = name
+        self.current_quota = (
+            self.quotas.get(quota, name, quota_key)
+            if quota is not None else None
+        )
+
+    def collect(self, ch_sql: str, query_id: str | None = None) -> list:
+        """Execute + materialize: the engine-side funnel that also
+        accounts result rows/bytes against the active quota — the
+        analog of the reference's stream-layer accounting
+        (IProfilingBlockInputStream.cpp:212 counts each block's rows
+        and bytes as it flows to the client, re-checking limits).
+        Bytes are the TabSeparated rendering length (a deterministic
+        stand-in for the reference's in-memory block bytes).  DDL/DML
+        statements return None; SELECTs return collected Rows."""
+        df = self.execute(ch_sql, query_id=query_id)
+        if df is None:
+            self.finish_query()
+            return None
+        try:
+            rows = df.collect()
+        except Exception:
+            if self.current_quota is not None:
+                self.current_quota.add_error()
+            raise
+        finally:
+            self.finish_query()
+        if self.current_quota is not None:
+            from ..sources.formats import _tsv_cell
+
+            nbytes = sum(
+                len(
+                    ("\t".join(_tsv_cell(v) for v in row) + "\n").encode(
+                        "utf-8", "surrogatepass"
+                    )
+                )
+                for row in rows
+            )
+            self.current_quota.check_and_add_result(len(rows), nbytes)
+        return rows
 
     # ---------------------------------------------- binary ingest
     # The input direction of the wire formats (FormatFactory.cpp

@@ -82,12 +82,15 @@ class ProcessList:
             t.start()
         return qid
 
-    def finish(self, query_id: str) -> None:
-        """Deregister a completed query and disarm its watchdog."""
+    def finish(self, query_id: str) -> dict | None:
+        """Deregister a completed query and disarm its watchdog.
+        Returns the retired entry (callers account elapsed time
+        against quotas) or None if already retired."""
         with self._lock:
             entry = self._entries.pop(query_id, None)
         if entry and entry["timer"] is not None:
             entry["timer"].cancel()
+        return entry
 
     # ------------------------------------------------ cancellation
 
