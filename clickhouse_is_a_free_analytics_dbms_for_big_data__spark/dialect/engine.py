@@ -18,6 +18,41 @@ from pyspark.sql import DataFrame, SparkSession
 from .sql_udfs import register_sql_udfs
 from .translate import DictSpec, TableMeta, translate_sql
 
+# AggregateFunctionFactory's registered base names (grep over
+# AggregateFunctions/*.cpp registerFunction calls) — system.functions
+# flags these, and any combinator-suffixed form, is_aggregate=1
+_AGG_BASE = {
+    "any", "anyHeavy", "anyLast", "argMax", "argMin", "avg", "corr",
+    "count", "covarPop", "covarSamp", "groupArray", "groupUniqArray",
+    "max", "median", "medianDeterministic", "medianExact",
+    "medianExactWeighted", "medianTDigest", "medianTDigestWeighted",
+    "medianTiming", "medianTimingWeighted", "min", "quantile",
+    "quantileDeterministic", "quantileExact", "quantileExactWeighted",
+    "quantileTDigest", "quantileTDigestWeighted", "quantileTiming",
+    "quantileTimingWeighted", "quantiles", "quantilesDeterministic",
+    "quantilesExact", "quantilesExactWeighted", "quantilesTDigest",
+    "quantilesTDigestWeighted", "quantilesTiming",
+    "quantilesTimingWeighted", "sequenceCount", "sequenceMatch",
+    "stddevPop", "stddevSamp", "sum", "uniq", "uniqCombined",
+    "uniqExact", "uniqHLL12", "uniqUpTo", "varPop", "varSamp",
+    "windowFunnel", "retention", "sumMap", "topK",
+}
+_AGG_SUFFIXES = ("If", "Array", "ForEach", "State", "Merge")
+
+
+def _is_aggregate_fn(name: str) -> bool:
+    """AggregateFunctionFactory::isAggregateFunctionName — the base
+    name, or any combinator-suffixed form of it, is an aggregate."""
+    while True:
+        if name in _AGG_BASE:
+            return True
+        for suf in _AGG_SUFFIXES:
+            if name.endswith(suf) and len(name) > len(suf):
+                name = name[: -len(suf)]
+                break
+        else:
+            return False
+
 __all__ = ["ChEngine", "TableMeta"]
 
 
@@ -86,6 +121,12 @@ class ChEngine:
         # quota each in-flight query accounts against (execution time
         # is added at retire, which may happen under a later statement)
         self._quota_by_qid: dict[str, object] = {}
+        # ProfileEvents analog (Common/ProfileEvents.cpp: Query /
+        # SelectQuery / InsertQuery) — system.events renders the
+        # nonzero counters
+        self.events: dict[str, int] = {
+            "Query": 0, "SelectQuery": 0, "InsertQuery": 0,
+        }
         # SQL-UDF-backed dialect functions (IPv6 codecs) — the
         # translator passes their calls through by name
         register_sql_udfs(spark)
@@ -322,7 +363,21 @@ class ChEngine:
             )
         return next(iter(found), None)
 
+    def _count_query_event(self, ch_sql: str) -> None:
+        """ProfileEvents: Query always; the statement kind adds its
+        own (executeQuery.cpp / InterpreterSelect|InsertQuery)."""
+        self.events["Query"] += 1
+        head = (
+            ch_sql.lstrip().split(None, 1)[0].upper()
+            if ch_sql.strip() else ""
+        )
+        if head in ("SELECT", "WITH"):
+            self.events["SelectQuery"] += 1
+        elif head == "INSERT":
+            self.events["InsertQuery"] += 1
+
     def sql(self, ch_sql: str) -> DataFrame:
+        self._count_query_event(ch_sql)
         return self.spark.sql(self.translate(ch_sql))
 
     def execute(
@@ -369,6 +424,7 @@ class ChEngine:
         if quota is not None:
             self._quota_by_qid[qid] = quota
         self._running_query = ch_sql  # surfaced by system.processes
+        self._count_query_event(ch_sql)
         try:
             # admission gate (executeQuery.cpp:174-177): count this
             # query, then refuse if any interval's limit is exceeded
@@ -749,5 +805,97 @@ class ChEngine:
                 "is_initial_query, user, query_id, elapsed, query",
             )
         if which == "functions":
-            return None  # not modeled; the function registry is Python
+            # StorageSystemFunctions.cpp: (name, is_aggregate) — one
+            # row per registered function; aggregates flagged 1.  The
+            # dialect's registry is the SIMPLE/TEMPLATES/PARAMETRIC
+            # translator maps.
+            from .functions_map import PARAMETRIC, SIMPLE, TEMPLATES
+
+            # identity-passthrough aggregates (sum/min/max/...) have no
+            # translator entry; the factory's base-name set completes
+            # them.  Combinator forms (sumIf, uniqExactState) are not
+            # listed — the reference's factory applies combinators
+            # dynamically too, they are not registry rows.
+            names = sorted(
+                set(SIMPLE) | set(TEMPLATES) | set(PARAMETRIC) | _AGG_BASE
+            )
+            rows = [(n, int(_is_aggregate_fn(n))) for n in names]
+            return values(rows, "name, is_aggregate")
+        if which == "events":
+            # StorageSystemEvents.cpp renders only nonzero counters
+            rows = [(k, v) for k, v in sorted(self.events.items()) if v]
+            return values(rows, "event, value")
+        if which == "metrics":
+            # StorageSystemMetrics.cpp — current gauges; Query is the
+            # number of executing queries (CurrentMetrics::Query),
+            # Merge is 0: our OPTIMIZE merges run synchronously inside
+            # the statement, so none is ever in flight at read time
+            rows = [
+                ("Merge", 0),
+                ("Query", len(self.process_list.running())),
+            ]
+            return values(rows, "metric, value")
+        if which == "dictionaries":
+            # StorageSystemDictionaries.cpp core columns; attribute
+            # arrays are rendered as comma-joined text (the engine's
+            # VALUES builder is string/int-typed)
+            rows = []
+            for name, spec in sorted(self.dictionaries.items()):
+                try:
+                    sch = self.spark.table(spec.view).schema
+                    types = {f.name: f.dataType.simpleString() for f in sch}
+                    n = self.spark.table(spec.view).count()
+                except Exception:
+                    types, n = {}, 0
+                rows.append(
+                    (
+                        name, "",
+                        "Hierarchical" if spec.hier is not None else "Flat",
+                        "UInt64",
+                        ",".join(spec.attrs),
+                        ",".join(types.get(a, "") for a in spec.attrs),
+                        int(n),
+                    )
+                )
+            return values(
+                rows,
+                "name, origin, type, key, `attribute.names`, "
+                "`attribute.types`, element_count",
+            )
+        if which == "merges":
+            # StorageSystemMerges.cpp schema; always empty here — our
+            # OPTIMIZE rewrites run synchronously inside the statement,
+            # so no merge is ever observable in flight
+            return values(
+                [],
+                "database, table, elapsed, progress, num_parts, "
+                "source_part_names, result_part_name, "
+                "total_size_bytes_compressed, total_size_marks, "
+                "bytes_read_uncompressed, rows_read, "
+                "bytes_written_uncompressed, rows_written, "
+                "columns_written, memory_usage, thread_number",
+            )
+        if which == "clusters":
+            # StorageSystemClusters.cpp schema; empty — shard tables
+            # are ad-hoc frames (sources/engines.py remote()/merge()),
+            # there is no named-cluster config in a Spark session
+            return values(
+                [],
+                "cluster, shard_num, shard_weight, replica_num, "
+                "host_name, host_address, port, is_local, user, "
+                "default_database",
+            )
+        if which == "build_options":
+            # StorageSystemBuildOptions.cpp: (name, value) pairs —
+            # honest analogs of the build-time constants
+            import platform
+
+            import pyspark
+
+            rows = [
+                ("PYSPARK_VERSION", pyspark.__version__),
+                ("PYTHON_VERSION", platform.python_version()),
+                ("SYSTEM", platform.system()),
+            ]
+            return values(rows, "name, value")
         return None

@@ -546,6 +546,80 @@ def test_system_tables_columns(eng):
     eng.execute("DROP TABLE sys_probe")
 
 
+def test_system_functions_events_metrics(eng):
+    """system.functions (registry dump, aggregates flagged),
+    system.events (nonzero ProfileEvents counters), system.metrics
+    (current gauges), system.build_options — the introspection tables
+    a migrating user greps for (Storages/System/)."""
+    fns = {
+        r["name"]: r["is_aggregate"]
+        for r in eng.sql(
+            "SELECT name, is_aggregate FROM system.functions"
+        ).collect()
+    }
+    assert len(fns) > 300
+    assert fns["uniqExact"] == 1
+    assert fns["sum"] == 1  # identity passthrough, factory base name
+    assert fns["quantileTDigest"] == 1
+    assert fns["cityHash64"] == 0
+    assert fns["toStartOfMonth"] == 0
+    # combinator forms are applied dynamically, not registry rows —
+    # same as the reference's AggregateFunctionFactory
+    assert "sumIf" not in fns
+    q_before = eng.events["Query"]
+    eng.execute("SELECT 1").collect()
+    ev = {
+        r["event"]: r["value"]
+        for r in eng.sql("SELECT event, value FROM system.events").collect()
+    }
+    # the probe SELECT plus the system.events SELECT itself
+    assert ev["Query"] >= q_before + 2
+    assert ev["SelectQuery"] >= 2
+    assert "InsertQuery" not in ev or ev["InsertQuery"] >= 1
+    met = {
+        r["metric"]: r["value"]
+        for r in eng.sql("SELECT metric, value FROM system.metrics").collect()
+    }
+    assert met["Merge"] == 0
+    assert met["Query"] >= 0
+    bo = {
+        r["name"]: r["value"]
+        for r in eng.sql(
+            "SELECT name, value FROM system.build_options"
+        ).collect()
+    }
+    import pyspark
+
+    assert bo["PYSPARK_VERSION"] == pyspark.__version__
+    # merges/clusters: reference schemas, empty result sets (merges
+    # run synchronously; shard frames are ad-hoc, no named clusters)
+    assert eng.sql("SELECT * FROM system.merges").collect() == []
+    assert eng.sql("SELECT * FROM system.clusters").collect() == []
+
+
+def test_system_dictionaries(eng, spark):
+    """system.dictionaries reflects the dictionary registry
+    (StorageSystemDictionaries.cpp core columns)."""
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "id long, val string, parent long"
+    )
+    eng.register_dictionary("sysd_flat", df, "id")
+    eng.register_dictionary("sysd_hier", df, "id", parent="parent")
+    rows = {
+        r["name"]: r
+        for r in eng.sql(
+            "SELECT name, type, key, `attribute.names`, element_count "
+            "FROM system.dictionaries"
+        ).collect()
+    }
+    flat = rows["sysd_flat"]
+    assert flat["type"] == "Flat"
+    assert flat["key"] == "UInt64"
+    assert flat["attribute.names"] == "val,parent"
+    assert flat["element_count"] == 2
+    assert rows["sysd_hier"]["type"] == "Hierarchical"
+
+
 # ------------------------------------------------- round-5 advice fixes
 
 
