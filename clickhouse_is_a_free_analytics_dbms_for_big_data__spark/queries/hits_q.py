@@ -1025,7 +1025,7 @@ def hits_q42(spark, sf_dir):
 
 # v4: overflow-safe ClientIP/WatchID derivation (mod 1e9 before the
 # Knuth multiply — identity at driver scales, required at sf1 ids)
-_HITS_STORE_VERSION = 4
+_HITS_STORE_VERSION = 5  # v5: true even 32 parts/month (range parts)
 _STORE_READY: set[str] = set()
 
 

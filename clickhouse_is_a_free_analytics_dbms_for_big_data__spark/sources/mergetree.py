@@ -175,20 +175,26 @@ def write_mergetree(
     # month — the analog of multiple parts within a MergeTree
     # partition.  One file per month serializes downstream scans when
     # the file fits a single parquet row group (measured r10: the
-    # stored hits table at 1M rows scanned on ONE task); PK-salted
+    # stored hits table at 1M rows scanned on ONE task); PK-hashed
     # parts restore scan parallelism while each file stays sorted for
-    # row-group pruning.
-    part_cols: list[Column] = [F.col("_partition")]
+    # row-group pruning.  repartitionByRange over the PK hash with an
+    # EXPLICIT partition count: a column-hash repartition without a
+    # count is AQE-coalescible (measured r11 at 10M rows: the 32
+    # requested parts collapsed to 8 files with 4x size skew, and the
+    # partial agg of every stored GROUP BY ran on 8 uneven tasks —
+    # slower than the derived view it was built to beat), and hashing
+    # a k-valued salt into k buckets loses ~1/e of the parts to
+    # collisions; even hash RANGES give exactly N files per month.
+    # The range sampling pass reads one hashed column — O(sample).
     if parts_per_partition > 1:
-        part_cols.append(
-            F.pmod(
-                F.xxhash64(*[F.col(c) for c in order_by]),
-                F.lit(parts_per_partition),
-            )
+        out = out.repartitionByRange(
+            parts_per_partition,
+            F.xxhash64(*[F.col(c) for c in order_by]),
         )
+    else:
+        out = out.repartition(F.col("_partition"))
     (
-        out.repartition(*part_cols)
-        .sortWithinPartitions(*order_by)
+        out.sortWithinPartitions(*order_by)
         .write.mode("overwrite" if publish else mode)
         .partitionBy("_partition")
         .parquet(target)

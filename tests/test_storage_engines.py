@@ -407,3 +407,41 @@ def test_lc_overwrite_crash_leaves_old_table_intact(spark, tmp_path):
                     low_cardinality=["s"])
     got = [(r.k, r.s) for r in read_mergetree(spark, path).collect()]
     assert got == [(9, "new")]
+
+
+def test_parts_per_partition_writes_even_parts(spark, tmp_path):
+    """parts_per_partition=N must land exactly N PK-sorted files per
+    month partition with roughly even sizes — a column-hash
+    repartition without an explicit count is AQE-coalescible (r11:
+    the 10M-row stored table collapsed to 8 files with 4x skew and
+    every stored GROUP BY's partial agg ran on 8 uneven tasks)."""
+    import glob
+    import os
+
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.sources.mergetree import (
+        read_mergetree,
+        write_mergetree,
+    )
+
+    src = spark.range(80_000).selectExpr(
+        "IF(id % 2 = 0, DATE '2024-03-01', DATE '2024-04-01') AS d",
+        "id AS k",
+        "CAST(id % 997 AS STRING) AS s",
+    )
+    path = os.path.join(str(tmp_path), "parts")
+    write_mergetree(
+        src, path, "d", ["k"], mode="overwrite", parts_per_partition=8
+    )
+    for month in ("202403", "202404"):
+        files = glob.glob(
+            os.path.join(path, f"_partition={month}", "*.parquet")
+        )
+        assert len(files) == 8, (month, len(files))
+        sizes = sorted(os.path.getsize(f) for f in files)
+        assert sizes[-1] < 3 * sizes[0]  # even-ish, no 4x skew
+    # content unaffected by the layout
+    assert read_mergetree(spark, path).count() == 80_000
+    # each file internally PK-sorted (row-group pruning contract)
+    f0 = glob.glob(os.path.join(path, "_partition=202403", "*.parquet"))[0]
+    ks = [r.k for r in spark.read.parquet(f0).select("k").collect()]
+    assert ks == sorted(ks)
