@@ -119,6 +119,16 @@ def main() -> None:
     qmap = queries_map()
     names = [n for n in HEADLINE if n in qmap]
 
+    # build the headline-dir stored hits table BEFORE the sentinel and
+    # all timing (r11: warm runs adjacent to an in-session store build
+    # read far high — GC/page-cache churn)
+    if any(n.endswith("_stored") for n in names):
+        from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.queries.hits_q import (
+            ensure_hits_stored,
+        )
+
+        ensure_hits_stored(spark, sf_dir)
+
     sentinel_before = _sentinel()
 
     # Methodology: 1 cold run (JVM/codegen warmup, discarded), then
@@ -161,6 +171,14 @@ def main() -> None:
             import bench_sf1 as _sf1
 
             _sf1.build(spark)
+            # build the stored table BEFORE any timing — warm runs
+            # measured adjacent to the in-session store build read
+            # up to 10x high (GC/page-cache churn; r11 sf10 lesson)
+            from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.queries.hits_q import (
+                ensure_hits_stored,
+            )
+
+            ensure_hits_stored(spark, _sf1.DST)
             for name in _sf1.QUERIES:
                 def run1() -> None:
                     qmap[name](spark, _sf1.DST).write.mode(

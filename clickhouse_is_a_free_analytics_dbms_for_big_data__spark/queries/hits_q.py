@@ -1025,7 +1025,7 @@ def hits_q42(spark, sf_dir):
 
 # v4: overflow-safe ClientIP/WatchID derivation (mod 1e9 before the
 # Knuth multiply — identity at driver scales, required at sf1 ids)
-_HITS_STORE_VERSION = 5  # v5: true even 32 parts/month (range parts)
+_HITS_STORE_VERSION = 7  # v7: even range parts, clamp(bytes/16M, 8, 32)
 _STORE_READY: set[str] = set()
 
 
@@ -1093,6 +1093,17 @@ def ensure_hits_stored(spark: SparkSession, sf_dir: str) -> str:
     from .engines import _atomic_publish
 
     staging = f"{path}.__build_{os.getpid()}__"
+    # Parts sized to the DATA, clamped to [8, 32]: parquet splits
+    # scans at row-group (= file, at our sizes) granularity, so parts
+    # set scan AND partial-agg parallelism — but each file costs
+    # ~3 ms of open/footer per scan, which dominates sub-second scans
+    # of small tables (r11, all measured: a fixed 32 parts regressed
+    # every *_stored entry 1.3-2x at sf0.1/1M rows while being
+    # exactly right at 10M; a size-only rule with no floor collapsed
+    # sf0.1 to ONE part and its queries went single-task-scan slow).
+    # ~8 MB/part at scale, an 8-way parallelism floor below it.
+    est = 2 * dir_size_bytes(src)  # stored table ~= 2x source parquet
+    parts = int(min(32, max(8, est // (8 << 20))))
     write_mergetree(
         hits_view(spark, sf_dir),
         staging,
@@ -1103,7 +1114,7 @@ def ensure_hits_stored(spark: SparkSession, sf_dir: str) -> str:
         # multiple parts per month so scans parallelize even when one
         # month's data fits a single row group (MergeTree has many
         # parts per partition for the same reason)
-        parts_per_partition=32,
+        parts_per_partition=parts,
     )
     with open(os.path.join(staging, "_HITS_STORE_META"), "w") as fh:
         json.dump(sig, fh)
