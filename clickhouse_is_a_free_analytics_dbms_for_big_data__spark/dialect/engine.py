@@ -40,6 +40,44 @@ _AGG_BASE = {
 _AGG_SUFFIXES = ("If", "Array", "ForEach", "State", "Merge")
 
 
+def _executed_scan_totals(df: DataFrame) -> tuple[int, int]:
+    """(rows, bytes) the file scans of an EXECUTED DataFrame read —
+    summed numOutputRows / filesSize over every scan node of the final
+    physical plan (descends through AQE stage wrappers).  The quota
+    layer's read-accounting source (IProfilingBlockInputStream.cpp:305
+    reads the same numbers off the stream's progress callback).
+    Best-effort: returns (0, 0) on any introspection failure."""
+    rows = nbytes = 0
+
+    def walk(jplan) -> None:
+        nonlocal rows, nbytes
+        name = jplan.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(jplan.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            walk(jplan.plan())
+            return
+        if "FileSourceScan" in name or name == "BatchScanExec":
+            it = jplan.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    rows += kv._2().value()
+                elif kv._1() == "filesSize":
+                    nbytes += kv._2().value()
+            return
+        ch = jplan.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    try:
+        walk(df._jdf.queryExecution().executedPlan())
+    except Exception:
+        return (0, 0)
+    return (int(rows), int(nbytes))
+
+
 def _is_aggregate_fn(name: str) -> bool:
     """AggregateFunctionFactory::isAggregateFunctionName — the base
     name, or any combinator-suffixed form of it, is an aggregate."""
@@ -502,6 +540,16 @@ class ChEngine:
         if self.current_quota is not None:
             from ..sources.formats import _tsv_cell
 
+            # read-side accounting first (the stream layer checks
+            # read limits as blocks arrive, before result delivery):
+            # scan-node metrics from the executed plan — numOutputRows
+            # is the rows the scans produced (CH read_rows), filesSize
+            # the compressed bytes of the files they read (CH counts
+            # uncompressed read_bytes; compressed is our disk-true
+            # analog).  Metric extraction must never break a query.
+            rrows, rbytes = _executed_scan_totals(df)
+            if rrows or rbytes:
+                self.current_quota.check_and_add_read(rrows, rbytes)
             nbytes = sum(
                 len(
                     ("\t".join(_tsv_cell(v) for v in row) + "\n").encode(

@@ -183,3 +183,32 @@ def test_read_accounting_checks_on_add():
         QuotaExpiredError, match=r"Total rows read: 16, max: 10"
     ):
         q.check_and_add_read(rows=8, now=101.0)
+
+
+def test_read_rows_accounted_from_scan_metrics(eng, spark):
+    """Engine.collect feeds read_rows/read_bytes from the EXECUTED
+    plan's scan metrics (numOutputRows/filesSize) — the analog of the
+    stream progress callback (IProfilingBlockInputStream.cpp:305).  A
+    25-row table read twice crosses a 40-row read quota even though
+    each RESULT is a single aggregate row."""
+    import os
+
+    eng.register_table(
+        "qnation",
+        spark.read.parquet(
+            os.path.join("/root/testdata/sf0.01", "nation.parquet")
+        ),
+    )
+    eng.quotas.configure("reads", {86400: {"read_rows": 40}})
+    eng.set_user("frank", quota="reads")
+    (row,) = eng.collect("SELECT count() AS c FROM qnation")
+    assert row.c == 25
+    usage = eng.current_quota.usage()[0]
+    assert usage["used_read_rows"] == 25
+    assert usage["used_read_bytes"] > 0
+    assert usage["used_result_rows"] == 1
+    with pytest.raises(
+        QuotaExpiredError, match=r"Total rows read: 50, max: 40"
+    ):
+        eng.collect("SELECT count() AS c FROM qnation")
+    eng.set_user("default")
