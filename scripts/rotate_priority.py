@@ -48,6 +48,17 @@ PIN: tuple[str, ...] = (
     "union_all_chain",
     "uniq_exact",
     "uniq_state_merge_hll",
+    # r11 in-round changes that must get a fresh driver row: the
+    # pl_quality_scores oracle now computes the live noise term, and
+    # the *_stored entries read the v7 range-partitioned store layout
+    # (all six driver-simmed green in-round at sf0.01; quality also
+    # value-checked at sf0.1 and sf1).
+    "pl_quality_scores",
+    "hits_q13_stored",
+    "hits_q17_stored",
+    "hits_q19_stored",
+    "hits_q21_stored",
+    "hits_q34_stored",
 )
 
 WINDOW = 50  # how many names the driver snapshots
