@@ -34,8 +34,9 @@ _AGG_BASE = {
     "quantilesTDigestWeighted", "quantilesTiming",
     "quantilesTimingWeighted", "sequenceCount", "sequenceMatch",
     "stddevPop", "stddevSamp", "sum", "uniq", "uniqCombined",
-    "uniqExact", "uniqHLL12", "uniqUpTo", "varPop", "varSamp",
-    "windowFunnel", "retention", "sumMap", "topK",
+    "uniqCombinedBiasCorrected", "uniqCombinedLinearCounting",
+    "uniqCombinedRaw", "uniqExact", "uniqHLL12", "uniqUpTo",
+    "varPop", "varSamp", "windowFunnel", "retention", "sumMap", "topK",
 }
 _AGG_SUFFIXES = ("If", "Array", "ForEach", "State", "Merge")
 
