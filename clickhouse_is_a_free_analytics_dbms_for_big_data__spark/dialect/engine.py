@@ -41,6 +41,12 @@ _AGG_BASE = {
 _AGG_SUFFIXES = ("If", "Array", "ForEach", "State", "Merge")
 
 
+class ResultLimitError(RuntimeError):
+    """max_result_rows / max_result_bytes exceeded in THROW mode
+    (IProfilingBlockInputStream::checkLimits, LIMITS_CURRENT —
+    ErrorCodes TOO_MUCH_ROWS=158 / TOO_MUCH_BYTES=307)."""
+
+
 def _executed_scan_totals(df: DataFrame) -> tuple[int, int]:
     """(rows, bytes) the file scans of an EXECUTED DataFrame read —
     summed numOutputRows / filesSize over every scan node of the final
@@ -538,6 +544,49 @@ class ChEngine:
             raise
         finally:
             self.finish_query()
+        # max_result_rows / max_result_bytes — the output-stream
+        # limits (Limits.h; checked by the delivering stream in the
+        # reference).  THROW is the default overflow mode; BREAK
+        # truncates — the reference cuts at a block boundary (result
+        # may slightly exceed the cap), we cut at the exact row for
+        # determinism.  Bytes use the TabSeparated rendering length,
+        # the same measure quota result accounting uses.
+        cap = self.last_settings.get("max_result_rows")
+        if cap and str(cap).isdigit() and len(rows) > int(cap):
+            if self.last_settings.get("result_overflow_mode") == "break":
+                rows = rows[: int(cap)]
+            else:
+                if self.current_quota is not None:
+                    self.current_quota.add_error()
+                raise ResultLimitError(
+                    f"Limit for result rows exceeded: read {len(rows)} "
+                    f"rows, maximum: {int(cap)} "
+                    f"(code 158, TOO_MUCH_ROWS)"
+                )
+        bcap = self.last_settings.get("max_result_bytes")
+        if bcap and str(bcap).isdigit():
+            from ..sources.formats import _tsv_cell
+
+            total = 0
+            for i, row in enumerate(rows):
+                total += len(
+                    ("\t".join(_tsv_cell(v) for v in row) + "\n").encode(
+                        "utf-8", "surrogatepass"
+                    )
+                )
+                if total > int(bcap):
+                    if self.last_settings.get(
+                        "result_overflow_mode"
+                    ) == "break":
+                        rows = rows[:i]
+                        break
+                    if self.current_quota is not None:
+                        self.current_quota.add_error()
+                    raise ResultLimitError(
+                        f"Limit for result bytes (uncompressed) "
+                        f"exceeded: read {total} bytes, maximum: "
+                        f"{int(bcap)} (code 307, TOO_MUCH_BYTES)"
+                    )
         if self.current_quota is not None:
             from ..sources.formats import _tsv_cell
 

@@ -212,3 +212,37 @@ def test_read_rows_accounted_from_scan_metrics(eng, spark):
     ):
         eng.collect("SELECT count() AS c FROM qnation")
     eng.set_user("default")
+
+
+def test_max_result_rows_throw_and_break(eng):
+    """max_result_rows — the output-stream limit (Limits.h:45,
+    IProfilingBlockInputStream::checkLimits): THROW (default mode)
+    raises TOO_MUCH_ROWS; result_overflow_mode='break' truncates."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.dialect.engine import (
+        ResultLimitError,
+    )
+
+    with pytest.raises(
+        ResultLimitError,
+        match=r"Limit for result rows exceeded: read 10 rows, maximum: 5",
+    ):
+        eng.collect(
+            "SELECT number FROM numbers(10) SETTINGS max_result_rows = 5"
+        )
+    rows = eng.collect(
+        "SELECT number FROM numbers(10) "
+        "SETTINGS max_result_rows = 5, result_overflow_mode = 'break'"
+    )
+    assert len(rows) == 5
+    # bytes limit: each row renders as a digit + newline = 2 bytes
+    with pytest.raises(
+        ResultLimitError, match=r"Limit for result bytes .* maximum: 7"
+    ):
+        eng.collect(
+            "SELECT number FROM numbers(10) SETTINGS max_result_bytes = 7"
+        )
+    rows = eng.collect(
+        "SELECT number FROM numbers(10) "
+        "SETTINGS max_result_bytes = 7, result_overflow_mode = 'break'"
+    )
+    assert len(rows) == 3  # 3 full rows fit in 7 TSV bytes
