@@ -454,7 +454,7 @@ class ChEngine:
         self.last_settings.update(self._query_settings(ch_sql))
         prev = getattr(self._qid_local, "qid", None)
         if prev is not None:
-            self._retire(prev)
+            self._retire(prev, account=False)
         met = self.last_settings.get("max_execution_time")
         try:
             met_s = float(met) if met is not None else None
@@ -499,17 +499,22 @@ class ChEngine:
             if qid == getattr(self._qid_local, "qid", None):
                 self._qid_local.qid = None
 
-    def _retire(self, qid: str) -> None:
-        """Retire a process-list entry and account its wall-clock
-        against the owning quota (IProfilingBlockInputStream.cpp:213
-        accounts execution time as the stream drains; our analog is
-        begin->retire elapsed — the enforcement point is the next
-        query's admission check)."""
+    def _retire(self, qid: str, account: bool = True) -> None:
+        """Retire a process-list entry; with ``account``, charge its
+        begin->retire wall-clock to the owning quota
+        (IProfilingBlockInputStream.cpp:213 accounts execution time as
+        the stream drains — enforcement happens at the next query's
+        admission check).  The AUTO-retire from the next statement
+        passes account=False: a lazily-built, never-collected query
+        did ~no work, and begin->next-statement elapsed would charge
+        the user's inter-statement think-time as execution time.
+        Explicit retires (finish_query — which Engine.collect calls
+        right after materializing) span the actual execution."""
         import time as _time
 
         entry = self.process_list.finish(qid)
         quota = self._quota_by_qid.pop(qid, None)
-        if entry is not None and quota is not None:
+        if account and entry is not None and quota is not None:
             quota.add_execution_time(_time.monotonic() - entry["start"])
 
     def set_user(self, name: str, quota: str | None = None,

@@ -246,3 +246,21 @@ def test_max_result_rows_throw_and_break(eng):
         "SETTINGS max_result_bytes = 7, result_overflow_mode = 'break'"
     )
     assert len(rows) == 3  # 3 full rows fit in 7 TSV bytes
+
+
+def test_think_time_not_charged_as_execution_time(eng):
+    """The auto-retire when the NEXT statement begins must not charge
+    the gap between statements: a lazily-built, never-collected query
+    did ~no work (the reference accounts stream-drain time, ~0 for an
+    undrained stream).  Only explicit retires (finish_query, which
+    collect calls right after materializing) span real execution."""
+    eng.quotas.configure("think", {86400: {"execution_time": 1}})
+    eng.set_user("grace", quota="think")
+    eng.execute("SELECT 1")  # never collected, never finished
+    # simulate inter-statement think-time longer than the limit
+    qid = eng._qid_local.qid
+    eng.process_list._entries[qid]["start"] -= 100.0
+    eng.execute("SELECT 1")  # auto-retires the previous entry
+    used = eng.current_quota.usage()[0]["used_execution_time"]
+    assert used < 1.0  # the 100 s of think-time was NOT charged
+    eng.set_user("default")
