@@ -541,25 +541,44 @@ class ChEngine:
         if df is None:
             self.finish_query()
             return None
+        qid = getattr(self._qid_local, "qid", None)
         try:
             rows = df.collect()
         except Exception:
             if self.current_quota is not None:
                 self.current_quota.add_error()
+            # a watchdog-cancelled lazy collect surfaces as the
+            # reference's TIMEOUT_EXCEEDED class, same as the eager
+            # execute() path
+            if qid is not None:
+                self.process_list.check(qid)
             raise
         finally:
             self.finish_query()
+        # per-row TabSeparated byte lengths, computed ONCE and shared
+        # by the max_result_bytes limit and quota result accounting
+        from ..sources.formats import _tsv_cell
+
+        def _row_tsv_len(row) -> int:
+            return len(
+                ("\t".join(_tsv_cell(v) for v in row) + "\n").encode(
+                    "utf-8", "surrogatepass"
+                )
+            )
+
+        row_lens = [_row_tsv_len(r) for r in rows]
         # max_result_rows / max_result_bytes — the output-stream
         # limits (Limits.h; checked by the delivering stream in the
-        # reference).  THROW is the default overflow mode; BREAK
+        # reference).  Zero means unlimited, as everywhere in
+        # Limits.h.  THROW is the default overflow mode; BREAK
         # truncates — the reference cuts at a block boundary (result
         # may slightly exceed the cap), we cut at the exact row for
-        # determinism.  Bytes use the TabSeparated rendering length,
-        # the same measure quota result accounting uses.
+        # determinism.
         cap = self.last_settings.get("max_result_rows")
-        if cap and str(cap).isdigit() and len(rows) > int(cap):
+        if cap and str(cap).isdigit() and int(cap) > 0 \
+                and len(rows) > int(cap):
             if self.last_settings.get("result_overflow_mode") == "break":
-                rows = rows[: int(cap)]
+                rows, row_lens = rows[: int(cap)], row_lens[: int(cap)]
             else:
                 if self.current_quota is not None:
                     self.current_quota.add_error()
@@ -569,21 +588,15 @@ class ChEngine:
                     f"(code 158, TOO_MUCH_ROWS)"
                 )
         bcap = self.last_settings.get("max_result_bytes")
-        if bcap and str(bcap).isdigit():
-            from ..sources.formats import _tsv_cell
-
+        if bcap and str(bcap).isdigit() and int(bcap) > 0:
             total = 0
-            for i, row in enumerate(rows):
-                total += len(
-                    ("\t".join(_tsv_cell(v) for v in row) + "\n").encode(
-                        "utf-8", "surrogatepass"
-                    )
-                )
+            for i, rlen in enumerate(row_lens):
+                total += rlen
                 if total > int(bcap):
                     if self.last_settings.get(
                         "result_overflow_mode"
                     ) == "break":
-                        rows = rows[:i]
+                        rows, row_lens = rows[:i], row_lens[:i]
                         break
                     if self.current_quota is not None:
                         self.current_quota.add_error()
@@ -593,8 +606,6 @@ class ChEngine:
                         f"{int(bcap)} (code 307, TOO_MUCH_BYTES)"
                     )
         if self.current_quota is not None:
-            from ..sources.formats import _tsv_cell
-
             # read-side accounting first (the stream layer checks
             # read limits as blocks arrive, before result delivery):
             # scan-node metrics from the executed plan — numOutputRows
@@ -605,15 +616,9 @@ class ChEngine:
             rrows, rbytes = _executed_scan_totals(df)
             if rrows or rbytes:
                 self.current_quota.check_and_add_read(rrows, rbytes)
-            nbytes = sum(
-                len(
-                    ("\t".join(_tsv_cell(v) for v in row) + "\n").encode(
-                        "utf-8", "surrogatepass"
-                    )
-                )
-                for row in rows
+            self.current_quota.check_and_add_result(
+                len(rows), sum(row_lens)
             )
-            self.current_quota.check_and_add_result(len(rows), nbytes)
         return rows
 
     # ---------------------------------------------- binary ingest
@@ -935,7 +940,17 @@ class ChEngine:
             # the statement, so none is ever in flight at read time
             rows = [
                 ("Merge", 0),
-                ("Query", len(self.process_list.running())),
+                # EXECUTING queries only — Killed/TimedOut entries
+                # linger until their owning thread retires them and
+                # must not inflate the gauge
+                (
+                    "Query",
+                    sum(
+                        1
+                        for e in self.process_list.running()
+                        if e["status"] == "Running"
+                    ),
+                ),
             ]
             return values(rows, "metric, value")
         if which == "dictionaries":

@@ -107,18 +107,40 @@ class ProcessList:
 
     def _cancel_until_finished(self, query_id: str, group: str) -> None:
         """Cancel ``group`` and keep re-cancelling until the entry is
-        retired.  The future-jobs marker alone marks a late-submitted
-        job cancelled but does NOT interrupt its already-running tasks
-        (measured: the error surfaces only when the tasks finish); a
-        plain cancelJobGroup tick interrupts them promptly.  Each tick
-        is one driver-side RPC — bounded by ``finish()`` or the cap."""
+        retired OR the group has no active jobs left.  The future-jobs
+        marker alone marks a late-submitted job cancelled but does NOT
+        interrupt its already-running tasks (measured: the error
+        surfaces only when the tasks finish); a plain cancelJobGroup
+        tick interrupts them promptly.  Each tick is one driver-side
+        RPC — bounded by ``finish()``, by the jobs draining (a victim
+        whose caller never retires the entry must not keep a canceller
+        spinning for the full cap), or by the cap."""
         self._cancel_group(group)
         sc = self.spark.sparkContext
+        idle_ticks = 0
         for _ in range(2400):  # 20 min cap at 0.5 s/tick
             time.sleep(0.5)
             with self._lock:
                 if query_id not in self._entries:
                     return
+            try:
+                tracker = sc.statusTracker()
+                active = [
+                    j
+                    for j in tracker.getJobIdsForGroup(group)
+                    if (info := tracker.getJobInfo(j)) is not None
+                    and str(info.status) == "RUNNING"
+                ]
+            except Exception:  # pragma: no cover - tracker hiccup
+                active = [None]  # assume busy; keep ticking
+            if not active:
+                # a few grace ticks: a cancelled job may be between
+                # submission and visibility in the status tracker
+                idle_ticks += 1
+                if idle_ticks >= 4:
+                    return
+                continue
+            idle_ticks = 0
             sc.cancelJobGroup(group)
 
     def _spawn_canceller(self, query_id: str, group: str) -> None:

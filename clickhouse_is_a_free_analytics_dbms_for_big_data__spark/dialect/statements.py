@@ -2671,8 +2671,13 @@ def _show(engine, tokens: list[Token]) -> DataFrame:
         return _show_create(engine, tokens)
     if kind == "PROCESSLIST":
         # InterpreterShowProcesslistQuery.cpp:20 rewrites to
-        # SELECT * FROM system.processes
-        return engine.sql("SELECT * FROM system.processes")
+        # SELECT * FROM system.processes.  Translate directly — the
+        # client statement was already counted by execute(); going
+        # through engine.sql() would count Query twice and a phantom
+        # SelectQuery for one SHOW statement.
+        return engine.spark.sql(
+            engine.translate("SELECT * FROM system.processes")
+        )
     if kind == "DATABASES":
         dbs = sorted({"default", "system", *engine.databases})
         return _str_df(engine, [[d] for d in dbs], "name STRING")

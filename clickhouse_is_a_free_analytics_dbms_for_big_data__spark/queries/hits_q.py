@@ -1030,20 +1030,23 @@ _STORE_READY: set[str] = set()
 
 
 def _dir_max_mtime(path: str) -> int:
-    """Newest file mtime (integer seconds) under ``path`` — part of the
-    store rebuild fingerprint so a regenerated source of identical byte
-    size still triggers a rebuild."""
+    """Newest file mtime (NANOSECONDS) under ``path`` — part of the
+    store rebuild fingerprint so a regenerated source of identical
+    byte size still triggers a rebuild.  st_mtime_ns, not whole
+    seconds: a source rewritten within the same second at the same
+    size must not silently reuse the stale store."""
     import os
 
+    def _ns(p: str) -> int:
+        return os.stat(p).st_mtime_ns
+
     if os.path.isfile(path):
-        return int(os.path.getmtime(path))
+        return _ns(path)
     newest = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
             try:
-                newest = max(
-                    newest, int(os.path.getmtime(os.path.join(root, f)))
-                )
+                newest = max(newest, _ns(os.path.join(root, f)))
             except OSError:
                 pass
     return newest

@@ -193,25 +193,54 @@ def write_mergetree(
         )
     else:
         out = out.repartition(F.col("_partition"))
-    (
-        out.sortWithinPartitions(*order_by)
-        .write.mode("overwrite" if publish else mode)
-        .partitionBy("_partition")
-        .parquet(target)
-    )
-    if publish:
-        for col, dict_df in dicts.items():
-            dict_df.write.mode("overwrite").parquet(
-                _lc_dict_path(target, col)
-            )
-        jP = spark._jvm.org.apache.hadoop.fs.Path
-        fs, tbl_path = _hadoop_fs(spark, path)
-        backup = jP(path.rstrip("/") + ".__lc_old__")
-        fs.delete(backup, True)
-        if fs.exists(tbl_path):
-            fs.rename(tbl_path, backup)
-        fs.rename(jP(target), tbl_path)
-        fs.delete(backup, True)
+    try:
+        (
+            out.sortWithinPartitions(*order_by)
+            .write.mode("overwrite" if publish else mode)
+            .partitionBy("_partition")
+            .parquet(target)
+        )
+        if publish:
+            for col, dict_df in dicts.items():
+                dict_df.write.mode("overwrite").parquet(
+                    _lc_dict_path(target, col)
+                )
+            jP = spark._jvm.org.apache.hadoop.fs.Path
+            fs, tbl_path = _hadoop_fs(spark, path)
+            backup = jP(path.rstrip("/") + ".__lc_old__")
+            fs.delete(backup, True)
+            # Hadoop rename reports failure by RETURNING FALSE, not
+            # raising — an unchecked swap could delete the backup
+            # after a failed rename (old table destroyed) or rename
+            # the staging dir INTO the still-existing table dir.
+            # Check both; only a fully-successful swap may drop the
+            # backup.
+            if fs.exists(tbl_path) and not fs.rename(tbl_path, backup):
+                raise IOError(
+                    f"LC publish: could not move current table "
+                    f"{path} aside; table left untouched"
+                )
+            if not fs.rename(jP(target), tbl_path):
+                # restore the old table before failing loudly
+                fs.rename(backup, tbl_path)
+                raise IOError(
+                    f"LC publish: could not move staging into place "
+                    f"for {path}; previous table restored"
+                )
+            fs.delete(backup, True)
+    except Exception:
+        # never leak the fixed-name staging dir (a full table copy)
+        # on a failed build or publish; the swap above guarantees the
+        # previous table survives
+        if publish:
+            try:
+                fs, _ = _hadoop_fs(spark, path)
+                fs.delete(
+                    spark._jvm.org.apache.hadoop.fs.Path(target), True
+                )
+            except Exception:  # pragma: no cover - best-effort
+                pass
+        raise
     # a write changed (or may have changed) this table's dictionaries:
     # drop any memoized collected maps so a same-session reader never
     # decodes new codes through a stale map (to NULL, silently)

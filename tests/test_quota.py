@@ -264,3 +264,13 @@ def test_think_time_not_charged_as_execution_time(eng):
     used = eng.current_quota.usage()[0]["used_execution_time"]
     assert used < 1.0  # the 100 s of think-time was NOT charged
     eng.set_user("default")
+
+
+def test_result_limit_zero_means_unlimited(eng):
+    """max_result_rows/bytes = 0 is 'no limit', as everywhere in
+    Limits.h — not a limit of zero."""
+    rows = eng.collect(
+        "SELECT number FROM numbers(5) "
+        "SETTINGS max_result_rows = 0, max_result_bytes = 0"
+    )
+    assert len(rows) == 5

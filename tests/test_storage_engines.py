@@ -399,6 +399,8 @@ def test_lc_overwrite_crash_leaves_old_table_intact(spark, tmp_path):
                             low_cardinality=["s"])
     finally:
         DataFrameWriter.parquet = orig
+    # the fixed-name staging dir (a full table copy) must not leak
+    assert not os.path.exists(path.rstrip("/") + ".__lc_staging__")
     # old table untouched and still decodes (no torn/codes-only state)
     got = [(r.k, r.s) for r in read_mergetree(spark, path).collect()]
     assert got == [(1, "old")]
