@@ -20,7 +20,7 @@ from ..operators import (
     with_totals,
 )
 from ..functions import aggregates as AGG
-from ..operators.exact_sum import exact_sum_scaled
+from ..operators.exact_sum import exact_sum_scaled, scaled_long
 from ..sources.catalog import load_tables
 from .registry import query
 
@@ -88,10 +88,13 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recombined per GROUP as decimal(36,0) and descaled by an exact
     # decimal multiply (36,0)x(3,2) -> (38,2)/(38,4)/(38,6), which
     # cannot clip.  Values are non-negative, so ``%`` == mod.
-    q100 = F.round(F.col("l_quantity") * 100).cast("long")
-    p100 = F.round(F.col("l_extendedprice") * 100).cast("long")
-    d100 = F.round(F.col("l_discount") * 100).cast("long")
-    t100 = F.round(F.col("l_tax") * 100).cast("long")
+    # scaled_long = round-to-scaled-int without the per-row BigDecimal
+    # Spark's Round-on-double allocates (r11: the agg core measured
+    # 757 -> 388 ms at sf0.1 with this swap, value-identical)
+    q100 = scaled_long(F.col("l_quantity"))
+    p100 = scaled_long(F.col("l_extendedprice"))
+    d100 = scaled_long(F.col("l_discount"))
+    t100 = scaled_long(F.col("l_tax"))
     disc4 = p100 * (F.lit(100) - d100)  # disc_price scaled 10^4
     chg6 = disc4 * (F.lit(100) + t100)  # charge scaled 10^6
     M = 1_000_000

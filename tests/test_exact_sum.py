@@ -46,3 +46,26 @@ def test_exact_sum_rejects_bad_scale(spark):
     for bad in (-1, 19, 2.5, "2"):
         with pytest.raises(ValueError):
             exact_sum_scaled(F.col("v"), bad)
+
+
+def test_scaled_long_equals_round_on_exact_decimals(spark):
+    """r11: scaled_long replaces F.round(v*10^s).cast(long) (which
+    allocates a BigDecimal per row).  Pin value-identity on a dense
+    grid of exact 2-decimal values crossing zero — the domain the
+    helper is documented for — including the sign-aware negative
+    half-offset (JVM long cast truncates toward zero)."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.exact_sum import (
+        scaled_long,
+    )
+
+    # every cent in [-50.00, 50.00] plus large-magnitude money values
+    vals = [round(c / 100.0, 2) for c in range(-5000, 5001)]
+    vals += [round(x + c / 100.0, 2) for x in (1e6, -1e6, 1e9, -1e9)
+             for c in range(0, 100, 7)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = df.select(
+        scaled_long(F.col("v"), 2).alias("fast"),
+        F.round(F.col("v") * 100).cast("long").alias("ref"),
+    ).collect()
+    bad = [(r.fast, r.ref) for r in out if r.fast != r.ref]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
