@@ -22,6 +22,7 @@ from ..operators import (
 from ..functions import aggregates as AGG
 from ..operators.exact_sum import exact_sum_scaled, scaled_long
 from ..sources.catalog import load_tables
+from .registry import plan_cache as _plan_cache
 from .registry import query
 
 
@@ -67,6 +68,7 @@ def _dec(col: str, scale: int = 2) -> F.Column:
     "Reference analog: hash aggregation Interpreters/Aggregator.cpp:694.",
     tags=("aggregate", "flagship"),
 )
+@_plan_cache
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
     # SCALED-LONG exact sums (the reference's Decimal-as-Int64 model,
@@ -144,6 +146,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="SELECT count() — reference AggregateFunctionCount.h.",
     tags=("aggregate",),
 )
+@_plan_cache
 def count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
     return li.agg(F.count(F.lit(1)).alias("cnt"))
@@ -160,6 +163,7 @@ def count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(reference PREWHERE MergeTreeDataSelectExecutor.cpp:479-494).",
     tags=("filter",),
 )
+@_plan_cache
 def filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
     return ev.filter((F.col("event_type") == "click") & (F.col("value") > 5)).agg(
@@ -180,6 +184,7 @@ def filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "InterpreterSelectQuery.cpp:637-641).",
     tags=("aggregate", "topk"),
 )
+@_plan_cache
 def topk_group_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
     return (
@@ -197,6 +202,7 @@ def topk_group_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="uniqExact (AggregateFunctionUniq.h uniqExact variant).",
     tags=("aggregate",),
 )
+@_plan_cache
 def uniq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
     return ev.agg(F.countDistinct("user_id").alias("u"))
@@ -224,6 +230,7 @@ def uniq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on both engines (sketch values are engine-specific).",
     tags=("aggregate", "approx"),
 )
+@_plan_cache
 def uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
     exact = F.countDistinct("user_id")
@@ -251,6 +258,7 @@ def uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "AggregateFunctionsMinMaxAny.h; argMin/argMax AggregateFunctionsArgMinMax.h).",
     tags=("aggregate",),
 )
+@_plan_cache
 def group_min_max_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
     return (
@@ -276,6 +284,7 @@ def group_min_max_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="HAVING (InterpreterSelectQuery.cpp:596-598).",
     tags=("aggregate",),
 )
+@_plan_cache
 def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
     return (
@@ -297,6 +306,7 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sorted CSV string so the value-hash is list-order independent.",
     tags=("aggregate", "array"),
 )
+@_plan_cache
 def group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
     return (
@@ -329,6 +339,7 @@ def group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(reference hash join Interpreters/Join.cpp, build side = RHS).",
     tags=("join",),
 )
+@_plan_cache
 def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust, nat, reg = _t(spark, sf_dir, "customer", "nation", "region")
     return (
@@ -362,6 +373,7 @@ def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "o_orderkey.",
     tags=("join", "any"),
 )
+@_plan_cache
 def join_any_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust, orders = _t(spark, sf_dir, "customer", "orders")
     right = orders.select("o_custkey", "o_orderkey", "o_totalprice")
@@ -387,6 +399,7 @@ def join_any_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     "GLOBAL IN = broadcast, ExpressionAnalyzer.cpp:479-574).",
     tags=("join", "in"),
 )
+@_plan_cache
 def semi_join_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust, orders = _t(spark, sf_dir, "customer", "orders")
     sub = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -403,6 +416,7 @@ def semi_join_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="NOT IN (subquery) -> left-anti join (Interpreters/Set.h negated probe).",
     tags=("join", "in"),
 )
+@_plan_cache
 def anti_join_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust, orders = _t(spark, sf_dir, "customer", "orders")
     filtered = global_in(
@@ -421,6 +435,7 @@ def anti_join_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IN (literal list) — ExpressionAnalyzer.cpp:1459 makeExplicitSet.",
     tags=("in",),
 )
+@_plan_cache
 def in_literal_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
     return (
@@ -442,6 +457,7 @@ def in_literal_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="CROSS JOIN (Interpreters/Join.h:168 block-nested-loop).",
     tags=("join",),
 )
+@_plan_cache
 def cross_join_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nat,) = _t(spark, sf_dir, "nation")
     n1 = nat.filter(F.col("n_regionkey") == 0).select(
@@ -474,6 +490,7 @@ def cross_join_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="n-ary UNION ALL (ASTSelectQuery.h:78 next_union_all chain).",
     tags=("setop",),
 )
+@_plan_cache
 def union_all_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust, supp, part = _t(spark, sf_dir, "customer", "supplier", "part")
     parts = [
@@ -502,6 +519,7 @@ def union_all_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="DISTINCT (DataStreams/DistinctBlockInputStream.h:17).",
     tags=("setop",),
 )
+@_plan_cache
 def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
     return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
@@ -522,6 +540,7 @@ def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(DataStreams/LimitByBlockInputStream.h:18).",
     tags=("limitby",),
 )
+@_plan_cache
 def limit_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same plan limit_by() builds, keeping the rank column so the
     # oracle's rn matches (the operator itself drops it).
@@ -554,6 +573,7 @@ def limit_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "appended all-rows totals row with NULL keys.",
     tags=("totals",),
 )
+@_plan_cache
 def with_totals_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
     aggs = [
@@ -584,6 +604,7 @@ def with_totals_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregates only groups passing HAVING.",
     tags=("totals",),
 )
+@_plan_cache
 def totals_after_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
     aggs = [
@@ -613,6 +634,7 @@ def totals_after_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filters group rows only.",
     tags=("totals",),
 )
+@_plan_cache
 def totals_before_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
     aggs = [
@@ -640,6 +662,7 @@ def totals_before_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic predicate so it's reproducible and scan-pushable.",
     tags=("sample",),
 )
+@_plan_cache
 def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
     sampled = deterministic_sample(li, F.col("l_orderkey"), 1, 10)
@@ -665,6 +688,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(clause ASTSelectQuery.h:68; FunctionsStringArray.cpp splitByChar).",
     tags=("arrayjoin", "array"),
 )
+@_plan_cache
 def array_join_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     tokens = array_join(docs, {"token": F.split(F.col("text"), " ")})
@@ -690,6 +714,7 @@ def array_join_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(DataStreams/ReplacingSortedBlockInputStream.h:15).",
     tags=("final", "mergetree"),
 )
+@_plan_cache
 def final_replacing_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
     latest = final_replacing(
@@ -725,6 +750,7 @@ def final_replacing_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no join node, no |L|x|R| range-join blowup (operators/asof.py).",
     tags=("join", "asof"),
 )
+@_plan_cache
 def asof_join_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import asof_join
 
@@ -764,6 +790,7 @@ def asof_join_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operator — the oracle is DuckDB's native ASOF (operators/asof.py).",
     tags=("join", "asof"),
 )
+@_plan_cache
 def asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import asof_join
 

@@ -16,6 +16,7 @@ from ..sources.mergetree import (
     graphite_rollup,
 )
 from .core import _dec, _t
+from .registry import plan_cache as _plan_cache
 from .registry import query
 
 
@@ -188,6 +189,7 @@ def graphite_rollup_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by a purchase (AggregateFunctionSequenceMatch.h:145).",
     tags=("funnel",),
 )
+@_plan_cache
 def sequence_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -599,6 +601,7 @@ def mt_low_cardinality_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(streaming/stateful.py streaming_sessionize).",
     tags=("session", "window"),
 )
+@_plan_cache
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
     sessions = (

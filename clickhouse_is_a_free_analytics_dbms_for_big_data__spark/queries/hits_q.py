@@ -21,11 +21,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_tables
+from .registry import plan_cache as _plan_cache
 from .registry import query
 
 # ---- shared derived projection (Spark side) --------------------------------
 
 
+@_plan_cache
 def hits_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → hits-shaped wide projection (deterministic arithmetic).
 
@@ -123,6 +125,7 @@ def _hq(name: str, oracle_body: str, doc: str):
     "SELECT COUNT(*) AS cnt FROM hits",
     "benchmark Q1: SELECT count() (queries.sql:1)",
 )
+@_plan_cache
 def hits_q01(spark, sf_dir):
     return hits_view(spark, sf_dir).agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -132,6 +135,7 @@ def hits_q01(spark, sf_dir):
     "SELECT COUNT(*) AS cnt FROM hits WHERE AdvEngineID <> 0",
     "benchmark Q2: filtered count (queries.sql:2)",
 )
+@_plan_cache
 def hits_q02(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -145,6 +149,7 @@ def hits_q02(spark, sf_dir):
     "SELECT CAST(SUM(AdvEngineID) AS BIGINT) AS s, COUNT(*) AS c, AVG(ResolutionWidth) AS a FROM hits",
     "benchmark Q3: sum + count + avg in one pass (queries.sql:3)",
 )
+@_plan_cache
 def hits_q03(spark, sf_dir):
     return hits_view(spark, sf_dir).agg(
         F.sum("AdvEngineID").alias("s"),
@@ -158,6 +163,7 @@ def hits_q03(spark, sf_dir):
     "SELECT COUNT(DISTINCT UserID) AS u FROM hits",
     "benchmark Q5: uniq(UserID), exact form (queries.sql:5)",
 )
+@_plan_cache
 def hits_q05(spark, sf_dir):
     return hits_view(spark, sf_dir).agg(F.countDistinct("UserID").alias("u"))
 
@@ -167,6 +173,7 @@ def hits_q05(spark, sf_dir):
     "SELECT MIN(EventDate) AS lo, MAX(EventDate) AS hi FROM hits",
     "benchmark Q7: min/max EventDate (queries.sql:7)",
 )
+@_plan_cache
 def hits_q07(spark, sf_dir):
     return hits_view(spark, sf_dir).agg(
         F.min("EventDate").alias("lo"), F.max("EventDate").alias("hi")
@@ -181,6 +188,7 @@ def hits_q07(spark, sf_dir):
     """,
     "benchmark Q8: small-cardinality GROUP BY ordered by count (queries.sql:8)",
 )
+@_plan_cache
 def hits_q08(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -199,6 +207,7 @@ def hits_q08(spark, sf_dir):
     """,
     "benchmark Q9: GROUP BY + uniq top-10 (queries.sql:9)",
 )
+@_plan_cache
 def hits_q09(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -217,6 +226,7 @@ def hits_q09(spark, sf_dir):
     """,
     "benchmark Q13: hot-key string GROUP BY top-10 (queries.sql:13)",
 )
+@_plan_cache
 def hits_q13(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -236,6 +246,7 @@ def hits_q13(spark, sf_dir):
     """,
     "benchmark Q17: wide two-key GROUP BY (the heavy shape, queries.sql:17)",
 )
+@_plan_cache
 def hits_q17(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -254,6 +265,7 @@ def hits_q17(spark, sf_dir):
     """,
     "benchmark Q19: three-key GROUP BY with time extraction (queries.sql:19)",
 )
+@_plan_cache
 def hits_q19(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -271,6 +283,7 @@ def hits_q19(spark, sf_dir):
     "SELECT COUNT(*) AS cnt FROM hits WHERE URL LIKE '%page/42%'",
     "benchmark Q21: substring scan (queries.sql:21)",
 )
+@_plan_cache
 def hits_q21(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -287,6 +300,7 @@ def hits_q21(spark, sf_dir):
     """,
     "benchmark Q27: filter + ORDER BY scan, top-N pushdown (queries.sql:27)",
 )
+@_plan_cache
 def hits_q27(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -306,6 +320,7 @@ def hits_q27(spark, sf_dir):
     "benchmark Q28: HAVING on group count (queries.sql:28; threshold scaled "
     "to the synthetic row count)",
 )
+@_plan_cache
 def hits_q28(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -326,6 +341,7 @@ def hits_q28(spark, sf_dir):
     + " FROM hits",
     "benchmark Q30: 90 simultaneous sums — codegen-width stress (queries.sql:30)",
 )
+@_plan_cache
 def hits_q30(spark, sf_dir):
     # F.expr strings: 90 py4j calls instead of 450 (sum+add+lit+alias
     # chains) — ~0.5 s of build time per bench run at r7, measured
@@ -344,6 +360,7 @@ def hits_q30(spark, sf_dir):
     "benchmark Q36: arithmetic-derived group keys (queries.sql:36; "
     "name kept from round 1 for bench continuity)",
 )
+@_plan_cache
 def hits_q35(spark, sf_dir):
     x = F.col("ClientIP")
     return (
@@ -374,6 +391,7 @@ def hits_q35(spark, sf_dir):
     "benchmark Q40: ternary source attribution over five keys (queries.sql:40 "
     "— the '?:' operator form; name kept from round 1 for bench continuity)",
 )
+@_plan_cache
 def hits_q39(spark, sf_dir):
     src = F.when(
         (F.col("SearchEngineID") == 0) & (F.col("AdvEngineID") == 0),
@@ -411,6 +429,7 @@ def hits_q39(spark, sf_dir):
     """,
     "benchmark Q43: per-minute drill-down rollup (queries.sql:43)",
 )
+@_plan_cache
 def hits_q43(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -444,6 +463,7 @@ def _drill(df: DataFrame) -> DataFrame:
     "SELECT CAST(SUM(UserID) AS BIGINT) AS s FROM hits",
     "benchmark Q4: sum over a key column (queries.sql:4)",
 )
+@_plan_cache
 def hits_q04(spark, sf_dir):
     return hits_view(spark, sf_dir).agg(F.sum("UserID").alias("s"))
 
@@ -453,6 +473,7 @@ def hits_q04(spark, sf_dir):
     "SELECT COUNT(DISTINCT SearchPhrase) AS u FROM hits",
     "benchmark Q6: uniq(SearchPhrase), exact form (queries.sql:6)",
 )
+@_plan_cache
 def hits_q06(spark, sf_dir):
     return hits_view(spark, sf_dir).agg(F.countDistinct("SearchPhrase").alias("u"))
 
@@ -466,6 +487,7 @@ def hits_q06(spark, sf_dir):
     """,
     "benchmark Q10: four aggregates incl. distinct per region (queries.sql:10)",
 )
+@_plan_cache
 def hits_q10(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -490,6 +512,7 @@ def hits_q10(spark, sf_dir):
     """,
     "benchmark Q11: filtered string-key GROUP BY + uniq (queries.sql:11)",
 )
+@_plan_cache
 def hits_q11(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -510,6 +533,7 @@ def hits_q11(spark, sf_dir):
     """,
     "benchmark Q12: two-key GROUP BY + uniq (queries.sql:12)",
 )
+@_plan_cache
 def hits_q12(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -530,6 +554,7 @@ def hits_q12(spark, sf_dir):
     """,
     "benchmark Q14: phrase top-10 by distinct users (queries.sql:14)",
 )
+@_plan_cache
 def hits_q14(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -550,6 +575,7 @@ def hits_q14(spark, sf_dir):
     """,
     "benchmark Q15: engine+phrase GROUP BY top-10 (queries.sql:15)",
 )
+@_plan_cache
 def hits_q15(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -569,6 +595,7 @@ def hits_q15(spark, sf_dir):
     """,
     "benchmark Q16: per-user counts top-10 (queries.sql:16)",
 )
+@_plan_cache
 def hits_q16(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -588,6 +615,7 @@ def hits_q16(spark, sf_dir):
     "benchmark Q18: GROUP BY ... LIMIT without ORDER (queries.sql:18; "
     "pinned to key order — a bare LIMIT is nondeterministic on both engines)",
 )
+@_plan_cache
 def hits_q18(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -608,6 +636,7 @@ def hits_q18(spark, sf_dir):
     "Decimal(20,0) (queries.sql:20, SURVEY §7 hard part; "
     "functions/conversion.py toUInt64Full)",
 )
+@_plan_cache
 def hits_q20(spark, sf_dir):
     lit = F.lit("12345678901234567890").cast("decimal(20,0)")
     return (
@@ -629,6 +658,7 @@ def hits_q20(spark, sf_dir):
     "benchmark Q22: LIKE scan + any(URL) (queries.sql:22; any pinned to min "
     "for determinism)",
 )
+@_plan_cache
 def hits_q22(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -652,6 +682,7 @@ def hits_q22(spark, sf_dir):
     "benchmark Q23: multi-LIKE (incl. cyrillic Title) + NOT LIKE + uniq "
     "(queries.sql:23; any pinned to min)",
 )
+@_plan_cache
 def hits_q23(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -685,6 +716,7 @@ def hits_q23(spark, sf_dir):
     "renders DECIMAL(20,0) as float64 while Spark keeps the exact Decimal "
     "— equal values, unequal serializations (the hits_q20 pattern).",
 )
+@_plan_cache
 def hits_q24(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -706,6 +738,7 @@ def hits_q24(spark, sf_dir):
     """,
     "benchmark Q25: ORDER BY EventTime scan (queries.sql:25; WatchID tiebreak)",
 )
+@_plan_cache
 def hits_q25(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -724,6 +757,7 @@ def hits_q25(spark, sf_dir):
     """,
     "benchmark Q26: ORDER BY string scan (queries.sql:26; WatchID tiebreak)",
 )
+@_plan_cache
 def hits_q26(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -745,6 +779,7 @@ def hits_q26(spark, sf_dir):
     "benchmark Q29: domainWithoutWWW rollup with HAVING (queries.sql:29; "
     "threshold scaled, any pinned to min; functions/url.py domainWithoutWWW)",
 )
+@_plan_cache
 def hits_q29(spark, sf_dir):
     key = F.regexp_extract(F.col("Referer"), r"https?://(?:www\.)?([^/]+)", 1)
     return (
@@ -773,6 +808,7 @@ def hits_q29(spark, sf_dir):
     """,
     "benchmark Q31: filtered two-key GROUP BY, three aggregates (queries.sql:31)",
 )
+@_plan_cache
 def hits_q31(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -799,6 +835,7 @@ def hits_q31(spark, sf_dir):
     "benchmark Q32: near-unique-key GROUP BY, filtered (queries.sql:32 — "
     "high-cardinality hash-agg stress)",
 )
+@_plan_cache
 def hits_q32(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -825,6 +862,7 @@ def hits_q32(spark, sf_dir):
     "benchmark Q33: unfiltered near-unique-key GROUP BY (queries.sql:33 — "
     "the heaviest hash-agg in the suite)",
 )
+@_plan_cache
 def hits_q33(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -847,6 +885,7 @@ def hits_q33(spark, sf_dir):
     """,
     "benchmark Q34: heavy string-key GROUP BY (queries.sql:34)",
 )
+@_plan_cache
 def hits_q34(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -866,6 +905,7 @@ def hits_q34(spark, sf_dir):
     "benchmark Q35: constant + string GROUP BY (queries.sql:35 — the constant "
     "key the reference's optimizeGroupBy would drop)",
 )
+@_plan_cache
 def hits_q35_const(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)
@@ -886,6 +926,7 @@ def hits_q35_const(spark, sf_dir):
     "benchmark Q37: counter drill-down, URL pageviews (queries.sql:37; date "
     "window scaled to the synthetic range)",
 )
+@_plan_cache
 def hits_q37(spark, sf_dir):
     return (
         _drill(hits_view(spark, sf_dir))
@@ -910,6 +951,7 @@ def hits_q37(spark, sf_dir):
     """,
     "benchmark Q38: counter drill-down, Title pageviews (queries.sql:38)",
 )
+@_plan_cache
 def hits_q38(spark, sf_dir):
     return (
         _drill(hits_view(spark, sf_dir))
@@ -934,6 +976,7 @@ def hits_q38(spark, sf_dir):
     """,
     "benchmark Q39: outbound-link pageviews (queries.sql:39)",
 )
+@_plan_cache
 def hits_q39_links(spark, sf_dir):
     return (
         _drill(hits_view(spark, sf_dir))
@@ -961,6 +1004,7 @@ def hits_q39_links(spark, sf_dir):
     "benchmark Q41: PK-pruned drill-down on hash equality + IN (queries.sql:41; "
     "halfMD5(referer) stands in as the deterministic RefererHash derivation; constant chosen consistent with CounterID = 34)",
 )
+@_plan_cache
 def hits_q41(spark, sf_dir):
     return (
         _drill(hits_view(spark, sf_dir))
@@ -991,6 +1035,7 @@ def hits_q41(spark, sf_dir):
     "(queries.sql:42; CounterID filter dropped — it is independent of URLHash "
     "in the synthetic derivation and would starve the result)",
 )
+@_plan_cache
 def hits_q42(spark, sf_dir):
     return (
         hits_view(spark, sf_dir)

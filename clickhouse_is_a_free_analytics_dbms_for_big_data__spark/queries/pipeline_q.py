@@ -6,40 +6,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-import functools
-
 from ..pipeline import dedup as D
 from ..pipeline import multimodal as M
 from ..pipeline import similarity as SIM
 from ..pipeline import text as TXT
 from .core import _t
+from .registry import plan_cache as _plan_cache
 from .registry import query
 
 # Query vector for ANN demos: deterministic, matches embedding dim 64.
 _QUERY_VEC = [((i * 37 + 11) % 101 - 50) / 50.0 for i in range(64)]
-
-
-def _plan_cache(fn):
-    """Memoize the built DataFrame per (session, sf_dir).
-
-    The LSH dedup plans are construction-heavy (deep higher-order
-    lambda trees: ~0.3 s of driver-side build + analysis per call,
-    measured r4) while their inputs are immutable test tables.  The
-    reference caches compiled expression code the same way
-    (Interpreters/Compiler.h:66-92, min_count_to_compile) — repeated
-    executions of one query must not re-pay plan construction.
-    """
-
-    @functools.wraps(fn)
-    def wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = (id(spark), sf_dir)
-        cached = wrap._plans.get(key)
-        if cached is None:
-            cached = wrap._plans[key] = fn(spark, sf_dir)
-        return cached
-
-    wrap._plans = {}
-    return wrap
 
 
 @query(
@@ -58,6 +34,7 @@ def _plan_cache(fn):
     "keep min doc_id (single shuffle; the 100 TB-cheap dedup).",
     tags=("pipeline", "dedup"),
 )
+@_plan_cache
 def pl_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     kept = D.exact_dedup(docs, TXT.fingerprint_md5(F.col("text")), "doc_id")
@@ -80,6 +57,7 @@ def pl_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Token counting (whitespace tokenizer) per language slice.",
     tags=("pipeline", "text"),
 )
+@_plan_cache
 def pl_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     n = TXT.token_count(F.col("text"))
@@ -415,6 +393,7 @@ def pl_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TakeOrderedAndProject plan — per-partition heaps, no shuffle).",
     tags=("pipeline", "similarity"),
 )
+@_plan_cache
 def pl_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _t(spark, sf_dir, "embeddings")
     return SIM.topk_brute(emb, "embedding", _QUERY_VEC, k=20)

@@ -30,6 +30,34 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Table-reader memo (r11): ``spark.read.parquet`` pays a driver-side
+# footer read + schema inference of ~80 ms PER CALL, re-paid by every
+# query build over the same immutable table (measured r11; guide §7.3
+# driver-side planning cost).  The memo caches the lazy DataFrame —
+# a PLAN, not data; every execution still scans parquet — keyed on the
+# session AND an on-disk staleness signature (mtime+size), so a
+# rewritten table is re-read, mirroring the reference's table-metadata
+# registry (Storages/StorageFactory.cpp: tables are constructed once,
+# not per query).
+_READER_CACHE: dict[tuple, DataFrame] = {}
+_CONF_PINNED: set[str] = set()
+
+
+def _stat_sig(path: str) -> tuple:
+    """Staleness signature: file (mtime_ns, size); for Spark-written
+    directory tables, the dir mtime plus per-file (name, mtime, size)."""
+    st = os.stat(path)
+    if os.path.isfile(path):
+        return (st.st_mtime_ns, st.st_size)
+    entries = []
+    for f in sorted(os.listdir(path)):
+        try:
+            s = os.stat(os.path.join(path, f))
+            entries.append((f, s.st_mtime_ns, s.st_size))
+        except OSError:
+            pass
+    return (st.st_mtime_ns, tuple(entries))
+
 
 def load_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
@@ -39,12 +67,24 @@ def load_tables(
     # builds its own), so pin the runtime confs the engine relies on:
     # nanos timestamps read as long, and non-ANSI arithmetic (the
     # reference wraps on overflow; ANSI would throw on hash mixing).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+    # Pinned once per session (two py4j round trips otherwise re-paid
+    # on every query build).
+    app = spark.sparkContext.applicationId
+    sess = (app, id(spark))
+    if app not in _CONF_PINNED:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        _CONF_PINNED.add(app)
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
+        if not os.path.exists(path):
+            continue
+        key = (sess, path, _stat_sig(path))
+        df = _READER_CACHE.get(key)
+        if df is None:
+            if len(_READER_CACHE) > 256:  # dead sessions / rewritten paths
+                _READER_CACHE.clear()
             df = spark.read.parquet(path)
             # TIMESTAMP(NANOS) columns arrive as long nanos (see session
             # conf); surface them as microsecond timestamps like every
@@ -55,7 +95,8 @@ def load_tables(
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
                 )
-            out[name] = df
+            _READER_CACHE[key] = df
+        out[name] = df
     return out
 
 
