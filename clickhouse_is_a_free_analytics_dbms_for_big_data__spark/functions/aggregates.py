@@ -159,6 +159,15 @@ def quantileExact(x, level: float = 0.5) -> Column:
     return F.percentile(col_of(x), level)
 
 
+def quantilesExact(x, *levels: float) -> Column:
+    """quantilesExact(x, l1, l2, ...) — the reference's multi-level
+    exact-quantile form (AggregateFunctionQuantile.h: ONE state array
+    serves every level).  percentile(col, array(levels)) buffers and
+    sorts each group's values once; N separate percentile aggregates
+    would keep N copies (r11: fn_quantiles 2x faster at sf0.1)."""
+    return F.percentile(col_of(x), F.array(*[F.lit(l) for l in levels]))
+
+
 def quantileTiming(x, level: float = 0.5) -> Column:
     """Fixed-bucket timing quantile (AggregateFunctionQuantileTiming.h);
     ms-resolution bucketing == percentile on rounded values."""

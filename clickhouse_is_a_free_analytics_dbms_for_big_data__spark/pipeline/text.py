@@ -105,19 +105,34 @@ def digit_ratio(text) -> Column:
     return n_digit.cast("double") / F.greatest(F.length(t), F.lit(1))
 
 
+def _sw_count(tk: Column, lang: str) -> Column:
+    """Stopword hits in an already-tokenized array."""
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(tk, lambda t: t.isin(*sw)))
+
+
 def quality_score(text, lang: str = "en") -> Column:
     """Heuristic document quality in [0,1]: rewards reasonable length,
     function-word presence, and penalizes punctuation/digit noise —
-    the classic pretraining-filter recipe (C4-style rules)."""
-    n_tok = token_count(text).cast("double")
-    len_score = F.least(n_tok / 50.0, F.lit(1.0))
-    sw_score = F.least(stopword_ratio(text, lang) * 5.0, F.lit(1.0))
-    noise = F.least(
-        punct_ratio(text) * 4.0 + digit_ratio(text) * 2.0, F.lit(1.0)
-    )
-    return F.round(
-        len_score * 0.4 + sw_score * 0.4 + (F.lit(1.0) - noise) * 0.2, 6
-    )
+    the classic pretraining-filter recipe (C4-style rules).
+
+    The token array is let-bound: tokenization (split + filter, an
+    interpreted higher-order chain) runs ONCE per row instead of once
+    per derived ratio (r11; values identical)."""
+
+    def score(tk: Column) -> Column:
+        n = F.greatest(F.size(tk), F.lit(1))
+        len_score = F.least(F.size(tk).cast("double") / 50.0, F.lit(1.0))
+        sw_ratio = _sw_count(tk, lang).cast("double") / n
+        sw_score = F.least(sw_ratio * 5.0, F.lit(1.0))
+        noise = F.least(
+            punct_ratio(text) * 4.0 + digit_ratio(text) * 2.0, F.lit(1.0)
+        )
+        return F.round(
+            len_score * 0.4 + sw_score * 0.4 + (F.lit(1.0) - noise) * 0.2, 6
+        )
+
+    return let_(tokens(text), score)
 
 
 def language_scores(text) -> dict[str, Column]:
@@ -126,16 +141,27 @@ def language_scores(text) -> dict[str, Column]:
 
 
 def language_id(text, threshold: float = 0.02) -> Column:
-    """argmax language by stopword ratio, 'unknown' below threshold."""
-    scores = language_scores(text)
-    pairs = [
-        F.struct(score.alias("s"), F.lit(lang).alias("l"))
-        for lang, score in scores.items()
-    ]
-    best = F.array_max(F.array(*pairs))
-    return F.when(best.getField("s") >= threshold, best.getField("l")).otherwise(
-        F.lit("unknown")
-    )
+    """argmax language by stopword ratio, 'unknown' below threshold.
+
+    Tokenizes ONCE (let-bound) and scores all languages from the same
+    array — the per-language ratio form re-ran the interpreted
+    split+filter chain once per language (r11; values identical)."""
+
+    def best_of(tk: Column) -> Column:
+        n = F.greatest(F.size(tk), F.lit(1))
+        pairs = [
+            F.struct(
+                (_sw_count(tk, lang).cast("double") / n).alias("s"),
+                F.lit(lang).alias("l"),
+            )
+            for lang in STOPWORDS
+        ]
+        best = F.array_max(F.array(*pairs))
+        return F.when(
+            best.getField("s") >= threshold, best.getField("l")
+        ).otherwise(F.lit("unknown"))
+
+    return let_(tokens(text), best_of)
 
 
 def fingerprint_md5(text) -> Column:

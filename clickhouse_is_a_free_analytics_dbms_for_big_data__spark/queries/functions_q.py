@@ -263,17 +263,28 @@ def fn_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="quantileExact + stddevSamp (AggregateFunctionQuantileExact.h, "
     "AggregateFunctionsStatistics.h); rounded to absorb last-ulp "
-    "interpolation differences.",
+    "interpolation differences.  r11: BOTH levels from ONE "
+    "percentile(col, array(levels)) buffer — two separate percentile "
+    "aggregates each buffer and sort every group's values "
+    "independently (the reference's quantiles() multi-level form, "
+    "AggregateFunctionQuantile.h: one state, many levels); values "
+    "identical, one value buffer instead of two.",
     tags=("functions", "aggregate"),
 )
 def fn_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
+    qq = A.quantilesExact("l_extendedprice", 0.5, 0.9)
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(A.quantileExact("l_extendedprice", 0.5), 4).alias("p50"),
-            F.round(A.quantileExact("l_extendedprice", 0.9), 4).alias("p90"),
+            qq.alias("qq"),
             F.round(A.stddevSamp("l_extendedprice"), 4).alias("sd"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("qq")[0], 4).alias("p50"),
+            F.round(F.col("qq")[1], 4).alias("p90"),
+            "sd",
         )
         .orderBy("l_returnflag")
     )
