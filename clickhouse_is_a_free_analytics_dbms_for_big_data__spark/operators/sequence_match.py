@@ -202,9 +202,20 @@ def _timed_udf(pattern: str, count: bool):
     # pandas_udf's signature inference.
     @pandas_udf("long", PandasUDFType.GROUPED_AGG)
     def seq_agg(t, m):
-        order = sorted(range(len(t)), key=lambda k: (t.iloc[k], m.iloc[k]))
-        times = [int(t.iloc[k]) for k in order]
-        masks = [int(m.iloc[k]) for k in order]
+        # vectorized sort + extraction (guide §4.2): the previous
+        # sorted(key=lambda k: (t.iloc[k], m.iloc[k])) paid a pandas
+        # scalar .iloc per COMPARISON — ~10k interpreted accesses per
+        # 700-event group (r11: the timed dialect entry measured 3x
+        # faster end-to-end).  lexsort(last key primary) is the same
+        # (ts, mask) total order; .tolist() yields plain ints for the
+        # NFA exactly as before.
+        import numpy as np
+
+        tv = t.to_numpy()
+        mv = m.to_numpy()
+        order = np.lexsort((mv, tv))
+        times = tv[order].tolist()
+        masks = mv[order].tolist()
         if count:
             pos = total = 0
             while pos < len(times):

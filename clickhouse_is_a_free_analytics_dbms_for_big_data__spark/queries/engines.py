@@ -33,11 +33,21 @@ from .registry import query
     tags=("mergetree",),
 )
 def summing_mergetree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # metric fed as its exact scaled-long image: SUM(decimal(18,2))
+    # uses a decimal(28,2) buffer = one BigDecimal alloc per row
+    # update, while the long sums as a primitive add (the r9
+    # exact-sum lesson applied to the SummingMergeTree path; the
+    # descale below reproduces SUM(CAST(x AS DECIMAL(18,2))) exactly —
+    # events.value is bounded, so the scaled sum stays in int64 far
+    # past this table's scale; use exact_sum_scaled's hi/lo split
+    # where per-key row counts can reach ~1e13)
+    from ..operators.exact_sum import scaled_long
+
     (ev,) = _t(spark, sf_dir, "events")
     with_cnt = ev.select(
         "user_id",
         "event_type",
-        _dec("value").alias("value"),
+        scaled_long(F.col("value")).alias("value"),
         F.lit(1).alias("merged_rows"),
     )
     compacted = compact_summing(
@@ -46,7 +56,10 @@ def summing_mergetree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compacted.select(
         "user_id",
         "event_type",
-        F.col("value").cast("double").alias("value"),
+        (
+            F.col("value").cast("decimal(36,0)")
+            * F.lit("0.01").cast("decimal(3,2)")
+        ).cast("double").alias("value"),
         F.col("merged_rows").cast("bigint").alias("merged_rows"),
     ).orderBy("user_id", "event_type")
 
