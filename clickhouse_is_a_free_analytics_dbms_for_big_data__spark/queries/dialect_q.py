@@ -14,8 +14,19 @@ from ..sources.catalog import register_tables
 from .registry import query
 
 
+# view-registration memo (r11): every dialect entry re-ran 10
+# createOrReplaceTempView py4j calls per build over the same immutable
+# test tables.  Re-register only when the session's registered sf_dir
+# changes (the views are session-global, so a different sf_dir must
+# overwrite them).
+_REGISTERED: dict[tuple, str] = {}
+
+
 def _engine(spark: SparkSession, sf_dir: str) -> ChEngine:
-    register_tables(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, id(spark))
+    if _REGISTERED.get(key) != sf_dir:
+        register_tables(spark, sf_dir)
+        _REGISTERED[key] = sf_dir
     eng = ChEngine(spark)
     eng.set_meta("events", TableMeta(sample_key="user_id"))
     return eng

@@ -1,7 +1,8 @@
 """Capture .explain('formatted') for every headline bench query.
 
-Usage: python scripts/capture_plans.py <outdir> [suffix]
-Writes <outdir>/<query>_<suffix>.txt (default suffix 'before').
+Usage: python scripts/capture_plans.py <outdir> [suffix] [name ...]
+Writes <outdir>/<query>_<suffix>.txt (default suffix 'before');
+explicit names (any registry entry) override the headline list.
 Plan capture only — no jobs are executed (except the tiny eager work
 some builders do at construction, e.g. store discovery).
 """
@@ -34,7 +35,7 @@ def main() -> None:
     width = sized_shuffle_partitions(dir_size_bytes(sf_dir), cpus)
     spark = get_session(app_name="capture_plans", shuffle_partitions=width)
     qmap = queries_map()
-    names = [n for n in bench.HEADLINE if n in qmap]
+    names = sys.argv[3:] or [n for n in bench.HEADLINE if n in qmap]
     if any(n.endswith("_stored") for n in names):
         from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.queries.hits_q import (
             ensure_hits_stored,
