@@ -176,16 +176,6 @@ class IvfIndex:
             except ImportError:
                 use_numpy = False
 
-        # Deterministic seed centroids: hash-sample n_clusters rows.
-        # (xxhash64 of the id — no RNG, reproducible across runs.)
-        seed_rows = (
-            df.select(F.col(id_col), F.col(vec_col))
-            .orderBy(F.xxhash64(F.col(id_col)))
-            .limit(n_clusters)
-            .collect()
-        )
-        centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
-
         # Lloyd refinement on a deterministic hash-sampled cap — k-means
         # quality saturates far below full-corpus size, and the cap
         # bounds training cost independent of data scale (TakeOrdered
@@ -196,6 +186,22 @@ class IvfIndex:
             .limit(train_cap)
             .cache()
         )
+
+        # Deterministic seed centroids: the first n_clusters rows of
+        # the SAME hash order (xxhash64 of the id — no RNG,
+        # reproducible).  Taken from the cached training sample so
+        # seeding shares its job instead of running a second full-table
+        # TakeOrdered (r11; identical centroids whenever train_cap >=
+        # n_clusters, which the fallback preserves).
+        seed_src = (
+            train.limit(n_clusters)
+            if train_cap >= n_clusters
+            else df.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+            ).orderBy(F.xxhash64(F.col("id"))).limit(n_clusters)
+        )
+        seed_rows = seed_src.collect()
+        centroids = [[float(x) for x in r["v"]] for r in seed_rows]
         for _ in range(iters):
             asg = _assign_join(train, "v", "id", centroids)
             # array-native centroid update: ONE aggregate over
