@@ -1119,9 +1119,15 @@ def ensure_hits_stored(spark: SparkSession, sf_dir: str) -> str:
     from ..session import dir_size_bytes
 
     path = _hits_store_path(sf_dir)
-    if path in _STORE_READY:
-        return path
     meta_p = os.path.join(path, "_HITS_STORE_META")
+    # the in-process memo is only valid while the store is still on
+    # disk: a deleted store dir (source unchanged) must rebuild, not
+    # serve a plan over missing files (r11 advice) — one stat per call
+    if path in _STORE_READY:
+        if os.path.exists(meta_p):
+            return path
+        _STORE_READY.discard(path)
+        _STORED_DF.pop(path, None)
     src = os.path.join(sf_dir, "events.parquet")
     # size alone can collide when the source is REGENERATED at the same
     # byte size; the newest mtime under the source dir catches that
@@ -1198,7 +1204,19 @@ def _stored_plan_cache(fn):
     @functools.wraps(fn)
     def wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(sf_dir, "events.parquet")
-        key = (
+        meta_p = os.path.join(_hits_store_path(sf_dir), "_HITS_STORE_META")
+
+        def _store_sig() -> int | None:
+            # the memo must also track the STORE's identity, not just
+            # the source's: a deleted-and-rebuilt store has new part
+            # files under the same path (r11 advice) — the meta
+            # marker's mtime changes on every publish
+            try:
+                return os.stat(meta_p).st_mtime_ns
+            except OSError:
+                return None
+
+        base = (
             spark.sparkContext.applicationId,
             id(spark),
             sf_dir,
@@ -1206,12 +1224,16 @@ def _stored_plan_cache(fn):
             dir_size_bytes(src),
             _dir_max_mtime(src),
         )
-        cached = wrap._plans.get(key)
-        if cached is None:
-            if len(wrap._plans) > 64:
-                wrap._plans.clear()
-            cached = wrap._plans[key] = fn(spark, sf_dir)
-        return cached
+        sig = _store_sig()
+        if sig is not None:
+            cached = wrap._plans.get(base + (sig,))
+            if cached is not None:
+                return cached
+        out = fn(spark, sf_dir)  # ensures/rebuilds the store
+        if len(wrap._plans) > 64:
+            wrap._plans.clear()
+        wrap._plans[base + (_store_sig(),)] = out
+        return out
 
     wrap._plans = {}
     return wrap

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.arrays import arrayEnumerateUniq, arrayReduce
+from ..functions.arrays import arrayReduce
 from ..functions.reinterpret import reinterpretAsString, reinterpretAsUInt32
 from ..sources.catalog import load_tables
 from .registry import query

@@ -40,7 +40,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # registry (Storages/StorageFactory.cpp: tables are constructed once,
 # not per query).
 _READER_CACHE: dict[tuple, DataFrame] = {}
-_CONF_PINNED: set[str] = set()
+_CONF_PINNED: set[tuple] = set()
 
 
 def _stat_sig(path: str) -> tuple:
@@ -71,10 +71,14 @@ def load_tables(
     # on every query build).
     app = spark.sparkContext.applicationId
     sess = (app, id(spark))
-    if app not in _CONF_PINNED:
+    # keyed on the (app, id) SESSION tuple, not the app alone:
+    # spark.conf.set is per-SparkSession, and a driver may hand us a
+    # spark.newSession() clone that shares the applicationId but not
+    # the runtime conf (r11 advice)
+    if sess not in _CONF_PINNED:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.ansi.enabled", "false")
-        _CONF_PINNED.add(app)
+        _CONF_PINNED.add(sess)
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")

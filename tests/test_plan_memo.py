@@ -81,3 +81,69 @@ def test_quantiles_exact_matches_separate_percentiles(spark):
     ).collect()
     for r in got:
         assert r.qq[0] == r.p50 and r.qq[1] == r.p90
+
+
+def test_dialect_view_memo_invalidates_on_rewrite(spark, tmp_path):
+    """r12 (r11 advice): rewriting a table under the SAME sf_dir must
+    re-register the temp views — the memo value carries the tables'
+    stat signature, so the dialect keeps seeing the live data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.queries.dialect_q import (
+        _engine,
+    )
+
+    d = str(tmp_path / "sfdialect")
+    os.makedirs(d)
+    src = os.path.join(SF_ORACLE, "nation.parquet")
+    dst = os.path.join(d, "nation.parquet")
+    shutil.copyfile(src, dst)
+    eng = _engine(spark, d)
+    n_first = eng.sql("SELECT count() AS n FROM nation").collect()[0].n
+    t = pq.read_table(src)
+    pq.write_table(pa.concat_tables([t, t]), dst)
+    os.utime(dst, ns=(os.stat(dst).st_mtime_ns + 2_000_000_000,) * 2)
+    eng2 = _engine(spark, d)
+    n_second = eng2.sql("SELECT count() AS n FROM nation").collect()[0].n
+    assert n_second == 2 * n_first  # views re-bound to the new file
+
+
+def test_stored_memo_rebuilds_after_store_dir_deleted(spark):
+    """r12 (r11 advice): deleting the store dir mid-session (source
+    unchanged) must trigger a rebuild on the next call, not serve a
+    memoized plan over missing files."""
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.queries import (
+        hits_q,
+    )
+
+    p = hits_q.ensure_hits_stored(spark, SF_ORACLE)
+    df1 = hits_q.hits_q13_stored(spark, SF_ORACLE)
+    assert df1.count() >= 0  # store readable
+    shutil.rmtree(p)
+    p2 = hits_q.ensure_hits_stored(spark, SF_ORACLE)  # rebuilt
+    assert os.path.exists(os.path.join(p2, "_HITS_STORE_META"))
+    df2 = hits_q.hits_q13_stored(spark, SF_ORACLE)
+    assert df2.count() >= 0  # plan over the REBUILT store executes
+
+
+def test_plan_cache_eviction_keeps_live_session_entries(spark):
+    calls = []
+
+    @plan_cache
+    def q(s, sf_dir):
+        calls.append(sf_dir)
+        return s.range(1)
+
+    # fake 70 dead-session entries + 1 live entry
+    live = q(spark, "/live")
+    for i in range(70):
+        q._plans[("deadapp", i, f"/d{i}")] = live
+    assert len(q._plans) > 64
+    # next miss evicts ONLY the dead-session keys
+    q(spark, "/live2")
+    assert q._plans[
+        (spark.sparkContext.applicationId, id(spark), "/live")
+    ] is live
+    assert all(k[0] != "deadapp" for k in q._plans)
+    assert calls == ["/live", "/live2"]
