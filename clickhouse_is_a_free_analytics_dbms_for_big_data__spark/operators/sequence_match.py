@@ -189,13 +189,48 @@ def _mask_expr(conds: Sequence[Column]) -> Column:
     return mask.cast("long")
 
 
+def _single_tcons_shape(
+    actions: list[tuple[str, int]], count: bool
+) -> tuple[int, str, int, int] | None:
+    """(cond_a, kind, T, cond_b) when the pattern is exactly
+    ``(?A)(?t<cmp>T)(?B)`` in MATCH mode — the shape whose NFA
+    semantics reduce to a closed form (see _timed_udf), else None."""
+    if count or len(actions) != 4:
+        return None
+    if (
+        actions[0] == ("star", 0)
+        and actions[1][0] == "event"
+        and actions[2][0] in ("tle", "tl", "tge", "tg")
+        and actions[3][0] == "event"
+    ):
+        return (actions[1][1], actions[2][0], actions[2][1], actions[3][1])
+    return None
+
+
 def _timed_udf(pattern: str, count: bool):
     """The exact-NFA grouped-agg pandas UDF for one (pattern, mode) —
     shared by the DataFrame path and the SQL dialect (which registers
-    it with spark.udf.register for use inside translated GROUP BYs)."""
+    it with spark.udf.register for use inside translated GROUP BYs).
+
+    Fast path (r12, guide §4.2): for the common single-time-constraint
+    match pattern ``(?A)(?t<cmp>T)(?B)`` the backtracking NFA's result
+    has a closed form — matched iff ∃ i < j in (ts, mask) order with
+    cond_A(i), cond_B(j) and cmp(t[j] - t[i], T).  Proof sketch from
+    match(): the leading star retries every A-position i; after A at
+    i the time constraint scans j = i+1.. (tle/tl abandon i once the
+    ascending gap exceeds T, tge/tg scan forward while it is still
+    short), and each passing j immediately tests B — so the NFA
+    accepts exactly when SOME (i < j) pair satisfies both conditions
+    and the gap comparison.  For ≤/< the witness needs only the
+    LATEST A-time before j; for ≥/> only the EARLIEST — both are one
+    vectorized prefix scan instead of an interpreted O(n²)
+    backtracking loop per group.  Equivalence is property-tested
+    against the NFA on randomized sequences
+    (tests/test_straggler_functions.py)."""
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     actions = parse_pattern(pattern)
+    fast = _single_tcons_shape(actions, count)
 
     # functionType given explicitly: the module-wide `from __future__
     # import annotations` turns hints into strings, which defeats
@@ -214,6 +249,33 @@ def _timed_udf(pattern: str, count: bool):
         tv = t.to_numpy()
         mv = m.to_numpy()
         order = np.lexsort((mv, tv))
+        if fast is not None:
+            a, kind, thr, b = fast
+            ts = tv[order].astype(np.int64, copy=False)
+            ms = mv[order]
+            isa = ((ms >> a) & 1).astype(bool)
+            isb = ((ms >> b) & 1).astype(bool)
+            if kind in ("tle", "tl"):
+                # latest A-time strictly before each position
+                lo = np.iinfo(np.int64).min
+                ref = np.maximum.accumulate(np.where(isa, ts, lo))
+                prev = np.empty_like(ref)
+                prev[0] = lo
+                prev[1:] = ref[:-1]
+                seen = prev != lo
+                gap = ts - prev
+                ok = isb & seen & (gap <= thr if kind == "tle" else gap < thr)
+            else:
+                # earliest A-time strictly before each position
+                hi = np.iinfo(np.int64).max
+                ref = np.minimum.accumulate(np.where(isa, ts, hi))
+                prev = np.empty_like(ref)
+                prev[0] = hi
+                prev[1:] = ref[:-1]
+                seen = prev != hi
+                gap = ts - prev
+                ok = isb & seen & (gap >= thr if kind == "tge" else gap > thr)
+            return int(bool(ok.any()))
         times = tv[order].tolist()
         masks = mv[order].tolist()
         if count:

@@ -46,16 +46,29 @@ def connected_components(
     partial labels would silently split clusters.
     """
     e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
-    edges = (
-        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # No .distinct() on the doubled edge list (r12): the only consumer
+    # is a per-round MIN aggregation, which duplicate edges cannot
+    # change — the old distinct was one full exchange of pure overhead
+    # per run.  (pairs arrive id_a < id_b, so doubling cannot create
+    # duplicates that weren't already in ``pairs``.)
+    doubled = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=True)
     labels = (
-        edges.select(F.col("s").alias("node"))
+        doubled.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
+    )
+    # Self-loops folded into the edge list (r12): min over N(v) ∪ {v}
+    # computes the neighbour-min AND keeps every node in one
+    # join+aggregate — the previous shape needed a second left join of
+    # ``labels`` against the aggregated candidates to re-attach
+    # no-candidate nodes (one extra exchange per round).  Left lazy:
+    # both inputs are checkpointed, so per-round re-evaluation is a
+    # narrow union, not a recompute.
+    edges = doubled.unionByName(
+        labels.select(F.col("node").alias("s"), F.col("node").alias("d"))
     )
     # sentinel (not None): the DECIMAL sum is legitimately NULL on an
     # empty edge list, and that IS convergence — only overflow-NULL
@@ -64,8 +77,10 @@ def connected_components(
     prev: object = unset
     converged = False
     for _ in range(max_iter):
-        # candidate label per node: min over the neighbours' labels
-        cand = (
+        # stepped(v) = min(label(u) for u in N(v) ∪ {v}) — one join +
+        # one partial-aggregated groupBy (the self-loop supplies v's
+        # own label, so every node survives the aggregation)
+        stepped = (
             edges.join(
                 labels.select(
                     F.col("node").alias("d"), F.col("label").alias("nbl")
@@ -73,14 +88,8 @@ def connected_components(
                 "d",
             )
             .groupBy("s")
-            .agg(F.min("nbl").alias("cand"))
+            .agg(F.min("nbl").alias("label"))
             .withColumnRenamed("s", "node")
-        )
-        stepped = labels.join(cand, "node", "left").select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("cand"), F.col("label"))
-            ).alias("label"),
         )
         # POINTER JUMP (path doubling): label <- label(label).  Labels
         # are always node ids present in ``labels``, so the self-join

@@ -282,13 +282,31 @@ def minhash_dedup_pairs(
         # ~6x and flips the trade: 4.16 -> 3.62 s at 50k docs, r10
         # interleaved, pair set bit-identical.)  array_distinct is
         # min-invariant, so signatures match the two-pass form.
+        #
+        # r12: the shingle hash is xxhash64 over the FIVE TOKEN HASHES
+        # (multi-arg chain), not over the joined shingle string —
+        # building ~n_tokens 50-char strings per row (slice +
+        # array_join, interpreted) was 3x the cost of hashing them
+        # (guide §1.2 per-row allocation; 1.21 -> 0.42 s at 50k docs).
+        # Hash VALUES change, so LSH bucket recall was re-verified:
+        # pair set + jaccards bit-identical to the string form at
+        # sf0.01 / sf0.1 / 50k-doc sf1, and the exact-Jaccard verify
+        # keeps precision 1.0 regardless.  Distinct shingles map to
+        # distinct hash tuples absent 64-bit collisions, so the verify
+        # Jaccard over set cardinalities is unchanged (same argument
+        # as verify_hash64 itself).
+        th = f"transform({tokens_sql(text_sql)}, __t -> xxhash64(__t))"
+        arg_ij = ", ".join(
+            f"element_at(__th, __i + {j})" for j in range(k_shingle)
+        )
         hs = _cache_tracked(
             spread.select(
                 F.col(id_col).alias("id"),
                 F.expr(
-                    f"array_distinct(transform("
-                    f"{shingles_sql(text_sql, k_shingle)}, "
-                    f"__s -> xxhash64(__s)))"
+                    f"array_distinct(get(transform(array({th}), "
+                    f"__th -> transform("
+                    f"sequence(1, greatest(size(__th) - {k_shingle - 1}, 1)), "
+                    f"__i -> xxhash64({arg_ij}))), 0))"
                 ).alias("hs"),
             )
         )

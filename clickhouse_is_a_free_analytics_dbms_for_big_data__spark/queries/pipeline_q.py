@@ -671,7 +671,16 @@ from ..pipeline import curation as CU  # noqa: E402
 @_plan_cache
 def pl_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
-    n_streams = max(docs.count() // 100, 2)
+    # corpus size from the parquet FOOTERS (metadata, like the
+    # reference's part-count count()) — the old docs.count() paid a
+    # full scan job per build just to size the window generator
+    from ..sources.catalog import parquet_row_count
+    import os as _os
+
+    n_docs = parquet_row_count(_os.path.join(sf_dir, "documents.parquet"))
+    if n_docs is None:
+        n_docs = docs.count()
+    n_streams = max(n_docs // 100, 2)
     win = (
         spark.range(8 * n_streams)
         .select(

@@ -59,6 +59,32 @@ def _stat_sig(path: str) -> tuple:
     return (st.st_mtime_ns, tuple(entries))
 
 
+def parquet_row_count(path: str) -> int | None:
+    """Exact row count from the parquet FOOTERS (file or directory of
+    part files) — a metadata read, no data scan: the same way the
+    reference serves a bare count() from part metadata
+    (MergeTree data parts carry row counts).  Returns None when the
+    path is not readable parquet so callers can fall back to a scan.
+    """
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        total = 0
+        found = False
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+                    found = True
+        return total if found else None
+    except Exception:
+        return None
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -194,3 +194,86 @@ def test_streaming_materialized_view(spark, tmp_path):
     assert agg.agg(F.sum("s")).first()[0] == sum(range(30))
     raw = spark.read.parquet(raw_path)
     assert raw.count() == 19  # v in (10, 30)
+
+
+def test_timed_fast_path_matches_nfa_on_random_sequences():
+    """r12: the vectorized single-time-constraint fast path must equal
+    the reference NFA on arbitrary (times, masks) sequences — all four
+    comparison kinds, overlapping conditions, ties, empty matches."""
+    import random
+
+    import numpy as np
+
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.sequence_match import (
+        _single_tcons_shape,
+        match_events,
+        parse_pattern,
+    )
+
+    rng = random.Random(1234)
+    kinds = [("<=", "tle"), ("<", "tl"), (">=", "tge"), (">", "tg")]
+    n_checked = 0
+    for trial in range(4000):
+        op, kind = kinds[trial % 4]
+        thr = rng.choice([0, 1, 3, 10, 50])
+        pattern = f"(?1)(?t{op}{thr})(?2)"
+        actions = parse_pattern(pattern)
+        fast = _single_tcons_shape(actions, count=False)
+        assert fast == (0, kind, thr, 1)
+        n = rng.randrange(0, 30)
+        times = sorted(rng.randrange(0, 60) for _ in range(n))
+        # masks allow overlap (event may satisfy both conditions) and
+        # neither; sort ties broken by mask like the UDF's lexsort
+        masks = [rng.randrange(0, 4) for _ in range(n)]
+        pairs = sorted(zip(times, masks))
+        times = [p[0] for p in pairs]
+        masks = [p[1] for p in pairs]
+        want = int(match_events(actions, times, masks, 0)[0]) if n else 0
+        # replicate the UDF's fast path exactly
+        a, k2, thr2, b = fast
+        ts = np.asarray(times, dtype=np.int64)
+        ms = np.asarray(masks, dtype=np.int64)
+        if n == 0:
+            got = 0
+        else:
+            isa = ((ms >> a) & 1).astype(bool)
+            isb = ((ms >> b) & 1).astype(bool)
+            if k2 in ("tle", "tl"):
+                lo = np.iinfo(np.int64).min
+                ref = np.maximum.accumulate(np.where(isa, ts, lo))
+                prev = np.empty_like(ref)
+                prev[0] = lo
+                prev[1:] = ref[:-1]
+                seen = prev != lo
+                gap = ts - prev
+                ok = isb & seen & (gap <= thr2 if k2 == "tle" else gap < thr2)
+            else:
+                hi = np.iinfo(np.int64).max
+                ref = np.minimum.accumulate(np.where(isa, ts, hi))
+                prev = np.empty_like(ref)
+                prev[0] = hi
+                prev[1:] = ref[:-1]
+                seen = prev != hi
+                gap = ts - prev
+                ok = isb & seen & (gap >= thr2 if k2 == "tge" else gap > thr2)
+            got = int(bool(ok.any()))
+        assert got == want, (pattern, times, masks, got, want)
+        n_checked += 1
+    assert n_checked == 4000
+
+
+def test_timed_fast_path_not_taken_for_other_shapes():
+    from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.sequence_match import (
+        _single_tcons_shape,
+        parse_pattern,
+    )
+
+    # count mode, multi-constraint, star between, bare funnel: all NFA
+    assert _single_tcons_shape(parse_pattern("(?1)(?t<=5)(?2)"), True) is None
+    assert (
+        _single_tcons_shape(parse_pattern("(?1)(?t<=5)(?2)(?t<=5)(?3)"), False)
+        is None
+    )
+    assert (
+        _single_tcons_shape(parse_pattern("(?1).*(?2)"), False) is None
+    )
