@@ -100,15 +100,27 @@ def contamination_hits(
     """
     def _grams(df: DataFrame, ident: str, alias: str) -> DataFrame:
         # hash INSIDE the gram array, before the explode: the generator
-        # then fans out 8-byte longs, never the gram strings
+        # then fans out 8-byte longs, never the gram strings.
+        #
+        # r12: the gram hash is xxhash64 chained over the n TOKEN
+        # hashes, not over a built gram string — materializing
+        # ~n_tokens 50-char strings per row (slice + array_join,
+        # interpreted) dominated the sweep (guide §1.2; corpus-side
+        # gram pass 1.36 -> 0.46 s at 50k docs).  Tokens cannot
+        # contain whitespace, so joined-string equality ⟺ token-tuple
+        # equality ⟺ hash-chain equality absent 64-bit collisions —
+        # the shared-gram counts are unchanged (verified identical at
+        # sf0.01 / sf0.1 / 50k-doc sf1); both sides hash the same way.
+        th = f"transform({TXT.tokens_sql(f'`{text_col}`')}, __t -> xxhash64(__t))"
+        args = ", ".join(f"element_at(__th, __i + {j})" for j in range(n))
         return df.select(
             F.col(ident).alias(alias),
             F.explode(
-                F.transform(
-                    F.array_distinct(
-                        _ngrams_of_tokens(TXT.tokens(F.col(text_col)), n)
-                    ),
-                    lambda s: F.xxhash64(s),
+                F.expr(
+                    f"array_distinct(get(transform(array({th}), "
+                    f"__th -> transform("
+                    f"sequence(1, greatest(size(__th) - {n - 1}, 1)), "
+                    f"__i -> xxhash64({args}))), 0))"
                 )
             ).alias("g"),
         )

@@ -41,6 +41,15 @@ QUERIES = [
     "hits_q13_phrase_top",
     "hits_q21_url_like",
     "hits_q34_url_top",
+    # r12: the heaviest scan/agg shapes join the sf1 section so the
+    # core-count scaling block has entries whose work exceeds the job
+    # floor (r11 verdict #1) — additions only, nothing removed
+    "hits_q33_watch_ip_all",
+    "hits_q29_referer_domain",
+    "hits_q23_title_scan",
+    "hits_q10_region_multi",
+    "hits_q14_phrase_uniq",
+    "hits_q42_window_size",
     # STORED hits table twins (apples-to-apples with BASELINE.md's
     # stored-column reads; build cost paid once, outside the timing)
     "hits_q13_stored",
@@ -79,12 +88,33 @@ EVENT_OPS = [
 ]
 
 
+# Data-layout version: v2 writes events/documents as 16 part files
+# instead of one-file-per-replica (10 files at ~4.5 MB packed into
+# 1-2 scan tasks by the 128 MB split size).  16 row groups + the
+# session's scan-parallelism floor make the sf1 scans genuinely
+# multi-task, so the core-count scaling block measures parallel
+# speedup instead of the single-task floor (r11 verdict #1).  The
+# VALUES are identical — only the file layout changes.
+_LAYOUT_VERSION = 2
+_PARTS = 16
+
+
+def _layout_marker() -> str:
+    return os.path.join(DST, f"_LAYOUT_V{_LAYOUT_VERSION}")
+
+
 def build(spark) -> None:
+    import shutil
+
     from pyspark.sql import functions as F
 
     out = os.path.join(DST, "events.parquet")
-    if os.path.exists(out):
+    if os.path.exists(out) and os.path.exists(_layout_marker()):
         return
+    # stale layout: rebuild everything (symlinks are recreated below)
+    if os.path.exists(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST, exist_ok=True)
     ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
     reps = None
     for r in range(REPLICAS):
@@ -94,7 +124,7 @@ def build(spark) -> None:
             "user_id", F.col("user_id") + F.lit(r * 1_000_000_000)
         ).withColumn("event_id", F.col("event_id") + F.lit(r * 10_000_000_000))
         reps = part if reps is None else reps.unionByName(part)
-    reps.write.mode("overwrite").parquet(out)
+    reps.repartition(_PARTS).write.mode("overwrite").parquet(out)
 
     # 10x documents: doc_ids stay dense (replica-strided) and every
     # other token is a per-replica salt, so cross-replica copies are
@@ -114,7 +144,7 @@ def build(spark) -> None:
                 F.regexp_replace(F.col("text"), " ", f" r{r} "),
             )
             dreps = part if dreps is None else dreps.unionByName(part)
-        dreps.write.mode("overwrite").parquet(dout)
+        dreps.repartition(_PARTS).write.mode("overwrite").parquet(dout)
 
     # the other tables are read by some query setups — link them 1:1
     for t in (
@@ -125,6 +155,8 @@ def build(spark) -> None:
         src = os.path.join(SRC, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(src, dst)
+    with open(_layout_marker(), "w") as fh:
+        fh.write("")
 
 
 def main() -> None:
