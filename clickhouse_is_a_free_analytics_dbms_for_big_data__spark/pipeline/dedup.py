@@ -103,38 +103,41 @@ def _banded_candidates(
     ~2.5x more wall-clock — window operators block AQE's broadcast
     conversion and added two extra query stages per run.]
     """
+    # Built from SQL-fragment strings (guide §7.3): the Column form of
+    # this helper cost ~350 py4j round trips per build — re-paid by
+    # every bench run that clears the plan memo (r12; plan verified
+    # identical, expression-id-normalized).
     keys = list(keys)
-    w = Window.partitionBy(*keys)
+    part = ", ".join(f"`{k}`" for k in keys)
+    rep_fields = ", ".join(f"`{c}`" for c in ("id", *carry))
     sized = _cache_tracked(
-        banded.withColumn("__n", F.count(F.lit(1)).over(w))
-        .withColumn("__rep", F.min(F.struct("id", *carry)).over(w))
+        banded.selectExpr(
+            "*",
+            f"count(1) OVER (PARTITION BY {part}) AS __n",
+            f"min(struct({rep_fields})) OVER (PARTITION BY {part}) AS __rep",
+        )
     )
-
-    def _sel(l_pre, r_pre):
-        cols = [l_pre("id").alias("id_a"), r_pre("id").alias("id_b")]
-        for c in carry:
-            cols.append(l_pre(c).alias(f"{c}_a"))
-            cols.append(r_pre(c).alias(f"{c}_b"))
-        return cols
 
     # small: all-pairs self-join within the bucket (O(n^2) bounded by
     # max_bucket); both sides read the cached annotated frame
     small = sized.filter(F.col("__n") <= max_bucket)
     l, r = small.alias("l"), small.alias("r")
-    on = F.col("l.id") < F.col("r.id")
-    for k in keys:
-        on = on & (F.col(f"l.{k}") == F.col(f"r.{k}"))
-    pairs_small = l.join(r, on).select(
-        *_sel(lambda c: F.col(f"l.{c}"), lambda c: F.col(f"r.{c}"))
+    on = " AND ".join(
+        ["l.`id` < r.`id`", *[f"l.`{k}` = r.`{k}`" for k in keys]]
     )
+    sel_small = ["l.`id` AS id_a", "r.`id` AS id_b"]
+    for c in carry:
+        sel_small += [f"l.`{c}` AS {c}_a", f"r.`{c}` AS {c}_b"]
+    pairs_small = l.join(r, F.expr(on)).selectExpr(*sel_small)
 
     # star path: every member pairs with the windowed representative —
     # no join, no member array, skew-safe for arbitrarily large buckets
-    pairs_big = (
-        sized.filter(
-            (F.col("__n") > max_bucket) & (F.col("id") != F.col("__rep.id"))
-        ).select(*_sel(lambda c: F.col(f"__rep.{c}"), lambda c: F.col(c)))
-    )
+    sel_big = ["__rep.`id` AS id_a", "`id` AS id_b"]
+    for c in carry:
+        sel_big += [f"__rep.`{c}` AS {c}_a", f"`{c}` AS {c}_b"]
+    pairs_big = sized.filter(
+        f"__n > {max_bucket} AND `id` != __rep.`id`"
+    ).selectExpr(*sel_big)
     return pairs_small.unionByName(pairs_big).dropDuplicates(["id_a", "id_b"])
 
 

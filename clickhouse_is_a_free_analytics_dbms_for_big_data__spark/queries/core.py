@@ -93,35 +93,47 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scaled_long = round-to-scaled-int without the per-row BigDecimal
     # Spark's Round-on-double allocates (r11: the agg core measured
     # 757 -> 388 ms at sf0.1 with this swap, value-identical)
-    q100 = scaled_long(F.col("l_quantity"))
-    p100 = scaled_long(F.col("l_extendedprice"))
-    d100 = scaled_long(F.col("l_discount"))
-    t100 = scaled_long(F.col("l_tax"))
-    disc4 = p100 * (F.lit(100) - d100)  # disc_price scaled 10^4
-    chg6 = disc4 * (F.lit(100) + t100)  # charge scaled 10^6
-    M = 1_000_000
+    # Built as SQL-fragment strings (guide §7.3, same device as the
+    # minhash/simhash builders): the Column form of this tree cost
+    # ~1,229 py4j round trips ≈ 0.4-0.5 s of driver time per COLD
+    # build (profiled r12; the plan memo hides it only for repeats).
+    # Expression-for-expression identical to the former Column build —
+    # the physical plan is byte-identical (plans/r12).
+    def sl(col: str) -> str:
+        # scaled_long twin: exact 2-decimal double -> scaled long
+        v = f"(`{col}` * 100.0)"
+        return f"CAST({v} + SIGNUM({v}) * 0.5 AS BIGINT)"
 
-    def split_sum(col: F.Column) -> F.Column:
-        hi = F.sum((col / M).cast("long")).cast("decimal(36,0)")
-        lo = F.sum(col % M)
-        return hi * F.lit(M) + lo
+    def split_sum(x: str) -> str:
+        # exact split hi/lo long sum recombined in decimal(36,0)
+        return (
+            f"CAST(SUM(CAST((`{x}` / 1000000) AS BIGINT)) AS DECIMAL(36,0))"
+            f" * 1000000 + SUM(`{x}` % 1000000)"
+        )
 
-    c2 = F.lit("0.01").cast("decimal(3,2)")
-    c4 = F.lit("0.0001").cast("decimal(5,4)")
-    c6 = F.lit("0.000001").cast("decimal(7,6)")
-    n = F.count(F.lit(1))
-    sum_q = F.sum(F.col("q")).cast("decimal(36,0)")
+    c2 = "CAST('0.01' AS DECIMAL(3,2))"
+    c4 = "CAST('0.0001' AS DECIMAL(5,4))"
+    c6 = "CAST('0.000001' AS DECIMAL(7,6))"
+    sum_q = "CAST(SUM(`q`) AS DECIMAL(36,0))"
+    dp = f"{sl('l_extendedprice')} * (100 - {sl('l_discount')})"
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .select(
+        li.filter(
+            "`l_shipdate` <= CAST('1998-09-02 00:00:00' AS TIMESTAMP)"
+        )
+        .selectExpr(
             "l_returnflag", "l_linestatus",
-            q100.alias("q"), p100.alias("p"), d100.alias("d"),
-            disc4.alias("dp"), chg6.alias("ch"),
+            f"{sl('l_quantity')} AS q",
+            f"{sl('l_extendedprice')} AS p",
+            f"{sl('l_discount')} AS d",
+            f"{dp} AS dp",
+            f"{dp} * (100 + {sl('l_tax')}) AS ch",
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            (sum_q * c2).cast("double").alias("sum_qty"),
-            (split_sum(F.col("p")) * c2).cast("double").alias("sum_base_price"),
+            F.expr(f"CAST({sum_q} * {c2} AS DOUBLE) AS sum_qty"),
+            F.expr(
+                f"CAST(({split_sum('p')}) * {c2} AS DOUBLE) AS sum_base_price"
+            ),
             # the 4/6-decimal money totals round to cents BEFORE the
             # double cast: past ~10^16 scaled units (sf1's sum_charge)
             # the exact decimal exceeds double's 2^53 mantissa, and
@@ -129,12 +141,24 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # int-then-divides = double rounding; the JVM cast rounds
             # once).  Cent precision keeps the cast exact to ~10^11
             # in magnitude — and is what TPC-H reports anyway.
-            F.round(split_sum(F.col("dp")) * c4, 2).cast("double").alias("sum_disc_price"),
-            F.round(split_sum(F.col("ch")) * c6, 2).cast("double").alias("sum_charge"),
-            ((sum_q * c2).cast("double") / n).alias("avg_qty"),
-            ((split_sum(F.col("p")) * c2).cast("double") / n).alias("avg_price"),
-            ((F.sum(F.col("d")).cast("decimal(36,0)") * c2).cast("double") / n).alias("avg_disc"),
-            n.alias("count_order"),
+            F.expr(
+                f"CAST(ROUND(({split_sum('dp')}) * {c4}, 2) AS DOUBLE)"
+                " AS sum_disc_price"
+            ),
+            F.expr(
+                f"CAST(ROUND(({split_sum('ch')}) * {c6}, 2) AS DOUBLE)"
+                " AS sum_charge"
+            ),
+            F.expr(f"CAST({sum_q} * {c2} AS DOUBLE) / COUNT(1) AS avg_qty"),
+            F.expr(
+                f"CAST(({split_sum('p')}) * {c2} AS DOUBLE) / COUNT(1)"
+                " AS avg_price"
+            ),
+            F.expr(
+                f"CAST(CAST(SUM(`d`) AS DECIMAL(36,0)) * {c2} AS DOUBLE)"
+                " / COUNT(1) AS avg_disc"
+            ),
+            F.expr("COUNT(1) AS count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

@@ -35,30 +35,32 @@ REGISTRY = os.path.join(
 
 # this-round fixes: always sampled first (hand-edit per round)
 PIN: tuple[str, ...] = (
-    # r11: the nine entries whose latest DRIVER evidence is r07 (the
-    # r10 window couldn't fit them behind its 11 new-entry pins; the
-    # r10 judge re-verified all nine green in both full sweeps and
-    # asked for them to lead this window).
+    # r12 in-round value-path changes that must get a fresh driver
+    # row: minhash shingle hashes now chain token hashes, the CC loop
+    # was restructured (self-loop min + no edge distinct), the
+    # contamination gram hashes chain token hashes, agg_pricing is
+    # built from SQL fragments, and the timed sequenceMatch runs the
+    # vectorized closed form (all driver-simmed green in-round at
+    # sf0.01; minhash/contamination also value-checked at sf0.1/sf1).
+    "pl_minhash_lsh_dedup",
+    "pl_dup_clusters",
+    "pl_contamination_check",
+    "agg_pricing_summary",
+    "dialect_sequence_timed",
+    # r11 value-touched entries whose driver evidence predates the
+    # scaled_long / percentile / posexplode rewrites (r11 verdict #2:
+    # the r12 window must lead with them)
+    "filter_count",
+    "with_totals_agg",
+    "totals_after_having",
+    "totals_before_having",
+    "fn_quantiles",
+    "fn_enumerate_uniq_sessionize",
+    "pl_language_id",
+    "join_star_broadcast",
     "sample_deterministic",
-    "semi_join_in",
-    "sequence_count_pairs",
-    "sequence_match_funnel",
-    "summing_mergetree",
-    "topk_group_order_limit",
-    "union_all_chain",
-    "uniq_exact",
-    "uniq_state_merge_hll",
-    # r11 in-round changes that must get a fresh driver row: the
-    # pl_quality_scores oracle now computes the live noise term, and
-    # the *_stored entries read the v7 range-partitioned store layout
-    # (all six driver-simmed green in-round at sf0.01; quality also
-    # value-checked at sf0.1 and sf1).
-    "pl_quality_scores",
-    "hits_q13_stored",
-    "hits_q17_stored",
-    "hits_q19_stored",
-    "hits_q21_stored",
-    "hits_q34_stored",
+    "dict_range_lookup",
+    "fn_date_parts",
 )
 
 WINDOW = 50  # how many names the driver snapshots

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.operators.asof import (
@@ -133,6 +135,7 @@ def _hot_key_frames(spark):
     return probe.unionByName(extras), build
 
 
+@pytest.mark.slow
 def test_asof_hot_key_split_equivalent(spark):
     """split_bucket (time-bucket pre-split + per-bucket seed rows) is
     result-identical to the unsplit operator on a hot-key fixture, in
@@ -451,6 +454,7 @@ def _brute_strict_order_level(events, stages, window):
     return best
 
 
+@pytest.mark.slow
 def test_window_funnel_property_sweep_all_modes(spark):
     """150 randomized per-key event soups (seeded), each a fixture:
     window_funnel must equal the pure-Python greedy simulation in all

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from clickhouse_is_a_free_analytics_dbms_for_big_data__spark.pipeline import (
@@ -345,6 +347,7 @@ def test_minhash_cap_matches_uncapped_on_small_corpus(spark):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.slow
 def test_ivf_high_dim_real_scale_shape(spark):
     """dim=256, k=64 — the sizes the round-1 literal-expression design
     could not plan.  Plan must contain no per-dimension columns; recall
