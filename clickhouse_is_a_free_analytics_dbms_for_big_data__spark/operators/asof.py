@@ -118,16 +118,30 @@ def asof_join(
             F.col("__payload").alias("p"),
             F.col(ts).alias("t"),
         )
-        edge = build.groupBy(*keys, "__b").agg(F.max(edge_key).alias("__e"))
         # bucket spine = probe buckets (need seeds) + build buckets
-        # (supply seeds); one row per key x bucket — tiny vs data rows
+        # (supply seeds); one row per key x bucket — tiny vs data rows.
+        # ONE partial-aggregated groupBy over the tagged union computes
+        # both the per-bucket edge row (max edge_key over build rows;
+        # probe rows contribute NULL, which max ignores) and the
+        # has-probe flag — the former edge-agg + spine-agg + join-back
+        # shape paid three exchanges for the same rows (r12, guide
+        # §2.4; result-identical by construction, covered by the
+        # split-vs-unsplit equivalence property test).
         spine = (
-            probe.filter(F.col("__b").isNotNull())
-            .select(*keys, "__b", F.lit(1).alias("__hasp"))
-            .unionByName(edge.select(*keys, "__b", F.lit(0).alias("__hasp")))
+            build.select(
+                *keys, "__b", edge_key.alias("__ek"), F.lit(0).alias("__hasp")
+            )
+            .unionByName(
+                probe.filter(F.col("__b").isNotNull()).select(
+                    *keys, "__b", F.lit(1).alias("__hasp")
+                ),
+                allowMissingColumns=True,
+            )
             .groupBy(*keys, "__b")
-            .agg(F.max("__hasp").alias("__hasp"))
-            .join(edge, on=[*keys, "__b"], how="left")
+            .agg(
+                F.max("__ek").alias("__e"),
+                F.max("__hasp").alias("__hasp"),
+            )
         )
         seed_w = (
             Window.partitionBy(*keys)

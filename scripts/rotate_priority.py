@@ -47,6 +47,7 @@ PIN: tuple[str, ...] = (
     "pl_contamination_check",
     "agg_pricing_summary",
     "dialect_sequence_timed",
+    "asof_join_bucketed",
     # r11 value-touched entries whose driver evidence predates the
     # scaled_long / percentile / posexplode rewrites (r11 verdict #2:
     # the r12 window must lead with them)
