@@ -54,10 +54,21 @@ def connected_components(
     doubled = e.unionByName(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).localCheckpoint(eager=True)
+    # Initialization FUSED with the first neighbour-min step (r12):
+    # label0(v) = min(v, min N(v)).  The old identity init needed a
+    # distinct aggregation anyway — a min aggregation over the same
+    # doubled edge list costs the same job but starts the propagation
+    # one round ahead (4 → 3 rounds on the benched dup graph; each
+    # round is a full shuffle cycle).  Monotone min-propagation
+    # converges to the component minimum from any start point between
+    # the identity and the fixpoint, so the result is unchanged.
     labels = (
-        doubled.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        doubled.groupBy("s")
+        .agg(F.min("d").alias("_mn"))
+        .select(
+            F.col("s").alias("node"),
+            F.least(F.col("s"), F.col("_mn")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
     # Self-loops folded into the edge list (r12): min over N(v) ∪ {v}
