@@ -100,6 +100,7 @@ def pl_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "digits, so the term is live there (constant 0 at sf<=0.1).",
     tags=("pipeline", "text"),
 )
+@_plan_cache
 def pl_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     return (
@@ -146,6 +147,7 @@ def pl_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "structs is lexicographic in both engines.",
     tags=("pipeline", "text"),
 )
+@_plan_cache
 def pl_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     return (
@@ -179,6 +181,7 @@ def pl_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_pipeline.py.",
     tags=("pipeline", "text"),
 )
+@_plan_cache
 def pl_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     fp = docs.select(
@@ -378,6 +381,7 @@ def pl_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— the verify kernel of MinHash dedup, oracle-checked end to end.",
     tags=("pipeline", "dedup"),
 )
+@_plan_cache
 def pl_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     block = docs.filter(F.col("doc_id") < 60)
@@ -564,6 +568,7 @@ _Q["pl_ivf_ann"].oracle = _Q["pl_embedding_topk"].oracle
     "recomputes the md5-derived features relationally.",
     tags=("pipeline", "multimodal"),
 )
+@_plan_cache
 def pl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     media = M.media_from_documents(docs)
@@ -591,6 +596,7 @@ def pl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic from the byte lengths.",
     tags=("pipeline", "multimodal"),
 )
+@_plan_cache
 def pl_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     media = M.media_from_documents(docs.filter(F.col("doc_id") < 50))
@@ -791,6 +797,7 @@ def pl_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same split across the fleet and the eval stack.",
     tags=("pipeline", "text"),
 )
+@_plan_cache
 def pl_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     return (
@@ -840,6 +847,7 @@ def pl_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "/regexp_replace, no UDFs.",
     tags=("pipeline", "text"),
 )
+@_plan_cache
 def pl_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     planted = docs.select(
@@ -902,6 +910,7 @@ def pl_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality-filter flag count. Pure Column expressions.",
     tags=("pipeline", "text"),
 )
+@_plan_cache
 def pl_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     rep = docs.select(
@@ -946,6 +955,7 @@ def pl_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "global window.",
     tags=("pipeline", "text"),
 )
+@_plan_cache
 def pl_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     return CU.pack_sequences(
@@ -973,6 +983,7 @@ def pl_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a hot source never sorts its full row set through one reducer.",
     tags=("pipeline", "text"),
 )
+@_plan_cache
 def pl_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     return (
@@ -1025,6 +1036,7 @@ def pl_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engine-exact.",
     tags=("pipeline", "text"),
 )
+@_plan_cache
 def pl_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     planted = docs.select(
@@ -1057,6 +1069,7 @@ def pl_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "int-rank -> rescore pipeline.",
     tags=("pipeline", "similarity"),
 )
+@_plan_cache
 def pl_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _t(spark, sf_dir, "embeddings")
     return SIM.topk_quantized(emb, "embedding", _QUERY_VEC, k=10)
