@@ -174,15 +174,27 @@ def fingerprint_md5(text) -> Column:
 def rolling_fingerprint(text, window: int = 8) -> Column:
     """Winnowing-style fingerprint: min hash over rolling token windows
     — robust to local edits (document fingerprinting).  The token array
-    is let-bound so it is built once, not once per window."""
+    is hashed once (let-bound), and each window's hash is the xxhash64
+    CHAIN over its ``window`` token hashes — materializing a joined
+    window string per position was ~3x the cost of hashing it (r12,
+    guide §1.2; same device as the minhash shingle hash).  Raw values
+    changed with the r12 hash form; every documented property
+    (whitespace/affix invariance, local-edit robustness, dup collapse)
+    is value-independent and still asserted by the oracle and
+    tests/test_pipeline.py.  Tokens cannot contain whitespace, so
+    window-string equality ⟺ token-tuple equality ⟺ chain equality
+    absent 64-bit collisions."""
+    hashed = let_(tokens(text), lambda tk: F.transform(tk, lambda t: F.xxhash64(t)))
     return let_(
-        tokens(text),
-        lambda tk: F.array_min(
+        hashed,
+        lambda th: F.array_min(
             F.transform(
                 F.sequence(
-                    F.lit(1), F.greatest(F.size(tk) - window + 1, F.lit(1))
+                    F.lit(1), F.greatest(F.size(th) - window + 1, F.lit(1))
                 ),
-                lambda i: F.xxhash64(F.array_join(F.slice(tk, i, window), " ")),
+                lambda i: F.xxhash64(
+                    *[F.element_at(th, i + j) for j in range(window)]
+                ),
             )
         ),
     )
