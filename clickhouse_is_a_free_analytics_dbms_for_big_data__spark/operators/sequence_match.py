@@ -225,8 +225,8 @@ def _timed_udf(pattern: str, count: bool):
     LATEST A-time before j; for ≥/> only the EARLIEST — both are one
     vectorized prefix scan instead of an interpreted O(n²)
     backtracking loop per group.  Equivalence is property-tested
-    against the NFA on randomized sequences
-    (tests/test_straggler_functions.py)."""
+    against the NFA on 4,000 randomized sequences
+    (tests/test_engines.py::test_timed_fast_path_matches_nfa_on_random_sequences)."""
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     actions = parse_pattern(pattern)
